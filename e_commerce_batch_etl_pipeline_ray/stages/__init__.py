@@ -1,0 +1,7 @@
+from e_commerce_batch_etl_pipeline_ray.stages import (  # noqa: F401
+    aggregates,
+    dedup,
+    joins,
+    maps,
+    sorts,
+)

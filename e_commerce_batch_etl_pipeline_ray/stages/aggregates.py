@@ -1,0 +1,217 @@
+"""Aggregations (SURVEY.md §2.5).
+
+Scale pattern: a bare ``groupby(key).aggregate(...)`` shuffles every row.
+``pre_aggregate`` computes partial aggregates per batch FIRST (one row per
+key per batch, vectorized via ``pyarrow.Table.group_by``) and only shuffles
+the partials — for low-cardinality group keys this collapses the all-to-all
+exchange to almost nothing. Count-distinct is exact (the reference is exact,
+notebooks/06_optimizations.py:281) via a two-phase nested groupby.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Sequence
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+from ray.data.aggregate import Count, Max, Mean, Min, Std, Sum
+
+from e_commerce_batch_etl_pipeline_ray.core import FnStep
+
+# aggregate spec: list of (agg_kind, column, alias). agg_kind in
+# {"count", "sum", "mean", "min", "max", "count_distinct", "sum_bool"}
+
+_PARTIAL_MAP = {  # agg -> (local pa.Table.group_by agg, merge fn on partials)
+    "count": ("count", "sum"),
+    "sum": ("sum", "sum"),
+    "min": ("min", "min"),
+    "max": ("max", "max"),
+}
+
+
+def grouped_aggregate(by: Sequence[str],
+                      aggs: Sequence[tuple[str, str | None, str]],
+                      pre_aggregate: bool = True) -> FnStep:
+    """A2/A3 — grouped multi-aggregate with partial (combiner) pre-aggregation.
+
+    Reference: GROUP BY year, month -> COUNT/SUM/AVG/COUNT DISTINCT
+    (notebooks/04_write_parquet.py:196-207); analytics cube
+    (notebooks/06_optimizations.py:276-287).
+
+    ``mean`` is decomposed into sum+count partials and finalized exactly.
+    ``count_distinct`` is handled by a separate nested-groupby plan and may
+    not be mixed with pre-aggregated aggs in one call — use
+    ``count_distinct()`` and join, or set pre_aggregate=False (falls back to
+    Ray's full-shuffle aggregate for everything in one pass).
+    """
+    by = list(by)
+    aggs = [tuple(a) for a in aggs]
+
+    if not pre_aggregate or any(k == "count_distinct" for k, _, _ in aggs):
+        def _apply_direct(ds):
+            ray_aggs = []
+            for kind, col, alias in aggs:
+                if kind == "count":
+                    ray_aggs.append(Count(alias_name=alias))
+                elif kind == "sum":
+                    ray_aggs.append(Sum(col, alias_name=alias))
+                elif kind == "mean":
+                    ray_aggs.append(Mean(col, alias_name=alias))
+                elif kind == "min":
+                    ray_aggs.append(Min(col, alias_name=alias))
+                elif kind == "max":
+                    ray_aggs.append(Max(col, alias_name=alias))
+                elif kind == "std":
+                    ray_aggs.append(Std(col, alias_name=alias))
+                elif kind == "count_distinct":
+                    raise ValueError("use count_distinct() for distinct counts")
+                else:
+                    raise ValueError(f"unknown agg {kind}")
+            return ds.groupby(by).aggregate(*ray_aggs)
+        return FnStep(f"group_agg[{','.join(by)}]", _apply_direct)
+
+    # --- pre-aggregated plan -------------------------------------------------
+    # local phase: per-batch pa.Table.group_by with decomposed partials
+    local_aggs: list[tuple[str, str]] = []   # (col, arrow_agg)
+    partial_names: list[str] = []
+    plan: list[tuple[str, str, list[str]]] = []  # (alias, kind, partial cols)
+
+    def _add_local(col: str, arrow_agg: str) -> str:
+        name = f"{col}_{arrow_agg}"
+        if name not in partial_names:
+            local_aggs.append((col, arrow_agg))
+            partial_names.append(name)
+        return name
+
+    needs_rowcount = any(k in ("count", "mean") for k, _, _ in aggs)
+    for kind, col, alias in aggs:
+        if kind == "count":
+            plan.append((alias, "count", ["__rows_sum"]))
+        elif kind == "sum":
+            plan.append((alias, "sum", [_add_local(col, "sum")]))
+        elif kind == "mean":
+            plan.append((alias, "mean", [_add_local(col, "sum"),
+                                         _add_local(col, "count")]))
+        elif kind == "min":
+            plan.append((alias, "min", [_add_local(col, "min")]))
+        elif kind == "max":
+            plan.append((alias, "max", [_add_local(col, "max")]))
+        else:
+            raise ValueError(f"agg {kind} not supported with pre_aggregate")
+
+    def _local(t: pa.Table) -> pa.Table:
+        cols = set(by) | {c for c, _ in local_aggs}
+        t = t.select([c for c in t.column_names if c in cols])
+        if needs_rowcount:
+            t = t.append_column("__rows", pa.array([1] * t.num_rows, pa.int64()))
+        gb_aggs = list(local_aggs) + ([("__rows", "sum")] if needs_rowcount else [])
+        out = t.group_by(by).aggregate(gb_aggs)
+        return out
+
+    def _apply(ds):
+        ds = ds.map_batches(_local, batch_format="pyarrow", zero_copy_batch=True)
+        merge_aggs = []
+        for col, arrow_agg in local_aggs:
+            pname = f"{col}_{arrow_agg}"
+            if arrow_agg in ("sum", "count"):
+                merge_aggs.append(Sum(pname, alias_name=pname))
+            elif arrow_agg == "min":
+                merge_aggs.append(Min(pname, alias_name=pname))
+            elif arrow_agg == "max":
+                merge_aggs.append(Max(pname, alias_name=pname))
+        if needs_rowcount:
+            merge_aggs.append(Sum("__rows_sum", alias_name="__rows_sum"))
+        merged = ds.groupby(by).aggregate(*merge_aggs)
+
+        def _finalize(t: pa.Table) -> pa.Table:
+            out = t.select(by)
+            for alias, kind, pcols in plan:
+                if kind == "count":
+                    out = out.append_column(alias, t["__rows_sum"].cast(pa.int64()))
+                elif kind == "mean":
+                    s, c = t[pcols[0]], t[pcols[1]]
+                    out = out.append_column(
+                        alias, pc.divide(s.cast(pa.float64()), c.cast(pa.float64())))
+                else:
+                    out = out.append_column(alias, t[pcols[0]])
+            return out
+        return merged.map_batches(_finalize, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+
+    return FnStep(f"group_agg_partial[{','.join(by)}]", _apply)
+
+
+def count_distinct(by: Sequence[str], col: str, alias: str) -> FnStep:
+    """Exact COUNT(DISTINCT col) GROUP BY by — nested two-phase groupby:
+    distinct (by+col) pairs first (local distinct per batch, then shuffle of
+    the already-thinned pairs), then count per ``by``.
+    Reference: countDistinct notebooks/06_optimizations.py:281."""
+    by = list(by)
+    keys = by + [col]
+
+    def _apply(ds):
+        def _local_distinct(t: pa.Table) -> pa.Table:
+            return t.select(keys).group_by(keys).aggregate([]).select(keys)
+        ds = ds.map_batches(_local_distinct, batch_format="pyarrow",
+                            zero_copy_batch=True)
+        # global distinct + count per `by` in one grouped pass:
+        def _per_group(t: pa.Table) -> pa.Table:
+            n = t.group_by(keys).aggregate([]).num_rows
+            out = t.select(by).slice(0, 1)
+            return out.append_column(alias, pa.array([n], pa.int64()))
+        return ds.groupby(by).map_groups(_per_group, batch_format="pyarrow")
+    return FnStep(f"count_distinct[{col} by {','.join(by)}]", _apply)
+
+
+def null_counts(columns: Sequence[str] | None = None) -> "FnStep":
+    """A4 — per-column null counts for ALL columns in ONE streaming pass
+    (the reference does one filtered count per column, src/quality_checks.py:37-59;
+    the notebook's single-pass conditional-count version,
+    notebooks/02_transformations.py:52-56, is the model).
+
+    Returns a Step producing a 1-row-per-batch partials dataset with columns
+    ``{col: null_count}`` + ``__rows``; reduce with ``sum_partials``.
+    """
+    def _apply(ds):
+        cols = list(columns) if columns else None
+
+        def _local(t: pa.Table) -> pa.Table:
+            use = cols or t.column_names
+            arrays = {f"{c}": pa.array([t[c].null_count], pa.int64()) for c in use}
+            arrays["__rows"] = pa.array([t.num_rows], pa.int64())
+            return pa.table(arrays)
+        return ds.map_batches(_local, batch_format="pyarrow", zero_copy_batch=True)
+    return FnStep("null_counts", _apply)
+
+
+def sum_partials(ds: ray.data.Dataset) -> dict[str, int]:
+    """Reduce a tiny partials dataset (one row per batch) on the driver."""
+    t = pa.concat_tables(
+        ray.get(ds.to_arrow_refs()), promote_options="default")
+    return {c: (pc.sum(t[c]).as_py() or 0) for c in t.column_names}
+
+
+def global_counts(ds: ray.data.Dataset, masks: Mapping[str, object]) -> dict[str, int]:
+    """Named conditional counts over the whole dataset in one pass.
+
+    ``masks``: name -> (batch -> boolean mask). Used by the DQ framework for
+    its filtered-count checks (src/quality_checks.py:116-151) without
+    re-scanning per check.
+    """
+    names = list(masks)
+
+    def _local(t: pa.Table) -> pa.Table:
+        arrays = {}
+        for name in names:
+            m = masks[name](t)
+            if isinstance(m, pa.ChunkedArray):
+                m = m.combine_chunks()
+            arrays[name] = pa.array([pc.sum(pc.fill_null(m, False)).as_py() or 0],
+                                    pa.int64())
+        arrays["__rows"] = pa.array([t.num_rows], pa.int64())
+        return pa.table(arrays)
+
+    partials = ds.map_batches(_local, batch_format="pyarrow", zero_copy_batch=True)
+    return sum_partials(partials)

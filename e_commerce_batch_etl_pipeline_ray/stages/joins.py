@@ -1,0 +1,113 @@
+"""Joins / lookups (SURVEY.md §2.4).
+
+J1/J2 — broadcast lookup join: the reference broadcasts a 15-row
+country->region table (``F.broadcast`` src/pipeline.py:61-99) and a 10-row
+category metadata table (notebooks/06_optimizations.py:168-230). Ray-native
+equivalent: the small side is an Arrow table shipped ONCE per worker via
+``ray.put`` and mapped per batch with a vectorized ``pc.index_in`` + ``take``
+— zero shuffle, the literal broadcast-join.
+
+J3 — large-large hash join: ``Dataset.join`` (hash-partitioned) when
+available; used for orders ⋈ customer style joins
+(notebooks/06_optimizations.py:200-203 shows the non-broadcast path).
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Sequence
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+
+from e_commerce_batch_etl_pipeline_ray.core import FnStep
+
+
+class _BroadcastLookup:
+    """Actor-pool/task callable: resolves the broadcast ref once per worker
+    process (in __init__ for actors; lazily for tasks) and maps every batch
+    vectorized."""
+
+    def __init__(self, small_ref, on: str, small_key: str,
+                 value_cols: Sequence[str], defaults: Mapping[str, object]):
+        small: pa.Table = ray.get(small_ref)
+        self.on = on
+        self.small_key = small.column(small_key).combine_chunks()
+        self.values = {c: small.column(c).combine_chunks() for c in value_cols}
+        self.defaults = dict(defaults)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        idx = pc.index_in(batch[self.on], value_set=self.small_key)
+        for name, col in self.values.items():
+            # take with null indices yields null -> fill with default
+            looked = pc.take(col, idx)
+            if name in self.defaults:
+                looked = pc.fill_null(looked, self.defaults[name])
+            if name in batch.column_names:
+                batch = batch.set_column(batch.column_names.index(name), name, looked)
+            else:
+                batch = batch.append_column(name, looked)
+        return batch
+
+
+def broadcast_lookup(small: pa.Table, on: str, small_key: str | None = None,
+                     value_cols: Sequence[str] | None = None,
+                     defaults: Mapping[str, object] | None = None) -> FnStep:
+    """J1/J2 — left join against a small table, broadcast once.
+
+    ``defaults`` fills non-matches (the reference's
+    ``fillna({"region": "Other"})`` src/pipeline.py:96).
+    """
+    small_key = small_key or on
+    value_cols = list(value_cols) if value_cols is not None else [
+        c for c in small.column_names if c != small_key]
+    defaults = defaults or {}
+    ref = ray.put(small)
+
+    def _apply(ds):
+        return ds.map_batches(
+            _BroadcastLookup, batch_format="pyarrow", zero_copy_batch=True,
+            fn_constructor_args=(ref, on, small_key, value_cols, defaults),
+            concurrency=(1, 8))
+    return FnStep(f"broadcast_lookup[{on}]", _apply)
+
+
+def broadcast_dict_lookup(mapping: Mapping[str, object], on: str, out: str,
+                          default: object = None) -> FnStep:
+    """Tiny-dict variant of J1 (closure-captured, like the reference's 15-row
+    literal list src/pipeline.py:71-87): vectorized via index_in over the
+    dict's key array."""
+    keys = pa.array(list(mapping.keys()))
+    vals = pa.array(list(mapping.values()))
+
+    def _fn(t: pa.Table) -> pa.Table:
+        idx = pc.index_in(t[on], value_set=keys)
+        looked = pc.fill_null(pc.take(vals, idx), default) if default is not None \
+            else pc.take(vals, idx)
+        if out in t.column_names:
+            return t.set_column(t.column_names.index(out), out, looked)
+        return t.append_column(out, looked)
+
+    def _apply(ds):
+        return ds.map_batches(_fn, batch_format="pyarrow", zero_copy_batch=True)
+    return FnStep(f"dict_lookup[{on}->{out}]", _apply)
+
+
+def hash_join(right, on: Sequence[str] | str, join_type: str = "inner",
+              right_on: Sequence[str] | str | None = None,
+              num_partitions: int = 16, right_suffix: str = "_r") -> FnStep:
+    """J3 — large-large hash-partitioned join via ``Dataset.join``.
+
+    ``right`` is a Dataset. Both sides are hash-partitioned on the key —
+    an all-to-all shuffle; prefer broadcast_lookup when one side is small.
+    """
+    on_cols = (on,) if isinstance(on, str) else tuple(on)
+    r_on = None if right_on is None else (
+        (right_on,) if isinstance(right_on, str) else tuple(right_on))
+
+    def _apply(ds):
+        return ds.join(right, join_type=join_type, on=on_cols, right_on=r_on,
+                       num_partitions=num_partitions,
+                       right_suffix=right_suffix)
+    return FnStep(f"hash_join[{','.join(on_cols)}]", _apply)

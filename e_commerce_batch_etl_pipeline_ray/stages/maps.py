@@ -1,0 +1,172 @@
+"""Row-local operators (SURVEY.md §2.2, M1-M12): every one is a single
+zero-copy Arrow ``map_batches`` pass, so consecutive steps fuse into one task
+per block under the streaming executor. No shuffles here.
+
+Each factory returns a ``Step``; compose with ``core.Pipeline``.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Mapping, Sequence
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from e_commerce_batch_etl_pipeline_ray.core import FnStep, batch_step
+from e_commerce_batch_etl_pipeline_ray.functions import scalar as F
+
+
+def _set_or_append(t: pa.Table, name: str, col) -> pa.Table:
+    if isinstance(col, pa.ChunkedArray):
+        pass
+    elif isinstance(col, pa.Array):
+        col = pa.chunked_array([col])
+    if name in t.column_names:
+        return t.set_column(t.column_names.index(name), name, col)
+    return t.append_column(name, col)
+
+
+def rename_columns(mapping: Mapping[str, str]) -> FnStep:
+    """M1 — rename columns (snake_case conformance).
+
+    Reference: 8x withColumnRenamed src/transform.py:10-27 (incl. the
+    space-containing ``Customer ID``). Zero-copy: Arrow renames are metadata.
+    """
+    def _fn(t: pa.Table) -> pa.Table:
+        return t.rename_columns([mapping.get(c, c) for c in t.column_names])
+    return batch_step(f"rename[{len(mapping)}]", _fn)
+
+
+def parse_timestamp(col: str, fmt: str = "%m/%d/%Y %H:%M", out: str | None = None,
+                    drop_source: bool = False, drop_unparsed: bool = False) -> FnStep:
+    """M2 — lenient timestamp parse (bad values -> null), optionally dropping
+    the raw column and/or rows that failed to parse.
+
+    Reference: src/transform.py:30-47 (keep-null variant);
+    notebooks/02_transformations.py:127-149 (drop-null-rows variant).
+    """
+    out_name = out or col
+
+    def _fn(t: pa.Table) -> pa.Table:
+        parsed = F.to_timestamp(t[col], fmt=fmt)
+        if drop_source and out_name != col:
+            t = t.drop_columns([col])
+        t = _set_or_append(t, out_name, parsed)
+        if drop_unparsed:
+            t = t.filter(pc.is_valid(t[out_name]))
+        return t
+    return batch_step(f"parse_ts[{col}]", _fn)
+
+
+def cast_columns(types: Mapping[str, pa.DataType]) -> FnStep:
+    """M3 — defensive numeric/type casts (src/transform.py:43-44)."""
+    def _fn(t: pa.Table) -> pa.Table:
+        for name, ty in types.items():
+            if name in t.column_names and t[name].type != ty:
+                t = _set_or_append(t, name, t[name].cast(ty))
+        return t
+    return batch_step(f"cast[{','.join(types)}]", _fn)
+
+
+def bool_from_string(col: str, out: str | None = None) -> FnStep:
+    """M4 — ``lower(s)=='true' -> True else False``
+    (notebooks/02_transformations.py:136-141)."""
+    out_name = out or col
+
+    def _fn(t: pa.Table) -> pa.Table:
+        return _set_or_append(t, out_name, F.bool_from_string(t[col]))
+    return batch_step(f"bool_cast[{col}]", _fn)
+
+
+def drop_null_rows(columns: Sequence[str]) -> FnStep:
+    """M5 — drop rows with a null in any critical column.
+
+    Reference: dropna(subset=...) src/transform.py:50-60 (key columns from
+    src/config.py:54); notebooks/02_transformations.py:71-75. Row-local ->
+    embarrassingly parallel.
+    """
+    cols = list(columns)
+
+    def _fn(t: pa.Table) -> pa.Table:
+        mask = pc.is_valid(t[cols[0]])
+        for c in cols[1:]:
+            mask = pc.and_(mask, pc.is_valid(t[c]))
+        return t.filter(mask)
+    return batch_step(f"drop_null[{','.join(cols)}]", _fn)
+
+
+def fill_nulls(defaults: Mapping[str, object]) -> FnStep:
+    """M6 — per-column null fill.
+
+    Reference: customer_id null -> 'GUEST' when/otherwise src/transform.py:62-65;
+    7-default fillna dict notebooks/02_transformations.py:59-68.
+    """
+    def _fn(t: pa.Table) -> pa.Table:
+        for name, default in defaults.items():
+            if name in t.column_names:
+                t = _set_or_append(t, name, pc.fill_null(t[name], default))
+        return t
+    return batch_step(f"fillna[{','.join(defaults)}]", _fn)
+
+
+def filter_expr(predicate: Callable[[pa.Table], "pa.ChunkedArray | pa.Array"],
+                name: str = "filter") -> FnStep:
+    """M7 — business-rule predicate filter as one compound vectorized mask.
+
+    ``predicate`` maps a batch to a boolean mask (nulls treated as False).
+    Reference: qty>0 AND price>0 AND date/country checks
+    src/transform.py:90-112; audited 4-filter chain
+    notebooks/02_transformations.py:240-274.
+    """
+    def _fn(t: pa.Table) -> pa.Table:
+        mask = predicate(t)
+        if isinstance(mask, pa.ChunkedArray):
+            mask = mask.combine_chunks()
+        return t.filter(pc.fill_null(mask, False))
+    return batch_step(name, _fn)
+
+
+def with_columns(exprs: Mapping[str, Callable[[pa.Table], object]],
+                 name: str = "derive") -> FnStep:
+    """M8/M9/M10 — derived columns from vectorized expressions.
+
+    Each value is ``batch -> Array``; applied in insertion order so later
+    expressions can read earlier outputs.
+
+    Reference: date parts src/transform.py:128-130 +
+    notebooks/02_transformations.py:170-175; arithmetic deriveds
+    src/transform.py:131, notebooks/02_transformations.py:177-193; is_return
+    flag src/transform.py:132.
+    """
+    def _fn(t: pa.Table) -> pa.Table:
+        for out, expr in exprs.items():
+            t = _set_or_append(t, out, expr(t))
+        return t
+    return batch_step(f"{name}[{','.join(exprs)}]", _fn)
+
+
+def bucketize(col: str, thresholds: Sequence[float], labels: Sequence[str],
+              out: str) -> FnStep:
+    """M11 — ordered threshold bucketing (price_bucket src/transform.py:133-140,
+    revenue_band notebooks/02_transformations.py:181-186)."""
+    thr, lab = list(thresholds), list(labels)
+
+    def _fn(t: pa.Table) -> pa.Table:
+        return _set_or_append(t, out, F.bucketize(t[col], thr, lab))
+    return batch_step(f"bucket[{out}]", _fn)
+
+
+def select(columns: Sequence[str]) -> FnStep:
+    """M12 — final projection to the fixed output contract in fixed order
+    (src/transform.py:145-165)."""
+    cols = list(columns)
+
+    def _fn(ds):
+        return ds.select_columns(cols)
+    return FnStep(f"select[{len(cols)}]", _fn)
+
+
+def map_batches_step(name: str, fn, **kwargs) -> FnStep:
+    """Escape hatch: arbitrary map_batches as a Step (defaults to pyarrow
+    zero-copy)."""
+    return batch_step(name, fn, **kwargs)

@@ -1,0 +1,162 @@
+"""Unit tests for the M-family operators, mirroring the reference's test
+classes (tests/test_transformations.py: TestNullHandling, TestDeduplication,
+TestColumnCasting, TestDerivedColumns, TestBusinessRuleFiltering,
+TestColumnRenaming) on tiny in-memory tables."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+
+import ray.data
+
+from e_commerce_batch_etl_pipeline_ray.functions import scalar as F
+from e_commerce_batch_etl_pipeline_ray.stages import dedup, joins, maps, sorts
+
+
+def _ds(rows, schema=None):
+    return ray.data.from_arrow(pa.Table.from_pylist(rows, schema=schema))
+
+
+# --- TestColumnRenaming (reference tests/test_transformations.py:192-201)
+
+def test_rename_columns():
+    ds = _ds([{"Invoice": "A", "Customer ID": "c1"}])
+    out = maps.rename_columns({"Invoice": "invoice_id",
+                               "Customer ID": "customer_id"}).apply(ds)
+    assert set(out.schema().names) == {"invoice_id", "customer_id"}
+
+
+# --- TestColumnCasting (:99-123)
+
+def test_parse_timestamp_lenient():
+    ds = _ds([{"d": "1/15/2010 8:26"}, {"d": "garbage"}, {"d": None}])
+    out = maps.parse_timestamp("d", "%m/%d/%Y %H:%M").apply(ds).take_all()
+    assert out[0]["d"].year == 2010 and out[1]["d"] is None and out[2]["d"] is None
+
+
+def test_parse_timestamp_drop_unparsed():
+    ds = _ds([{"d": "2023-01-02 10:00:00"}, {"d": "nope"}])
+    out = maps.parse_timestamp("d", "%Y-%m-%d %H:%M:%S",
+                               drop_unparsed=True).apply(ds)
+    assert out.count() == 1
+
+
+def test_bool_from_string():
+    # keep a string id column: Ray 2.49 chokes on sub-byte-per-row blocks
+    ds = _ds([{"i": "a", "p": "True"}, {"i": "b", "p": "false"},
+              {"i": "c", "p": None}, {"i": "d", "p": "TRUE"}])
+    out = maps.bool_from_string("p").apply(ds).take_all()
+    assert [r["p"] for r in out] == [True, False, False, True]
+
+
+# --- TestNullHandling (:59-74)
+
+def test_drop_null_rows():
+    ds = _ds([{"k": "a", "q": 1}, {"k": None, "q": 2}, {"k": "b", "q": None}])
+    out = maps.drop_null_rows(["k", "q"]).apply(ds)
+    assert out.count() == 1
+
+
+def test_fill_nulls():
+    ds = _ds([{"c": None, "d": None}, {"c": "x", "d": 5.0}])
+    out = maps.fill_nulls({"c": "GUEST", "d": 0.0}).apply(ds).take_all()
+    assert out[0]["c"] == "GUEST" and out[0]["d"] == 0.0
+    assert out[1]["c"] == "x" and out[1]["d"] == 5.0
+
+
+# --- TestDeduplication (:77-96)
+
+def test_dedup_keyed_keeps_deterministic_winner():
+    rows = [
+        {"k1": "A", "k2": "S1", "ts": 3, "v": "late"},
+        {"k1": "A", "k2": "S1", "ts": 1, "v": "early"},
+        {"k1": "B", "k2": "S1", "ts": 2, "v": "only"},
+    ]
+    ds = _ds(rows)
+    # keep-first by ts ascending
+    out = dedup.dedup_keyed(["k1", "k2"], ["ts"], descending=False,
+                            num_partitions=4).apply(ds).take_all()
+    got = {(r["k1"], r["k2"]): r["v"] for r in out}
+    assert got == {("A", "S1"): "early", ("B", "S1"): "only"}
+    # LWW (max ts)
+    out2 = dedup.dedup_keyed(["k1", "k2"], ["ts"], descending=True,
+                             num_partitions=4).apply(ds).take_all()
+    got2 = {(r["k1"], r["k2"]): r["v"] for r in out2}
+    assert got2 == {("A", "S1"): "late", ("B", "S1"): "only"}
+
+
+def test_dedup_preserves_uniques():
+    rows = [{"k1": str(i), "k2": "x", "ts": i, "v": str(i)} for i in range(50)]
+    rows += rows[:10]  # 10 duplicate keys (same ts -> same row survives)
+    out = dedup.dedup_keyed(["k1", "k2"], ["ts", "v"],
+                            num_partitions=8).apply(_ds(rows))
+    assert out.count() == 50
+
+
+# --- TestDerivedColumns (:126-162)
+
+def test_derived_date_parts_and_arithmetic():
+    ds = _ds([{"d": "6/15/2011 10:30", "q": 3, "p": 2.5, "inv": "C123"}])
+    ds = maps.parse_timestamp("d", "%m/%d/%Y %H:%M").apply(ds)
+    ds = maps.with_columns({
+        "total_amount": lambda t: F.total_amount(t["q"], t["p"]),
+        "y": lambda t: F.year(t["d"]),
+        "m": lambda t: F.month(t["d"]),
+        "dom": lambda t: F.day_of_month(t["d"]),
+        "is_return": lambda t: F.starts_with(t["inv"], "C"),
+    }).apply(ds)
+    r = ds.take_all()[0]
+    assert (r["y"], r["m"], r["dom"]) == (2011, 6, 15)
+    assert r["total_amount"] == 7.5 and r["is_return"] is True
+
+
+def test_bucketize_edges():
+    # reference revenue_band edges: <500 Low, <2000 Medium, <5000 High, else Premium
+    ds = _ds([{"v": x} for x in [499.99, 500.0, 1999.0, 2000.0, 5000.0, None]])
+    out = maps.bucketize("v", [500.0, 2000.0, 5000.0],
+                         ["Low", "Medium", "High", "Premium"], "band").apply(ds)
+    assert [r["band"] for r in out.take_all()] == [
+        "Low", "Medium", "Medium", "High", "Premium", None]
+
+
+# --- TestBusinessRuleFiltering (:165-189)
+
+def test_business_filter():
+    rows = [
+        {"quantity": 5, "unit_price": 1.0, "c": "UK"},
+        {"quantity": -5, "unit_price": 1.0, "c": "UK"},
+        {"quantity": 5, "unit_price": -1.0, "c": "UK"},
+        {"quantity": 5, "unit_price": None, "c": "UK"},
+    ]
+    step = maps.filter_expr(lambda t: pc.and_(
+        pc.greater(t["quantity"], 0), pc.greater(t["unit_price"], 0.0)))
+    out = step.apply(_ds(rows)).take_all()
+    assert len(out) == 1 and out[0]["c"] == "UK"
+
+
+# --- joins
+
+def test_broadcast_dict_lookup():
+    ds = _ds([{"country": "Germany"}, {"country": "Narnia"}])
+    out = joins.broadcast_dict_lookup({"Germany": "Europe"}, on="country",
+                                      out="region", default="Other").apply(ds)
+    assert [r["region"] for r in out.take_all()] == ["Europe", "Other"]
+
+
+def test_broadcast_lookup_table():
+    small = pa.table({"n_nationkey": [1, 2], "n_name": ["FRANCE", "PERU"]})
+    ds = _ds([{"n_nationkey": 2}, {"n_nationkey": 9}])
+    out = joins.broadcast_lookup(small, on="n_nationkey",
+                                 defaults={"n_name": "UNKNOWN"}).apply(ds)
+    got = sorted(r["n_name"] for r in out.take_all())
+    assert got == ["PERU", "UNKNOWN"]
+
+
+# --- sorts
+
+def test_top_k():
+    ds = _ds([{"v": i, "g": i % 3} for i in range(100)])
+    out = sorts.top_k([("v", "descending")], 5).apply(ds).take_all()
+    assert [r["v"] for r in out] == [99, 98, 97, 96, 95]
