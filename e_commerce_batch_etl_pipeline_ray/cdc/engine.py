@@ -1,0 +1,271 @@
+"""The CDC / incremental-ingest engine (BASELINE.json north_star).
+
+Each ingest micro-batch (epoch) is one streamed Ray Data pipeline:
+
+    binlog slice (Dataset)
+      -> normalize: Arrow schema unification (additive cols null-backfilled,
+         type widening), optional sha256 verification          [map_batches]
+      -> within-batch LWW combine on (repo,path) + partition-id assignment
+         (the combiner: caps any key's shuffle traffic at one row per block
+         — this is the hot-key/skew guard)                     [map_batches]
+      -> hash shuffle on hash(repo,path) % P                   [groupby]
+      -> merge-apply actor pool: per-partition LWW upsert against the prior
+         epoch's partition file (actors cache partition tables across epochs;
+         any actor can serve any partition — cache miss falls back to the
+         manifest file, so routing stability affects only speed, never
+         correctness — SURVEY.md §7.4 #1)                      [map_groups]
+      -> sorted compacted per-partition Parquet into .tmp-epoch=N/
+    then, on the driver: promote tmp dir -> epoch=N (atomic rename) and
+    commit the epoch manifest (atomic os.replace) with per-partition lineage
+    {file, lsn_watermark, rows_applied, rows_total, bytes_written}.
+
+Exactly-once: re-running an epoch is idempotent (deterministic inputs, LWW
+re-apply is a no-op, manifest replaced atomically); readers only see
+manifested epochs; crash debris is cleaned on resume
+(lake.clean_uncommitted). Out-of-order and duplicate delivery are resolved
+by max-LSN-wins per key; deletes persist as tombstones carrying the delete's
+LSN so stale pre-delete events can never resurrect a key.
+
+Upsert semantics: I and U are both upserts (U to a never-inserted key
+inserts); D on a missing key still writes a tombstone. Matches the
+single-process replay oracle (cdc/oracle.py) exactly.
+
+Reference lineage: the keyed-dedup business rule this generalizes is
+dropDuplicates(["invoice_id","stock_code"]) (src/transform.py:73-87) backed
+by the MySQL unique business key (sql/create_tables.sql:67); the epoch
+manifest generalizes the reference's overwrite-idempotent sink
+(src/load.py:36-41) and per-stage run log
+(notebooks/07_pipeline_orchestrator.py:139-150).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+from dataclasses import dataclass, field
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray.data
+
+from e_commerce_batch_etl_pipeline_ray.cdc import lake
+from e_commerce_batch_etl_pipeline_ray.stages.dedup import (
+    combine_keep_extreme,
+    hash_partition_ids,
+)
+
+KEY = ["repo", "path"]
+_PID = "_pid"
+
+
+@dataclass
+class CDCConfig:
+    lake_dir: str
+    num_partitions: int = 32
+    merge_concurrency: int = 4          # merge-apply actor pool size
+    cache_partitions: bool = True       # actors keep merged partition tables
+    verify_sha: bool = False            # recompute+check content sha256
+    batch_size: int | None = None       # None -> whole blocks through combine
+
+
+@dataclass
+class EpochStats:
+    epoch: int
+    events_in: int
+    rows_applied: int
+    lsn_watermark: int
+    bytes_written: int
+    partitions_touched: int
+    lineage: list[dict] = field(default_factory=list)
+
+
+def _data_schema(event_schema: pa.Schema, prev_schema: pa.Schema | None) -> pa.Schema:
+    """Evolved lake schema: event columns minus op, plus lsn + _deleted;
+    unified additively with the previous epoch's schema (type widening via
+    permissive unify)."""
+    fields = [f for f in event_schema if f.name not in ("op",)]
+    s = pa.schema(fields)
+    if prev_schema is not None:
+        prev_data = pa.schema([f for f in prev_schema if f.name != "_deleted"])
+        s = pa.unify_schemas([prev_data, s], promote_options="permissive")
+    return s.append(pa.field("_deleted", pa.bool_()))
+
+
+def _normalize_factory(schema: pa.Schema, num_partitions: int, verify_sha: bool):
+    """Batch fn: unify to evolved schema, verify sha, LWW-combine within the
+    batch, assign partition ids."""
+    def _fn(t: pa.Table) -> pa.Table:
+        if verify_sha and "content" in t.column_names:
+            contents = t["content"].to_pylist()
+            shas = t["content_sha256"].to_pylist()
+            for c, s in zip(contents, shas):
+                if c is not None and s is not None:
+                    if hashlib.sha256(c.encode()).hexdigest() != s:
+                        raise ValueError("content sha256 mismatch in binlog")
+        # build unified layout: all schema cols (null-backfilled) + _deleted from op
+        deleted = pc.equal(t["op"], "D")
+        cols = []
+        for fld in schema:
+            if fld.name == "_deleted":
+                cols.append(deleted.combine_chunks() if isinstance(deleted, pa.ChunkedArray) else deleted)
+            elif fld.name in t.column_names:
+                c = t[fld.name]
+                cols.append(c.cast(fld.type) if c.type != fld.type else c)
+            else:
+                cols.append(pa.nulls(t.num_rows, type=fld.type))
+        out = pa.Table.from_arrays(cols, schema=schema)
+        out = combine_keep_extreme(out, KEY, ["lsn"], descending=True)
+        pid = hash_partition_ids(out, KEY, num_partitions)
+        return out.append_column(_PID, pa.array(pid, pa.int32()))
+    return _fn
+
+
+class MergeApply:
+    """Merge-apply actor: owns an in-memory cache of partition tables
+    (per-partition key -> (lsn, commit, sha) state embodied as the partition's
+    Arrow table) and upserts each epoch's delta with last-writer-wins.
+
+    Constructor args are plain picklables so the pool can restart anywhere;
+    all durable state lives in the lake (manifest + files), the cache is
+    purely a read-amplification optimization.
+    """
+
+    def __init__(self, lake_dir: str, epoch: int, schema_b64: str,
+                 prev_partitions: dict[str, dict], cache_partitions: bool):
+        self.lake_dir = lake_dir
+        self.epoch = epoch
+        self.schema = lake.schema_from_b64(schema_b64)
+        self.prev_partitions = prev_partitions
+        self.cache_enabled = cache_partitions
+        self.cache: dict[int, tuple[int, pa.Table]] = {}
+        self.tmp_dir = lake.epoch_dir(lake_dir, epoch, tmp=True)
+        os.makedirs(self.tmp_dir, exist_ok=True)
+
+    def _load_prior(self, pid: int) -> pa.Table | None:
+        if self.cache_enabled and pid in self.cache:
+            ep, tbl = self.cache[pid]
+            if ep == self.epoch - 1:
+                return tbl
+        rec = self.prev_partitions.get(str(pid))
+        if rec is None or not rec.get("file"):
+            return None
+        prior = pq.read_table(rec["file"])
+        return self._unify(prior)
+
+    def _unify(self, t: pa.Table) -> pa.Table:
+        cols = []
+        for fld in self.schema:
+            if fld.name in t.column_names:
+                c = t[fld.name]
+                cols.append(c.cast(fld.type) if c.type != fld.type else c)
+            else:
+                cols.append(pa.nulls(t.num_rows, type=fld.type))
+        return pa.Table.from_arrays(cols, schema=self.schema)
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        pid = group[_PID][0].as_py()
+        delta = group.drop_columns([_PID])
+        # groups arrive pre-combined per input block; combine across blocks
+        delta = combine_keep_extreme(delta, KEY, ["lsn"], descending=True)
+        delta = self._unify(delta)
+        rows_applied = delta.num_rows
+
+        prior = self._load_prior(pid)
+        merged = delta if prior is None else pa.concat_tables([prior, delta])
+        merged = combine_keep_extreme(merged, KEY, ["lsn"], descending=True)
+        # sorted compacted layout
+        merged = merged.take(pc.sort_indices(
+            merged, sort_keys=[("repo", "ascending"), ("path", "ascending")]))
+
+        fname = f"part-{pid:05d}.parquet"
+        tmp_path = os.path.join(self.tmp_dir, fname)
+        pq.write_table(merged, tmp_path)
+        bytes_written = os.path.getsize(tmp_path)
+        if self.cache_enabled:
+            self.cache[pid] = (self.epoch, merged)
+
+        final_path = os.path.join(lake.epoch_dir(self.lake_dir, self.epoch), fname)
+        watermark = pc.max(merged["lsn"]).as_py()
+        return pa.table({
+            "partition": pa.array([pid], pa.int32()),
+            "file": pa.array([final_path], pa.string()),
+            "lsn_watermark": pa.array([watermark], pa.int64()),
+            "rows_applied": pa.array([rows_applied], pa.int64()),
+            "rows_total": pa.array([merged.num_rows], pa.int64()),
+            "bytes_written": pa.array([bytes_written], pa.int64()),
+        })
+
+
+class CDCEngine:
+    """Driver-side orchestrator: epoch loop, commit protocol, resume."""
+
+    def __init__(self, config: CDCConfig):
+        self.cfg = config
+        os.makedirs(config.lake_dir, exist_ok=True)
+
+    # -- state ---------------------------------------------------------------
+
+    def last_committed_epoch(self) -> int | None:
+        return lake.last_committed_epoch(self.cfg.lake_dir)
+
+    def resume_point(self) -> int:
+        """Clean crash debris; next epoch to ingest."""
+        lake.clean_uncommitted(self.cfg.lake_dir)
+        last = self.last_committed_epoch()
+        return 0 if last is None else last + 1
+
+    # -- ingest --------------------------------------------------------------
+
+    def ingest_epoch(self, events: ray.data.Dataset, epoch: int,
+                     events_in: int | None = None) -> EpochStats:
+        cfg = self.cfg
+        last = self.last_committed_epoch()
+        expected = 0 if last is None else last + 1
+        if epoch != expected:
+            raise ValueError(f"epoch {epoch} out of order; expected {expected}")
+
+        prev_manifest = lake.read_manifest(cfg.lake_dir, last) if last is not None else None
+        prev_schema = lake.schema_from_b64(prev_manifest["schema"]) if prev_manifest else None
+        event_schema = events.schema().base_schema
+        schema = _data_schema(event_schema, prev_schema)
+        schema_b64 = lake.schema_to_b64(schema)
+        prev_parts = prev_manifest["partitions"] if prev_manifest else {}
+
+        normalized = events.map_batches(
+            _normalize_factory(schema, cfg.num_partitions, cfg.verify_sha),
+            batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=cfg.batch_size)
+
+        lineage_ds = normalized.groupby(_PID).map_groups(
+            MergeApply, batch_format="pyarrow",
+            fn_constructor_args=(cfg.lake_dir, epoch, schema_b64, prev_parts,
+                                 cfg.cache_partitions),
+            concurrency=cfg.merge_concurrency,
+            num_cpus=1)
+        lineage = pa.concat_tables(ray.get(lineage_ds.to_arrow_refs()),
+                                   promote_options="default")
+
+        # commit: promote data dir, then manifest (atomic)
+        lake.promote_epoch_dir(cfg.lake_dir, epoch)
+        partitions = {
+            rec["partition"]: {k: rec[k] for k in
+                               ("file", "lsn_watermark", "rows_applied",
+                                "rows_total", "bytes_written")}
+            for rec in lineage.to_pylist()
+        }
+        manifest = lake.commit_manifest(cfg.lake_dir, epoch, partitions,
+                                        schema, prev_manifest)
+        return EpochStats(
+            epoch=epoch,
+            events_in=events_in if events_in is not None else -1,
+            rows_applied=sum(r["rows_applied"] for r in partitions.values()),
+            lsn_watermark=manifest["lsn_watermark"],
+            bytes_written=sum(r["bytes_written"] for r in partitions.values()),
+            partitions_touched=len(partitions),
+            lineage=lineage.to_pylist(),
+        )
+
+    def read(self, epoch: int | None = None, **kwargs) -> ray.data.Dataset:
+        return lake.read_lake(self.cfg.lake_dir, epoch=epoch, **kwargs)

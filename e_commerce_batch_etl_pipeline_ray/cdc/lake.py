@@ -1,0 +1,172 @@
+"""Parquet lake sink with per-epoch manifests — the exactly-once commit
+protocol (SURVEY.md §4 'Exactly-once sink'; Delta-Lake-style manifest commit,
+cf. PAPERS.md).
+
+Layout under ``lake_dir``:
+
+    epoch=000N/part-PPPPP.parquet   committed partition files for epoch N
+    .tmp-epoch=000N/...             in-flight writes (crash debris; cleaned)
+    manifests/epoch-000N.json       atomic commit record (os.replace)
+
+A partition untouched in epoch N carries FORWARD its file reference from the
+last epoch that wrote it — the manifest maps partition -> file, so readers
+never scan directories. Readers only see manifested epochs; a crash between
+data write and manifest write leaves only ignorable tmp/orphan files, and
+re-running the epoch is idempotent (same deterministic inputs -> same file
+contents, manifest replaced atomically).
+
+The committed table keeps TOMBSTONES (op='D' rows with null content and the
+delete's LSN) so a stale pre-delete event arriving in a later epoch cannot
+resurrect a deleted key (LWW needs the delete's LSN). ``read_lake`` filters
+them out.
+
+Manifest record (FIXTURES.md F7): per partition
+``{file, lsn_watermark, rows_applied, rows_total, bytes_written}`` plus
+epoch-level ``lsn_watermark`` and the evolved Arrow schema (serialized) for
+schema-evolution-safe reads.
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import os
+import shutil
+
+import pyarrow as pa
+
+import ray.data
+
+MANIFEST_DIR = "manifests"
+# dropped from the user-facing read; lsn is kept (it is the row's version /
+# lineage metadata, like a _commit_version column)
+INTERNAL_COLS = ("_deleted",)
+
+
+def _manifest_path(lake_dir: str, epoch: int) -> str:
+    return os.path.join(lake_dir, MANIFEST_DIR, f"epoch-{epoch:04d}.json")
+
+
+def epoch_dir(lake_dir: str, epoch: int, tmp: bool = False) -> str:
+    name = f"epoch={epoch:04d}"
+    return os.path.join(lake_dir, f".tmp-{name}" if tmp else name)
+
+
+def last_committed_epoch(lake_dir: str) -> int | None:
+    d = os.path.join(lake_dir, MANIFEST_DIR)
+    if not os.path.isdir(d):
+        return None
+    epochs = []
+    for f in os.listdir(d):
+        if f.startswith("epoch-") and f.endswith(".json"):
+            epochs.append(int(f[len("epoch-"):-len(".json")]))
+    return max(epochs) if epochs else None
+
+
+def read_manifest(lake_dir: str, epoch: int) -> dict:
+    with open(_manifest_path(lake_dir, epoch)) as f:
+        return json.load(f)
+
+
+def schema_to_b64(schema: pa.Schema) -> str:
+    return base64.b64encode(schema.serialize().to_pybytes()).decode()
+
+
+def schema_from_b64(s: str) -> pa.Schema:
+    return pa.ipc.read_schema(pa.BufferReader(base64.b64decode(s)))
+
+
+def commit_manifest(lake_dir: str, epoch: int, partitions: dict[int, dict],
+                    schema: pa.Schema, prev: dict | None) -> dict:
+    """Build epoch manifest (carrying forward untouched partitions from
+    ``prev``) and commit it atomically: tmp file + os.replace."""
+    part_map: dict[str, dict] = dict(prev["partitions"]) if prev else {}
+    for pid, rec in partitions.items():
+        part_map[str(pid)] = rec
+    watermark = max(
+        [r.get("lsn_watermark", -1) for r in part_map.values()] + [-1])
+    manifest = {
+        "epoch": epoch,
+        "lsn_watermark": watermark,
+        "schema": schema_to_b64(schema),
+        "partitions": part_map,
+        "committed": True,
+    }
+    os.makedirs(os.path.join(lake_dir, MANIFEST_DIR), exist_ok=True)
+    path = _manifest_path(lake_dir, epoch)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, path)
+    return manifest
+
+
+def promote_epoch_dir(lake_dir: str, epoch: int) -> None:
+    """Atomically promote .tmp-epoch=N -> epoch=N (removing any debris from
+    a previous crashed attempt)."""
+    src, dst = epoch_dir(lake_dir, epoch, tmp=True), epoch_dir(lake_dir, epoch)
+    if os.path.isdir(dst):
+        shutil.rmtree(dst)
+    if os.path.isdir(src):
+        os.replace(src, dst)
+
+
+def clean_uncommitted(lake_dir: str) -> None:
+    """Remove crash debris: tmp dirs and epoch dirs newer than the last
+    committed manifest."""
+    last = last_committed_epoch(lake_dir)
+    if not os.path.isdir(lake_dir):
+        return
+    for name in os.listdir(lake_dir):
+        full = os.path.join(lake_dir, name)
+        if name.startswith(".tmp-epoch="):
+            shutil.rmtree(full)
+        elif name.startswith("epoch="):
+            ep = int(name.split("=")[1])
+            if last is None or ep > last:
+                shutil.rmtree(full)
+
+
+def manifest_files(manifest: dict) -> list[str]:
+    return sorted({rec["file"] for rec in manifest["partitions"].values()
+                   if rec.get("file")})
+
+
+def read_lake(lake_dir: str, epoch: int | None = None,
+              include_tombstones: bool = False,
+              columns: list[str] | None = None) -> ray.data.Dataset:
+    """Snapshot read of the committed table at ``epoch`` (default: latest).
+
+    Files from different epochs may have different (additive) schemas; old
+    files are unified to the manifest schema with null backfill inside a
+    zero-copy map_batches.
+    """
+    if epoch is None:
+        epoch = last_committed_epoch(lake_dir)
+    if epoch is None:
+        raise FileNotFoundError(f"no committed epochs in {lake_dir}")
+    manifest = read_manifest(lake_dir, epoch)
+    schema = schema_from_b64(manifest["schema"])
+    files = manifest_files(manifest)
+    if not files:
+        return ray.data.from_arrow(schema.empty_table())
+    ds = ray.data.read_parquet(files)
+
+    def _unify(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        cols = []
+        for fld in schema:
+            if fld.name in t.column_names:
+                c = t[fld.name]
+                cols.append(c.cast(fld.type) if c.type != fld.type else c)
+            else:
+                cols.append(pa.nulls(t.num_rows, type=fld.type))
+        t = pa.Table.from_arrays(cols, schema=schema)
+        if not include_tombstones:
+            t = t.filter(pc.equal(t["_deleted"], False))
+            t = t.drop_columns([c for c in INTERNAL_COLS if c in t.column_names])
+        if columns:
+            t = t.select(columns)
+        return t
+
+    return ds.map_batches(_unify, batch_format="pyarrow", zero_copy_batch=True)

@@ -1,0 +1,168 @@
+"""CDC engine correctness suite (SURVEY.md §5c / BASELINE.json north_star):
+replay parity incl. sha256, out-of-order events, duplicate delivery,
+mid-run crash/resume, additive schema evolution, determinism."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pyarrow as pa
+import pytest
+
+from e_commerce_batch_etl_pipeline_ray.cdc import binlog, engine, lake, oracle
+
+SPEC = binlog.BinlogSpec(events_per_epoch=2000, n_repos=10, paths_per_repo=60,
+                         evolution_epoch=1, content_chars_min=16,
+                         content_chars_max=256, dup_lookback=3000)
+
+
+def _engine(tmp_path, **kw):
+    cfg = engine.CDCConfig(lake_dir=str(tmp_path / "lake"), num_partitions=8,
+                           merge_concurrency=2, **kw)
+    return engine.CDCEngine(cfg)
+
+
+def _final_state(eng):
+    df = eng.read().to_pandas()
+    return {(r.repo, r.path): (r.lsn, r.commit, r.content_sha256, r.lang)
+            for r in df.itertuples()}
+
+
+def _oracle_state(spec, n_epochs):
+    evs = pa.concat_tables([binlog.gen_epoch_table(spec, e) for e in range(n_epochs)],
+                           promote_options="permissive")
+    return {k: (v["lsn"], v["commit"], v["content_sha256"], v["lang"])
+            for k, v in oracle.live_rows(oracle.replay(evs)).items()}
+
+
+def test_replay_parity_with_sha256(tmp_path):
+    """Multi-epoch ingest (incl. dups, out-of-order, deletes, evolution)
+    matches the sequential dict replay row-for-row with sha256 equality."""
+    eng = _engine(tmp_path)
+    for ep in range(3):
+        eng.ingest_epoch(binlog.gen_epoch(SPEC, ep), ep)
+    assert _final_state(eng) == _oracle_state(SPEC, 3)
+
+
+def test_out_of_order_and_duplicate_delivery(tmp_path):
+    """Hand-built pathological batch: late stale update must lose; duplicate
+    (key,lsn) delivery is idempotent; delete tombstone blocks resurrection
+    by an earlier-LSN insert arriving later."""
+    eng = _engine(tmp_path)
+
+    def ev(lsn, op, path, content):
+        import hashlib
+        return {"lsn": lsn, "op": op, "repo": "r1", "path": path,
+                "commit": f"c{lsn}", "lang": None, "content": content,
+                "content_sha256": (hashlib.sha256(content.encode()).hexdigest()
+                                   if content is not None else None)}
+
+    import ray.data
+    e0 = [ev(5, "I", "a.py", "v5"), ev(3, "U", "a.py", "v3"),   # stale loses
+          ev(10, "D", "b.py", None),                            # tombstone first
+          ev(7, "I", "c.py", "v7"), ev(7, "I", "c.py", "v7")]   # duplicate
+    eng.ingest_epoch(ray.data.from_arrow(
+        pa.Table.from_pylist(e0, schema=binlog.EVENT_SCHEMA_V2)), 0)
+    # later epoch: resurrect attempt for b.py with lsn<10, plus stale dup of a.py
+    e1 = [ev(8, "I", "b.py", "v8"), ev(3, "U", "a.py", "v3")]
+    eng.ingest_epoch(ray.data.from_arrow(
+        pa.Table.from_pylist(e1, schema=binlog.EVENT_SCHEMA_V2)), 1)
+
+    df = eng.read().to_pandas().set_index("path")
+    assert set(df.index) == {"a.py", "c.py"}          # b.py stays deleted
+    assert df.loc["a.py", "lsn"] == 5 and df.loc["a.py", "content"] == "v5"
+    assert df.loc["c.py", "lsn"] == 7
+
+
+def test_update_to_missing_key_inserts(tmp_path):
+    import hashlib
+
+    import ray.data
+    eng = _engine(tmp_path)
+    rows = [{"lsn": 1, "op": "U", "repo": "r", "path": "ghost.py",
+             "commit": "c1", "lang": "py", "content": "x",
+             "content_sha256": hashlib.sha256(b"x").hexdigest()}]
+    eng.ingest_epoch(ray.data.from_arrow(
+        pa.Table.from_pylist(rows, schema=binlog.EVENT_SCHEMA_V2)), 0)
+    df = eng.read().to_pandas()
+    assert len(df) == 1 and df.iloc[0]["path"] == "ghost.py"
+
+
+def test_crash_before_manifest_resume(tmp_path):
+    """Kill between data write and manifest commit -> resume re-runs the
+    epoch; final state identical to the uninterrupted run."""
+    eng = _engine(tmp_path)
+    for ep in range(2):
+        eng.ingest_epoch(binlog.gen_epoch(SPEC, ep), ep)
+    # simulate crash: epoch 1's manifest vanishes, data dir remains
+    os.remove(os.path.join(eng.cfg.lake_dir, "manifests", "epoch-0001.json"))
+    assert eng.resume_point() == 1
+    eng.ingest_epoch(binlog.gen_epoch(SPEC, 1), 1)
+    assert _final_state(eng) == _oracle_state(SPEC, 2)
+
+
+def test_crash_mid_write_tmp_debris(tmp_path):
+    """Tmp dir debris from a crashed epoch is cleaned and the epoch re-runs."""
+    eng = _engine(tmp_path)
+    eng.ingest_epoch(binlog.gen_epoch(SPEC, 0), 0)
+    tmp = lake.epoch_dir(eng.cfg.lake_dir, 1, tmp=True)
+    os.makedirs(tmp)
+    with open(os.path.join(tmp, "part-00000.parquet"), "w") as f:
+        f.write("garbage")
+    assert eng.resume_point() == 1
+    assert not os.path.isdir(tmp)
+    eng.ingest_epoch(binlog.gen_epoch(SPEC, 1), 1)
+    assert _final_state(eng) == _oracle_state(SPEC, 2)
+
+
+def test_epoch_order_enforced(tmp_path):
+    eng = _engine(tmp_path)
+    eng.ingest_epoch(binlog.gen_epoch(SPEC, 0), 0)
+    with pytest.raises(ValueError, match="out of order"):
+        eng.ingest_epoch(binlog.gen_epoch(SPEC, 2), 2)
+
+
+def test_schema_evolution_additive_lang(tmp_path):
+    """Epoch 0 events lack `lang` entirely; epoch >=1 carries it. Old rows
+    read back null-backfilled; snapshot at epoch 0 lacks the column."""
+    spec = binlog.BinlogSpec(events_per_epoch=1500, n_repos=8, paths_per_repo=40,
+                             evolution_epoch=1, content_chars_min=16,
+                             content_chars_max=128)
+    eng = _engine(tmp_path)
+    eng.ingest_epoch(binlog.gen_epoch(spec, 0), 0)
+    s0 = eng.read(epoch=0).schema()
+    assert "lang" not in s0.names
+    eng.ingest_epoch(binlog.gen_epoch(spec, 1), 1)
+    df = eng.read().to_pandas()
+    assert "lang" in df.columns
+    # rows last touched pre-evolution have null lang; post-evolution non-D rows have it
+    assert df[df.lsn < spec.events_per_epoch]["lang"].isna().all()
+    assert df[df.lsn >= spec.events_per_epoch]["lang"].notna().all()
+    assert _final_state(eng) == _oracle_state(spec, 2)
+
+
+def test_determinism_across_runs_and_parallelism(tmp_path):
+    """Same seed -> byte-identical final state, independent of block layout."""
+    eng1 = _engine(tmp_path / "a")
+    eng2 = _engine(tmp_path / "b")
+    for ep in range(2):
+        eng1.ingest_epoch(binlog.gen_epoch(SPEC, ep, override_num_blocks=2), ep)
+        eng2.ingest_epoch(binlog.gen_epoch(SPEC, ep, override_num_blocks=7), ep)
+    assert _final_state(eng1) == _final_state(eng2)
+
+
+def test_lineage_records(tmp_path):
+    """Per-partition lineage in the manifest: files exist, watermarks and
+    row counts are consistent (FIXTURES.md F7)."""
+    eng = _engine(tmp_path)
+    st = eng.ingest_epoch(binlog.gen_epoch(SPEC, 0), 0, events_in=SPEC.events_per_epoch)
+    m = lake.read_manifest(eng.cfg.lake_dir, 0)
+    assert m["committed"] and m["epoch"] == 0
+    assert m["lsn_watermark"] == st.lsn_watermark <= SPEC.events_per_epoch - 1
+    total = 0
+    for pid, rec in m["partitions"].items():
+        assert os.path.exists(rec["file"]), rec["file"]
+        assert rec["rows_total"] >= rec["rows_applied"] >= 0
+        total += rec["rows_total"]
+    assert total == eng.read(include_tombstones=True).count()
