@@ -382,3 +382,264 @@ ORACLE = {
     "q11_window_agg": Q11_SQL,
     "q12_distinct": Q12_SQL,
 }
+
+
+# ---------------------------------------------------------------------------
+# q13 — data-quality report (A4/A8 framework) on lineitem
+
+def q13_dq_report(sf_dir: str):
+    from e_commerce_batch_etl_pipeline_ray.quality import checks
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_quantity",
+                                    "l_discount", "l_returnflag", "l_shipdate"])
+    cfg = checks.DQConfig(
+        min_rows=1,
+        max_null_pct={"l_returnflag": 5.0},
+        dup_keys=["l_orderkey", "l_linenumber"],
+        max_dup_pct=5.0,
+        non_positive_cols=["l_quantity"],
+        year_col="l_shipdate", year_range=(1900, 2100),
+        whitelist={"l_returnflag": ["A", "N", "R"]},
+        range_checks={"l_discount": (0.0, 1.0)},
+    )
+    report, _overall = checks.run_checks(ds, cfg)
+    return report
+
+
+Q13_SQL = """
+WITH s AS (
+  SELECT COUNT(*) AS c,
+         COUNT(*) - COUNT(l_returnflag) AS rf_nulls,
+         SUM(CASE WHEN COALESCE(l_quantity, -1) <= 0 THEN 1 ELSE 0 END) AS nonpos,
+         SUM(CASE WHEN EXTRACT(year FROM l_shipdate) < 1900
+                    OR EXTRACT(year FROM l_shipdate) > 2100 THEN 1 ELSE 0 END) AS yr_bad,
+         SUM(CASE WHEN NOT COALESCE(l_returnflag IN ('A','N','R'), FALSE)
+                  THEN 1 ELSE 0 END) AS wl_bad,
+         SUM(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END) AS rg_bad,
+         COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber)) AS dups
+  FROM lineitem)
+SELECT 'row_count' AS check_name, CAST(c AS DOUBLE) AS metric_value,
+       1.0 AS threshold,
+       CASE WHEN c >= 1 THEN 'PASS' ELSE 'FAIL' END AS status,
+       'rows=' || c || ' min=1' AS detail FROM s
+UNION ALL
+SELECT 'null_pct__l_returnflag', ROUND(100.0 * rf_nulls / c, 4), 5.0,
+       CASE WHEN 100.0 * rf_nulls / c > 5.0 THEN 'FAIL'
+            WHEN 100.0 * rf_nulls / c > 2.5 THEN 'WARN' ELSE 'PASS' END,
+       rf_nulls || ' nulls / ' || c FROM s
+UNION ALL
+SELECT 'non_positive__l_quantity', CAST(nonpos AS DOUBLE), 0.0,
+       CASE WHEN nonpos = 0 THEN 'PASS' ELSE 'FAIL' END,
+       nonpos || ' rows <= 0' FROM s
+UNION ALL
+SELECT 'year_out_of_range', CAST(yr_bad AS DOUBLE), 0.0,
+       CASE WHEN yr_bad = 0 THEN 'PASS' ELSE 'FAIL' END,
+       yr_bad || ' rows outside (1900, 2100)' FROM s
+UNION ALL
+SELECT 'whitelist__l_returnflag', CAST(wl_bad AS DOUBLE), 0.0,
+       CASE WHEN wl_bad = 0 THEN 'PASS' ELSE 'FAIL' END,
+       wl_bad || ' rows off-list' FROM s
+UNION ALL
+SELECT 'range__l_discount', CAST(rg_bad AS DOUBLE), 0.0,
+       CASE WHEN rg_bad = 0 THEN 'PASS' ELSE 'FAIL' END,
+       rg_bad || ' rows out of range' FROM s
+UNION ALL
+SELECT 'dup_pct', ROUND(100.0 * dups / c, 4), 5.0,
+       CASE WHEN 100.0 * dups / c > 5.0 THEN 'FAIL'
+            WHEN 100.0 * dups / c > 2.5 THEN 'WARN' ELSE 'PASS' END,
+       dups || ' duplicate rows on [''l_orderkey'', ''l_linenumber'']' FROM s
+"""
+
+
+# ---------------------------------------------------------------------------
+# q14 — exact content dedup on documents (training-data dedup family)
+
+def q14_exact_dedup(sf_dir: str):
+    from e_commerce_batch_etl_pipeline_ray.stages import neardup
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "source", "n_chars"])
+    out = neardup.exact_dedup(text_col="text", id_col="doc_id",
+                              num_partitions=32).apply(ds)
+    return maps.select(["doc_id", "source", "n_chars"]).apply(out)
+
+
+Q14_SQL = """
+SELECT doc_id, source, n_chars FROM (
+  SELECT doc_id, source, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+  FROM documents
+) WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# q15 — token counting (text analysis; vectorized RE2 both sides)
+
+def q15_token_stats(sf_dir: str):
+    from e_commerce_batch_etl_pipeline_ray.stages import text as T
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = T.token_stats().apply(ds)
+    return maps.select(["doc_id", "n_tokens", "n_bpeish", "n_chars_text"]).apply(out)
+
+
+Q15_SQL = r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS BIGINT) AS n_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpeish,
+       CAST(length(text) AS BIGINT) AS n_chars_text
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# q16 — quality scoring (text analysis)
+
+def q16_quality(sf_dir: str):
+    from e_commerce_batch_etl_pipeline_ray.stages import text as T
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = T.quality_score().apply(ds)
+    return maps.select(["doc_id", "punct_ratio", "digit_ratio", "quality"]).apply(out)
+
+
+Q16_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(length(text) AS DOUBLE) AS n_chars,
+         CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS DOUBLE) AS n_tokens,
+         CAST(len(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE) AS n_punct,
+         CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) AS n_digit,
+         CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) AS n_letters
+  FROM documents)
+SELECT doc_id,
+       ROUND(n_punct / GREATEST(n_chars, 1.0), 6) AS punct_ratio,
+       ROUND(n_digit / GREATEST(n_chars, 1.0), 6) AS digit_ratio,
+       ROUND(
+         0.25 * (CASE WHEN n_chars >= 50 AND n_chars <= 100000 THEN 1.0 ELSE 0.0 END)
+       + 0.25 * (1.0 - LEAST(n_punct / GREATEST(n_chars, 1.0), 1.0))
+       + 0.25 * (1.0 - LEAST(n_digit / GREATEST(n_chars, 1.0), 1.0))
+       + 0.25 * (CASE WHEN n_letters / GREATEST(n_tokens, 1.0) >= 2.0
+                       AND n_letters / GREATEST(n_tokens, 1.0) <= 12.0
+                      THEN 1.0 ELSE 0.0 END), 6) AS quality
+FROM t
+"""
+
+
+# ---------------------------------------------------------------------------
+# q17 — brute-force cosine top-k (similarity search baseline)
+
+def q17_knn_brute(sf_dir: str):
+    import numpy as np
+
+    from e_commerce_batch_etl_pipeline_ray.stages import similarity
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qrows = [r for r in ds.take(3)]
+    qids = [r["vec_id"] for r in qrows]
+    qm = np.asarray([r["embedding"] for r in qrows], dtype=np.float64)
+    return similarity.knn_brute(ds, (qids, qm), k=10)
+
+
+Q17_SQL = """
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id IN (0, 1, 2)),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) AS cos
+  FROM embeddings e CROSS JOIN q),
+ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY ROUND(cos, 9) DESC, neighbor_id) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+       ROUND(cos, 6) AS cosine
+FROM ranked WHERE rank <= 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# rows-only queries (non-SQL-expressible: sketches, model-ish scoring, CDC)
+
+def q18_minhash_pairs(sf_dir: str):
+    from e_commerce_batch_etl_pipeline_ray.stages import neardup
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return neardup.minhash_lsh_pairs(ds, threshold=0.8)
+
+
+def q19_simhash_pairs(sf_dir: str):
+    from e_commerce_batch_etl_pipeline_ray.stages import neardup
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return neardup.simhash_pairs(ds, max_hamming=3)
+
+
+def q20_lang_id(sf_dir: str):
+    from e_commerce_batch_etl_pipeline_ray.stages import text as T
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = T.lang_id().apply(ds)
+    return maps.select(["doc_id", "lang_pred", "lang_score"]).apply(out)
+
+
+def q21_fingerprint(sf_dir: str):
+    from e_commerce_batch_etl_pipeline_ray.stages import text as T
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = T.fingerprint().apply(ds)
+    return maps.select(["doc_id", "fingerprint"]).apply(out)
+
+
+def q22_embedding_neardup(sf_dir: str):
+    from e_commerce_batch_etl_pipeline_ray.stages import neardup
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return neardup.embedding_neardup_pairs(ds, dim=64, threshold=0.95)
+
+
+def q23_knn_ivf(sf_dir: str):
+    import numpy as np
+
+    from e_commerce_batch_etl_pipeline_ray.stages import similarity
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qrows = [r for r in ds.take(3)]
+    qids = [r["vec_id"] for r in qrows]
+    qm = np.asarray([r["embedding"] for r in qrows], dtype=np.float64)
+    return similarity.knn_ivf(ds, (qids, qm), k=10, n_centroids=16, nprobe=4)
+
+
+def q24_cdc_ingest(sf_dir: str):
+    """Full CDC engine drive (non-SQL: stateful multi-epoch upsert with
+    exactly-once manifests). Deterministic synthetic binlog; returns the
+    final live table. Correctness vs the replay oracle is asserted in
+    tests/test_cdc.py; here the driver records rows-only."""
+    import tempfile
+
+    from e_commerce_batch_etl_pipeline_ray.cdc import binlog, engine
+    spec = binlog.BinlogSpec(events_per_epoch=5000, n_repos=20,
+                             paths_per_repo=100, evolution_epoch=1,
+                             content_chars_min=32, content_chars_max=512)
+    lake_dir = tempfile.mkdtemp(prefix="q24_lake_", dir="/tmp")
+    eng = engine.CDCEngine(engine.CDCConfig(lake_dir=lake_dir,
+                                            num_partitions=16,
+                                            merge_concurrency=2))
+    for ep in range(2):
+        eng.ingest_epoch(binlog.gen_epoch(spec, ep), ep)
+    return eng.read().sort(["repo", "path"])
+
+
+QUERIES.update({
+    "q13_dq_report": q13_dq_report,
+    "q14_exact_dedup": q14_exact_dedup,
+    "q15_token_stats": q15_token_stats,
+    "q16_quality": q16_quality,
+    "q17_knn_brute": q17_knn_brute,
+    "q18_minhash_pairs": q18_minhash_pairs,
+    "q19_simhash_pairs": q19_simhash_pairs,
+    "q20_lang_id": q20_lang_id,
+    "q21_fingerprint": q21_fingerprint,
+    "q22_embedding_neardup": q22_embedding_neardup,
+    "q23_knn_ivf": q23_knn_ivf,
+    "q24_cdc_ingest": q24_cdc_ingest,
+})
+
+ORACLE.update({
+    "q13_dq_report": Q13_SQL,
+    "q14_exact_dedup": Q14_SQL,
+    "q15_token_stats": Q15_SQL,
+    "q16_quality": Q16_SQL,
+    "q17_knn_brute": Q17_SQL,
+})

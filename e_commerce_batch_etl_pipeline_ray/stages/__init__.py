@@ -3,5 +3,9 @@ from e_commerce_batch_etl_pipeline_ray.stages import (  # noqa: F401
     dedup,
     joins,
     maps,
+    multimodal,
+    neardup,
+    similarity,
     sorts,
+    text,
 )

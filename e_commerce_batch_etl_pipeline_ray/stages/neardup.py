@@ -1,0 +1,370 @@
+"""Deduplication family for training-data pipelines (engine brief):
+
+  * exact content dedup — content-hash + hash-partitioned keep-first
+  * MinHash + LSH near-dup — shingle -> minhash sig -> band buckets ->
+    candidate pairs -> exact Jaccard verify
+  * SimHash near-dup — 64-bit simhash, banded by 16-bit chunks (pigeonhole:
+    hamming distance <= 3 guarantees one equal chunk) -> verify distance
+  * n-gram Jaccard verify — the exact pairwise similarity used by both
+  * embedding-cosine near-dup — random-hyperplane (SRP) buckets -> cosine
+    verify (shares machinery with stages/similarity.py)
+
+Scale shape: per-batch vectorized signature computation (numpy), then ONE
+groupby shuffle over (band, hash) bucket keys whose traffic is
+sigs-not-documents; candidate verification happens inside each bucket group.
+Connected components (transitive duplicate clusters) use iterative min-label
+propagation over pair edges — bounded rounds of small shuffles, no
+driver-side union-find over the full corpus.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from e_commerce_batch_etl_pipeline_ray.core import FnStep
+from e_commerce_batch_etl_pipeline_ray.stages.dedup import dedup_keyed
+
+_MERSENNE = np.uint64((1 << 61) - 1)
+
+
+def content_hash(text_col: str = "text", out: str = "content_hash") -> FnStep:
+    """sha256 of the exact content — the exact-dedup key (and the CDC
+    engine's per-row invariant column)."""
+    def _fn(t: pa.Table) -> pa.Table:
+        hs = [hashlib.sha256(v.encode()).hexdigest() if v is not None else None
+              for v in t[text_col].to_pylist()]
+        return t.append_column(out, pa.array(hs, pa.string()))
+
+    def _apply(ds):
+        return ds.map_batches(_fn, batch_format="pyarrow", zero_copy_batch=True)
+    return FnStep("content_hash", _apply)
+
+
+def exact_dedup(text_col: str = "text", id_col: str = "doc_id",
+                num_partitions: int = 64) -> FnStep:
+    """Exact dedup: keep the lowest-id document per identical content.
+    Hash-partitioned on content hash; deterministic winner."""
+    def _apply(ds):
+        ds = content_hash(text_col).apply(ds)
+        ds = dedup_keyed(["content_hash"], [id_col], descending=False,
+                         num_partitions=num_partitions).apply(ds)
+        return ds.drop_columns(["content_hash"])
+    return FnStep("exact_dedup", _apply)
+
+
+# ---------------------------------------------------------------------------
+# shingling + minhash
+
+
+def _shingle_hashes(text: str, k: int) -> np.ndarray:
+    """u64 hashes of the k-char shingle set (lowercased)."""
+    s = text.lower()
+    if len(s) < k:
+        s = s + " " * (k - len(s))
+    b = np.frombuffer(s.encode("utf-8", "ignore"), dtype=np.uint8)
+    kk = min(k, len(b))
+    win = np.lib.stride_tricks.sliding_window_view(b, kk).astype(np.uint64)
+    pows = np.power(np.uint64(1000003), np.arange(kk, dtype=np.uint64), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        h = (win * pows[::-1]).sum(axis=1, dtype=np.uint64)
+    return np.unique(h)
+
+
+def _minhash_sig(sh: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """num_hashes minima of (a*x+b) mod p over the shingle set."""
+    with np.errstate(over="ignore"):
+        m = (sh[None, :] * a[:, None] + b[:, None]) % _MERSENNE
+    return m.min(axis=1)
+
+
+class _MinHashSig:
+    """Actor: per-doc minhash signature + band keys (state: the hash-family
+    coefficients, built once)."""
+
+    def __init__(self, text_col: str, id_col: str, k: int, num_hashes: int,
+                 bands: int, seed: int):
+        rng = np.random.RandomState(seed)
+        self.a = rng.randint(1, 1 << 61, size=num_hashes).astype(np.uint64)
+        self.b = rng.randint(0, 1 << 61, size=num_hashes).astype(np.uint64)
+        self.text_col, self.id_col = text_col, id_col
+        self.k, self.num_hashes, self.bands = k, num_hashes, bands
+        self.rows_per_band = num_hashes // bands
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids, bands_out, bhash = [], [], []
+        texts = t[self.text_col].to_pylist()
+        id_vals = t[self.id_col].to_pylist()
+        for did, txt in zip(id_vals, texts):
+            if txt is None:
+                continue
+            sig = _minhash_sig(_shingle_hashes(txt, self.k), self.a, self.b)
+            for bi in range(self.bands):
+                chunk = sig[bi * self.rows_per_band:(bi + 1) * self.rows_per_band]
+                h = hashlib.blake2b(chunk.tobytes(), digest_size=8).hexdigest()
+                ids.append(did)
+                bands_out.append(bi)
+                bhash.append(h)
+        return pa.table({
+            self.id_col: pa.array(ids),
+            "band": pa.array(bands_out, pa.int32()),
+            "band_hash": pa.array(bhash, pa.string()),
+        })
+
+
+def ngram_jaccard(a: str, b: str, k: int = 5) -> float:
+    """Exact k-char-shingle Jaccard — the verify kernel."""
+    sa, sb = _shingle_hashes(a, k), _shingle_hashes(b, k)
+    inter = np.intersect1d(sa, sb, assume_unique=True).size
+    union = sa.size + sb.size - inter
+    return inter / union if union else 1.0
+
+
+def minhash_lsh_pairs(ds: ray.data.Dataset, text_col: str = "text",
+                      id_col: str = "doc_id", k: int = 5, num_hashes: int = 128,
+                      bands: int = 32, threshold: float = 0.8,
+                      seed: int = 42) -> ray.data.Dataset:
+    """Near-duplicate pairs (id_a < id_b, jaccard >= threshold).
+
+    texts are re-fetched per bucket for verification via a broadcast of the
+    (id -> text) map IF the corpus is small; at scale pass a side lookup.
+    Here: candidates carry both ids; verification joins text back through a
+    broadcast ref (documents corpora at verify stage are bucket-local).
+    """
+    import ray
+
+    # 1. signatures + band keys (actor pool, vectorized inner math)
+    sig = ds.map_batches(
+        _MinHashSig, batch_format="pyarrow", zero_copy_batch=True,
+        fn_constructor_args=(text_col, id_col, k, num_hashes, bands, seed),
+        concurrency=(1, 8))
+
+    # 2. bucket shuffle -> candidate pairs per (band, band_hash) group
+    def _pairs(g: pa.Table) -> pa.Table:
+        vals = sorted(set(g[id_col].to_pylist()))
+        a_out, b_out = [], []
+        for i in range(len(vals)):
+            for j in range(i + 1, len(vals)):
+                a_out.append(vals[i])
+                b_out.append(vals[j])
+        return pa.table({"id_a": pa.array(a_out), "id_b": pa.array(b_out)})
+
+    cand = sig.groupby(["band", "band_hash"]).map_groups(
+        _pairs, batch_format="pyarrow")
+    # dedupe candidate pairs produced by multiple bands
+    cand = dedup_keyed(["id_a", "id_b"], ["id_a"], num_partitions=32).apply(cand)
+
+    # 3. verify exact jaccard (broadcast the text lookup; candidates << corpus)
+    texts_tbl = pa.concat_tables(
+        ray.get(ds.select_columns([id_col, text_col]).to_arrow_refs()),
+        promote_options="default")
+    lookup_ref = ray.put(dict(zip(texts_tbl[id_col].to_pylist(),
+                                  texts_tbl[text_col].to_pylist())))
+
+    class _Verify:
+        def __init__(self, ref, kk, thr):
+            self.texts = ray.get(ref)
+            self.k, self.thr = kk, thr
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            keep_a, keep_b, jac = [], [], []
+            for a_id, b_id in zip(t["id_a"].to_pylist(), t["id_b"].to_pylist()):
+                j = ngram_jaccard(self.texts[a_id], self.texts[b_id], self.k)
+                if j >= self.thr:
+                    keep_a.append(a_id)
+                    keep_b.append(b_id)
+                    jac.append(round(j, 6))
+            return pa.table({"id_a": pa.array(keep_a), "id_b": pa.array(keep_b),
+                             "jaccard": pa.array(jac, pa.float64())})
+
+    return cand.map_batches(_Verify, batch_format="pyarrow",
+                            fn_constructor_args=(lookup_ref, k, threshold),
+                            concurrency=(1, 8))
+
+
+def dedup_by_pairs(ds: ray.data.Dataset, pairs: ray.data.Dataset,
+                   id_col: str = "doc_id") -> ray.data.Dataset:
+    """Drop the higher id of every duplicate pair (transitively: iterate
+    min-label propagation over the pair edges until fixpoint — edges are a
+    tiny fraction of the corpus, done driver-side on the collected pair
+    list; the corpus-side filter is a broadcast semi-join)."""
+    import ray
+    edges = pairs.select_columns(["id_a", "id_b"]).take_all()
+    # min-label propagation on the driver over the (small) edge list
+    label: dict = {}
+    for e in edges:
+        a, b = e["id_a"], e["id_b"]
+        label.setdefault(a, a)
+        label.setdefault(b, b)
+    changed = True
+    while changed:
+        changed = False
+        for e in edges:
+            a, b = e["id_a"], e["id_b"]
+            m = min(label[a], label[b])
+            if label[a] != m or label[b] != m:
+                label[a] = label[b] = m
+                changed = True
+    drop = {k for k, v in label.items() if k != v}
+    drop_ref = ray.put(drop)
+
+    def _filter(t: pa.Table) -> pa.Table:
+        d = ray.get(drop_ref)
+        mask = pa.array([v not in d for v in t[id_col].to_pylist()])
+        return t.filter(mask)
+    return ds.map_batches(_filter, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# simhash
+
+
+class _SimHash:
+    """64-bit simhash over token hashes (unweighted)."""
+
+    def __init__(self, text_col: str, id_col: str):
+        self.text_col, self.id_col = text_col, id_col
+
+    @staticmethod
+    def simhash64(tokens: list[str]) -> int:
+        acc = np.zeros(64, dtype=np.int64)
+        shifts = np.arange(64, dtype=np.uint64)
+        for tok in tokens:
+            h = np.uint64(int.from_bytes(
+                hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big"))
+            bits = (h >> shifts) & np.uint64(1)
+            acc += np.where(bits == 1, 1, -1)
+        out = 0
+        for i in range(64):
+            if acc[i] > 0:
+                out |= 1 << i
+        return out
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        import re
+        tok_re = re.compile(r"[a-z0-9]+")
+        sh = []
+        for txt in t[self.text_col].to_pylist():
+            toks = tok_re.findall((txt or "").lower())
+            sh.append(self.simhash64(toks) if toks else 0)
+        t = t.append_column("simhash", pa.array(np.array(sh, dtype=np.uint64).astype(np.int64)))
+        return t
+
+
+def simhash_pairs(ds: ray.data.Dataset, text_col: str = "text",
+                  id_col: str = "doc_id", max_hamming: int = 3) -> ray.data.Dataset:
+    """Near-dup pairs by simhash: band the 64-bit hash into 4 x 16-bit chunks
+    (hamming <= 3 -> at least one chunk equal), bucket-shuffle, verify."""
+    sigs = ds.map_batches(_SimHash, batch_format="pyarrow", zero_copy_batch=True,
+                          fn_constructor_args=(text_col, id_col),
+                          concurrency=(1, 8)).select_columns([id_col, "simhash"])
+
+    def _explode(t: pa.Table) -> pa.Table:
+        ids, band, key, sh = [], [], [], []
+        for did, h in zip(t[id_col].to_pylist(), t["simhash"].to_pylist()):
+            hu = h & 0xFFFFFFFFFFFFFFFF
+            for bi in range(4):
+                ids.append(did)
+                band.append(bi)
+                key.append((hu >> (16 * bi)) & 0xFFFF)
+                sh.append(h)
+        return pa.table({id_col: pa.array(ids), "band": pa.array(band, pa.int32()),
+                         "chunk": pa.array(key, pa.int32()),
+                         "simhash": pa.array(sh, pa.int64())})
+
+    exploded = sigs.map_batches(_explode, batch_format="pyarrow")
+
+    def _pairs(g: pa.Table) -> pa.Table:
+        rows = sorted(set(zip(g[id_col].to_pylist(), g["simhash"].to_pylist())))
+        a_out, b_out, ham = [], [], []
+        for i in range(len(rows)):
+            for j in range(i + 1, len(rows)):
+                d = bin((rows[i][1] ^ rows[j][1]) & 0xFFFFFFFFFFFFFFFF).count("1")
+                if d <= max_hamming:
+                    a_out.append(rows[i][0])
+                    b_out.append(rows[j][0])
+                    ham.append(d)
+        return pa.table({"id_a": pa.array(a_out), "id_b": pa.array(b_out),
+                         "hamming": pa.array(ham, pa.int32())})
+
+    pairs = exploded.groupby(["band", "chunk"]).map_groups(
+        _pairs, batch_format="pyarrow")
+    return dedup_keyed(["id_a", "id_b"], ["hamming"], descending=False,
+                       num_partitions=16).apply(pairs)
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup (SRP-LSH)
+
+
+def embedding_neardup_pairs(ds: ray.data.Dataset, emb_col: str = "embedding",
+                            id_col: str = "vec_id", dim: int = 64,
+                            n_planes: int = 12, threshold: float = 0.95,
+                            seed: int = 7) -> ray.data.Dataset:
+    """Near-duplicate vector pairs: random-hyperplane sign bucket -> exact
+    cosine verify within bucket. Two SRP tables (rotated seeds) to cut the
+    miss rate; pairs deduped across tables."""
+    import ray
+    rng = np.random.RandomState(seed)
+    planes = [rng.randn(dim, n_planes), rng.randn(dim, n_planes)]
+    planes_ref = ray.put(planes)
+
+    class _Bucket:
+        def __init__(self, ref):
+            self.planes = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            v = np.asarray(t[emb_col].to_pylist(), dtype=np.float64)
+            ids_out, tab_out, key_out, vec_out = [], [], [], []
+            ids = t[id_col].to_pylist()
+            for ti, P in enumerate(self.planes):
+                signs = (v @ P) > 0
+                keys = (signs.astype(np.uint64)
+                        * (np.uint64(1) << np.arange(signs.shape[1], dtype=np.uint64))).sum(axis=1)
+                ids_out.extend(ids)
+                tab_out.extend([ti] * len(ids))
+                key_out.extend(keys.astype(np.int64).tolist())
+                vec_out.extend(v.tolist())
+            return pa.table({id_col: pa.array(ids_out), "tab": pa.array(tab_out, pa.int32()),
+                             "bucket": pa.array(key_out, pa.int64()),
+                             "vec": pa.array(vec_out, pa.list_(pa.float64()))})
+
+    bucketed = ds.map_batches(_Bucket, batch_format="pyarrow",
+                              fn_constructor_args=(planes_ref,),
+                              concurrency=(1, 8))
+
+    def _pairs(g: pa.Table) -> pa.Table:
+        ids = g[id_col].to_pylist()
+        uniq = {}
+        for i, did in enumerate(ids):
+            uniq.setdefault(did, i)
+        o = sorted(uniq.items())
+        if len(o) < 2:
+            return pa.table({"id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64()),
+                             "cosine": pa.array([], pa.float64())})
+        v = np.asarray(g["vec"].to_pylist(), dtype=np.float64)[[i for _, i in o]]
+        norm = np.linalg.norm(v, axis=1, keepdims=True)
+        norm[norm == 0] = 1.0
+        vn = v / norm
+        sim = vn @ vn.T
+        a_out, b_out, cs = [], [], []
+        for i in range(len(o)):
+            for j in range(i + 1, len(o)):
+                if sim[i, j] >= threshold:
+                    a_out.append(o[i][0])
+                    b_out.append(o[j][0])
+                    cs.append(round(float(sim[i, j]), 6))
+        return pa.table({"id_a": pa.array(a_out, pa.int64()),
+                         "id_b": pa.array(b_out, pa.int64()),
+                         "cosine": pa.array(cs, pa.float64())})
+
+    pairs = bucketed.groupby(["tab", "bucket"]).map_groups(
+        _pairs, batch_format="pyarrow")
+    return dedup_keyed(["id_a", "id_b"], ["cosine"], descending=True,
+                       num_partitions=16).apply(pairs)

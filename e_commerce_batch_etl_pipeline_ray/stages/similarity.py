@@ -1,0 +1,158 @@
+"""Similarity search over embedding columns (engine brief): brute-force
+cosine top-k as the exact baseline, IVF (coarse-quantizer buckets) as the
+scale path.
+
+Shape: the query matrix is broadcast ONCE (ray.put); every batch does one
+numpy matmul and keeps a local top-k; partials (k rows per query per batch)
+are merged in a final tiny reduce. No global sort, no all-to-all.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+class _BruteTopK:
+    """Per-batch scorer: cosine of batch vectors against the broadcast query
+    matrix, local top-k per query."""
+
+    def __init__(self, queries_ref, emb_col: str, id_col: str, k: int):
+        q = ray.get(queries_ref)          # (n_queries, dim) float64 + ids
+        self.q_ids, qm = q
+        self.qn = _normalize(qm)
+        self.emb_col, self.id_col, self.k = emb_col, id_col, k
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        v = np.asarray(t[self.emb_col].to_pylist(), dtype=np.float64)
+        ids = np.asarray(t[self.id_col].to_pylist())
+        vn = _normalize(v)
+        sim = self.qn @ vn.T                        # (nq, batch)
+        k = min(self.k, sim.shape[1])
+        idx = np.argpartition(-sim, kth=k - 1, axis=1)[:, :k]
+        out_q, out_id, out_s = [], [], []
+        for qi in range(sim.shape[0]):
+            for j in idx[qi]:
+                out_q.append(self.q_ids[qi])
+                out_id.append(int(ids[j]))
+                out_s.append(float(sim[qi, j]))
+        return pa.table({
+            "query_id": pa.array(out_q, pa.int64()),
+            "neighbor_id": pa.array(out_id, pa.int64()),
+            "cosine": pa.array(out_s, pa.float64()),
+        })
+
+
+def knn_brute(ds: ray.data.Dataset, queries: tuple[list[int], np.ndarray],
+              k: int = 10, emb_col: str = "embedding", id_col: str = "vec_id",
+              concurrency: tuple[int, int] = (1, 8)) -> pa.Table:
+    """Exact cosine top-k for each query vector. Returns a driver-side table
+    (n_queries * k rows — small by construction) with rank + rounded cosine.
+
+    ``queries``: (query_ids, query_matrix). Deterministic tiebreak:
+    (-cosine, neighbor_id).
+    """
+    q_ref = ray.put((list(queries[0]), np.asarray(queries[1], dtype=np.float64)))
+    partials = ds.map_batches(
+        _BruteTopK, batch_format="pyarrow", zero_copy_batch=True,
+        fn_constructor_args=(q_ref, emb_col, id_col, k),
+        concurrency=concurrency)
+    t = pa.concat_tables(ray.get(partials.to_arrow_refs()),
+                         promote_options="default")
+    df = t.to_pandas()
+    df["cosine_r"] = df["cosine"].round(9)
+    df = df.sort_values(["query_id", "cosine_r", "neighbor_id"],
+                        ascending=[True, False, True])
+    df = df.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+    df["rank"] = df.groupby("query_id").cumcount() + 1
+    df["cosine"] = df["cosine"].round(6)
+    return pa.Table.from_pandas(
+        df[["query_id", "neighbor_id", "rank", "cosine"]], preserve_index=False)
+
+
+# ---------------------------------------------------------------------------
+# IVF: kmeans-lite coarse quantizer -> per-centroid buckets -> probe subset
+
+
+def train_centroids(ds: ray.data.Dataset, n_centroids: int = 16,
+                    emb_col: str = "embedding", sample: int = 2048,
+                    iters: int = 8, seed: int = 11) -> np.ndarray:
+    """Tiny k-means on a driver-side sample (the coarse quantizer). The
+    sample is bounded; training cost is O(sample * n_centroids * iters)."""
+    rows = ds.select_columns([emb_col]).take(sample)
+    m = _normalize(np.asarray([r[emb_col] for r in rows], dtype=np.float64))
+    rng = np.random.RandomState(seed)
+    cent = m[rng.choice(len(m), size=min(n_centroids, len(m)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(m @ cent.T, axis=1)
+        for c in range(cent.shape[0]):
+            sel = m[assign == c]
+            if len(sel):
+                cent[c] = sel.mean(axis=0)
+        cent = _normalize(cent)
+    return cent
+
+
+def knn_ivf(ds: ray.data.Dataset, queries: tuple[list[int], np.ndarray],
+            k: int = 10, n_centroids: int = 16, nprobe: int = 4,
+            emb_col: str = "embedding", id_col: str = "vec_id") -> pa.Table:
+    """Approximate top-k: vectors are bucketed by nearest centroid; each
+    query scores only vectors whose bucket is among its ``nprobe`` nearest
+    centroids. Same output shape as knn_brute."""
+    cent = train_centroids(ds, n_centroids, emb_col)
+    cent_ref = ray.put(cent)
+    q_ids = list(queries[0])
+    qm = _normalize(np.asarray(queries[1], dtype=np.float64))
+    probe = np.argsort(-(qm @ cent.T), axis=1)[:, :nprobe]   # (nq, nprobe)
+    probe_sets = [set(map(int, row)) for row in probe]
+    q_ref = ray.put((q_ids, qm, probe_sets))
+
+    class _IVFScore:
+        def __init__(self):
+            self.cent = ray.get(cent_ref)
+            self.q_ids, self.qm, self.probe = ray.get(q_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            v = np.asarray(t[emb_col].to_pylist(), dtype=np.float64)
+            ids = np.asarray(t[id_col].to_pylist())
+            vn = _normalize(v)
+            assign = np.argmax(vn @ self.cent.T, axis=1)
+            out_q, out_id, out_s = [], [], []
+            for qi in range(len(self.q_ids)):
+                mask = np.isin(assign, list(self.probe[qi]))
+                if not mask.any():
+                    continue
+                sims = self.qm[qi] @ vn[mask].T
+                sel_ids = ids[mask]
+                kk = min(len(sims), k)
+                top = np.argpartition(-sims, kth=kk - 1)[:kk]
+                for j in top:
+                    out_q.append(self.q_ids[qi])
+                    out_id.append(int(sel_ids[j]))
+                    out_s.append(float(sims[j]))
+            return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                             "neighbor_id": pa.array(out_id, pa.int64()),
+                             "cosine": pa.array(out_s, pa.float64())})
+
+    partials = ds.map_batches(_IVFScore, batch_format="pyarrow",
+                              zero_copy_batch=True, concurrency=(1, 8))
+    t = pa.concat_tables(ray.get(partials.to_arrow_refs()),
+                         promote_options="default")
+    df = t.to_pandas()
+    df["cosine_r"] = df["cosine"].round(9)
+    df = df.sort_values(["query_id", "cosine_r", "neighbor_id"],
+                        ascending=[True, False, True])
+    df = df.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+    df["rank"] = df.groupby("query_id").cumcount() + 1
+    df["cosine"] = df["cosine"].round(6)
+    return pa.Table.from_pandas(
+        df[["query_id", "neighbor_id", "rank", "cosine"]], preserve_index=False)

@@ -1,0 +1,183 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+language-ID (n-gram heuristic), quality scoring, token counting, document
+fingerprinting. All run as zero-copy Arrow map_batches (vectorized RE2
+kernels) or actor-pool stages (compiled state in __init__).
+
+These extend the reference's scope (it has no text ops) as required by the
+engine brief; they follow the same Step protocol as stages/maps.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from e_commerce_batch_etl_pipeline_ray.core import FnStep, batch_step
+
+TOKEN_RE = r"[A-Za-z0-9_]+"
+# BPE-ish segmentation: words, numbers, or single non-space symbols
+BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def token_stats(text_col: str = "text") -> FnStep:
+    """Token/char counts per document — all vectorized RE2 kernels:
+    n_tokens (word-ish), n_bpeish (BPE-style pieces), n_chars."""
+    def _fn(t: pa.Table) -> pa.Table:
+        col = t[text_col]
+        t = t.append_column("n_tokens",
+                            pc.count_substring_regex(col, pattern=TOKEN_RE).cast(pa.int64()))
+        t = t.append_column("n_bpeish",
+                            pc.count_substring_regex(col, pattern=BPE_RE).cast(pa.int64()))
+        t = t.append_column("n_chars_text", pc.utf8_length(col).cast(pa.int64()))
+        return t
+    return batch_step("token_stats", _fn)
+
+
+def quality_score(text_col: str = "text") -> FnStep:
+    """Heuristic document quality: length score, punctuation ratio, digit
+    ratio, mean word length, upper ratio -> quality in [0,1]. Vectorized.
+
+    score = 0.25*len_ok + 0.25*(1-punct_ratio clipped) + 0.25*(1-digit_ratio
+    clipped) + 0.25*word_len_ok
+    """
+    def _fn(t: pa.Table) -> pa.Table:
+        col = t[text_col]
+        n_chars = pc.utf8_length(col).cast(pa.float64())
+        n_tokens = pc.count_substring_regex(col, pattern=TOKEN_RE).cast(pa.float64())
+        n_punct = pc.count_substring_regex(col, pattern=r"[^\w\s]").cast(pa.float64())
+        n_digit = pc.count_substring_regex(col, pattern=r"[0-9]").cast(pa.float64())
+        safe_chars = pc.max_element_wise(n_chars, 1.0)
+        punct_ratio = pc.divide(n_punct, safe_chars)
+        digit_ratio = pc.divide(n_digit, safe_chars)
+        mean_word_len = pc.divide(
+            pc.count_substring_regex(col, pattern=r"[A-Za-z]").cast(pa.float64()),
+            pc.max_element_wise(n_tokens, 1.0))
+        len_ok = pc.if_else(pc.and_(pc.greater_equal(n_chars, 50.0),
+                                    pc.less_equal(n_chars, 100_000.0)), 1.0, 0.0)
+        wl_ok = pc.if_else(pc.and_(pc.greater_equal(mean_word_len, 2.0),
+                                   pc.less_equal(mean_word_len, 12.0)), 1.0, 0.0)
+        score = pc.add(
+            pc.add(pc.multiply(len_ok, 0.25),
+                   pc.multiply(pc.subtract(1.0, pc.min_element_wise(punct_ratio, 1.0)), 0.25)),
+            pc.add(pc.multiply(pc.subtract(1.0, pc.min_element_wise(digit_ratio, 1.0)), 0.25),
+                   pc.multiply(wl_ok, 0.25)))
+        t = t.append_column("punct_ratio", pc.round(punct_ratio, ndigits=6))
+        t = t.append_column("digit_ratio", pc.round(digit_ratio, ndigits=6))
+        t = t.append_column("quality", pc.round(score, ndigits=6))
+        return t
+    return batch_step("quality_score", _fn)
+
+
+# trigram profiles for the language-ID heuristic: characteristic, compact,
+# hand-picked high-frequency character trigrams (lowercase, space-padded)
+_LANG_PROFILES: dict[str, list[str]] = {
+    "en": [" th", "the", "he ", " an", "and", "nd ", "ing", " of", "of ", " to",
+           "to ", "ed ", " in", "ion", "is "],
+    "de": ["er ", " de", "der", "ie ", " di", "die", "ein", "ich", "sch", "und",
+           " un", "nd ", "en ", "ch ", " ge"],
+    "fr": [" de", "de ", " le", "le ", "es ", "ent", " la", "la ", "que", " qu",
+           "ue ", "re ", " et", "et ", "ion"],
+    "es": [" de", "de ", " la", "la ", "os ", " el", "el ", "que", " qu", "ue ",
+           "ión", " en", "en ", "ar ", "ado"],
+}
+
+
+class LangId:
+    """Actor-pool language-ID: trigram-profile scoring. Profiles are built
+    ONCE per actor in __init__ (the stateful-stage pattern); scoring is a
+    per-row loop over a capped prefix (cheap) — acceptable because the op is
+    O(chars) with tiny constants and runs in a sized actor pool."""
+
+    CAP = 400  # chars scored per doc
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+        self.profiles = {
+            lang: {g: len(tris) - i for i, g in enumerate(tris)}
+            for lang, tris in _LANG_PROFILES.items()
+        }
+
+    def _score(self, text: str | None) -> tuple[str, float]:
+        if not text:
+            return "und", 0.0
+        s = f" {text[:self.CAP].lower()} "
+        grams: dict[str, int] = {}
+        for i in range(len(s) - 2):
+            g = s[i:i + 3]
+            grams[g] = grams.get(g, 0) + 1
+        best_lang, best = "und", 0.0
+        total = max(1, len(s) - 2)
+        for lang, prof in self.profiles.items():
+            sc = sum(w * grams.get(g, 0) for g, w in prof.items()) / total
+            if sc > best:
+                best_lang, best = lang, sc
+        return best_lang, round(best, 6)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        pairs = [self._score(v) for v in batch[self.text_col].to_pylist()]
+        batch = batch.append_column(
+            "lang_pred", pa.array([p[0] for p in pairs], pa.string()))
+        batch = batch.append_column(
+            "lang_score", pa.array([p[1] for p in pairs], pa.float64()))
+        return batch
+
+
+def lang_id(text_col: str = "text", concurrency: tuple[int, int] = (1, 4)) -> FnStep:
+    def _apply(ds):
+        return ds.map_batches(LangId, batch_format="pyarrow", zero_copy_batch=True,
+                              fn_constructor_args=(text_col,),
+                              concurrency=concurrency)
+    return FnStep("lang_id", _apply)
+
+
+class Fingerprint:
+    """Rolling-hash document fingerprint (winnowing-style): Rabin-Karp over
+    byte k-grams, keep the minimum hash in each window -> fingerprint =
+    lowest ``n_keep`` distinct window-minima, xor-folded to one u64 hex.
+    Deterministic; numpy-vectorized per document."""
+
+    def __init__(self, text_col: str = "text", k: int = 8, window: int = 16,
+                 n_keep: int = 8):
+        self.text_col, self.k, self.window, self.n_keep = text_col, k, window, n_keep
+        base = np.uint64(1000003)
+        self.pows = np.power(base, np.arange(k, dtype=np.uint64),
+                             dtype=np.uint64)
+
+    def _fp(self, text: str | None) -> str | None:
+        if text is None:
+            return None
+        b = np.frombuffer(text.encode("utf-8", "ignore"), dtype=np.uint8)
+        if len(b) < self.k:
+            h = np.uint64(0)
+            for x in b:
+                h = h * np.uint64(1000003) + np.uint64(x)
+            return f"{int(h):016x}"
+        n = len(b) - self.k + 1
+        # hash of every k-gram via strided dot with base powers (mod 2^64)
+        strides = np.lib.stride_tricks.sliding_window_view(b, self.k).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            hashes = (strides * self.pows[::-1]).sum(axis=1, dtype=np.uint64)
+        w = min(self.window, n)
+        mins = np.lib.stride_tricks.sliding_window_view(hashes, w).min(axis=1)
+        sel = np.unique(mins)[: self.n_keep]
+        acc = np.uint64(0)
+        with np.errstate(over="ignore"):
+            for i, v in enumerate(sel):
+                acc ^= v * np.uint64(2 * i + 1)
+        return f"{int(acc):016x}"
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        fps = [self._fp(v) for v in batch[self.text_col].to_pylist()]
+        return batch.append_column("fingerprint", pa.array(fps, pa.string()))
+
+
+def fingerprint(text_col: str = "text", concurrency: tuple[int, int] = (1, 4),
+                **kwargs) -> FnStep:
+    def _apply(ds):
+        return ds.map_batches(Fingerprint, batch_format="pyarrow",
+                              zero_copy_batch=True,
+                              fn_constructor_args=(text_col,),
+                              fn_constructor_kwargs=kwargs,
+                              concurrency=concurrency)
+    return FnStep("fingerprint", _apply)

@@ -1,0 +1,208 @@
+"""Tests for the training-data operator families: text analysis, dedup
+family (exact / minhash-LSH / simhash / embedding-cosine), similarity
+search, multimodal plumbing, and the DQ framework."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from e_commerce_batch_etl_pipeline_ray.quality import checks
+from e_commerce_batch_etl_pipeline_ray.stages import (
+    multimodal,
+    neardup,
+    similarity,
+    text,
+)
+
+BASE = ("the quick brown fox jumps over the lazy dog while the cat watches "
+        "from a warm windowsill in the late afternoon sun ")
+
+
+def _docs():
+    rows = [
+        {"doc_id": 0, "text": BASE * 3},
+        {"doc_id": 1, "text": BASE * 3},                      # exact dup of 0
+        {"doc_id": 2, "text": BASE * 3 + "extra tail words"},  # near dup of 0
+        {"doc_id": 3, "text": "completely different content about databases "
+                              "and distributed systems engineering at scale " * 3},
+        {"doc_id": 4, "text": "der hund und die katze sind in dem haus und "
+                              "sie schlafen unter dem tisch mit einem ball " * 2},
+    ]
+    return ray.data.from_arrow(pa.Table.from_pylist(rows))
+
+
+# --- text analysis ---------------------------------------------------------
+
+def test_token_stats():
+    out = text.token_stats().apply(_docs()).to_pandas().set_index("doc_id")
+    assert out.loc[0, "n_tokens"] == 22 * 3   # 22 words per BASE repeat
+    assert (out["n_chars_text"] > 0).all()
+
+
+def test_quality_score_bounds():
+    out = text.quality_score().apply(_docs()).to_pandas()
+    assert ((out["quality"] >= 0) & (out["quality"] <= 1)).all()
+    assert ((out["punct_ratio"] >= 0) & (out["punct_ratio"] <= 1)).all()
+
+
+def test_lang_id():
+    out = text.lang_id().apply(_docs()).to_pandas().set_index("doc_id")
+    assert out.loc[0, "lang_pred"] == "en"
+    assert out.loc[4, "lang_pred"] == "de"
+
+
+def test_fingerprint_deterministic_and_sensitive():
+    out = text.fingerprint().apply(_docs()).to_pandas().set_index("doc_id")
+    assert out.loc[0, "fingerprint"] == out.loc[1, "fingerprint"]   # same text
+    assert out.loc[0, "fingerprint"] != out.loc[3, "fingerprint"]   # different
+
+
+# --- dedup family ----------------------------------------------------------
+
+def test_exact_dedup():
+    out = neardup.exact_dedup().apply(_docs()).to_pandas()
+    assert sorted(out["doc_id"]) == [0, 2, 3, 4]   # doc 1 dropped (higher id)
+
+
+def test_minhash_lsh_finds_near_dups():
+    pairs = neardup.minhash_lsh_pairs(_docs(), threshold=0.7).to_pandas()
+    found = {tuple(sorted(p)) for p in zip(pairs["id_a"], pairs["id_b"])}
+    assert (0, 1) in found and (0, 2) in found and (1, 2) in found
+    assert not any(3 in p or 4 in p for p in found)
+
+
+def test_dedup_by_pairs_transitive():
+    ds = _docs()
+    pairs = neardup.minhash_lsh_pairs(ds, threshold=0.7)
+    kept = neardup.dedup_by_pairs(ds, pairs).to_pandas()
+    assert sorted(kept["doc_id"]) == [0, 3, 4]   # cluster {0,1,2} -> keep 0
+
+
+def test_simhash_pairs():
+    pairs = neardup.simhash_pairs(_docs(), max_hamming=6).to_pandas()
+    found = {tuple(sorted(p)) for p in zip(pairs["id_a"], pairs["id_b"])}
+    assert (0, 1) in found
+    assert not any({3, 4} & set(p) for p in found)
+
+
+def test_ngram_jaccard_kernel():
+    assert neardup.ngram_jaccard(BASE, BASE) == 1.0
+    assert neardup.ngram_jaccard(BASE, "zzzz qqqq") < 0.05
+
+
+def test_embedding_neardup():
+    rng = np.random.RandomState(0)
+    base = rng.randn(20, 16)
+    vecs = np.vstack([base, base[0] + rng.randn(16) * 0.01])  # 20 is ~dup of 0
+    rows = [{"vec_id": i, "embedding": vecs[i].tolist()} for i in range(21)]
+    ds = ray.data.from_arrow(pa.Table.from_pylist(rows))
+    pairs = neardup.embedding_neardup_pairs(ds, dim=16, threshold=0.98).to_pandas()
+    assert (0, 20) in {tuple(sorted(p)) for p in zip(pairs["id_a"], pairs["id_b"])}
+
+
+# --- similarity search -----------------------------------------------------
+
+def _emb_ds(n=100, dim=16, seed=3):
+    rng = np.random.RandomState(seed)
+    m = rng.randn(n, dim)
+    rows = [{"vec_id": i, "embedding": m[i].tolist()} for i in range(n)]
+    return ray.data.from_arrow(pa.Table.from_pylist(rows)), m
+
+
+def test_knn_brute_exact():
+    ds, m = _emb_ds()
+    out = similarity.knn_brute(ds, ([0], m[[0]]), k=5).to_pandas()
+    assert len(out) == 5
+    assert out.iloc[0]["neighbor_id"] == 0 and out.iloc[0]["cosine"] == 1.0
+    # verify against numpy ground truth
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = mn @ mn[0]
+    expect = set(np.argsort(-sims)[:5])
+    assert set(out["neighbor_id"]) == expect
+
+
+def test_knn_ivf_recall():
+    ds, m = _emb_ds(n=300)
+    q = ([1, 2], m[[1, 2]])
+    exact = similarity.knn_brute(ds, q, k=10).to_pandas()
+    approx = similarity.knn_ivf(ds, q, k=10, n_centroids=8, nprobe=4).to_pandas()
+    for qid in (1, 2):
+        e = set(exact[exact.query_id == qid]["neighbor_id"])
+        a = set(approx[approx.query_id == qid]["neighbor_id"])
+        assert len(e & a) / len(e) >= 0.6   # probing 4/8 buckets
+    # self-neighbor always found
+    assert approx[(approx.query_id == 1) & (approx.neighbor_id == 1)].shape[0] == 1
+
+
+# --- multimodal plumbing ---------------------------------------------------
+
+def test_decode_images_fake_plumbing():
+    t = multimodal.fake_media_table(20, payload_bytes=1024)
+    ds = ray.data.from_arrow(t)
+    out = multimodal.decode_images(fake=True, batch_size=8).apply(ds).to_pandas()
+    assert len(out) == 20
+    assert out["width"].between(64, 255).all()
+    assert out["features"].map(len).eq(8).all()
+
+
+def test_decode_images_real_raises():
+    with pytest.raises(NotImplementedError):
+        multimodal.DecodeImage(fake=False)
+
+
+def test_sample_frames_layout():
+    t = multimodal.fake_media_table(6, payload_bytes=512)
+    ds = ray.data.from_arrow(t)
+    out = multimodal.sample_frames(n_frames=4, fake=True).apply(ds).to_pandas()
+    assert len(out) == 24
+    assert set(out["frame_no"]) == {0, 1, 2, 3}
+    assert out["frame"].map(len).gt(0).all()
+
+
+# --- DQ framework ----------------------------------------------------------
+
+def _dirty_ds():
+    rows = [
+        {"id": "a", "qty": 5, "price": 10.0, "status": "ok", "year_ts": "2023-05-01"},
+        {"id": "b", "qty": -1, "price": 5.0, "status": "ok", "year_ts": "2023-06-01"},
+        {"id": None, "qty": 2, "price": 0.0, "status": "bogus", "year_ts": "1990-01-01"},
+        {"id": "a", "qty": 3, "price": 1.0, "status": "ok", "year_ts": "2023-07-01"},
+    ]
+    t = pa.Table.from_pylist(rows)
+    t = t.set_column(t.column_names.index("year_ts"), "year_ts",
+                     t["year_ts"].cast(pa.timestamp("us")))
+    return ray.data.from_arrow(t)
+
+
+def test_dq_report_and_gate():
+    cfg = checks.DQConfig(
+        min_rows=1,
+        max_null_pct={"id": 10.0},
+        dup_keys=["id"],
+        max_dup_pct=10.0,
+        non_positive_cols=["qty", "price"],
+        year_col="year_ts", year_range=(2000, 2030),
+        whitelist={"status": ["ok", "shipped"]},
+    )
+    report, overall = checks.run_checks(_dirty_ds(), cfg)
+    rep = {r["check_name"]: r for r in report.to_pylist()}
+    assert rep["row_count"]["status"] == "PASS"
+    assert rep["null_pct__id"]["status"] == "FAIL"         # 25% > 10%
+    assert rep["non_positive__qty"]["metric_value"] == 1.0
+    assert rep["non_positive__price"]["metric_value"] == 1.0
+    assert rep["year_out_of_range"]["metric_value"] == 1.0
+    assert rep["whitelist__status"]["metric_value"] == 1.0
+    assert rep["dup_pct"]["status"] == "FAIL"              # 25% > 10%
+    assert overall == "FAIL"
+    with pytest.raises(checks.DataQualityError):
+        checks.run_checks(_dirty_ds(), cfg, gate=True)
+
+
+def test_dq_all_pass():
+    cfg = checks.DQConfig(min_rows=1, max_null_pct={"qty": 50.0})
+    report, overall = checks.run_checks(_dirty_ds(), cfg)
+    assert overall == "PASS"
