@@ -68,6 +68,13 @@ class CDCConfig:
     cache_partitions: bool = True       # actors keep merged partition tables
     verify_sha: bool = False            # recompute+check content sha256
     batch_size: int | None = None       # None -> whole blocks through combine
+    # Resolve LWW winners on skinny (repo, path, lsn) columns FIRST (tiny
+    # shuffle), then ship only the winning rows' content to the merge
+    # partitions. Huge shuffle-byte reduction under hot-key skew (many
+    # updates to few keys per epoch); costs one extra pass + a broadcast of
+    # the winner key set, so keep it off when epochs touch mostly-unique
+    # keys or the per-epoch winner set is too large to broadcast.
+    two_phase_shuffle: bool = False
 
 
 @dataclass
@@ -174,14 +181,19 @@ class MergeApply:
 
         prior = self._load_prior(pid)
         merged = delta if prior is None else pa.concat_tables([prior, delta])
+        # combine sorts by (repo asc, path asc, lsn desc) and keeps the first
+        # row per key -> the output is ALREADY in sorted compacted layout;
+        # no second sort needed
         merged = combine_keep_extreme(merged, KEY, ["lsn"], descending=True)
-        # sorted compacted layout
-        merged = merged.take(pc.sort_indices(
-            merged, sort_keys=[("repo", "ascending"), ("path", "ascending")]))
 
         fname = f"part-{pid:05d}.parquet"
         tmp_path = os.path.join(self.tmp_dir, fname)
-        pq.write_table(merged, tmp_path)
+        # write under a unique in-progress name, then os.replace: a task
+        # retry / OOM-killed writer can never leave a partial file visible
+        # under the committed name
+        in_progress = f"{tmp_path}.wip.{os.getpid()}"
+        pq.write_table(merged, in_progress)
+        os.replace(in_progress, tmp_path)
         bytes_written = os.path.getsize(tmp_path)
         if self.cache_enabled:
             self.cache[pid] = (self.epoch, merged)
@@ -218,6 +230,38 @@ class CDCEngine:
 
     # -- ingest --------------------------------------------------------------
 
+    @staticmethod
+    def _winner_filter(normalized: ray.data.Dataset) -> ray.data.Dataset:
+        """Two-phase shuffle: (1) shuffle only (repo, path, lsn, pid) to find
+        each key's winning LSN per partition, (2) broadcast the winner set
+        and filter the full rows to winners — only winner content crosses
+        the wire to merge-apply."""
+        import numpy as np
+
+        norm_m = normalized.materialize()
+        skinny = norm_m.select_columns(["repo", "path", "lsn", _PID])
+
+        def _winners(g: pa.Table) -> pa.Table:
+            return combine_keep_extreme(g, KEY, ["lsn"], descending=True)
+
+        winners_ds = skinny.groupby(_PID).map_groups(
+            _winners, batch_format="pyarrow")
+        winners = pa.concat_tables(ray.get(winners_ds.to_arrow_refs()),
+                                   promote_options="default")
+        w_ref = ray.put(winners.select(["repo", "path", "lsn"]).to_pandas())
+
+        def _filter(t: pa.Table) -> pa.Table:
+            w = ray.get(w_ref)
+            df = t.select(["repo", "path", "lsn"]).to_pandas()
+            df["__i"] = np.arange(len(df))
+            hit = df.merge(w, on=["repo", "path", "lsn"], how="inner")["__i"]
+            mask = np.zeros(len(df), dtype=bool)
+            mask[hit.to_numpy()] = True
+            return t.filter(pa.array(mask))
+
+        return norm_m.map_batches(_filter, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+
     def ingest_epoch(self, events: ray.data.Dataset, epoch: int,
                      events_in: int | None = None) -> EpochStats:
         cfg = self.cfg
@@ -237,6 +281,9 @@ class CDCEngine:
             _normalize_factory(schema, cfg.num_partitions, cfg.verify_sha),
             batch_format="pyarrow", zero_copy_batch=True,
             batch_size=cfg.batch_size)
+
+        if cfg.two_phase_shuffle:
+            normalized = self._winner_filter(normalized)
 
         lineage_ds = normalized.groupby(_PID).map_groups(
             MergeApply, batch_format="pyarrow",

@@ -23,7 +23,29 @@ from e_commerce_batch_etl_pipeline_ray.functions import scalar as F
 from e_commerce_batch_etl_pipeline_ray.stages import aggregates, dedup, joins, maps, sorts
 
 
+_TUNED = False
+
+
+def _tune_context() -> None:
+    """One-time DataContext tuning: Ray's default read sharding
+    (read_op_min_num_blocks=200) splits small/medium inputs into hundreds of
+    sliver blocks and every downstream op pays 200x task overhead; cap the
+    minimum at the CPU count."""
+    global _TUNED
+    if _TUNED:
+        return
+    import ray as _ray
+    ctx = ray.data.DataContext.get_current()
+    try:
+        ncpu = int(_ray.cluster_resources().get("CPU", 8))
+    except Exception:  # noqa: BLE001
+        ncpu = 8
+    ctx.read_op_min_num_blocks = max(8, ncpu)
+    _TUNED = True
+
+
 def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> ray.data.Dataset:
+    _tune_context()
     return ray.data.read_parquet(os.path.join(sf_dir, f"{table}.parquet"),
                                  columns=columns)
 
