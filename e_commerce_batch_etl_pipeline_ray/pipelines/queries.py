@@ -665,3 +665,53 @@ ORACLE.update({
     "q16_quality": Q16_SQL,
     "q17_knn_brute": Q17_SQL,
 })
+
+
+# ---------------------------------------------------------------------------
+# q25 — sessionization (stream-shaped op: per-key gap-based sessions)
+
+def q25_sessionize(sf_dir: str):
+    from e_commerce_batch_etl_pipeline_ray.stages import streaming
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
+    out = streaming.sessionize("user_id", "ts", gap_minutes=30.0,
+                               order_cols=["event_id"]).apply(ds)
+    return out.sort(["user_id", "session_id"])
+
+
+Q25_SQL = """
+WITH o AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+  FROM events),
+s AS (
+  SELECT user_id, ts,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM o)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       COUNT(*) AS n_events, MIN(ts) AS session_start, MAX(ts) AS session_end
+FROM s GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# q26 — full orders-variant pipeline (rows-only: synthetic dirty input
+# generated in-engine, notebook-variant transform chain + DQ report)
+
+def q26_orders_pipeline(sf_dir: str):
+    from e_commerce_batch_etl_pipeline_ray.pipelines import orders as O
+    from e_commerce_batch_etl_pipeline_ray.sources import generators
+    raw = generators.orders_raw(20_000, seed=42)
+    ds, _report, _overall = O.run(raw, num_partitions=16, gate=False)
+    return ds.sort("order_id")
+
+
+QUERIES.update({
+    "q25_sessionize": q25_sessionize,
+    "q26_orders_pipeline": q26_orders_pipeline,
+})
+ORACLE.update({
+    "q25_sessionize": Q25_SQL,
+})

@@ -111,3 +111,126 @@ def run(raw: ray.data.Dataset, num_partitions: int = 64) -> ray.data.Dataset:
     """Transform + enrich; returns the curated, enriched Dataset (lazy)."""
     ds = transform_pipeline(num_partitions).apply(raw)
     return enrich_pipeline().apply(ds)
+
+
+# ---------------------------------------------------------------------------
+# Full pipeline lifecycle — mirrors src/pipeline.py run() (SURVEY.md §3.1):
+# extract -> expand -> transform -> broadcast join -> stats -> cache+DQ gate ->
+# partitioned parquet -> batched DB load -> JSON report -> run log.
+
+RETAIL_DQ = None  # built lazily to avoid import cycle
+
+
+def _dq_config():
+    from e_commerce_batch_etl_pipeline_ray.quality import checks
+    return checks.DQConfig(
+        min_rows=1,
+        max_null_pct={"description": 5.0, "customer_id": 0.0},
+        dup_keys=["invoice_id", "stock_code"],
+        max_dup_pct=5.0,
+        non_positive_cols=["quantity", "unit_price"],
+        year_col="invoice_date", year_range=(2009, 2012),
+        whitelist={},
+    )
+
+
+RETAIL_DDL = """
+CREATE TABLE IF NOT EXISTS retail_curated (
+    id INTEGER PRIMARY KEY AUTOINCREMENT,
+    invoice_id TEXT, stock_code TEXT, description TEXT,
+    quantity INTEGER, unit_price REAL, total_amount REAL,
+    invoice_date TEXT, invoice_year INTEGER, invoice_month INTEGER,
+    invoice_day INTEGER, customer_id TEXT, country TEXT,
+    is_return INTEGER, price_bucket TEXT, region TEXT,
+    UNIQUE (invoice_id, stock_code)
+)
+"""
+
+
+def run_full(n_rows: int = 50_000, target_rows: int | None = None,
+             out_dir: str = "/tmp/retail_out", seed: int = 42,
+             num_partitions: int = 32, db_batch_rows: int = 5000,
+             gate: bool = False) -> dict:
+    """End-to-end run; returns the run summary (the reference's
+    PipelineTracker record, src/logger_setup.py:61-71). Caller owns the Ray
+    session."""
+    import os
+    import time
+
+    import pyarrow.compute as pc
+
+    from e_commerce_batch_etl_pipeline_ray.quality import checks as qchecks
+    from e_commerce_batch_etl_pipeline_ray.sources import (
+        db_sink,
+        generators,
+        memory,
+        parquet_io,
+    )
+
+    t_start = time.time()
+    summary: dict = {"pipeline": "retail", "stages": {}}
+
+    def _stage(name, t0):
+        summary["stages"][name] = round(time.time() - t0, 3)
+
+    # 1. extract (+ S2 expansion to target size, src/extract.py:72-91)
+    t0 = time.time()
+    raw = generators.retail_raw(n_rows, seed=seed)
+    if target_rows and target_rows > n_rows:
+        raw = memory.expand_to_target(raw, target_rows, current_rows=n_rows)
+    _stage("extract", t0)
+
+    # 2-4. transform chain + broadcast enrich
+    t0 = time.time()
+    curated = run(raw, num_partitions=num_partitions)
+    curated = curated.materialize()      # ST1: pin before multi-action DQ
+    n_out = curated.count()
+    _stage("transform", t0)
+
+    # 5. plan observability (explain() equivalent)
+    summary["stats_head"] = curated.stats().split("\n")[0]
+
+    # 6. DQ gate
+    t0 = time.time()
+    report, overall = qchecks.run_checks(curated, _dq_config(), gate=gate)
+    _stage("quality", t0)
+    summary["dq_overall"] = overall
+
+    # 7. partitioned parquet (S5)
+    t0 = time.time()
+    pq_dir = os.path.join(out_dir, "curated_parquet")
+    parquet_io.write_parquet_partitioned(
+        curated, pq_dir, partition_cols=["invoice_year"], mode="overwrite")
+    assert parquet_io.verify_parquet_roundtrip(pq_dir, n_out)   # S8
+    _stage("parquet", t0)
+
+    # 8. batched DB load (S6), truncate-then-append idempotent
+    t0 = time.time()
+    db_path = os.path.join(out_dir, "retail.db")
+    db_cols = [c for c in CURATED_COLUMNS if c != "invoice_date"] + ["region"]
+    cast_for_db = curated.map_batches(
+        lambda t: t.set_column(
+            t.column_names.index("is_return"), "is_return",
+            t["is_return"].cast(pa.int8())),
+        batch_format="pyarrow")
+    rows_db = db_sink.write_table(cast_for_db, db_path, "retail_curated",
+                                  db_cols, RETAIL_DDL,
+                                  batch_rows=db_batch_rows, concurrency=4)
+    check = db_sink.read_query(db_path,
+                               "SELECT COUNT(*) AS n FROM retail_curated")  # S9
+    # DB count is authoritative (rows_written may over-count under task
+    # retries with the idempotent INSERT OR REPLACE)
+    assert check["n"][0].as_py() == n_out, (check["n"][0], n_out, rows_db)
+    _stage("db_load", t0)
+
+    # 9. DQ report persist (S7)
+    parquet_io.write_json_report(report, os.path.join(out_dir, "dq_report.json"))
+
+    summary["records_out"] = n_out
+    summary["duration_s"] = round(time.time() - t_start, 3)
+    summary["status"] = "SUCCESS" if overall != "FAIL" else "DQ_FAIL"
+    # 10. run-log append (notebooks/07_pipeline_orchestrator.py:382-387)
+    import json
+    with open(os.path.join(out_dir, "run_log.jsonl"), "a") as f:
+        f.write(json.dumps(summary, default=str) + "\n")
+    return summary

@@ -7,5 +7,6 @@ from e_commerce_batch_etl_pipeline_ray.stages import (  # noqa: F401
     neardup,
     similarity,
     sorts,
+    streaming,
     text,
 )
