@@ -715,3 +715,42 @@ QUERIES.update({
 ORACLE.update({
     "q25_sessionize": Q25_SQL,
 })
+
+
+# ---------------------------------------------------------------------------
+# q27/q28 — broadcast semi/anti join (blocklist pattern)
+
+def q27_semi_join(sf_dir: str):
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    vips = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"])
+    vips = maps.filter_expr(lambda t: pc.greater(t["c_acctbal"], 5000.0),
+                            name="vip").apply(vips).select_columns(["c_custkey"])
+    out = joins.broadcast_semi_join(vips, on="o_custkey").apply(ds)
+    return out.sort("o_orderkey")
+
+
+Q27_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+ORDER BY o_orderkey
+"""
+
+
+def q28_anti_join(sf_dir: str):
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_acctbal"])
+    big = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    big = maps.filter_expr(lambda t: pc.greater(t["o_totalprice"], 400_000.0),
+                           name="big_orders").apply(big).select_columns(["o_custkey"])
+    out = joins.broadcast_semi_join(big, on="c_custkey", anti=True).apply(ds)
+    return out.sort("c_custkey")
+
+
+Q28_SQL = """
+SELECT c_custkey, c_name, c_acctbal FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+ORDER BY c_custkey
+"""
+
+
+QUERIES.update({"q27_semi_join": q27_semi_join, "q28_anti_join": q28_anti_join})
+ORACLE.update({"q27_semi_join": Q27_SQL, "q28_anti_join": Q28_SQL})

@@ -111,3 +111,36 @@ def hash_join(right, on: Sequence[str] | str, join_type: str = "inner",
                        num_partitions=num_partitions,
                        right_suffix=right_suffix)
     return FnStep(f"hash_join[{','.join(on_cols)}]", _apply)
+
+
+def broadcast_semi_join(keys: pa.Table | "ray.data.Dataset", on: str,
+                        anti: bool = False) -> FnStep:
+    """Semi/anti join against a broadcast key set (ray_guide pattern): keep
+    rows whose ``on`` value IS (semi) / IS NOT (anti) in the key set. The
+    key set ships once via ray.put; each batch filters with a vectorized
+    ``pc.is_in`` — no shuffle. Beyond the reference's operator set (it has
+    no semi/anti joins) but required for blocklist/allowlist filtering in
+    training-data pipelines.
+    """
+    import ray.data as rd
+    if isinstance(keys, rd.Dataset):
+        keys = pa.concat_tables(ray.get(keys.to_arrow_refs()),
+                                promote_options="default")
+    key_arr = keys.column(0).combine_chunks() if keys.num_columns else pa.array([])
+    ref = ray.put(key_arr)
+
+    class _SemiJoin:
+        def __init__(self):
+            self.keys = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            mask = pc.is_in(t[on], value_set=self.keys)
+            mask = pc.fill_null(mask, False)
+            if anti:
+                mask = pc.invert(mask)
+            return t.filter(mask)
+
+    def _apply(ds):
+        return ds.map_batches(_SemiJoin, batch_format="pyarrow",
+                              zero_copy_batch=True, concurrency=(1, 8))
+    return FnStep(f"{'anti' if anti else 'semi'}_join[{on}]", _apply)

@@ -170,3 +170,13 @@ def map_batches_step(name: str, fn, **kwargs) -> FnStep:
     """Escape hatch: arbitrary map_batches as a Step (defaults to pyarrow
     zero-copy)."""
     return batch_step(name, fn, **kwargs)
+
+
+def checkpoint(name: str = "checkpoint") -> FnStep:
+    """ST1 — pin the dataset in the object store before multi-pass
+    consumers (the reference's cache()+count() before the DQ checks,
+    src/pipeline.py:116-129). Ray spills to disk automatically; there is no
+    unpersist — blocks are freed when the MaterializedDataset is dropped."""
+    def _apply(ds):
+        return ds.materialize()
+    return FnStep(name, _apply)

@@ -166,3 +166,50 @@ def test_lineage_records(tmp_path):
         assert rec["rows_total"] >= rec["rows_applied"] >= 0
         total += rec["rows_total"]
     assert total == eng.read(include_tombstones=True).count()
+
+
+def test_hot_key_skew_bounded_and_correct(tmp_path):
+    """Skew mitigation (SURVEY.md §7.4 #6): 90% of an epoch's events hit ONE
+    (repo, path) key. The within-batch LWW combiner must cap that key's
+    shuffle traffic at one row per input block, so no merge partition
+    receives a delta proportional to the hot key's event count — and the
+    final state still matches the replay oracle."""
+    import hashlib
+
+    import numpy as np
+    import ray.data
+
+    rng = np.random.RandomState(7)
+    n = 20_000
+    hot = rng.rand(n) < 0.9
+    paths = np.where(hot, "hot.py",
+                     np.char.add("f", rng.randint(0, 500, n).astype(str)))
+    rows = []
+    for lsn in range(n):
+        content = f"v{lsn}"
+        rows.append({
+            "lsn": lsn, "op": "I", "repo": "r", "path": str(paths[lsn]),
+            "commit": f"c{lsn}", "lang": "py", "content": content,
+            "content_sha256": hashlib.sha256(content.encode()).hexdigest(),
+        })
+    events = pa.Table.from_pylist(rows, schema=binlog.EVENT_SCHEMA_V2)
+
+    eng = _engine(tmp_path)
+    n_blocks = 8
+    st = eng.ingest_epoch(
+        ray.data.from_arrow(events).repartition(n_blocks), 0, events_in=n)
+
+    # partition deltas are bounded: the hot key contributes <= n_blocks rows,
+    # so no partition's applied-delta is within an order of magnitude of the
+    # hot key's 18k events
+    max_applied = max(r["rows_applied"] for r in st.lineage)
+    assert max_applied < 2_000, st.lineage
+
+    # correctness: hot key holds the max-LSN content; all keys parity
+    exp = oracle.live_rows(oracle.replay(events))
+    assert _final_state(eng) == {
+        k: (v["lsn"], v["commit"], v["content_sha256"], v["lang"])
+        for k, v in exp.items()}
+    hot_lsns = [lsn for lsn in range(n) if paths[lsn] == "hot.py"]
+    df = eng.read().to_pandas().set_index("path")
+    assert df.loc["hot.py", "lsn"] == max(hot_lsns)
