@@ -75,6 +75,13 @@ class CDCConfig:
     # the winner key set, so keep it off when epochs touch mostly-unique
     # keys or the per-epoch winner set is too large to broadcast.
     two_phase_shuffle: bool = False
+    # LSM-style write amplification control: with compact_interval=K, K-1 of
+    # every K epochs write only per-partition DELTA files (no prior read, no
+    # state rewrite — O(epoch bytes) I/O); every K-th epoch compacts base +
+    # accumulated deltas into a fresh sorted base. Readers LWW-merge
+    # base+deltas per partition, so snapshots stay correct at any epoch.
+    # K=1 (default) compacts every epoch (always one sorted file/partition).
+    compact_interval: int = 1
 
 
 @dataclass
@@ -140,13 +147,15 @@ class MergeApply:
     """
 
     def __init__(self, lake_dir: str, epoch: int, schema_b64: str,
-                 prev_partitions: dict[str, dict], cache_partitions: bool):
+                 prev_partitions: dict[str, dict], cache_partitions: bool,
+                 mode: str = "compact"):
         self.lake_dir = lake_dir
         self.epoch = epoch
         self.schema = lake.schema_from_b64(schema_b64)
         self.prev_partitions = prev_partitions
         self.cache_enabled = cache_partitions
         self.cache: dict[int, tuple[int, pa.Table]] = {}
+        self.mode = mode                      # "compact" | "delta"
         self.tmp_dir = lake.epoch_dir(lake_dir, epoch, tmp=True)
         os.makedirs(self.tmp_dir, exist_ok=True)
 
@@ -156,10 +165,13 @@ class MergeApply:
             if ep == self.epoch - 1:
                 return tbl
         rec = self.prev_partitions.get(str(pid))
-        if rec is None or not rec.get("file"):
+        if rec is None:
             return None
-        prior = pq.read_table(rec["file"])
-        return self._unify(prior)
+        files = ([rec["file"]] if rec.get("file") else []) + list(rec.get("deltas", []))
+        if not files:
+            return None
+        tables = [self._unify(pq.read_table(f)) for f in files]
+        return tables[0] if len(tables) == 1 else pa.concat_tables(tables)
 
     def _unify(self, t: pa.Table) -> pa.Table:
         cols = []
@@ -179,14 +191,20 @@ class MergeApply:
         delta = self._unify(delta)
         rows_applied = delta.num_rows
 
-        prior = self._load_prior(pid)
-        merged = delta if prior is None else pa.concat_tables([prior, delta])
-        # combine sorts by (repo asc, path asc, lsn desc) and keeps the first
-        # row per key -> the output is ALREADY in sorted compacted layout;
-        # no second sort needed
-        merged = combine_keep_extreme(merged, KEY, ["lsn"], descending=True)
+        if self.mode == "delta":
+            # delta epoch: no prior read, no state rewrite — the combined,
+            # key-sorted epoch delta (incl. tombstones) IS the output
+            merged = delta
+        else:
+            prior = self._load_prior(pid)
+            merged = delta if prior is None else pa.concat_tables([prior, delta])
+            # combine sorts by (repo asc, path asc, lsn desc) and keeps the
+            # first row per key -> the output is ALREADY in sorted compacted
+            # layout; no second sort needed
+            merged = combine_keep_extreme(merged, KEY, ["lsn"], descending=True)
 
-        fname = f"part-{pid:05d}.parquet"
+        suffix = "delta.parquet" if self.mode == "delta" else "parquet"
+        fname = f"part-{pid:05d}.{suffix}"
         tmp_path = os.path.join(self.tmp_dir, fname)
         # write under a unique in-progress name, then os.replace: a task
         # retry / OOM-killed writer can never leave a partial file visible
@@ -195,7 +213,7 @@ class MergeApply:
         pq.write_table(merged, in_progress)
         os.replace(in_progress, tmp_path)
         bytes_written = os.path.getsize(tmp_path)
-        if self.cache_enabled:
+        if self.cache_enabled and self.mode == "compact":
             self.cache[pid] = (self.epoch, merged)
 
         final_path = os.path.join(lake.epoch_dir(self.lake_dir, self.epoch), fname)
@@ -285,10 +303,12 @@ class CDCEngine:
         if cfg.two_phase_shuffle:
             normalized = self._winner_filter(normalized)
 
+        mode = ("compact" if cfg.compact_interval <= 1
+                or (epoch + 1) % cfg.compact_interval == 0 else "delta")
         lineage_ds = normalized.groupby(_PID).map_groups(
             MergeApply, batch_format="pyarrow",
             fn_constructor_args=(cfg.lake_dir, epoch, schema_b64, prev_parts,
-                                 cfg.cache_partitions),
+                                 cfg.cache_partitions, mode),
             concurrency=cfg.merge_concurrency,
             num_cpus=1)
         lineage = pa.concat_tables(ray.get(lineage_ds.to_arrow_refs()),
@@ -296,12 +316,28 @@ class CDCEngine:
 
         # commit: promote data dir, then manifest (atomic)
         lake.promote_epoch_dir(cfg.lake_dir, epoch)
-        partitions = {
-            rec["partition"]: {k: rec[k] for k in
-                               ("file", "lsn_watermark", "rows_applied",
-                                "rows_total", "bytes_written")}
-            for rec in lineage.to_pylist()
-        }
+        partitions = {}
+        for rec in lineage.to_pylist():
+            pid = rec["partition"]
+            if mode == "delta":
+                prev = prev_parts.get(str(pid), {})
+                partitions[pid] = {
+                    "file": prev.get("file"),
+                    "deltas": list(prev.get("deltas", [])) + [rec["file"]],
+                    "lsn_watermark": max(prev.get("lsn_watermark", -1),
+                                         rec["lsn_watermark"]),
+                    "rows_applied": rec["rows_applied"],
+                    "rows_total": -1,          # unknown without a base read
+                    "bytes_written": rec["bytes_written"],
+                }
+            else:
+                partitions[pid] = {
+                    "file": rec["file"], "deltas": [],
+                    "lsn_watermark": rec["lsn_watermark"],
+                    "rows_applied": rec["rows_applied"],
+                    "rows_total": rec["rows_total"],
+                    "bytes_written": rec["bytes_written"],
+                }
         manifest = lake.commit_manifest(cfg.lake_dir, epoch, partitions,
                                         schema, prev_manifest)
         return EpochStats(

@@ -132,36 +132,42 @@ def manifest_files(manifest: dict) -> list[str]:
                    if rec.get("file")})
 
 
+def _unify_to(t: pa.Table, schema: pa.Schema) -> pa.Table:
+    cols = []
+    for fld in schema:
+        if fld.name in t.column_names:
+            c = t[fld.name]
+            cols.append(c.cast(fld.type) if c.type != fld.type else c)
+        else:
+            cols.append(pa.nulls(t.num_rows, type=fld.type))
+    return pa.Table.from_arrays(cols, schema=schema)
+
+
 def read_lake(lake_dir: str, epoch: int | None = None,
               include_tombstones: bool = False,
               columns: list[str] | None = None) -> ray.data.Dataset:
     """Snapshot read of the committed table at ``epoch`` (default: latest).
 
     Files from different epochs may have different (additive) schemas; old
-    files are unified to the manifest schema with null backfill inside a
-    zero-copy map_batches.
+    files are unified to the manifest schema with null backfill. Partitions
+    with uncompacted delta files (compact_interval > 1) are LWW-merged
+    base+deltas per partition — one task per partition, shuffle-free (the
+    partition is already the co-location unit).
     """
+    import json
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
     if epoch is None:
         epoch = last_committed_epoch(lake_dir)
     if epoch is None:
         raise FileNotFoundError(f"no committed epochs in {lake_dir}")
     manifest = read_manifest(lake_dir, epoch)
     schema = schema_from_b64(manifest["schema"])
-    files = manifest_files(manifest)
-    if not files:
-        return ray.data.from_arrow(schema.empty_table())
-    ds = ray.data.read_parquet(files)
+    schema_b64 = manifest["schema"]
 
-    def _unify(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-        cols = []
-        for fld in schema:
-            if fld.name in t.column_names:
-                c = t[fld.name]
-                cols.append(c.cast(fld.type) if c.type != fld.type else c)
-            else:
-                cols.append(pa.nulls(t.num_rows, type=fld.type))
-        t = pa.Table.from_arrays(cols, schema=schema)
+    def _finish(t: pa.Table) -> pa.Table:
         if not include_tombstones:
             t = t.filter(pc.equal(t["_deleted"], False))
             t = t.drop_columns([c for c in INTERNAL_COLS if c in t.column_names])
@@ -169,4 +175,39 @@ def read_lake(lake_dir: str, epoch: int | None = None,
             t = t.select(columns)
         return t
 
-    return ds.map_batches(_unify, batch_format="pyarrow", zero_copy_batch=True)
+    has_deltas = any(rec.get("deltas") for rec in manifest["partitions"].values())
+    if not has_deltas:
+        files = manifest_files(manifest)
+        if not files:
+            return ray.data.from_arrow(_finish(schema.empty_table()))
+        ds = ray.data.read_parquet(files)
+
+        def _unify(t: pa.Table) -> pa.Table:
+            return _finish(_unify_to(t, schema))
+        return ds.map_batches(_unify, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    # delta path: one merge task per partition
+    from e_commerce_batch_etl_pipeline_ray.stages.dedup import combine_keep_extreme
+    parts = []
+    for pid, rec in manifest["partitions"].items():
+        files = ([rec["file"]] if rec.get("file") else []) + list(rec.get("deltas", []))
+        if files:
+            parts.append({"partition": int(pid), "files": json.dumps(files)})
+    if not parts:
+        return ray.data.from_arrow(_finish(schema.empty_table()))
+
+    def _merge_partition(batch: pa.Table) -> pa.Table:
+        sch = schema_from_b64(schema_b64)
+        out = []
+        for files_json in batch["files"].to_pylist():
+            files = json.loads(files_json)
+            tables = [_unify_to(pq.read_table(f), sch) for f in files]
+            t = tables[0] if len(tables) == 1 else pa.concat_tables(tables)
+            t = combine_keep_extreme(t, ["repo", "path"], ["lsn"],
+                                     descending=True)
+            out.append(_finish(t))
+        return pa.concat_tables(out) if len(out) > 1 else out[0]
+
+    return ray.data.from_items(parts).map_batches(
+        _merge_partition, batch_format="pyarrow", batch_size=1)

@@ -25,7 +25,8 @@ def _engine(tmp_path, **kw):
 
 def _final_state(eng):
     df = eng.read().to_pandas()
-    return {(r.repo, r.path): (r.lsn, r.commit, r.content_sha256, r.lang)
+    return {(r.repo, r.path): (r.lsn, r.commit, r.content_sha256,
+                               getattr(r, "lang", None))
             for r in df.itertuples()}
 
 
@@ -213,3 +214,45 @@ def test_hot_key_skew_bounded_and_correct(tmp_path):
     hot_lsns = [lsn for lsn in range(n) if paths[lsn] == "hot.py"]
     df = eng.read().to_pandas().set_index("path")
     assert df.loc["hot.py", "lsn"] == max(hot_lsns)
+
+
+def test_delta_mode_parity_and_compaction(tmp_path):
+    """compact_interval=3: epochs 0,1 write delta files only (no state
+    rewrite), epoch 2 compacts. Snapshots at EVERY epoch must match the
+    oracle; after compaction the deltas are folded into one base file."""
+    eng = _engine(tmp_path, compact_interval=3)
+    for ep in range(4):
+        eng.ingest_epoch(binlog.gen_epoch(SPEC, ep), ep)
+        assert _final_state(eng) == _oracle_state(SPEC, ep + 1), f"epoch {ep}"
+    m2 = lake.read_manifest(eng.cfg.lake_dir, 2)     # compaction epoch
+    assert all(not rec["deltas"] for rec in m2["partitions"].values())
+    m3 = lake.read_manifest(eng.cfg.lake_dir, 3)     # delta epoch on top
+    assert any(rec["deltas"] for rec in m3["partitions"].values())
+    m1 = lake.read_manifest(eng.cfg.lake_dir, 1)
+    assert any(rec["deltas"] for rec in m1["partitions"].values())
+
+
+def test_delta_mode_crash_resume(tmp_path):
+    """Crash between a delta epoch's data write and manifest commit: resume
+    re-runs it; final state identical; no duplicate delta references."""
+    eng = _engine(tmp_path, compact_interval=4)
+    for ep in range(3):
+        eng.ingest_epoch(binlog.gen_epoch(SPEC, ep), ep)
+    os.remove(os.path.join(eng.cfg.lake_dir, "manifests", "epoch-0002.json"))
+    assert eng.resume_point() == 2
+    eng.ingest_epoch(binlog.gen_epoch(SPEC, 2), 2)
+    assert _final_state(eng) == _oracle_state(SPEC, 3)
+    m = lake.read_manifest(eng.cfg.lake_dir, 2)
+    for rec in m["partitions"].values():
+        assert len(rec["deltas"]) == len(set(rec["deltas"]))
+
+
+def test_delta_mode_matches_compact_mode(tmp_path):
+    """Same binlog through compact-every-epoch vs delta+periodic-compaction
+    -> byte-identical final state."""
+    e1 = _engine(tmp_path / "a", compact_interval=1)
+    e2 = _engine(tmp_path / "b", compact_interval=3)
+    for ep in range(4):
+        e1.ingest_epoch(binlog.gen_epoch(SPEC, ep), ep)
+        e2.ingest_epoch(binlog.gen_epoch(SPEC, ep), ep)
+    assert _final_state(e1) == _final_state(e2)
