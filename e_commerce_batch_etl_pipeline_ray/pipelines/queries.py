@@ -754,3 +754,63 @@ ORDER BY c_custkey
 
 QUERIES.update({"q27_semi_join": q27_semi_join, "q28_anti_join": q28_anti_join})
 ORACLE.update({"q27_semi_join": Q27_SQL, "q28_anti_join": Q28_SQL})
+
+
+# ---------------------------------------------------------------------------
+# q29 — grouped top-k (top-3 orders per segment) via per-group select_k
+
+def q29_grouped_topk(sf_dir: str):
+    from e_commerce_batch_etl_pipeline_ray.stages import joins as J
+    orders_ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    joined = J.hash_join(cust, on="o_custkey", right_on="c_custkey",
+                         join_type="inner", num_partitions=8).apply(orders_ds)
+
+    def _top3(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(g, sort_keys=[("o_totalprice", "descending"),
+                                            ("o_orderkey", "ascending")])
+        t = g.take(idx.slice(0, 3))
+        return t.append_column("rk", pa.array(range(1, t.num_rows + 1), pa.int64()))
+
+    out = joined.groupby("c_mktsegment").map_groups(_top3, batch_format="pyarrow")
+    return out.select_columns(["c_mktsegment", "rk", "o_orderkey",
+                               "o_totalprice"]).sort(["c_mktsegment", "rk"])
+
+
+Q29_SQL = """
+SELECT c_mktsegment, rk, o_orderkey, o_totalprice FROM (
+  SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY c.c_mktsegment
+                            ORDER BY o.o_totalprice DESC, o.o_orderkey) AS rk
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+) WHERE rk <= 3 ORDER BY c_mktsegment, rk
+"""
+
+
+# ---------------------------------------------------------------------------
+# q30 — per-key cumulative aggregate (running sum of event values)
+
+def q30_running_sum(sf_dir: str):
+    import pandas as pd
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+
+    def _cum(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        g["running_value"] = g["value"].cumsum().round(2)
+        return g[["user_id", "event_id", "running_value"]]
+
+    out = ds.groupby("user_id").map_groups(_cum, batch_format="pandas")
+    return out.sort(["user_id", "event_id"])
+
+
+Q30_SQL = """
+SELECT user_id, event_id,
+       ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING), 2) AS running_value
+FROM events ORDER BY user_id, event_id
+"""
+
+
+QUERIES.update({"q29_grouped_topk": q29_grouped_topk,
+                "q30_running_sum": q30_running_sum})
+ORACLE.update({"q29_grouped_topk": Q29_SQL, "q30_running_sum": Q30_SQL})

@@ -1,0 +1,112 @@
+"""Property-based tests (hypothesis) for the correctness-critical kernels:
+the LWW combine (the CDC upsert core), keyed dedup vs a pandas oracle,
+bucketize edge behavior, and the deterministic partitioner."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from e_commerce_batch_etl_pipeline_ray.functions import scalar as F
+from e_commerce_batch_etl_pipeline_ray.stages.dedup import (
+    combine_keep_extreme,
+    hash_partition_ids,
+)
+
+rows_strategy = st.lists(
+    st.tuples(st.sampled_from(["a", "b", "c", "d", "e"]),       # key1
+              st.integers(0, 3),                                 # key2
+              st.integers(0, 100),                               # lsn
+              st.text(alphabet="xyz", min_size=0, max_size=4)),  # payload
+    min_size=1, max_size=200)
+
+
+def _table(rows):
+    return pa.table({
+        "k1": pa.array([r[0] for r in rows]),
+        "k2": pa.array([r[1] for r in rows], pa.int64()),
+        "lsn": pa.array([r[2] for r in rows], pa.int64()),
+        "v": pa.array([r[3] for r in rows]),
+    })
+
+
+@settings(max_examples=60, deadline=None)
+@given(rows_strategy)
+def test_combine_keep_extreme_matches_pandas_oracle(rows):
+    """Winner per (k1,k2) == pandas idxmax on lsn (ties broken by payload
+    desc to make both sides deterministic)."""
+    t = _table(rows)
+    got = combine_keep_extreme(t, ["k1", "k2"], ["lsn", "v"], descending=True)
+    df = t.to_pandas().sort_values(["k1", "k2", "lsn", "v"],
+                                   ascending=[True, True, False, False])
+    exp = df.drop_duplicates(["k1", "k2"], keep="first")
+    got_m = {(r.k1, r.k2): (r.lsn, r.v) for r in got.to_pandas().itertuples()}
+    exp_m = {(r.k1, r.k2): (r.lsn, r.v) for r in exp.itertuples()}
+    assert got_m == exp_m
+    # output is sorted by key (the compacted-layout invariant)
+    gk = list(zip(got["k1"].to_pylist(), got["k2"].to_pylist()))
+    assert gk == sorted(gk)
+
+
+@settings(max_examples=40, deadline=None)
+@given(rows_strategy, st.integers(1, 4))
+def test_combine_is_associative_over_splits(rows, n_splits):
+    """Combining any block partition of the input then combining the results
+    equals combining everything at once — the property that makes the
+    per-batch combiner + per-partition reduce correct at ANY block layout."""
+    t = _table(rows)
+    whole = combine_keep_extreme(t, ["k1", "k2"], ["lsn", "v"], descending=True)
+    n = t.num_rows
+    bounds = sorted({0, n} | set(np.linspace(0, n, n_splits + 1, dtype=int)))
+    parts = [t.slice(a, b - a) for a, b in zip(bounds, bounds[1:]) if b > a]
+    partials = [combine_keep_extreme(p, ["k1", "k2"], ["lsn", "v"], descending=True)
+                for p in parts]
+    recombined = combine_keep_extreme(
+        pa.concat_tables(partials), ["k1", "k2"], ["lsn", "v"], descending=True)
+    assert whole.to_pydict() == recombined.to_pydict()
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.one_of(st.none(),
+                          st.floats(-1e6, 1e6, allow_nan=False)),
+                min_size=1, max_size=100))
+def test_bucketize_total_and_ordered(values):
+    """Every non-null value lands in exactly the bucket whose range holds it;
+    nulls stay null."""
+    thresholds = [0.0, 100.0, 1000.0]
+    labels = ["neg", "small", "mid", "big"]
+    out = F.bucketize(pa.array(values, pa.float64()), thresholds, labels)
+    for v, lab in zip(values, out.to_pylist()):
+        if v is None:
+            assert lab is None
+        elif v < 0:
+            assert lab == "neg"
+        elif v < 100:
+            assert lab == "small"
+        elif v < 1000:
+            assert lab == "mid"
+        else:
+            assert lab == "big"
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.tuples(st.text(min_size=0, max_size=8),
+                          st.text(min_size=0, max_size=8)),
+                min_size=1, max_size=100),
+       st.integers(1, 64))
+def test_hash_partition_ids_stable_and_in_range(pairs, p):
+    """Partitioner is pure: same rows -> same ids (any order/duplication),
+    ids within [0, P)."""
+    t = pa.table({"repo": [a for a, _ in pairs], "path": [b for _, b in pairs]})
+    ids1 = hash_partition_ids(t, ["repo", "path"], p)
+    ids2 = hash_partition_ids(t, ["repo", "path"], p)
+    assert (ids1 == ids2).all()
+    assert ids1.min() >= 0 and ids1.max() < p
+    # row-order independence: shuffled table gives the same id per row value
+    perm = np.random.RandomState(0).permutation(len(pairs))
+    t2 = t.take(pa.array(perm))
+    ids3 = hash_partition_ids(t2, ["repo", "path"], p)
+    assert (ids3 == ids1[perm]).all()

@@ -1,0 +1,109 @@
+"""CDC ingest job entrypoint — the `ray job submit` surface.
+
+On a real cluster:
+    ray job submit --working-dir . -- python tools/cdc_job.py \\
+        --binlog-dir s3://bucket/binlog --lake-dir s3://bucket/lake \\
+        --epochs 96 --partitions 2048 --merge-concurrency 256 --resume
+
+In this sandbox it runs against a local binlog dir (generate one with
+--generate) on a local ray session. The script owns its Ray session only
+when none exists (ray job submit provides one).
+
+Resume semantics: with --resume the job continues from the last committed
+epoch manifest; without it, a non-empty lake is an error (no accidental
+double-ingest).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--binlog-dir", default="/tmp/cdc_job_binlog")
+    ap.add_argument("--lake-dir", default="/tmp/cdc_job_lake")
+    ap.add_argument("--epochs", type=int, default=4)
+    ap.add_argument("--events-per-epoch", type=int, default=100_000)
+    ap.add_argument("--partitions", type=int, default=64)
+    ap.add_argument("--merge-concurrency", type=int, default=8)
+    ap.add_argument("--compact-interval", type=int, default=1)
+    ap.add_argument("--verify-sha", action="store_true")
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--generate", action="store_true",
+                    help="generate the synthetic binlog epochs first")
+    ap.add_argument("--num-cpus", type=int,
+                    default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
+    args = ap.parse_args()
+
+    import ray
+    owns_session = not ray.is_initialized()
+    if owns_session:
+        ray.init(address="local", num_cpus=args.num_cpus,
+                 include_dashboard=False, logging_level="ERROR")
+    import ray.data
+    ctx = ray.data.DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.read_op_min_num_blocks = 32
+
+    from e_commerce_batch_etl_pipeline_ray.cdc import binlog, engine
+
+    spec = binlog.BinlogSpec(events_per_epoch=args.events_per_epoch,
+                             n_repos=max(20, args.events_per_epoch // 2000),
+                             paths_per_repo=500, evolution_epoch=1)
+    if args.generate:
+        for ep in range(args.epochs):
+            d = os.path.join(args.binlog_dir, f"ep{ep:04d}")
+            if not os.path.isdir(d):
+                binlog.gen_epoch(spec, ep, override_num_blocks=32).write_parquet(d)
+
+    eng = engine.CDCEngine(engine.CDCConfig(
+        lake_dir=args.lake_dir,
+        num_partitions=args.partitions,
+        merge_concurrency=args.merge_concurrency,
+        compact_interval=args.compact_interval,
+        verify_sha=args.verify_sha,
+        cache_partitions=False,
+    ))
+
+    if args.resume:
+        start = eng.resume_point()
+    else:
+        if eng.last_committed_epoch() is not None:
+            print(json.dumps({"error": "lake not empty; pass --resume"}))
+            return 2
+        start = 0
+
+    t0 = time.perf_counter()
+    total = 0
+    for ep in range(start, args.epochs):
+        path = os.path.join(args.binlog_dir, f"ep{ep:04d}")
+        evs = ray.data.read_parquet(path, override_num_blocks=32)
+        st = eng.ingest_epoch(evs, ep, events_in=args.events_per_epoch)
+        total += args.events_per_epoch
+        print(json.dumps({"epoch": ep, "rows_applied": st.rows_applied,
+                          "lsn_watermark": st.lsn_watermark,
+                          "partitions_touched": st.partitions_touched,
+                          "bytes_written": st.bytes_written}))
+    elapsed = time.perf_counter() - t0
+    final_rows = (eng.read().count()
+                  if eng.last_committed_epoch() is not None else 0)
+    print(json.dumps({
+        "status": "ok", "epochs_ingested": args.epochs - start,
+        "events": total, "elapsed_s": round(elapsed, 3),
+        "events_per_sec": round(total / elapsed) if elapsed > 0 else None,
+        "final_rows": final_rows,
+    }))
+    if owns_session:
+        ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
