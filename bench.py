@@ -56,6 +56,7 @@ def run_bench() -> dict:
     ctx = ray.data.DataContext.get_current()
     ctx.enable_progress_bars = False
     ctx.read_op_min_num_blocks = 32   # constant across CPU levels; no sliver blocks
+    ctx.use_push_based_shuffle = True  # ~5-10% faster sort shuffle at this scale
 
 
     from e_commerce_batch_etl_pipeline_ray.cdc import binlog, engine
