@@ -607,8 +607,33 @@ def q21_fingerprint(sf_dir: str):
 
 
 def q22_embedding_neardup(sf_dir: str):
+    """Near-dup vectors via SRP-LSH buckets + cosine verify. The driver's
+    embeddings are random (no natural near-dups at 0.95 cosine), so K
+    deterministic perturbed copies are planted; the operator must find
+    exactly the planted pairs."""
+    import numpy as np
+
     from e_commerce_batch_etl_pipeline_ray.stages import neardup
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def _plant(t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].to_pylist()
+        take = [i for i, v in enumerate(ids) if v < 10]
+        if not take:
+            return t
+        sub = t.take(pa.array(take))
+        v = np.asarray(sub["embedding"].to_pylist(), dtype=np.float32)
+        rng = np.random.RandomState(123)
+        v = v + rng.randn(*v.shape).astype(np.float32) * 0.01
+        planted = pa.table({
+            "vec_id": pa.array([100000 + i for i in sub["vec_id"].to_pylist()],
+                               pa.int64()),
+            "embedding": pa.array([row.tolist() for row in v],
+                                  t["embedding"].type),
+        })
+        return pa.concat_tables([t, planted])
+
+    ds = ds.map_batches(_plant, batch_format="pyarrow")
     return neardup.embedding_neardup_pairs(ds, dim=64, threshold=0.95)
 
 
@@ -814,3 +839,28 @@ FROM events ORDER BY user_id, event_id
 QUERIES.update({"q29_grouped_topk": q29_grouped_topk,
                 "q30_running_sum": q30_running_sum})
 ORACLE.update({"q29_grouped_topk": Q29_SQL, "q30_running_sum": Q30_SQL})
+
+
+# ---------------------------------------------------------------------------
+# q31 — composed multimodal pipeline (rows-only): opaque binary payloads ->
+# actor-pool decode (fake kernel, real plumbing) -> feature vectors ->
+# brute-force KNN over the features
+
+def q31_multimodal_knn(sf_dir: str):
+    import numpy as np
+
+    import ray.data as rd
+
+    from e_commerce_batch_etl_pipeline_ray.stages import multimodal, similarity
+    media = multimodal.fake_media_table(512, seed=7, payload_bytes=2048)
+    ds = rd.from_arrow(media)
+    decoded = multimodal.decode_images(fake=True, batch_size=64).apply(ds)
+    feats = decoded.select_columns(["media_id", "features"])
+    qrows = feats.take(2)
+    qids = [r["media_id"] for r in qrows]
+    qm = np.asarray([r["features"] for r in qrows], dtype=np.float64)
+    return similarity.knn_brute(feats, (qids, qm), k=5,
+                                emb_col="features", id_col="media_id")
+
+
+QUERIES.update({"q31_multimodal_knn": q31_multimodal_knn})

@@ -47,7 +47,11 @@ def hash_partition_ids(table: pa.Table, keys: Sequence[str], num_partitions: int
     reductions (LWW is associative+commutative, so per-salt winners merge).
     """
     df = table.select(list(keys)).to_pandas()
-    h = pd.util.hash_pandas_object(df, index=False).to_numpy()
+    # categorize=False: pandas' factorize shortcut mis-hashes strings with
+    # embedded NUL bytes ('' and '\x00' collide non-deterministically by
+    # array composition) — found by the hypothesis order-independence
+    # property test. Without categorization the hash is pure per value.
+    h = pd.util.hash_pandas_object(df, index=False, categorize=False).to_numpy()
     if salt is not None:
         h = h + np.asarray(salt, dtype=np.uint64)
     return (h % np.uint64(num_partitions)).astype(np.int32)
