@@ -45,9 +45,16 @@ def _tune_context() -> None:
 
 
 def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> ray.data.Dataset:
+    """Column-pruned read with blocks sized from the ACTUAL row count —
+    Ray's parallelism heuristic splits a 5k-row file into 64 sliver blocks
+    and every downstream op (especially sorts) pays 64x task overhead."""
     _tune_context()
-    return ray.data.read_parquet(os.path.join(sf_dir, f"{table}.parquet"),
-                                 columns=columns)
+    import pyarrow.parquet as pq
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    rows = pq.read_metadata(path).num_rows
+    blocks = max(1, min(64, rows // 8192))
+    return ray.data.read_parquet(path, columns=columns,
+                                 override_num_blocks=blocks)
 
 
 # ---------------------------------------------------------------------------

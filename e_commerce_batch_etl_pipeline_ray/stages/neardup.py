@@ -28,7 +28,10 @@ import pyarrow.compute as pc
 import ray.data
 
 from e_commerce_batch_etl_pipeline_ray.core import FnStep
-from e_commerce_batch_etl_pipeline_ray.stages.dedup import dedup_keyed
+from e_commerce_batch_etl_pipeline_ray.stages.dedup import (
+    dedup_keyed,
+    hash_partition_ids,
+)
 
 _MERSENNE = np.uint64((1 << 61) - 1)
 
@@ -127,9 +130,14 @@ def ngram_jaccard(a: str, b: str, k: int = 5) -> float:
 
 def minhash_lsh_pairs(ds: ray.data.Dataset, text_col: str = "text",
                       id_col: str = "doc_id", k: int = 5, num_hashes: int = 128,
-                      bands: int = 32, threshold: float = 0.8,
+                      bands: int = 16, threshold: float = 0.8,
                       seed: int = 42) -> ray.data.Dataset:
-    """Near-duplicate pairs (id_a < id_b, jaccard >= threshold).
+    """bands=16 x 8 rows tunes the S-curve for threshold~0.8:
+    P(candidate | j=0.8) ~ 0.95, P(candidate | j=0.5) ~ 0.06. The previous
+    32x4 default fired on ~87% of j=0.5 pairs -> candidate explosion on
+    corpora with shared vocabulary.
+
+    Near-duplicate pairs (id_a < id_b, jaccard >= threshold).
 
     texts are re-fetched per bucket for verification via a broadcast of the
     (id -> text) map IF the corpus is small; at scale pass a side lookup.
@@ -144,18 +152,47 @@ def minhash_lsh_pairs(ds: ray.data.Dataset, text_col: str = "text",
         fn_constructor_args=(text_col, id_col, k, num_hashes, bands, seed),
         concurrency=(1, 8))
 
-    # 2. bucket shuffle -> candidate pairs per (band, band_hash) group
-    def _pairs(g: pa.Table) -> pa.Table:
-        vals = sorted(set(g[id_col].to_pylist()))
+    # 2. bucket shuffle -> candidate pairs. NOT groupby(band, band_hash).
+    #    map_groups — that is one Python call per bucket (O(n_docs x bands)
+    #    tiny groups, 100x slower). Instead: hash-partition buckets, then ONE
+    #    vectorized pass per partition (sort + boundary mask; pair loop only
+    #    over the rare buckets with >= 2 members).
+    def _pairs_partition(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(g, sort_keys=[("band", "ascending"),
+                                            ("band_hash", "ascending"),
+                                            (id_col, "ascending")])
+        t = g.take(idx)
+        band = t["band"].to_numpy()
+        bh = np.asarray(t["band_hash"].to_pylist())
+        ids = np.asarray(t[id_col].to_pylist())
+        n = len(ids)
+        if n == 0:
+            return pa.table({"id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64())})
+        new_group = np.ones(n, dtype=bool)
+        new_group[1:] = (band[1:] != band[:-1]) | (bh[1:] != bh[:-1])
+        starts = np.flatnonzero(new_group)
+        ends = np.append(starts[1:], n)
         a_out, b_out = [], []
-        for i in range(len(vals)):
-            for j in range(i + 1, len(vals)):
-                a_out.append(vals[i])
-                b_out.append(vals[j])
-        return pa.table({"id_a": pa.array(a_out), "id_b": pa.array(b_out)})
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            members = np.unique(ids[s:e])
+            for i in range(len(members)):
+                for j in range(i + 1, len(members)):
+                    a_out.append(int(members[i]))
+                    b_out.append(int(members[j]))
+        return pa.table({"id_a": pa.array(a_out, pa.int64()),
+                         "id_b": pa.array(b_out, pa.int64())})
 
-    cand = sig.groupby(["band", "band_hash"]).map_groups(
-        _pairs, batch_format="pyarrow")
+    def _assign_bucket_pid(t: pa.Table) -> pa.Table:
+        pid = hash_partition_ids(t, ["band", "band_hash"], 32)
+        return t.append_column("_bpid", pa.array(pid, pa.int32()))
+
+    cand = sig.map_batches(_assign_bucket_pid, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    cand = cand.groupby("_bpid").map_groups(_pairs_partition,
+                                            batch_format="pyarrow")
     # dedupe candidate pairs produced by multiple bands
     cand = dedup_keyed(["id_a", "id_b"], ["id_a"], num_partitions=32).apply(cand)
 
@@ -170,11 +207,22 @@ def minhash_lsh_pairs(ds: ray.data.Dataset, text_col: str = "text",
         def __init__(self, ref, kk, thr):
             self.texts = ray.get(ref)
             self.k, self.thr = kk, thr
+            self._sh: dict = {}      # doc -> shingle set, memoized per actor
+
+        def _shingles(self, doc_id):
+            s = self._sh.get(doc_id)
+            if s is None:
+                s = _shingle_hashes(self.texts[doc_id], self.k)
+                self._sh[doc_id] = s
+            return s
 
         def __call__(self, t: pa.Table) -> pa.Table:
             keep_a, keep_b, jac = [], [], []
             for a_id, b_id in zip(t["id_a"].to_pylist(), t["id_b"].to_pylist()):
-                j = ngram_jaccard(self.texts[a_id], self.texts[b_id], self.k)
+                sa, sb = self._shingles(a_id), self._shingles(b_id)
+                inter = np.intersect1d(sa, sb, assume_unique=True).size
+                union = sa.size + sb.size - inter
+                j = inter / union if union else 1.0
                 if j >= self.thr:
                     keep_a.append(a_id)
                     keep_b.append(b_id)
@@ -279,21 +327,46 @@ def simhash_pairs(ds: ray.data.Dataset, text_col: str = "text",
 
     exploded = sigs.map_batches(_explode, batch_format="pyarrow")
 
-    def _pairs(g: pa.Table) -> pa.Table:
-        rows = sorted(set(zip(g[id_col].to_pylist(), g["simhash"].to_pylist())))
+    # partition-level vectorized bucketing (same pattern as minhash: never
+    # one Python call per tiny bucket)
+    def _pairs_partition(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(g, sort_keys=[("band", "ascending"),
+                                            ("chunk", "ascending"),
+                                            (id_col, "ascending")])
+        t = g.take(idx)
+        band = t["band"].to_numpy()
+        chunk = t["chunk"].to_numpy()
+        ids = t[id_col].to_numpy()
+        sh = t["simhash"].to_numpy()
+        n = len(ids)
         a_out, b_out, ham = [], [], []
-        for i in range(len(rows)):
-            for j in range(i + 1, len(rows)):
-                d = bin((rows[i][1] ^ rows[j][1]) & 0xFFFFFFFFFFFFFFFF).count("1")
-                if d <= max_hamming:
-                    a_out.append(rows[i][0])
-                    b_out.append(rows[j][0])
-                    ham.append(d)
+        if n:
+            new_group = np.ones(n, dtype=bool)
+            new_group[1:] = (band[1:] != band[:-1]) | (chunk[1:] != chunk[:-1])
+            starts = np.flatnonzero(new_group)
+            ends = np.append(starts[1:], n)
+            for s, e in zip(starts, ends):
+                if e - s < 2:
+                    continue
+                rows = sorted(set(zip(ids[s:e].tolist(), sh[s:e].tolist())))
+                for i in range(len(rows)):
+                    for j in range(i + 1, len(rows)):
+                        d = bin((rows[i][1] ^ rows[j][1]) & 0xFFFFFFFFFFFFFFFF).count("1")
+                        if d <= max_hamming:
+                            a_out.append(rows[i][0])
+                            b_out.append(rows[j][0])
+                            ham.append(d)
         return pa.table({"id_a": pa.array(a_out), "id_b": pa.array(b_out),
                          "hamming": pa.array(ham, pa.int32())})
 
-    pairs = exploded.groupby(["band", "chunk"]).map_groups(
-        _pairs, batch_format="pyarrow")
+    def _assign_bucket_pid(t: pa.Table) -> pa.Table:
+        pid = hash_partition_ids(t, ["band", "chunk"], 32)
+        return t.append_column("_bpid", pa.array(pid, pa.int32()))
+
+    pairs = exploded.map_batches(_assign_bucket_pid, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+    pairs = pairs.groupby("_bpid").map_groups(_pairs_partition,
+                                              batch_format="pyarrow")
     return dedup_keyed(["id_a", "id_b"], ["hamming"], descending=False,
                        num_partitions=16).apply(pairs)
 
