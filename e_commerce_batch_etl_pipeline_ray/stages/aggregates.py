@@ -215,3 +215,56 @@ def global_counts(ds: ray.data.Dataset, masks: Mapping[str, object]) -> dict[str
 
     partials = ds.map_batches(_local, batch_format="pyarrow", zero_copy_batch=True)
     return sum_partials(partials)
+
+
+def approx_count_distinct(ds: ray.data.Dataset, col: str,
+                          precision: int = 12) -> int:
+    """HyperLogLog approximate distinct count — the mergeable-sketch pattern
+    (one sketch per batch, reduced by register-max; ~1.04/sqrt(2^p) relative
+    error, ~1.6% at p=12). The reference is exact-only (SURVEY.md §2.5); this
+    is the scale path when exact distinct (a full shuffle) is too expensive:
+    sketch traffic is 2^p bytes per batch regardless of cardinality.
+    """
+    import numpy as np
+
+    m = 1 << precision
+    p64 = np.uint64(64 - precision)
+
+    def _sketch(t: pa.Table) -> pa.Table:
+        import pandas as pd
+        h = pd.util.hash_pandas_object(
+            t.select([col]).to_pandas()[col], index=False,
+            categorize=False).to_numpy().astype(np.uint64)
+        idx = (h >> p64).astype(np.int64)
+        rest = h << np.uint64(precision)
+        # rank = leading zeros of the remaining bits + 1 (capped)
+        nz = rest != 0
+        lz = np.full(len(h), 64 - precision + 1, dtype=np.int64)
+        if nz.any():
+            # rank = leading zeros + 1 = 64 - bit_length + 1, computed
+            # vectorized via log2 on the high 53 bits (exact for bit_length)
+            r = rest[nz]
+            bl = np.floor(np.log2((r >> np.uint64(11)).astype(np.float64) + 0.5)).astype(np.int64) + 12
+            bl = np.where(r < np.uint64(1 << 11),
+                          np.frompyfunc(lambda x: int(x).bit_length(), 1, 1)(r).astype(np.int64),
+                          bl)
+            lz[nz] = np.minimum(64 - bl + 1, 64 - precision + 1)
+        regs = np.zeros(m, dtype=np.int8)
+        np.maximum.at(regs, idx, lz.astype(np.int8))
+        return pa.table({"regs": pa.array([regs.tobytes()], pa.binary())})
+
+    partials = ds.map_batches(_sketch, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    import ray as _ray
+    tables = _ray.get(partials.to_arrow_refs())
+    regs = np.zeros(m, dtype=np.int8)
+    for t in tables:
+        for b in t["regs"].to_pylist():
+            regs = np.maximum(regs, np.frombuffer(b, dtype=np.int8))
+    # HLL estimate with small-range correction
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
+    zeros = int((regs == 0).sum())
+    if est <= 2.5 * m and zeros:
+        est = m * np.log(m / zeros)
+    return int(round(est))

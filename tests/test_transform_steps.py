@@ -160,3 +160,14 @@ def test_top_k():
     ds = _ds([{"v": i, "g": i % 3} for i in range(100)])
     out = sorts.top_k([("v", "descending")], 5).apply(ds).take_all()
     assert [r["v"] for r in out] == [99, 98, 97, 96, 95]
+
+
+def test_approx_count_distinct_hll():
+    """HLL sketch within ~5% of exact on 10k+ cardinalities."""
+    import ray.data
+
+    from e_commerce_batch_etl_pipeline_ray.stages import aggregates
+    ds = ray.data.range(50_000).map_batches(
+        lambda t: pa.table({"v": pc.add(t["id"], 0)}), batch_format="pyarrow")
+    approx = aggregates.approx_count_distinct(ds, "v")
+    assert abs(approx - 50_000) / 50_000 < 0.05
