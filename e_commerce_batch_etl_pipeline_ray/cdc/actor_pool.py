@@ -1,0 +1,171 @@
+"""Persistent merge-worker backend: long-lived raw Ray actors that own fixed
+partition ranges and hold per-partition state IN MEMORY across epochs — the
+'merge-apply actors holding per-partition RocksDB-style state' architecture
+(BASELINE.json north_star), as an alternative to the per-epoch
+groupby+map_groups backend (cdc/engine.MergeApply).
+
+This is the one place the engine drops below the Dataset API (ray_guide:
+raw actors only for a shared mutable index): Ray Data's actor pools are
+per-execution, so cross-epoch in-memory state needs driver-managed actors.
+
+Routing: worker w owns partitions {pid : pid % n_workers == w}. Each epoch,
+the normalized Dataset's blocks are handed to every worker as OBJECT REFS
+(zero-copy plasma reads); each worker filters out its own partitions
+vectorized. W-fold filter passes cost ~O(W x rows) boolean masks — cheap
+next to the merge itself — and in exchange the shuffle needs no sort at all.
+
+Fault tolerance: all durable state stays in the lake (manifests + files);
+an actor restart just empties its cache, and the next compaction reloads
+from the last committed epoch's files. Cache entries are invalidated by
+epoch lineage, so a rerun of an epoch after crash cannot see future state.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray
+
+from e_commerce_batch_etl_pipeline_ray.cdc import lake
+from e_commerce_batch_etl_pipeline_ray.stages.dedup import combine_keep_extreme
+
+KEY = ["repo", "path"]
+_PID = "_pid"
+
+
+@ray.remote
+class MergeWorker:
+    def __init__(self, worker_id: int, n_workers: int, lake_dir: str):
+        self.worker_id = worker_id
+        self.n_workers = n_workers
+        self.lake_dir = lake_dir
+        self.cache: dict[int, tuple[int, pa.Table]] = {}   # pid -> (epoch, table)
+        self.deltas: dict[int, list[pa.Table]] = {}
+        self.epoch: int | None = None
+
+    def begin_epoch(self, epoch: int, schema_b64: str,
+                    prev_partitions: dict[str, dict], mode: str) -> None:
+        self.epoch = epoch
+        self.schema = lake.schema_from_b64(schema_b64)
+        self.prev_partitions = prev_partitions
+        self.mode = mode
+        self.deltas = {}
+        self.tmp_dir = lake.epoch_dir(self.lake_dir, epoch, tmp=True)
+        os.makedirs(self.tmp_dir, exist_ok=True)
+
+    def _unify(self, t: pa.Table) -> pa.Table:
+        cols = []
+        for fld in self.schema:
+            if fld.name in t.column_names:
+                c = t[fld.name]
+                cols.append(c.cast(fld.type) if c.type != fld.type else c)
+            else:
+                cols.append(pa.nulls(t.num_rows, type=fld.type))
+        return pa.Table.from_arrays(cols, schema=self.schema)
+
+    def ingest_block(self, block: pa.Table) -> int:
+        """Take this worker's rows from a (shared, zero-copy) block."""
+        pid = block[_PID].to_numpy()
+        mask = (pid % self.n_workers) == self.worker_id
+        if not mask.any():
+            return 0
+        mine = block.filter(pa.array(mask))
+        for p in np.unique(pid[mask]):
+            sub = mine.filter(pc.equal(mine[_PID], int(p)))
+            self.deltas.setdefault(int(p), []).append(sub.drop_columns([_PID]))
+        return int(mask.sum())
+
+    def _load_prior(self, pid: int) -> pa.Table | None:
+        cached = self.cache.get(pid)
+        if cached is not None and cached[0] == self.epoch - 1:
+            # re-unify: the cached table carries the PREVIOUS epoch's schema,
+            # which differs across an evolution boundary (additive columns)
+            return self._unify(cached[1])
+        rec = self.prev_partitions.get(str(pid))
+        if rec is None:
+            return None
+        files = ([rec["file"]] if rec.get("file") else []) + list(rec.get("deltas", []))
+        if not files:
+            return None
+        tables = [self._unify(pq.read_table(f)) for f in files]
+        return tables[0] if len(tables) == 1 else pa.concat_tables(tables)
+
+    def finish_epoch(self) -> pa.Table:
+        """Merge + write every owned partition; return lineage rows."""
+        out_rows = []
+        for pid in sorted(self.deltas):
+            # permissive promote: Ray block schemas can differ benignly
+            # (e.g. string vs large_string after block ops); _unify below
+            # casts to the canonical epoch schema anyway
+            delta = pa.concat_tables(self.deltas[pid],
+                                     promote_options="permissive") \
+                if len(self.deltas[pid]) > 1 else self.deltas[pid][0]
+            delta = self._unify(combine_keep_extreme(delta, KEY, ["lsn"],
+                                                     descending=True))
+            rows_applied = delta.num_rows
+            if self.mode == "delta":
+                merged = delta
+            else:
+                prior = self._load_prior(pid)
+                merged = delta if prior is None else pa.concat_tables([prior, delta])
+                merged = combine_keep_extreme(merged, KEY, ["lsn"], descending=True)
+
+            suffix = "delta.parquet" if self.mode == "delta" else "parquet"
+            fname = f"part-{pid:05d}.{suffix}"
+            tmp_path = os.path.join(self.tmp_dir, fname)
+            wip = f"{tmp_path}.wip.{os.getpid()}"
+            pq.write_table(merged, wip)
+            os.replace(wip, tmp_path)
+            if self.mode == "compact":
+                self.cache[pid] = (self.epoch, merged)
+            out_rows.append({
+                "partition": pid,
+                "file": os.path.join(lake.epoch_dir(self.lake_dir, self.epoch), fname),
+                "lsn_watermark": pc.max(merged["lsn"]).as_py(),
+                "rows_applied": rows_applied,
+                "rows_total": merged.num_rows,
+                "bytes_written": os.path.getsize(tmp_path),
+            })
+        self.deltas = {}
+        return pa.Table.from_pylist(out_rows) if out_rows else pa.table({
+            "partition": pa.array([], pa.int64()),
+            "file": pa.array([], pa.string()),
+            "lsn_watermark": pa.array([], pa.int64()),
+            "rows_applied": pa.array([], pa.int64()),
+            "rows_total": pa.array([], pa.int64()),
+            "bytes_written": pa.array([], pa.int64()),
+        })
+
+
+class PersistentMergePool:
+    """Driver-side handle: creates the workers once, feeds them each epoch's
+    normalized blocks, collects lineage."""
+
+    def __init__(self, lake_dir: str, n_workers: int):
+        self.n_workers = n_workers
+        self.workers = [MergeWorker.remote(w, n_workers, lake_dir)
+                        for w in range(n_workers)]
+
+    def run_epoch(self, normalized, epoch: int, schema_b64: str,
+                  prev_partitions: dict, mode: str) -> pa.Table:
+        ray.get([w.begin_epoch.remote(epoch, schema_b64, prev_partitions, mode)
+                 for w in self.workers])
+        futures = []
+        for ref in normalized.to_arrow_refs():
+            for w in self.workers:
+                futures.append(w.ingest_block.remote(ref))
+        ray.get(futures)
+        lineage_tables = ray.get([w.finish_epoch.remote() for w in self.workers])
+        return pa.concat_tables([t for t in lineage_tables if t.num_rows],
+                                promote_options="default") \
+            if any(t.num_rows for t in lineage_tables) else lineage_tables[0]
+
+    def shutdown(self) -> None:
+        for w in self.workers:
+            ray.kill(w)
+        self.workers = []

@@ -82,6 +82,10 @@ class CDCConfig:
     # base+deltas per partition, so snapshots stay correct at any epoch.
     # K=1 (default) compacts every epoch (always one sorted file/partition).
     compact_interval: int = 1
+    # merge backend: "map_groups" (Ray Data groupby shuffle + per-epoch actor
+    # pool; default) or "actor_pool" (persistent raw-actor MergeWorkers with
+    # cross-epoch in-memory partition state — cdc/actor_pool.py)
+    backend: str = "map_groups"
 
 
 @dataclass
@@ -233,6 +237,7 @@ class CDCEngine:
 
     def __init__(self, config: CDCConfig):
         self.cfg = config
+        self._pool = None
         os.makedirs(config.lake_dir, exist_ok=True)
 
     # -- state ---------------------------------------------------------------
@@ -305,14 +310,24 @@ class CDCEngine:
 
         mode = ("compact" if cfg.compact_interval <= 1
                 or (epoch + 1) % cfg.compact_interval == 0 else "delta")
-        lineage_ds = normalized.groupby(_PID).map_groups(
-            MergeApply, batch_format="pyarrow",
-            fn_constructor_args=(cfg.lake_dir, epoch, schema_b64, prev_parts,
-                                 cfg.cache_partitions, mode),
-            concurrency=cfg.merge_concurrency,
-            num_cpus=1)
-        lineage = pa.concat_tables(ray.get(lineage_ds.to_arrow_refs()),
-                                   promote_options="default")
+        if cfg.backend == "actor_pool":
+            from e_commerce_batch_etl_pipeline_ray.cdc.actor_pool import (
+                PersistentMergePool,
+            )
+            if self._pool is None:
+                self._pool = PersistentMergePool(cfg.lake_dir,
+                                                 cfg.merge_concurrency)
+            lineage = self._pool.run_epoch(normalized, epoch, schema_b64,
+                                           prev_parts, mode)
+        else:
+            lineage_ds = normalized.groupby(_PID).map_groups(
+                MergeApply, batch_format="pyarrow",
+                fn_constructor_args=(cfg.lake_dir, epoch, schema_b64,
+                                     prev_parts, cfg.cache_partitions, mode),
+                concurrency=cfg.merge_concurrency,
+                num_cpus=1)
+            lineage = pa.concat_tables(ray.get(lineage_ds.to_arrow_refs()),
+                                       promote_options="default")
 
         # commit: promote data dir, then manifest (atomic)
         lake.promote_epoch_dir(cfg.lake_dir, epoch)

@@ -256,3 +256,44 @@ def test_delta_mode_matches_compact_mode(tmp_path):
         e1.ingest_epoch(binlog.gen_epoch(SPEC, ep), ep)
         e2.ingest_epoch(binlog.gen_epoch(SPEC, ep), ep)
     assert _final_state(e1) == _final_state(e2)
+
+
+def test_actor_pool_backend_parity_and_cache(tmp_path):
+    """Persistent merge-worker backend: same final state as the map_groups
+    backend across epochs (incl. evolution + dups), with actors surviving
+    between epochs (cross-epoch in-memory state)."""
+    e1 = _engine(tmp_path / "a")
+    e2 = _engine(tmp_path / "b", backend="actor_pool")
+    for ep in range(3):
+        e1.ingest_epoch(binlog.gen_epoch(SPEC, ep), ep)
+        e2.ingest_epoch(binlog.gen_epoch(SPEC, ep), ep)
+    assert _final_state(e1) == _final_state(e2) == _oracle_state(SPEC, 3)
+    # same pool object across epochs -> persistent actors
+    assert e2._pool is not None and len(e2._pool.workers) == 2
+    e2._pool.shutdown()
+
+
+def test_actor_pool_backend_crash_resume(tmp_path):
+    """Backend restart (fresh engine = fresh actors, empty caches) resumes
+    correctly from the lake after a crash before manifest commit."""
+    eng = _engine(tmp_path, backend="actor_pool")
+    for ep in range(2):
+        eng.ingest_epoch(binlog.gen_epoch(SPEC, ep), ep)
+    eng._pool.shutdown()
+    os.remove(os.path.join(eng.cfg.lake_dir, "manifests", "epoch-0001.json"))
+    eng2 = _engine(tmp_path, backend="actor_pool")   # same lake dir
+    assert eng2.resume_point() == 1
+    eng2.ingest_epoch(binlog.gen_epoch(SPEC, 1), 1)
+    assert _final_state(eng2) == _oracle_state(SPEC, 2)
+    eng2._pool.shutdown()
+
+
+def test_actor_pool_delta_mode_parity(tmp_path):
+    """actor_pool backend x LSM delta mode == map_groups compact-every state."""
+    e1 = _engine(tmp_path / "a")
+    e2 = _engine(tmp_path / "b", backend="actor_pool", compact_interval=2)
+    for ep in range(3):
+        e1.ingest_epoch(binlog.gen_epoch(SPEC, ep), ep)
+        e2.ingest_epoch(binlog.gen_epoch(SPEC, ep), ep)
+    assert _final_state(e1) == _final_state(e2)
+    e2._pool.shutdown()

@@ -35,6 +35,8 @@ def main() -> int:
     ap.add_argument("--merge-concurrency", type=int, default=8)
     ap.add_argument("--compact-interval", type=int, default=1)
     ap.add_argument("--verify-sha", action="store_true")
+    ap.add_argument("--backend", default="map_groups",
+                    choices=["map_groups", "actor_pool"])
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--generate", action="store_true",
                     help="generate the synthetic binlog epochs first")
@@ -70,6 +72,7 @@ def main() -> int:
         compact_interval=args.compact_interval,
         verify_sha=args.verify_sha,
         cache_partitions=False,
+        backend=args.backend,
     ))
 
     if args.resume:
