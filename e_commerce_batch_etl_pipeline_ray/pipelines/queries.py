@@ -17,7 +17,6 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 import ray.data
-from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
 from e_commerce_batch_etl_pipeline_ray.functions import scalar as F
 from e_commerce_batch_etl_pipeline_ray.stages import aggregates, dedup, joins, maps, sorts

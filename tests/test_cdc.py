@@ -17,10 +17,21 @@ SPEC = binlog.BinlogSpec(events_per_epoch=2000, n_repos=10, paths_per_repo=60,
                          content_chars_max=256, dup_lookback=3000)
 
 
+@pytest.fixture(params=["map_groups", "actor_pool"])
+def backend(request):
+    """Core CDC tests run against BOTH merge backends."""
+    return request.param
+
+
 def _engine(tmp_path, **kw):
     cfg = engine.CDCConfig(lake_dir=str(tmp_path / "lake"), num_partitions=8,
                            merge_concurrency=2, **kw)
     return engine.CDCEngine(cfg)
+
+
+def _shutdown(eng):
+    if eng._pool is not None:
+        eng._pool.shutdown()
 
 
 def _final_state(eng):
@@ -37,13 +48,15 @@ def _oracle_state(spec, n_epochs):
             for k, v in oracle.live_rows(oracle.replay(evs)).items()}
 
 
-def test_replay_parity_with_sha256(tmp_path):
+def test_replay_parity_with_sha256(tmp_path, backend):
     """Multi-epoch ingest (incl. dups, out-of-order, deletes, evolution)
-    matches the sequential dict replay row-for-row with sha256 equality."""
-    eng = _engine(tmp_path)
+    matches the sequential dict replay row-for-row with sha256 equality —
+    on BOTH merge backends."""
+    eng = _engine(tmp_path, backend=backend)
     for ep in range(3):
         eng.ingest_epoch(binlog.gen_epoch(SPEC, ep), ep)
     assert _final_state(eng) == _oracle_state(SPEC, 3)
+    _shutdown(eng)
 
 
 def test_out_of_order_and_duplicate_delivery(tmp_path):
@@ -90,10 +103,10 @@ def test_update_to_missing_key_inserts(tmp_path):
     assert len(df) == 1 and df.iloc[0]["path"] == "ghost.py"
 
 
-def test_crash_before_manifest_resume(tmp_path):
+def test_crash_before_manifest_resume(tmp_path, backend):
     """Kill between data write and manifest commit -> resume re-runs the
     epoch; final state identical to the uninterrupted run."""
-    eng = _engine(tmp_path)
+    eng = _engine(tmp_path, backend=backend)
     for ep in range(2):
         eng.ingest_epoch(binlog.gen_epoch(SPEC, ep), ep)
     # simulate crash: epoch 1's manifest vanishes, data dir remains
@@ -101,6 +114,7 @@ def test_crash_before_manifest_resume(tmp_path):
     assert eng.resume_point() == 1
     eng.ingest_epoch(binlog.gen_epoch(SPEC, 1), 1)
     assert _final_state(eng) == _oracle_state(SPEC, 2)
+    _shutdown(eng)
 
 
 def test_crash_mid_write_tmp_debris(tmp_path):
@@ -124,13 +138,13 @@ def test_epoch_order_enforced(tmp_path):
         eng.ingest_epoch(binlog.gen_epoch(SPEC, 2), 2)
 
 
-def test_schema_evolution_additive_lang(tmp_path):
+def test_schema_evolution_additive_lang(tmp_path, backend):
     """Epoch 0 events lack `lang` entirely; epoch >=1 carries it. Old rows
     read back null-backfilled; snapshot at epoch 0 lacks the column."""
     spec = binlog.BinlogSpec(events_per_epoch=1500, n_repos=8, paths_per_repo=40,
                              evolution_epoch=1, content_chars_min=16,
                              content_chars_max=128)
-    eng = _engine(tmp_path)
+    eng = _engine(tmp_path, backend=backend)
     eng.ingest_epoch(binlog.gen_epoch(spec, 0), 0)
     s0 = eng.read(epoch=0).schema()
     assert "lang" not in s0.names
@@ -141,6 +155,7 @@ def test_schema_evolution_additive_lang(tmp_path):
     assert df[df.lsn < spec.events_per_epoch]["lang"].isna().all()
     assert df[df.lsn >= spec.events_per_epoch]["lang"].notna().all()
     assert _final_state(eng) == _oracle_state(spec, 2)
+    _shutdown(eng)
 
 
 def test_determinism_across_runs_and_parallelism(tmp_path):
