@@ -49,8 +49,10 @@ class MergeWorker:
         self.epoch: int | None = None
 
     def begin_epoch(self, epoch: int, schema_b64: str,
-                    prev_partitions: dict[str, dict], mode: str) -> None:
+                    prev_partitions: dict[str, dict], mode: str,
+                    gc_horizon_lsn: int | None = None) -> None:
         self.epoch = epoch
+        self.gc_horizon_lsn = gc_horizon_lsn
         self.schema = lake.schema_from_b64(schema_b64)
         self.prev_partitions = prev_partitions
         self.mode = mode
@@ -114,6 +116,10 @@ class MergeWorker:
                 prior = self._load_prior(pid)
                 merged = delta if prior is None else pa.concat_tables([prior, delta])
                 merged = combine_keep_extreme(merged, KEY, ["lsn"], descending=True)
+                if self.gc_horizon_lsn is not None:
+                    dead = pc.and_(merged["_deleted"],
+                                   pc.less(merged["lsn"], self.gc_horizon_lsn))
+                    merged = merged.filter(pc.invert(dead))
 
             suffix = "delta.parquet" if self.mode == "delta" else "parquet"
             fname = f"part-{pid:05d}.{suffix}"
@@ -152,8 +158,10 @@ class PersistentMergePool:
                         for w in range(n_workers)]
 
     def run_epoch(self, normalized, epoch: int, schema_b64: str,
-                  prev_partitions: dict, mode: str) -> pa.Table:
-        ray.get([w.begin_epoch.remote(epoch, schema_b64, prev_partitions, mode)
+                  prev_partitions: dict, mode: str,
+                  gc_horizon_lsn: int | None = None) -> pa.Table:
+        ray.get([w.begin_epoch.remote(epoch, schema_b64, prev_partitions,
+                                      mode, gc_horizon_lsn)
                  for w in self.workers])
         futures = []
         for ref in normalized.to_arrow_refs():

@@ -86,6 +86,13 @@ class CDCConfig:
     # pool; default) or "actor_pool" (persistent raw-actor MergeWorkers with
     # cross-epoch in-memory partition state — cdc/actor_pool.py)
     backend: str = "map_groups"
+    # Tombstone GC: delete-markers older than the lsn_watermark of the
+    # manifest `gc_lateness_epochs` epochs back are dropped at COMPACTION.
+    # Contract: the binlog delivers any event within gc_lateness_epochs
+    # epochs of its original position (bounded lateness) — an event older
+    # than the horizon can no longer arrive, so its tombstone is dead weight.
+    # None (default) keeps tombstones forever.
+    gc_lateness_epochs: int | None = None
 
 
 @dataclass
@@ -152,7 +159,7 @@ class MergeApply:
 
     def __init__(self, lake_dir: str, epoch: int, schema_b64: str,
                  prev_partitions: dict[str, dict], cache_partitions: bool,
-                 mode: str = "compact"):
+                 mode: str = "compact", gc_horizon_lsn: int | None = None):
         self.lake_dir = lake_dir
         self.epoch = epoch
         self.schema = lake.schema_from_b64(schema_b64)
@@ -160,6 +167,7 @@ class MergeApply:
         self.cache_enabled = cache_partitions
         self.cache: dict[int, tuple[int, pa.Table]] = {}
         self.mode = mode                      # "compact" | "delta"
+        self.gc_horizon_lsn = gc_horizon_lsn
         self.tmp_dir = lake.epoch_dir(lake_dir, epoch, tmp=True)
         os.makedirs(self.tmp_dir, exist_ok=True)
 
@@ -206,6 +214,10 @@ class MergeApply:
             # first row per key -> the output is ALREADY in sorted compacted
             # layout; no second sort needed
             merged = combine_keep_extreme(merged, KEY, ["lsn"], descending=True)
+            if self.gc_horizon_lsn is not None:
+                dead = pc.and_(merged["_deleted"],
+                               pc.less(merged["lsn"], self.gc_horizon_lsn))
+                merged = merged.filter(pc.invert(dead))
 
         suffix = "delta.parquet" if self.mode == "delta" else "parquet"
         fname = f"part-{pid:05d}.{suffix}"
@@ -310,6 +322,12 @@ class CDCEngine:
 
         mode = ("compact" if cfg.compact_interval <= 1
                 or (epoch + 1) % cfg.compact_interval == 0 else "delta")
+        gc_horizon = None
+        if cfg.gc_lateness_epochs is not None:
+            horizon_epoch = epoch - 1 - cfg.gc_lateness_epochs
+            if horizon_epoch >= 0:
+                gc_horizon = lake.read_manifest(
+                    cfg.lake_dir, horizon_epoch)["lsn_watermark"]
         if cfg.backend == "actor_pool":
             from e_commerce_batch_etl_pipeline_ray.cdc.actor_pool import (
                 PersistentMergePool,
@@ -318,12 +336,13 @@ class CDCEngine:
                 self._pool = PersistentMergePool(cfg.lake_dir,
                                                  cfg.merge_concurrency)
             lineage = self._pool.run_epoch(normalized, epoch, schema_b64,
-                                           prev_parts, mode)
+                                           prev_parts, mode, gc_horizon)
         else:
             lineage_ds = normalized.groupby(_PID).map_groups(
                 MergeApply, batch_format="pyarrow",
                 fn_constructor_args=(cfg.lake_dir, epoch, schema_b64,
-                                     prev_parts, cfg.cache_partitions, mode),
+                                     prev_parts, cfg.cache_partitions, mode,
+                                     gc_horizon),
                 concurrency=cfg.merge_concurrency,
                 num_cpus=1)
             lineage = pa.concat_tables(ray.get(lineage_ds.to_arrow_refs()),

@@ -312,3 +312,42 @@ def test_actor_pool_delta_mode_parity(tmp_path):
         e2.ingest_epoch(binlog.gen_epoch(SPEC, ep), ep)
     assert _final_state(e1) == _final_state(e2)
     e2._pool.shutdown()
+
+
+def test_tombstone_gc(tmp_path):
+    """With gc_lateness_epochs=1, tombstones older than the watermark two
+    epochs back are dropped at compaction; younger tombstones survive and
+    still block resurrection."""
+    import hashlib
+
+    import ray.data
+
+    def ev(lsn, op, path):
+        c = None if op == "D" else f"v{lsn}"
+        return {"lsn": lsn, "op": op, "repo": "r", "path": path,
+                "commit": f"c{lsn}", "lang": None, "content": c,
+                "content_sha256": (hashlib.sha256(c.encode()).hexdigest()
+                                   if c else None)}
+
+    # single partition: GC applies only to partitions TOUCHED by an epoch's
+    # delta (cold partitions are GC'd when next written), so co-locate all
+    # keys to observe the horizon behavior deterministically
+    eng = engine.CDCEngine(engine.CDCConfig(
+        lake_dir=str(tmp_path / "lake"), num_partitions=1,
+        merge_concurrency=1, gc_lateness_epochs=1))
+    epochs = [
+        [ev(0, "I", "a.py"), ev(1, "D", "a.py"), ev(2, "I", "b.py")],   # watermark 2
+        [ev(3, "I", "c.py"), ev(4, "D", "c.py")],                       # watermark 4
+        [ev(5, "I", "d.py")],   # gc horizon = watermark(epoch 0) = 2 -> tombstone lsn1 dropped
+        [ev(6, "I", "e.py")],   # horizon = watermark(ep1) = 4 -> tombstone lsn4 dropped
+    ]
+    for i, evs in enumerate(epochs):
+        eng.ingest_epoch(ray.data.from_arrow(
+            pa.Table.from_pylist(evs, schema=binlog.EVENT_SCHEMA_V2)), i)
+
+    full = eng.read(include_tombstones=True).to_pandas()
+    tombs = set(full[full["_deleted"]]["path"]) if "_deleted" in full.columns else set()
+    assert "a.py" not in tombs            # lsn 1 < horizon(2) -> GC'd
+    assert "c.py" in tombs                # lsn 4 == horizon(4) -> kept (not <)
+    live = set(eng.read().to_pandas()["path"])
+    assert live == {"b.py", "d.py", "e.py"}

@@ -37,6 +37,9 @@ def main() -> int:
     ap.add_argument("--verify-sha", action="store_true")
     ap.add_argument("--backend", default="map_groups",
                     choices=["map_groups", "actor_pool"])
+    ap.add_argument("--gc-lateness-epochs", type=int, default=None,
+                    help="drop tombstones older than the watermark this many "
+                         "epochs back (bounded-lateness contract)")
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--generate", action="store_true",
                     help="generate the synthetic binlog epochs first")
@@ -73,6 +76,7 @@ def main() -> int:
         verify_sha=args.verify_sha,
         cache_partitions=False,
         backend=args.backend,
+        gc_lateness_epochs=args.gc_lateness_epochs,
     ))
 
     if args.resume:
