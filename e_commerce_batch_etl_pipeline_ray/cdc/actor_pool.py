@@ -71,16 +71,23 @@ class MergeWorker:
         return pa.Table.from_arrays(cols, schema=self.schema)
 
     def ingest_block(self, block: pa.Table) -> int:
-        """Take this worker's rows from a (shared, zero-copy) block."""
+        """Broadcast fan-out: take this worker's rows from a (shared,
+        zero-copy) block."""
         pid = block[_PID].to_numpy()
         mask = (pid % self.n_workers) == self.worker_id
         if not mask.any():
             return 0
-        mine = block.filter(pa.array(mask))
-        for p in np.unique(pid[mask]):
+        return self.ingest_parts(block.filter(pa.array(mask)))
+
+    def ingest_parts(self, mine: pa.Table) -> int:
+        """Split fan-out: rows already routed to this worker; bucket by pid."""
+        if mine.num_rows == 0:
+            return 0
+        pid = mine[_PID].to_numpy()
+        for p in np.unique(pid):
             sub = mine.filter(pc.equal(mine[_PID], int(p)))
             self.deltas.setdefault(int(p), []).append(sub.drop_columns([_PID]))
-        return int(mask.sum())
+        return mine.num_rows
 
     def _load_prior(self, pid: int) -> pa.Table | None:
         cached = self.cache.get(pid)
@@ -148,12 +155,30 @@ class MergeWorker:
         })
 
 
+@ray.remote
+def _split_block(block: pa.Table, n_workers: int) -> list[pa.Table]:
+    """One task per block: pre-split into per-worker sub-tables. On a real
+    cluster this is the multi-node-shaped fan-out: each worker receives only
+    its own rows (1x network traffic) instead of reading every block
+    (W-fold broadcast)."""
+    pid = block[_PID].to_numpy()
+    return [block.filter(pa.array((pid % n_workers) == w))
+            for w in range(n_workers)]
+
+
 class PersistentMergePool:
     """Driver-side handle: creates the workers once, feeds them each epoch's
-    normalized blocks, collects lineage."""
+    normalized blocks, collects lineage.
 
-    def __init__(self, lake_dir: str, n_workers: int):
+    ``fan_out``: "broadcast" hands every block ref to every worker
+    (zero-copy plasma reads; optimal on one host), "split" pre-splits each
+    block in a task and routes per-worker sub-tables (the multi-node-shaped
+    exchange: per-worker traffic is 1x, not W-fold)."""
+
+    def __init__(self, lake_dir: str, n_workers: int,
+                 fan_out: str = "broadcast"):
         self.n_workers = n_workers
+        self.fan_out = fan_out
         self.workers = [MergeWorker.remote(w, n_workers, lake_dir)
                         for w in range(n_workers)]
 
@@ -164,9 +189,18 @@ class PersistentMergePool:
                                       mode, gc_horizon_lsn)
                  for w in self.workers])
         futures = []
-        for ref in normalized.to_arrow_refs():
-            for w in self.workers:
-                futures.append(w.ingest_block.remote(ref))
+        if self.fan_out == "split":
+            for ref in normalized.to_arrow_refs():
+                parts = _split_block.options(
+                    num_returns=self.n_workers).remote(ref, self.n_workers)
+                if self.n_workers == 1:
+                    parts = [parts]
+                for w, part_ref in zip(self.workers, parts):
+                    futures.append(w.ingest_parts.remote(part_ref))
+        else:
+            for ref in normalized.to_arrow_refs():
+                for w in self.workers:
+                    futures.append(w.ingest_block.remote(ref))
         ray.get(futures)
         lineage_tables = ray.get([w.finish_epoch.remote() for w in self.workers])
         return pa.concat_tables([t for t in lineage_tables if t.num_rows],

@@ -93,6 +93,9 @@ class CDCConfig:
     # than the horizon can no longer arrive, so its tombstone is dead weight.
     # None (default) keeps tombstones forever.
     gc_lateness_epochs: int | None = None
+    # actor_pool fan-out: "broadcast" (single-host optimal) | "split"
+    # (multi-node-shaped: per-worker traffic 1x instead of W-fold)
+    fan_out: str = "broadcast"
 
 
 @dataclass
@@ -334,7 +337,8 @@ class CDCEngine:
             )
             if self._pool is None:
                 self._pool = PersistentMergePool(cfg.lake_dir,
-                                                 cfg.merge_concurrency)
+                                                 cfg.merge_concurrency,
+                                                 fan_out=cfg.fan_out)
             lineage = self._pool.run_epoch(normalized, epoch, schema_b64,
                                            prev_parts, mode, gc_horizon)
         else:

@@ -351,3 +351,14 @@ def test_tombstone_gc(tmp_path):
     assert "c.py" in tombs                # lsn 4 == horizon(4) -> kept (not <)
     live = set(eng.read().to_pandas()["path"])
     assert live == {"b.py", "d.py", "e.py"}
+
+
+def test_actor_pool_split_fanout_parity(tmp_path):
+    """Split fan-out (multi-node-shaped exchange) == broadcast fan-out."""
+    e1 = _engine(tmp_path / "a", backend="actor_pool")
+    e2 = _engine(tmp_path / "b", backend="actor_pool", fan_out="split")
+    for ep in range(2):
+        e1.ingest_epoch(binlog.gen_epoch(SPEC, ep), ep)
+        e2.ingest_epoch(binlog.gen_epoch(SPEC, ep), ep)
+    assert _final_state(e1) == _final_state(e2) == _oracle_state(SPEC, 2)
+    e1._pool.shutdown(); e2._pool.shutdown()
