@@ -19,11 +19,24 @@ SF_SMOKE = "/root/testdata/sf0.001"
 
 
 def entry() -> Any:
-    """Flagship pipeline on sf0.001: lineitem -> zero-copy Arrow filter +
-    derived revenue -> pre-aggregated grouped pricing summary (the engine's
-    showcase read->map_batches->aggregate chain)."""
-    from e_commerce_batch_etl_pipeline_ray.pipelines import queries as Q
-    return Q.q1_pricing_summary(SF_SMOKE)
+    """Flagship: the CDC ingest engine (BASELINE.json north_star) on a small
+    deterministic binlog — generate -> normalize+LWW combine -> hash shuffle
+    -> merge-apply -> exactly-once manifest commit, two epochs across the
+    schema-evolution boundary; returns the final live lake table. (The
+    batch-relational showcase is queries()['q1_pricing_summary'].)"""
+    import tempfile
+
+    from e_commerce_batch_etl_pipeline_ray.cdc import binlog, engine
+    spec = binlog.BinlogSpec(events_per_epoch=3000, n_repos=12,
+                             paths_per_repo=80, evolution_epoch=1,
+                             content_chars_min=32, content_chars_max=256)
+    lake_dir = tempfile.mkdtemp(prefix="entry_lake_", dir="/tmp")
+    eng = engine.CDCEngine(engine.CDCConfig(lake_dir=lake_dir,
+                                            num_partitions=8,
+                                            merge_concurrency=2))
+    for ep in range(2):
+        eng.ingest_epoch(binlog.gen_epoch(spec, ep), ep)
+    return eng.read().sort(["repo", "path"])
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
