@@ -158,7 +158,10 @@ def run_scaling() -> None:
         # absolute throughput, but not a cluster-scaling measurement.
         env = dict(os.environ, RAY_GRAFT_CPUS=str(n),
                    BENCH_BACKEND=os.environ.get("BENCH_SCALE_BACKEND",
-                                                "map_groups"))
+                                                "map_groups"),
+                   # min-of-3 per level: single-host wall times vary by
+                   # 10-20%; the scaling ratio needs tight per-level minima
+                   BENCH_ROUNDS=os.environ.get("BENCH_SCALE_ROUNDS", "3"))
         r = subprocess.run([sys.executable, os.path.abspath(__file__)],
                            env=env, capture_output=True, text=True, check=True)
         out[n] = json.loads(r.stdout.strip().splitlines()[-1])
