@@ -870,3 +870,31 @@ def q31_multimodal_knn(sf_dir: str):
 
 
 QUERIES.update({"q31_multimodal_knn": q31_multimodal_knn})
+
+
+# ---------------------------------------------------------------------------
+# q32 — as-of join (per-key merge_asof: last signup before each event)
+
+def q32_asof_join(sf_dir: str):
+    from e_commerce_batch_etl_pipeline_ray.stages import streaming
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+    out = streaming.asof_join_last_event(
+        "user_id", "ts", "event_type", "signup", out="last_signup_ts",
+        tiebreak_cols=["event_id"]).apply(ds)
+    return out.select_columns(["event_id", "user_id", "event_type",
+                               "last_signup_ts"]).sort("event_id")
+
+
+Q32_SQL = """
+SELECT e.event_id, e.user_id, e.event_type,
+       (SELECT MAX(s.ts) FROM events s
+        WHERE s.user_id = e.user_id AND s.event_type = 'signup'
+          AND s.ts <= e.ts) AS last_signup_ts
+FROM events e
+WHERE e.event_type <> 'signup'
+ORDER BY e.event_id
+"""
+
+
+QUERIES.update({"q32_asof_join": q32_asof_join})
+ORACLE.update({"q32_asof_join": Q32_SQL})

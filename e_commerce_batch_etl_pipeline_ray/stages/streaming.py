@@ -62,3 +62,33 @@ def sessionize(key_col: str, ts_col: str, gap_minutes: float = 30.0,
     def _apply(ds):
         return ds.groupby(key_col).map_groups(_per_key, batch_format="pandas")
     return FnStep(f"sessionize[{key_col}]", _apply)
+
+
+def asof_join_last_event(key_col: str, ts_col: str, marker_col: str,
+                         marker_value: str, out: str,
+                         tiebreak_cols: list[str] | None = None) -> FnStep:
+    """As-of self-join: for each non-marker row, the timestamp of the most
+    recent marker row (e.g. last 'signup' before each event) of the SAME key.
+
+    Ray shape (ray_guide 'As-of / range join'): co-locate by key via the
+    groupby shuffle, then pandas merge_asof per ts-sorted group. Matches at
+    equal timestamps are allowed (<=).
+    """
+    order = [ts_col] + list(tiebreak_cols or [])
+
+    def _per_key(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(order, kind="mergesort")
+        markers = g[g[marker_col] == marker_value][[ts_col]].rename(
+            columns={ts_col: out})
+        rest = g[g[marker_col] != marker_value]
+        if rest.empty:
+            return rest.assign(**{out: pd.Series([], dtype=g[ts_col].dtype)})
+        if markers.empty:
+            return rest.assign(**{out: pd.NaT})
+        joined = pd.merge_asof(rest, markers, left_on=ts_col, right_on=out,
+                               direction="backward", allow_exact_matches=True)
+        return joined
+
+    def _apply(ds):
+        return ds.groupby(key_col).map_groups(_per_key, batch_format="pandas")
+    return FnStep(f"asof[{marker_value}]", _apply)
