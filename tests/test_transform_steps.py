@@ -171,3 +171,19 @@ def test_approx_count_distinct_hll():
         lambda t: pa.table({"v": pc.add(t["id"], 0)}), batch_format="pyarrow")
     approx = aggregates.approx_count_distinct(ds, "v")
     assert abs(approx - 50_000) / 50_000 < 0.05
+
+
+def test_approx_count_distinct_by_groups():
+    """Grouped HLL within 5% of exact per group."""
+    import ray.data
+
+    from e_commerce_batch_etl_pipeline_ray.stages import aggregates
+    rows = [{"g": f"g{i % 3}", "v": i % (4000 * (1 + i % 3))} for i in range(30_000)]
+    ds = ray.data.from_arrow(pa.Table.from_pylist(rows))
+    got = {r["g"]: r["approx_distinct"]
+           for r in aggregates.approx_count_distinct_by(ds, ["g"], "v").take_all()}
+    import pandas as pd
+    df = pd.DataFrame(rows)
+    exact = df.groupby("g")["v"].nunique().to_dict()
+    for g, e in exact.items():
+        assert abs(got[g] - e) / e < 0.05, (g, got[g], e)
