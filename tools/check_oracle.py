@@ -63,6 +63,9 @@ def main():
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
+    unknown = only - set(queries)
+    if unknown:
+        print(f"WARNING: unknown query names ignored: {sorted(unknown)}")
     failures = []
     for name, fn in queries.items():
         if only and name not in only:
