@@ -1,1 +1,1 @@
-from e_commerce_batch_etl_pipeline_ray.pipelines import retail  # noqa: F401
+from e_commerce_batch_etl_pipeline_ray.pipelines import orders, queries, retail  # noqa: F401
