@@ -10,10 +10,11 @@ Each ingest micro-batch (epoch) is one streamed Ray Data pipeline:
          — this is the hot-key/skew guard)                     [map_batches]
       -> hash shuffle on hash(repo,path) % P                   [groupby]
       -> merge-apply actor pool: per-partition LWW upsert against the prior
-         epoch's partition file (actors cache partition tables across epochs;
-         any actor can serve any partition — cache miss falls back to the
-         manifest file, so routing stability affects only speed, never
-         correctness — SURVEY.md §7.4 #1)                      [map_groups]
+         epoch's partition file (any actor can serve any partition — prior
+         state always comes from the manifest files in this backend, so
+         routing affects only speed, never correctness — SURVEY.md §7.4 #1;
+         cross-epoch in-memory partition caching is the actor_pool
+         backend's job, cdc/actor_pool.py)                     [map_groups]
       -> sorted compacted per-partition Parquet into .tmp-epoch=N/
     then, on the driver: promote tmp dir -> epoch=N (atomic rename) and
     commit the epoch manifest (atomic os.replace) with per-partition lineage
@@ -151,13 +152,16 @@ def _normalize_factory(schema: pa.Schema, num_partitions: int, verify_sha: bool)
 
 
 class MergeApply:
-    """Merge-apply actor: owns an in-memory cache of partition tables
-    (per-partition key -> (lsn, commit, sha) state embodied as the partition's
-    Arrow table) and upserts each epoch's delta with last-writer-wins.
+    """Merge-apply actor for the map_groups backend: upserts each epoch's
+    delta against the prior epoch's partition file with last-writer-wins
+    (per-partition key -> (lsn, commit, sha) state embodied as the
+    partition's Arrow table).
 
     Constructor args are plain picklables so the pool can restart anywhere;
-    all durable state lives in the lake (manifest + files), the cache is
-    purely a read-amplification optimization.
+    all durable state lives in the lake (manifest + files). This backend
+    reconstructs the pool every epoch, so prior state is always re-read from
+    the manifest files; CROSS-EPOCH in-memory partition caching lives only
+    in the persistent actor_pool backend (cdc/actor_pool.py MergeWorker).
     """
 
     def __init__(self, lake_dir: str, epoch: int, schema_b64: str,
@@ -167,18 +171,13 @@ class MergeApply:
         self.epoch = epoch
         self.schema = lake.schema_from_b64(schema_b64)
         self.prev_partitions = prev_partitions
-        self.cache_enabled = cache_partitions
-        self.cache: dict[int, tuple[int, pa.Table]] = {}
+        del cache_partitions  # meaningful only for backend="actor_pool"
         self.mode = mode                      # "compact" | "delta"
         self.gc_horizon_lsn = gc_horizon_lsn
         self.tmp_dir = lake.epoch_dir(lake_dir, epoch, tmp=True)
         os.makedirs(self.tmp_dir, exist_ok=True)
 
     def _load_prior(self, pid: int) -> pa.Table | None:
-        if self.cache_enabled and pid in self.cache:
-            ep, tbl = self.cache[pid]
-            if ep == self.epoch - 1:
-                return tbl
         rec = self.prev_partitions.get(str(pid))
         if rec is None:
             return None
@@ -232,8 +231,6 @@ class MergeApply:
         pq.write_table(merged, in_progress)
         os.replace(in_progress, tmp_path)
         bytes_written = os.path.getsize(tmp_path)
-        if self.cache_enabled and self.mode == "compact":
-            self.cache[pid] = (self.epoch, merged)
 
         final_path = os.path.join(lake.epoch_dir(self.lake_dir, self.epoch), fname)
         watermark = pc.max(merged["lsn"]).as_py()

@@ -61,10 +61,17 @@ def transform_pipeline(num_partitions: int = 64) -> Pipeline:
     p.add(maps.drop_null_rows(["order_id", "customer_id", "quantity",
                                "unit_price", "order_date"]))
     # dedup on order_id: "in production keep latest updated_at"
-    # (notebooks/02_transformations.py:90-94) -> keep max order_date,
-    # deterministic tiebreak on customer_id
-    p.add(dedup.dedup_keyed(["order_id"], ["order_date", "customer_id"],
-                            descending=True, num_partitions=num_partitions))
+    # (notebooks/02_transformations.py:90-94) -> keep max order_date; the
+    # tiebreak extends to the full remaining row so the winner is TOTALLY
+    # ordered (SQL-expressible too — the q26 oracle mirrors this exact
+    # ORDER BY in its ROW_NUMBER window).
+    p.add(dedup.dedup_keyed(
+        ["order_id"],
+        ["order_date", "customer_id", "product_id", "quantity", "unit_price",
+         "total_amount", "delivery_date", "payment_method", "order_status",
+         "customer_country", "is_premium_customer", "discount_percent",
+         "shipping_cost", "category", "product_name"],
+        descending=True, num_partitions=num_partitions))
     p.add(maps.filter_expr(_business_filter, name="orders_business_rules"))
     p.add(maps.with_columns({
         "total_amount": lambda t: pc.if_else(

@@ -80,9 +80,13 @@ def transform_pipeline(num_partitions: int = 64) -> Pipeline:
     p.add(maps.cast_columns({"quantity": pa.int32(), "unit_price": pa.float64()}))
     p.add(maps.drop_null_rows(["invoice_id", "stock_code", "quantity", "unit_price"]))
     p.add(maps.fill_nulls({"customer_id": "GUEST"}))
+    # order_by extends past invoice_date to the full remaining row: two rows
+    # sharing key AND timestamp would otherwise pick a block-composition-
+    # dependent winner (dedup.py's determinism contract needs a TOTAL order).
     p.add(dedup.dedup_keyed(["invoice_id", "stock_code"],
-                            order_by=["invoice_date"], descending=False,
-                            num_partitions=num_partitions))
+                            order_by=["invoice_date", "quantity", "unit_price",
+                                      "customer_id", "country", "description"],
+                            descending=False, num_partitions=num_partitions))
     p.add(maps.filter_expr(_business_filter, name="business_rules"))
     p.add(maps.with_columns({
         "total_amount": lambda t: F.total_amount(t["quantity"], t["unit_price"]),

@@ -80,13 +80,18 @@ def _lenient_cast(col: pa.ChunkedArray, ty: pa.DataType) -> pa.ChunkedArray:
         return col.cast(ty)
     except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
         pass
+    # trim FIRST: the prefilter regexes accept whitespace-padded values
+    # (' 5 ') that pyarrow's string cast rejects — without the trim one
+    # padded value plus any bad value fails the whole cast, violating the
+    # Spark-PERMISSIVE "null the field, keep the row" contract.
+    col = pc.utf8_trim_whitespace(col)
     if pa.types.is_integer(ty):
-        ok = pc.match_substring_regex(col, r"^\s*[+-]?\d+\s*$")
+        ok = pc.match_substring_regex(col, r"^[+-]?\d+$")
     elif pa.types.is_floating(ty):
         ok = pc.match_substring_regex(
-            col, r"^\s*[+-]?(\d+(\.\d*)?|\.\d+)([eE][+-]?\d+)?\s*$")
+            col, r"^[+-]?(\d+(\.\d*)?|\.\d+)([eE][+-]?\d+)?$")
     elif pa.types.is_boolean(ty):
-        ok = pc.match_substring_regex(col, r"^\s*(?i:true|false|0|1)\s*$")
+        ok = pc.match_substring_regex(col, r"^(?i:true|false|0|1)$")
     else:
         ok = pc.is_valid(col)
     cleaned = pc.if_else(pc.fill_null(ok, False), col, pa.scalar(None, pa.string()))

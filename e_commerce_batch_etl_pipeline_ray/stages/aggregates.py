@@ -302,17 +302,25 @@ def approx_count_distinct_by(ds: ray.data.Dataset, by: Sequence[str], col: str,
         return idx, lz
 
     def _sketch(t: pa.Table) -> pa.Table:
+        # Explicit output schema always (by-column types taken from the INPUT
+        # table, never re-inferred): an empty or single-group batch must
+        # produce the same schema as every other block or the downstream
+        # groupby(by) breaks / drifts.
+        key_proj = t.select(by)
+        if t.num_rows == 0:
+            return key_proj.append_column("__regs", pa.array([], pa.binary()))
         df = t.select(by + [col]).to_pandas()
         h = pd.util.hash_pandas_object(df[col], index=False,
                                        categorize=False).to_numpy().astype(np.uint64)
         idx, lz = _rank(h)
-        rows = []
-        for key, grp_idx in df.groupby(by, sort=False, dropna=False).indices.items():
+        first_idx, regs_out = [], []
+        for _key, grp_idx in df.groupby(by, sort=False, dropna=False).indices.items():
             regs = np.zeros(m, dtype=np.int8)
             np.maximum.at(regs, idx[grp_idx], lz[grp_idx].astype(np.int8))
-            key_t = key if isinstance(key, tuple) else (key,)
-            rows.append(dict(zip(by, key_t)) | {"__regs": regs.tobytes()})
-        return pa.Table.from_pylist(rows)
+            first_idx.append(int(grp_idx[0]))
+            regs_out.append(regs.tobytes())
+        out = key_proj.take(pa.array(first_idx, pa.int64()))
+        return out.append_column("__regs", pa.array(regs_out, pa.binary()))
 
     def _merge(g: pa.Table) -> pa.Table:
         import numpy as np

@@ -38,10 +38,15 @@ class _BruteTopK:
         vn = _normalize(v)
         sim = self.qn @ vn.T                        # (nq, batch)
         k = min(self.k, sim.shape[1])
-        idx = np.argpartition(-sim, kth=k - 1, axis=1)[:, :k]
         out_q, out_id, out_s = [], [], []
         for qi in range(sim.shape[0]):
-            for j in idx[qi]:
+            # keep the local top-k PLUS everything within rounding distance
+            # of the k-th score: the global merge ranks on ROUND(cos, 9)
+            # with neighbor_id tiebreak, so a candidate tied at the boundary
+            # after rounding must survive the batch-local cut.
+            kth = np.partition(sim[qi], sim.shape[1] - k)[sim.shape[1] - k]
+            keep = np.flatnonzero(sim[qi] >= kth - 1e-9)
+            for j in keep:
                 out_q.append(self.q_ids[qi])
                 out_id.append(int(ids[j]))
                 out_s.append(float(sim[qi, j]))

@@ -43,6 +43,18 @@ def test_csv_permissive_nulls_bad_values(tmp_path):
     assert [r["name"] for r in out] == ["x", "y", "z"]
 
 
+def test_csv_permissive_whitespace_padded_values(tmp_path):
+    # ' 5 ' passes the prefilter regex but pyarrow's string->int cast rejects
+    # padding; mixed with a genuinely bad value this used to fail the whole
+    # read instead of nulling just the bad field (ADVICE r1).
+    p = _write_csv(tmp_path / "ws.csv",
+                   'name,qty,price\nx," 5 "," 1.5 "\ny,abc,2.0\n')
+    out = sorted(csv_source.read_csv(p, CSV_SPEC, mode="PERMISSIVE").take_all(),
+                 key=lambda r: r["name"])
+    assert [r["qty"] for r in out] == [5, None]
+    assert [r["price"] for r in out] == [1.5, 2.0]
+
+
 def test_csv_failfast_raises(tmp_path):
     p = _write_csv(tmp_path / "b.csv", "name,qty,price\nx,notanint,1.0\n")
     with pytest.raises(Exception):
