@@ -48,6 +48,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL for every SQL-expressible query; keys missing
     here get a rows-only check (non-SQL-expressible ops: near-dup sketches,
-    CDC replay, model-scoring stages)."""
+    model-scoring stages). q24 (CDC flagship) and q26 (orders chain) read
+    deterministic parquet fixtures shared with their Ray pipelines —
+    materialized here too so the driver may evaluate either side first."""
     from e_commerce_batch_etl_pipeline_ray.pipelines import queries as Q
+    Q.ensure_oracle_fixtures()
     return dict(Q.ORACLE)

@@ -654,24 +654,84 @@ def q23_knn_ivf(sf_dir: str):
     return similarity.knn_ivf(ds, (qids, qm), k=10, n_centroids=16, nprobe=4)
 
 
-def q24_cdc_ingest(sf_dir: str):
-    """Full CDC engine drive (non-SQL: stateful multi-epoch upsert with
-    exactly-once manifests). Deterministic synthetic binlog; returns the
-    final live table. Correctness vs the replay oracle is asserted in
-    tests/test_cdc.py; here the driver records rows-only."""
-    import tempfile
+# ---------------------------------------------------------------------------
+# oracle fixtures — deterministic non-testdata inputs that a query AND its
+# DuckDB oracle share, materialized to a fixed /tmp path. Written
+# idempotently + atomically (wip + os.replace) from BOTH the query fn and
+# __ray_entry__.oracle_sql(), so the driver may evaluate either side first.
 
-    from e_commerce_batch_etl_pipeline_ray.cdc import binlog, engine
-    spec = binlog.BinlogSpec(events_per_epoch=5000, n_repos=20,
+_FIXTURE_DIR = "/tmp/graft_oracle_fixtures"
+Q24_BINLOG_DIR = os.path.join(_FIXTURE_DIR, "q24_binlog_v1")
+Q24_EPOCHS = 2
+Q26_ORDERS_PATH = os.path.join(_FIXTURE_DIR, "q26_orders_v1", "orders_raw.parquet")
+
+
+def _q24_spec():
+    from e_commerce_batch_etl_pipeline_ray.cdc import binlog
+    return binlog.BinlogSpec(events_per_epoch=5000, n_repos=20,
                              paths_per_repo=100, evolution_epoch=1,
                              content_chars_min=32, content_chars_max=512)
+
+
+def _atomic_write_parquet(table: pa.Table, path: str) -> None:
+    import pyarrow.parquet as pq
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = f"{path}.wip.{os.getpid()}"
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)
+
+
+def ensure_oracle_fixtures() -> None:
+    """Materialize the q24 binlog epochs and the q26 raw-orders table
+    (driver-side, no Ray session needed — tiny, pure functions of a seed).
+    If a version's file exists it is reused; bump the _v1 suffix when a
+    generator/spec changes."""
+    from e_commerce_batch_etl_pipeline_ray.cdc import binlog
+    spec = _q24_spec()
+    for ep in range(Q24_EPOCHS):
+        p = os.path.join(Q24_BINLOG_DIR, f"epoch-{ep}.parquet")
+        if not os.path.exists(p):
+            _atomic_write_parquet(binlog.gen_epoch_table(spec, ep), p)
+    if not os.path.exists(Q26_ORDERS_PATH):
+        from e_commerce_batch_etl_pipeline_ray.sources import generators
+        _atomic_write_parquet(generators.orders_raw_table(20_000, seed=42),
+                              Q26_ORDERS_PATH)
+
+
+def q24_cdc_ingest(sf_dir: str):
+    """Full CDC engine drive, independently oracle-checked: the binlog
+    epochs are parquet fixtures (tailed by the engine AND read by the DuckDB
+    oracle), and the engine's final live table must equal the SQL
+    last-writer-wins window query (ROW_NUMBER over (repo,path) by lsn DESC,
+    tombstones dropped) — including schema evolution: epoch-0 has no `lang`
+    column, union_by_name/Arrow-unify null-backfill must agree."""
+    import tempfile
+
+    from e_commerce_batch_etl_pipeline_ray.cdc import engine
+    ensure_oracle_fixtures()
     lake_dir = tempfile.mkdtemp(prefix="q24_lake_", dir="/tmp")
     eng = engine.CDCEngine(engine.CDCConfig(lake_dir=lake_dir,
                                             num_partitions=16,
                                             merge_concurrency=2))
-    for ep in range(2):
-        eng.ingest_epoch(binlog.gen_epoch(spec, ep), ep)
+    for ep in range(Q24_EPOCHS):
+        events = ray.data.read_parquet(
+            os.path.join(Q24_BINLOG_DIR, f"epoch-{ep}.parquet"),
+            override_num_blocks=8)
+        eng.ingest_epoch(events, ep)
     return eng.read().sort(["repo", "path"])
+
+
+Q24_SQL = f"""
+SELECT lsn, repo, path, commit, lang, content, content_sha256
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY repo, path ORDER BY lsn DESC) AS rn
+  FROM read_parquet(['{Q24_BINLOG_DIR}/epoch-0.parquet',
+                     '{Q24_BINLOG_DIR}/epoch-1.parquet'],
+                    union_by_name=true)
+)
+WHERE rn = 1 AND op <> 'D'
+ORDER BY repo, path
+"""
 
 
 QUERIES.update({
@@ -695,6 +755,7 @@ ORACLE.update({
     "q15_token_stats": Q15_SQL,
     "q16_quality": Q16_SQL,
     "q17_knn_brute": Q17_SQL,
+    "q24_cdc_ingest": Q24_SQL,
 })
 
 
@@ -732,11 +793,76 @@ FROM s GROUP BY 1, 2 ORDER BY 1, 2
 # generated in-engine, notebook-variant transform chain + DQ report)
 
 def q26_orders_pipeline(sf_dir: str):
+    """The notebook-variant transform chain, oracle-checked end-to-end: the
+    dirty input is a parquet fixture shared with the DuckDB oracle, which
+    expresses the whole chain (fillna -> lenient ts parse -> bool cast ->
+    critical-null drop -> total-order keyed dedup -> business filter ->
+    deriveds -> revenue band -> 24-col contract) in SQL
+    (notebooks/02_transformations.py:59-274 semantics)."""
     from e_commerce_batch_etl_pipeline_ray.pipelines import orders as O
-    from e_commerce_batch_etl_pipeline_ray.sources import generators
-    raw = generators.orders_raw(20_000, seed=42)
+    ensure_oracle_fixtures()
+    raw = ray.data.read_parquet(Q26_ORDERS_PATH, override_num_blocks=8)
     ds, _report, _overall = O.run(raw, num_partitions=16, gate=False)
     return ds.sort("order_id")
+
+
+Q26_SQL = f"""
+WITH filled AS (
+  SELECT order_id, customer_id, product_id, product_name,
+         COALESCE(category, 'Unknown') AS category,
+         quantity, unit_price, total_amount,
+         try_strptime(order_date, '%Y-%m-%d %H:%M:%S') AS order_date,
+         try_strptime(delivery_date, '%Y-%m-%d %H:%M:%S') AS delivery_date,
+         COALESCE(payment_method, 'unknown') AS payment_method,
+         order_status,
+         COALESCE(customer_country, 'Unknown') AS customer_country,
+         COALESCE(LOWER(is_premium_customer) = 'true', false) AS is_premium_customer,
+         COALESCE(discount_percent, 0.0) AS discount_percent,
+         COALESCE(shipping_cost, 0.0) AS shipping_cost
+  FROM read_parquet('{Q26_ORDERS_PATH}')
+), dropped AS (
+  SELECT * FROM filled
+  WHERE order_id IS NOT NULL AND customer_id IS NOT NULL
+    AND quantity IS NOT NULL AND unit_price IS NOT NULL
+    AND order_date IS NOT NULL
+), deduped AS (
+  SELECT * EXCLUDE (rn) FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY order_id
+      ORDER BY order_date DESC, customer_id DESC, product_id DESC,
+               quantity DESC, unit_price DESC,
+               total_amount DESC NULLS LAST,
+               delivery_date DESC NULLS LAST,
+               payment_method DESC, order_status DESC,
+               customer_country DESC, is_premium_customer DESC,
+               discount_percent DESC, shipping_cost DESC,
+               category DESC, product_name DESC
+    ) AS rn FROM dropped
+  ) WHERE rn = 1
+), derived AS (
+  SELECT order_id, customer_id, product_id, product_name, category,
+         quantity, unit_price,
+         CASE WHEN total_amount IS NOT NULL THEN total_amount
+              ELSE ROUND(quantity * unit_price, 2) END AS total_amount,
+         order_date, delivery_date, payment_method, order_status,
+         customer_country, is_premium_customer, discount_percent,
+         shipping_cost,
+         EXTRACT(year FROM order_date) AS order_year,
+         EXTRACT(month FROM order_date) AS order_month,
+         EXTRACT(quarter FROM order_date) AS order_quarter,
+         dayofweek(order_date) + 1 AS order_dayofweek,
+         monthname(order_date) AS order_month_name,
+         date_diff('day', order_date, delivery_date) AS delivery_days,
+         ROUND(unit_price * (1 - discount_percent / 100), 2) AS effective_price
+  FROM deduped
+  WHERE quantity > 0 AND unit_price > 0
+)
+SELECT *, CASE WHEN total_amount < 500 THEN 'Low'
+               WHEN total_amount < 2000 THEN 'Medium'
+               WHEN total_amount < 5000 THEN 'High'
+               ELSE 'Premium' END AS revenue_band
+FROM derived ORDER BY order_id
+"""
 
 
 QUERIES.update({
@@ -745,6 +871,7 @@ QUERIES.update({
 })
 ORACLE.update({
     "q25_sessionize": Q25_SQL,
+    "q26_orders_pipeline": Q26_SQL,
 })
 
 

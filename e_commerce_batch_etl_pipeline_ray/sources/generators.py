@@ -207,3 +207,12 @@ def orders_raw(n_rows: int, seed: int = 42, **range_kwargs) -> ray.data.Dataset:
     """Distributed deterministic dirty orders table (FIXTURES.md F4)."""
     return ray.data.range(n_rows, **range_kwargs).map_batches(
         lambda b: _orders_batch(b, seed), batch_format="pyarrow")
+
+
+def orders_raw_table(n_rows: int, seed: int = 42) -> pa.Table:
+    """Driver-side materialized orders_raw — every row is a pure function of
+    its index, so this equals the distributed generator at any parallelism
+    (used to share one parquet fixture between the Ray pipeline and its
+    DuckDB oracle)."""
+    ids = pa.table({"id": pa.array(np.arange(n_rows, dtype=np.int64))})
+    return _orders_batch(ids, seed)
