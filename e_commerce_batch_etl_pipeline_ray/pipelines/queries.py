@@ -949,16 +949,14 @@ SELECT c_mktsegment, rk, o_orderkey, o_totalprice FROM (
 # q30 — per-key cumulative aggregate (running sum of event values)
 
 def q30_running_sum(sf_dir: str):
-    import pandas as pd
+    from e_commerce_batch_etl_pipeline_ray.stages import streaming
     ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
-
-    def _cum(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="mergesort")
-        g["running_value"] = g["value"].cumsum().round(2)
-        return g[["user_id", "event_id", "running_value"]]
-
-    out = ds.groupby("user_id").map_groups(_cum, batch_format="pandas")
-    return out.sort(["user_id", "event_id"])
+    out = streaming.running_aggregate("user_id", "ts", "value",
+                                      out="running_value",
+                                      order_cols=["event_id"],
+                                      num_partitions=32).apply(ds)
+    return out.select_columns(["user_id", "event_id", "running_value"]) \
+              .sort(["user_id", "event_id"])
 
 
 Q30_SQL = """
@@ -1025,3 +1023,55 @@ ORDER BY e.event_id
 
 QUERIES.update({"q32_asof_join": q32_asof_join})
 ORACLE.update({"q32_asof_join": Q32_SQL})
+
+
+# ---------------------------------------------------------------------------
+# q33 — the reference analytics cube (notebooks/06_optimizations.py:276-287):
+# count + exact countDistinct + sum + avg + stddev + sum(bool) with a
+# multi-key orderBy, all through the pre-aggregated combiner plan
+
+def q33_analytics_cube(sf_dir: str):
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderstatus",
+                                  "o_totalprice", "o_orderdate"])
+    ds = maps.with_columns({
+        "order_year": lambda t: F.year(t["o_orderdate"]),
+        "is_big": lambda t: pc.greater(t["o_totalprice"], 300_000.0),
+    }).apply(ds)
+    base = aggregates.grouped_aggregate(
+        ["order_year", "o_orderstatus"],
+        [("count", None, "n_orders"),
+         ("sum", "o_totalprice", "sum_price"),
+         ("mean", "o_totalprice", "avg_price"),
+         ("std", "o_totalprice", "std_price"),
+         ("sum_bool", "is_big", "n_big")],
+        pre_aggregate=True).apply(ds)
+    distinct = aggregates.count_distinct(
+        ["order_year", "o_orderstatus"], "o_custkey", "n_customers").apply(ds)
+    bt = pa.concat_tables(ray.get(base.to_arrow_refs()), promote_options="default")
+    dt = pa.concat_tables(ray.get(distinct.to_arrow_refs()), promote_options="default")
+    df = bt.to_pandas().merge(dt.to_pandas(), on=["order_year", "o_orderstatus"])
+    for c in ("sum_price", "avg_price", "std_price"):
+        df[c] = df[c].round(2)
+    df = df.sort_values(["order_year", "o_orderstatus"]).reset_index(drop=True)
+    return pa.Table.from_pandas(
+        df[["order_year", "o_orderstatus", "n_orders", "n_customers",
+            "sum_price", "avg_price", "std_price", "n_big"]],
+        preserve_index=False)
+
+
+Q33_SQL = """
+SELECT EXTRACT(year FROM o_orderdate) AS order_year, o_orderstatus,
+       COUNT(*) AS n_orders,
+       COUNT(DISTINCT o_custkey) AS n_customers,
+       ROUND(SUM(o_totalprice), 2) AS sum_price,
+       ROUND(AVG(o_totalprice), 2) AS avg_price,
+       ROUND(STDDEV(o_totalprice), 2) AS std_price,
+       CAST(SUM(CASE WHEN o_totalprice > 300000 THEN 1 ELSE 0 END) AS BIGINT) AS n_big
+FROM orders
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+QUERIES.update({"q33_analytics_cube": q33_analytics_cube})
+ORACLE.update({"q33_analytics_cube": Q33_SQL})

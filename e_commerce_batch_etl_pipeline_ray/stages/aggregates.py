@@ -21,7 +21,10 @@ from ray.data.aggregate import Count, Max, Mean, Min, Std, Sum
 from e_commerce_batch_etl_pipeline_ray.core import FnStep
 
 # aggregate spec: list of (agg_kind, column, alias). agg_kind in
-# {"count", "sum", "mean", "min", "max", "count_distinct", "sum_bool"}
+# {"count", "sum", "mean", "min", "max", "std", "sum_bool",
+#  "count_distinct"}. All but count_distinct work in BOTH the direct and
+# the pre-aggregated (combiner) plan; count_distinct has its own
+# nested-groupby plan (count_distinct()).
 
 _PARTIAL_MAP = {  # agg -> (local pa.Table.group_by agg, merge fn on partials)
     "count": ("count", "sum"),
@@ -51,12 +54,23 @@ def grouped_aggregate(by: Sequence[str],
 
     if not pre_aggregate or any(k == "count_distinct" for k, _, _ in aggs):
         def _apply_direct(ds):
+            bool_cols = {col for kind, col, _ in aggs if kind == "sum_bool"}
+            if bool_cols:
+                def _cast_bools(t: pa.Table) -> pa.Table:
+                    for c in bool_cols:
+                        t = t.append_column(f"__bool_{c}",
+                                            pc.cast(t[c], pa.int64()))
+                    return t
+                ds = ds.map_batches(_cast_bools, batch_format="pyarrow",
+                                    zero_copy_batch=True)
             ray_aggs = []
             for kind, col, alias in aggs:
                 if kind == "count":
                     ray_aggs.append(Count(alias_name=alias))
                 elif kind == "sum":
                     ray_aggs.append(Sum(col, alias_name=alias))
+                elif kind == "sum_bool":
+                    ray_aggs.append(Sum(f"__bool_{col}", alias_name=alias))
                 elif kind == "mean":
                     ray_aggs.append(Mean(col, alias_name=alias))
                 elif kind == "min":
@@ -86,6 +100,7 @@ def grouped_aggregate(by: Sequence[str],
         return name
 
     needs_rowcount = any(k in ("count", "mean") for k, _, _ in aggs)
+    derived_cols: dict[str, tuple[str, str]] = {}  # name -> (src col, kind)
     for kind, col, alias in aggs:
         if kind == "count":
             plan.append((alias, "count", ["__rows_sum"]))
@@ -98,10 +113,30 @@ def grouped_aggregate(by: Sequence[str],
             plan.append((alias, "min", [_add_local(col, "min")]))
         elif kind == "max":
             plan.append((alias, "max", [_add_local(col, "max")]))
+        elif kind == "sum_bool":
+            # Spark sum(cast(bool as int)) — premium-customer count in the
+            # reference analytics cube (notebooks/06_optimizations.py:276-287)
+            name = f"__bool_{col}"
+            derived_cols[name] = (col, "bool_int")
+            plan.append((alias, "sum_bool", [_add_local(name, "sum")]))
+        elif kind == "std":
+            # sample stddev from (sum, sum of squares, count) partials —
+            # matches Spark stddev / DuckDB STDDEV (sample, n-1)
+            name = f"__sq_{col}"
+            derived_cols[name] = (col, "square")
+            plan.append((alias, "std", [_add_local(col, "sum"),
+                                        _add_local(name, "sum"),
+                                        _add_local(col, "count")]))
         else:
             raise ValueError(f"agg {kind} not supported with pre_aggregate")
 
     def _local(t: pa.Table) -> pa.Table:
+        for name, (src, how) in derived_cols.items():
+            if how == "bool_int":
+                t = t.append_column(name, pc.cast(t[src], pa.int64()))
+            else:
+                c = pc.cast(t[src], pa.float64())
+                t = t.append_column(name, pc.multiply(c, c))
         cols = set(by) | {c for c, _ in local_aggs}
         t = t.select([c for c in t.column_names if c in cols])
         if needs_rowcount:
@@ -134,6 +169,18 @@ def grouped_aggregate(by: Sequence[str],
                     s, c = t[pcols[0]], t[pcols[1]]
                     out = out.append_column(
                         alias, pc.divide(s.cast(pa.float64()), c.cast(pa.float64())))
+                elif kind == "sum_bool":
+                    out = out.append_column(alias, t[pcols[0]].cast(pa.int64()))
+                elif kind == "std":
+                    s = t[pcols[0]].cast(pa.float64())
+                    sq = t[pcols[1]].cast(pa.float64())
+                    n = t[pcols[2]].cast(pa.float64())
+                    var = pc.divide(
+                        pc.subtract(sq, pc.divide(pc.multiply(s, s), n)),
+                        pc.subtract(n, pa.scalar(1.0)))
+                    # clamp tiny negative fp residue before sqrt
+                    var = pc.max_element_wise(var, pa.scalar(0.0))
+                    out = out.append_column(alias, pc.sqrt(var))
                 else:
                     out = out.append_column(alias, t[pcols[0]])
             return out

@@ -131,7 +131,8 @@ def ngram_jaccard(a: str, b: str, k: int = 5) -> float:
 def minhash_lsh_pairs(ds: ray.data.Dataset, text_col: str = "text",
                       id_col: str = "doc_id", k: int = 5, num_hashes: int = 128,
                       bands: int = 16, threshold: float = 0.8,
-                      seed: int = 42) -> ray.data.Dataset:
+                      seed: int = 42,
+                      join_partitions: int = 16) -> ray.data.Dataset:
     """bands=16 x 8 rows tunes the S-curve for threshold~0.8:
     P(candidate | j=0.8) ~ 0.95, P(candidate | j=0.5) ~ 0.06. The previous
     32x4 default fired on ~87% of j=0.5 pairs -> candidate explosion on
@@ -139,13 +140,13 @@ def minhash_lsh_pairs(ds: ray.data.Dataset, text_col: str = "text",
 
     Near-duplicate pairs (id_a < id_b, jaccard >= threshold).
 
-    texts are re-fetched per bucket for verification via a broadcast of the
-    (id -> text) map IF the corpus is small; at scale pass a side lookup.
-    Here: candidates carry both ids; verification joins text back through a
-    broadcast ref (documents corpora at verify stage are bucket-local).
+    Verification texts come back through TWO hash-partitioned joins of the
+    (small) candidate set against the documents table on id — NO driver
+    materialization and NO whole-corpus broadcast anywhere in the path; the
+    per-join traffic is candidates + corpus partitioned on the id key, the
+    100-TB-safe shape. (Round 1 broadcast an id->text dict of the entire
+    corpus here — driver OOM at any real corpus size.)
     """
-    import ray
-
     # 1. signatures + band keys (actor pool, vectorized inner math)
     sig = ds.map_batches(
         _MinHashSig, batch_format="pyarrow", zero_copy_batch=True,
@@ -194,32 +195,62 @@ def minhash_lsh_pairs(ds: ray.data.Dataset, text_col: str = "text",
     cand = cand.groupby("_bpid").map_groups(_pairs_partition,
                                             batch_format="pyarrow")
     # dedupe candidate pairs produced by multiple bands
+    pair_ids_schema = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())])
+    out_schema = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),
+                            ("jaccard", pa.float64())])
     cand = dedup_keyed(["id_a", "id_b"], ["id_a"], num_partitions=32).apply(cand)
+    cand = _detach(cand.map_batches(_ensure_schema(pair_ids_schema),
+                                    batch_format="pyarrow",
+                                    zero_copy_batch=True), pair_ids_schema)
+    if cand.count() == 0:
+        return ray.data.from_arrow(out_schema.empty_table())
 
-    # 3. verify exact jaccard (broadcast the text lookup; candidates << corpus)
-    texts_tbl = pa.concat_tables(
-        ray.get(ds.select_columns([id_col, text_col]).to_arrow_refs()),
-        promote_options="default")
-    lookup_ref = ray.put(dict(zip(texts_tbl[id_col].to_pylist(),
-                                  texts_tbl[text_col].to_pylist())))
+    # 3. verify exact jaccard: hash-join the candidate ids back to the docs
+    #    table (id-partitioned both sides), once per pair side, then a
+    #    vectorized-kernel verify over rows that now CARRY both texts.
+    docs = ds.select_columns([id_col, text_col])
+    j1_schema = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),
+                           ("_text_a", pa.string())])
+    j2_schema = j1_schema.append(pa.field("_text_b", pa.string()))
+    cand = cand.join(docs, join_type="inner", on=("id_a",), right_on=(id_col,),
+                     num_partitions=join_partitions, right_suffix="_ra")
+    # _detach between the two joins: Ray 2.49 joins choke on empty blocks
+    # and on chained-join lineage (see _detach docstring)
+    cand = _detach(cand.map_batches(
+        _ensure_schema_renamed(j1_schema, {text_col: "_text_a"}),
+        batch_format="pyarrow", zero_copy_batch=True), j1_schema)
+    if cand.count() == 0:
+        return ray.data.from_arrow(out_schema.empty_table())
+    cand = cand.join(docs, join_type="inner", on=("id_b",), right_on=(id_col,),
+                     num_partitions=join_partitions, right_suffix="_rb")
+    cand = cand.map_batches(
+        _ensure_schema_renamed(j2_schema, {text_col: "_text_b"}),
+        batch_format="pyarrow", zero_copy_batch=True)
 
     class _Verify:
-        def __init__(self, ref, kk, thr):
-            self.texts = ray.get(ref)
-            self.k, self.thr = kk, thr
-            self._sh: dict = {}      # doc -> shingle set, memoized per actor
+        """Per-actor shingle memo keyed by doc id (a hot doc in many pairs
+        is shingled once per actor, bounded cache)."""
 
-        def _shingles(self, doc_id):
+        def __init__(self, kk, thr):
+            self.k, self.thr = kk, thr
+            self._sh: dict = {}
+
+        def _shingles(self, doc_id, text):
             s = self._sh.get(doc_id)
             if s is None:
-                s = _shingle_hashes(self.texts[doc_id], self.k)
+                if len(self._sh) > 8192:
+                    self._sh.clear()
+                s = _shingle_hashes(text, self.k)
                 self._sh[doc_id] = s
             return s
 
         def __call__(self, t: pa.Table) -> pa.Table:
             keep_a, keep_b, jac = [], [], []
-            for a_id, b_id in zip(t["id_a"].to_pylist(), t["id_b"].to_pylist()):
-                sa, sb = self._shingles(a_id), self._shingles(b_id)
+            for a_id, b_id, ta, tb in zip(t["id_a"].to_pylist(),
+                                          t["id_b"].to_pylist(),
+                                          t["_text_a"].to_pylist(),
+                                          t["_text_b"].to_pylist()):
+                sa, sb = self._shingles(a_id, ta), self._shingles(b_id, tb)
                 inter = np.intersect1d(sa, sb, assume_unique=True).size
                 union = sa.size + sb.size - inter
                 j = inter / union if union else 1.0
@@ -227,45 +258,161 @@ def minhash_lsh_pairs(ds: ray.data.Dataset, text_col: str = "text",
                     keep_a.append(a_id)
                     keep_b.append(b_id)
                     jac.append(round(j, 6))
-            return pa.table({"id_a": pa.array(keep_a), "id_b": pa.array(keep_b),
+            return pa.table({"id_a": pa.array(keep_a, pa.int64()),
+                             "id_b": pa.array(keep_b, pa.int64()),
                              "jaccard": pa.array(jac, pa.float64())})
 
     return cand.map_batches(_Verify, batch_format="pyarrow",
-                            fn_constructor_args=(lookup_ref, k, threshold),
+                            fn_constructor_args=(k, threshold),
                             concurrency=(1, 8))
 
 
-def dedup_by_pairs(ds: ray.data.Dataset, pairs: ray.data.Dataset,
-                   id_col: str = "doc_id") -> ray.data.Dataset:
-    """Drop the higher id of every duplicate pair (transitively: iterate
-    min-label propagation over the pair edges until fixpoint — edges are a
-    tiny fraction of the corpus, done driver-side on the collected pair
-    list; the corpus-side filter is a broadcast semi-join)."""
-    import ray
-    edges = pairs.select_columns(["id_a", "id_b"]).take_all()
-    # min-label propagation on the driver over the (small) edge list
-    label: dict = {}
-    for e in edges:
-        a, b = e["id_a"], e["id_b"]
-        label.setdefault(a, a)
-        label.setdefault(b, b)
-    changed = True
-    while changed:
-        changed = False
-        for e in edges:
-            a, b = e["id_a"], e["id_b"]
-            m = min(label[a], label[b])
-            if label[a] != m or label[b] != m:
-                label[a] = label[b] = m
-                changed = True
-    drop = {k for k, v in label.items() if k != v}
-    drop_ref = ray.put(drop)
+def _rename(t: pa.Table, mapping: dict[str, str], drop: list[str] = ()) -> pa.Table:
+    if drop:
+        t = t.drop_columns([c for c in drop if c in t.column_names])
+    return t.rename_columns([mapping.get(c, c) for c in t.column_names])
 
-    def _filter(t: pa.Table) -> pa.Table:
-        d = ray.get(drop_ref)
-        mask = pa.array([v not in d for v in t[id_col].to_pylist()])
-        return t.filter(mask)
-    return ds.map_batches(_filter, batch_format="pyarrow", zero_copy_batch=True)
+
+def _detach(ds: ray.data.Dataset, schema: pa.Schema) -> ray.data.Dataset:
+    """Materialize and rebuild the dataset from its NON-EMPTY block refs.
+
+    Ray 2.49 join bug workaround: an EMPTY block in either join input makes
+    the hash-shuffle partition builder produce a zero-column table and acero
+    fails with 'No match for FieldRef' — so any dataset feeding a Join is
+    compacted to non-empty blocks first (block METADATA row counts only; no
+    driver fetch of block contents). Returns a single explicitly-schema'd
+    empty-table dataset when everything was empty — callers must still
+    count() before joining against it."""
+    m = ds.materialize()
+    refs = []
+    for bundle in m.iter_internal_ref_bundles():
+        for ref, meta in bundle.blocks:
+            if meta.num_rows is None or meta.num_rows > 0:
+                refs.append(ref)
+    if not refs:
+        return ray.data.from_arrow(schema.empty_table())
+    return ray.data.from_arrow_refs(refs)
+
+
+def _ensure_schema_renamed(schema: pa.Schema, mapping: dict[str, str]):
+    """Rename then pin to schema (empty/zero-column blocks -> empty table)."""
+    base = _ensure_schema(schema)
+
+    def _fn(t: pa.Table) -> pa.Table:
+        return base(_rename(t, mapping))
+    return _fn
+
+
+def _ensure_schema(schema: pa.Schema):
+    """Batch fn: pin blocks to ``schema``. Ray's groupby/aggregate operators
+    emit ZERO-COLUMN empty blocks ("new schema: ." executor warnings) which
+    crash a downstream Dataset.join with 'No match for FieldRef' — every
+    groupby-derived dataset that feeds a join goes through this."""
+    def _fn(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or not all(n in t.column_names for n in schema.names):
+            return schema.empty_table()
+        cols = [t[f.name].cast(f.type) if t[f.name].type != f.type else t[f.name]
+                for f in schema]
+        return pa.Table.from_arrays(cols, schema=schema)
+    return _fn
+
+
+def dedup_by_pairs(ds: ray.data.Dataset, pairs: ray.data.Dataset,
+                   id_col: str = "doc_id", max_rounds: int = 20,
+                   num_partitions: int = 16) -> ray.data.Dataset:
+    """Transitive cluster dedup: keep the minimum id of every connected
+    component in the duplicate-pair graph, drop the rest.
+
+    Fully distributed — the driver NEVER holds the edge list or the label
+    table. Iterative min-label propagation over the (symmetrized) edge set:
+    each round hash-joins labels to edge sources, ships ``label[src]`` to
+    ``dst``, and takes the per-node min; labels only decrease, so the
+    (monotone) label sum detects the fixpoint. Rounds needed = component
+    diameter — near-dup clusters are shallow; ``max_rounds`` bounds
+    pathological chains. The corpus-side filter is an id-partitioned
+    left-outer join against the non-winner label rows (NOT a broadcast —
+    at 100 TB with 30% dup rates the drop set alone outgrows any one node).
+    """
+    edges = pairs.select_columns(["id_a", "id_b"])
+
+    def _symmetrize(t: pa.Table) -> pa.Table:
+        """Both directions PLUS self-loops: with (v, v) edges in the set,
+        `min over incoming labels` already includes the node's own label, so
+        each round is a single join + grouped min (no union — Ray 2.49
+        mis-plans a materialized dataset reused as both join-right and
+        union-input in one DAG)."""
+        a, b = t["id_a"].combine_chunks(), t["id_b"].combine_chunks()
+        a = a.cast(pa.int64())
+        b = b.cast(pa.int64())
+        return pa.table({
+            "_src": pa.concat_arrays([a, b, a, b]),
+            "_dst": pa.concat_arrays([b, a, a, b]),
+        })
+
+    # _detach matters: `pairs` often arrives with Join lineage (the minhash
+    # verify path) and sym feeds Joins every round
+    sym_schema = pa.schema([("_src", pa.int64()), ("_dst", pa.int64())])
+    sym = _detach(edges.map_batches(_symmetrize, batch_format="pyarrow",
+                                    zero_copy_batch=True), sym_schema)
+    if sym.count() == 0:
+        return ds
+
+    label_schema = pa.schema([("_node", pa.int64()), ("_label", pa.int64())])
+
+    # labels: every endpoint starts labeled with itself
+    labels = dedup_keyed(["_src"], ["_src"], descending=False,
+                         num_partitions=num_partitions).apply(
+        sym.select_columns(["_src"]))
+    labels = _detach(labels.map_batches(
+        lambda t: (label_schema.empty_table() if t.num_rows == 0 or "_src" not in t.column_names
+                   else pa.table({"_node": t["_src"], "_label": t["_src"]})),
+        batch_format="pyarrow", zero_copy_batch=True), label_schema)
+    prev_sum = labels.sum("_label")
+
+    for _ in range(max_rounds):
+        # label[src] flows along every edge (incl. the self-loop) ...
+        msgs = sym.join(labels, join_type="inner", on=("_src",),
+                        right_on=("_node",), num_partitions=num_partitions)
+        msgs = msgs.map_batches(
+            lambda t: (label_schema.empty_table() if t.num_rows == 0 or "_dst" not in t.column_names
+                       else pa.table({"_node": t["_dst"], "_label": t["_label"]})),
+            batch_format="pyarrow", zero_copy_batch=True)
+        # ... and every node keeps the min of the incoming labels
+        labels = msgs.groupby("_node").min("_label")
+        labels = _detach(labels.map_batches(
+            _ensure_schema_renamed(label_schema, {"min(_label)": "_label"}),
+            batch_format="pyarrow", zero_copy_batch=True), label_schema)
+        cur_sum = labels.sum("_label")
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+
+    # non-winners (label != own id) are dropped from the corpus via an
+    # id-partitioned left-outer join; winners and untouched docs pass through
+    loser_schema = pa.schema([("_node", pa.int64()), ("_drop", pa.bool_())])
+
+    def _losers(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "_node" not in t.column_names:
+            return loser_schema.empty_table()
+        t = t.filter(pc.not_equal(t["_label"], t["_node"]))
+        return pa.table({"_node": t["_node"].combine_chunks().cast(pa.int64()),
+                         "_drop": pa.array([True] * t.num_rows, pa.bool_())})
+
+    losers = _detach(labels.map_batches(_losers, batch_format="pyarrow",
+                                        zero_copy_batch=True), loser_schema)
+    if losers.count() == 0:
+        return ds
+    joined = ds.join(losers, join_type="left_outer", on=(id_col,),
+                     right_on=("_node",), num_partitions=num_partitions)
+
+    def _keep(t: pa.Table) -> pa.Table:
+        if "_drop" not in t.column_names:   # empty join partition (0-col block)
+            return t
+        t = t.filter(pc.is_null(t["_drop"]))
+        return t.drop_columns([c for c in ("_drop", "_node") if c in t.column_names])
+
+    return joined.map_batches(_keep, batch_format="pyarrow",
+                              zero_copy_batch=True)
 
 
 # ---------------------------------------------------------------------------
@@ -411,33 +558,57 @@ def embedding_neardup_pairs(ds: ray.data.Dataset, emb_col: str = "embedding",
                               fn_constructor_args=(planes_ref,),
                               concurrency=(1, 8))
 
-    def _pairs(g: pa.Table) -> pa.Table:
-        ids = g[id_col].to_pylist()
-        uniq = {}
-        for i, did in enumerate(ids):
-            uniq.setdefault(did, i)
-        o = sorted(uniq.items())
-        if len(o) < 2:
-            return pa.table({"id_a": pa.array([], pa.int64()),
-                             "id_b": pa.array([], pa.int64()),
-                             "cosine": pa.array([], pa.float64())})
-        v = np.asarray(g["vec"].to_pylist(), dtype=np.float64)[[i for _, i in o]]
+    # partition-level vectorized bucketing — the SAME _bpid pattern as
+    # minhash/simhash: hash-partition the (tab, bucket) keys, then ONE
+    # Python call per partition that sorts, finds bucket boundaries, and
+    # matmuls per bucket segment. (Round 1 did groupby(tab,bucket)
+    # .map_groups — one Python dispatch per tiny bucket.)
+    def _pairs_partition(g: pa.Table) -> pa.Table:
+        empty = pa.table({"id_a": pa.array([], pa.int64()),
+                          "id_b": pa.array([], pa.int64()),
+                          "cosine": pa.array([], pa.float64())})
+        if g.num_rows == 0:
+            return empty
+        idx = pc.sort_indices(g, sort_keys=[("tab", "ascending"),
+                                            ("bucket", "ascending"),
+                                            (id_col, "ascending")])
+        t = g.take(idx)
+        tab = t["tab"].to_numpy()
+        bucket = t["bucket"].to_numpy()
+        ids = t[id_col].to_numpy()
+        v = np.asarray(t["vec"].to_pylist(), dtype=np.float64)
         norm = np.linalg.norm(v, axis=1, keepdims=True)
         norm[norm == 0] = 1.0
         vn = v / norm
-        sim = vn @ vn.T
+        n = len(ids)
+        new_group = np.ones(n, dtype=bool)
+        new_group[1:] = (tab[1:] != tab[:-1]) | (bucket[1:] != bucket[:-1])
+        starts = np.flatnonzero(new_group)
+        ends = np.append(starts[1:], n)
         a_out, b_out, cs = [], [], []
-        for i in range(len(o)):
-            for j in range(i + 1, len(o)):
-                if sim[i, j] >= threshold:
-                    a_out.append(o[i][0])
-                    b_out.append(o[j][0])
-                    cs.append(round(float(sim[i, j]), 6))
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            seg_ids = ids[s:e]
+            sim = vn[s:e] @ vn[s:e].T
+            ii, jj = np.nonzero(np.triu(sim >= threshold, k=1))
+            for i, j in zip(ii, jj):
+                a_out.append(int(seg_ids[i]))
+                b_out.append(int(seg_ids[j]))
+                cs.append(round(float(sim[i, j]), 6))
+        if not a_out:
+            return empty
         return pa.table({"id_a": pa.array(a_out, pa.int64()),
                          "id_b": pa.array(b_out, pa.int64()),
                          "cosine": pa.array(cs, pa.float64())})
 
-    pairs = bucketed.groupby(["tab", "bucket"]).map_groups(
-        _pairs, batch_format="pyarrow")
+    def _assign_bucket_pid(t: pa.Table) -> pa.Table:
+        pid = hash_partition_ids(t, ["tab", "bucket"], 32)
+        return t.append_column("_bpid", pa.array(pid, pa.int32()))
+
+    pairs = bucketed.map_batches(_assign_bucket_pid, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+    pairs = pairs.groupby("_bpid").map_groups(_pairs_partition,
+                                              batch_format="pyarrow")
     return dedup_keyed(["id_a", "id_b"], ["cosine"], descending=True,
                        num_partitions=16).apply(pairs)

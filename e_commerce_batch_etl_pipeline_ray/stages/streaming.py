@@ -1,28 +1,62 @@
 """Stream-shaped operators over event tables (engine brief / ray_guide
 'Streaming-shaped workloads'). Ray Data has no native event-time windows;
-these express them as key-partitioned grouped computations:
+these express them as KEY-PARTITIONED grouped computations:
 
   * tumbling_window — floor event time to a fixed window + grouped aggregate
-  * sessionize — per-key session assignment (gap > timeout starts a new
-    session) via groupby(key).map_groups over ts-sorted groups
+  * sessionize — per-key session assignment (gap > timeout starts a new one)
+  * asof_join_last_event — per-key backward as-of self-join
+  * running_aggregate — per-key cumulative sum
+
+Scale shape (same as stages/dedup.py): rows are hash-partitioned on
+``hash(key) % num_partitions`` and the per-group function runs ONCE PER
+PARTITION over all of that partition's keys with vectorized pandas groupby
+kernels (grouped diff/cumsum, merge_asof with by=) — exactly
+``num_partitions`` Python dispatches total, never one per key. (Round 1
+used groupby(key).map_groups: one pandas call per key — correct, but at
+100x the key count that is the dispatch bottleneck; VERDICT r1 #4.)
 
 Ordering assumption: correctness needs each key's events co-located (the
-groupby shuffle guarantees it) and sorted within the group (done inside the
-group fn) — NOT globally ordered arrival, matching the CDC engine's
-order-free LWW philosophy.
+partition shuffle guarantees it) and sorted within the partition (done
+inside the partition fn) — NOT globally ordered arrival, matching the CDC
+engine's order-free LWW philosophy.
 """
 
 from __future__ import annotations
 
+from typing import Callable
+
 import pandas as pd
+import pyarrow as pa
 
 from e_commerce_batch_etl_pipeline_ray.core import FnStep
+from e_commerce_batch_etl_pipeline_ray.stages.dedup import hash_partition_ids
+
+_PID = "__spart_id"
+
+
+def partitioned_apply(key_col: str, fn: Callable[[pd.DataFrame], pd.DataFrame],
+                      name: str, num_partitions: int = 64) -> FnStep:
+    """Co-locate keys by hash partition, then run ``fn`` once per partition
+    (a partition-level pandas frame holding ALL of its keys' rows, _pid
+    already stripped). ``fn`` must handle multiple keys vectorized."""
+
+    def _apply(ds):
+        def _assign(t: pa.Table) -> pa.Table:
+            pid = hash_partition_ids(t, [key_col], num_partitions)
+            return t.append_column(_PID, pa.array(pid, pa.int32()))
+
+        def _run(g: pd.DataFrame) -> pd.DataFrame:
+            return fn(g.drop(columns=[_PID]))
+
+        ds = ds.map_batches(_assign, batch_format="pyarrow", zero_copy_batch=True)
+        return ds.groupby(_PID).map_groups(_run, batch_format="pandas")
+
+    return FnStep(name, _apply)
 
 
 def tumbling_window(ts_col: str, unit: str = "day", out: str = "window_start") -> FnStep:
     """Floor timestamps to the window start (compose with grouped_aggregate
     for windowed aggregates — see queries.q11_window_agg)."""
-    import pyarrow as pa
     import pyarrow.compute as pc
 
     def _fn(t: pa.Table) -> pa.Table:
@@ -37,58 +71,81 @@ def tumbling_window(ts_col: str, unit: str = "day", out: str = "window_start") -
 
 
 def sessionize(key_col: str, ts_col: str, gap_minutes: float = 30.0,
-               order_cols: list[str] | None = None) -> FnStep:
+               order_cols: list[str] | None = None,
+               num_partitions: int = 64) -> FnStep:
     """Per-key sessionization: events for one key, sorted by (ts, order_cols),
     belong to the same session until a gap > ``gap_minutes``; emits one row
     per session with n_events / session_start / session_end.
 
     Session ids are 0-based per key in ts order — deterministic given the
-    tiebreak columns.
+    tiebreak columns. Partition-level vectorization: ONE sort + grouped
+    diff/cumsum per partition covers every key in it.
     """
     order = [ts_col] + list(order_cols or [])
 
-    def _per_key(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(order, kind="mergesort")
-        gap = g[ts_col].diff() > pd.Timedelta(minutes=gap_minutes)
-        g["session_id"] = gap.fillna(False).cumsum().astype("int64")
-        out = g.groupby("session_id", sort=True).agg(
+    def _per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col] + order, kind="mergesort")
+        # grouped diff: NaT at each key's first row -> gap False -> session 0
+        gap = (g.groupby(key_col, sort=False)[ts_col].diff()
+               > pd.Timedelta(minutes=gap_minutes))
+        g["session_id"] = gap.groupby(g[key_col], sort=False).cumsum().astype("int64")
+        out = g.groupby([key_col, "session_id"], sort=True).agg(
             n_events=(ts_col, "size"),
             session_start=(ts_col, "min"),
             session_end=(ts_col, "max"),
         ).reset_index()
-        out.insert(0, key_col, g[key_col].iloc[0])
         return out
 
-    def _apply(ds):
-        return ds.groupby(key_col).map_groups(_per_key, batch_format="pandas")
-    return FnStep(f"sessionize[{key_col}]", _apply)
+    return partitioned_apply(key_col, _per_partition,
+                             f"sessionize[{key_col}]", num_partitions)
 
 
 def asof_join_last_event(key_col: str, ts_col: str, marker_col: str,
                          marker_value: str, out: str,
-                         tiebreak_cols: list[str] | None = None) -> FnStep:
+                         tiebreak_cols: list[str] | None = None,
+                         num_partitions: int = 64) -> FnStep:
     """As-of self-join: for each non-marker row, the timestamp of the most
     recent marker row (e.g. last 'signup' before each event) of the SAME key.
+    Matches at equal timestamps are allowed (<=).
 
     Ray shape (ray_guide 'As-of / range join'): co-locate by key via the
-    groupby shuffle, then pandas merge_asof per ts-sorted group. Matches at
-    equal timestamps are allowed (<=).
+    hash-partition shuffle, then ONE ``pd.merge_asof(..., by=key)`` per
+    partition — pandas' by= grouping is vectorized across all keys.
     """
     order = [ts_col] + list(tiebreak_cols or [])
 
-    def _per_key(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(order, kind="mergesort")
-        markers = g[g[marker_col] == marker_value][[ts_col]].rename(
-            columns={ts_col: out})
-        rest = g[g[marker_col] != marker_value]
+    def _per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        markers = (g.loc[g[marker_col] == marker_value, [key_col, ts_col]]
+                   .rename(columns={ts_col: out})
+                   .sort_values(out, kind="mergesort"))
+        rest = (g[g[marker_col] != marker_value]
+                .sort_values(order, kind="mergesort"))
         if rest.empty:
             return rest.assign(**{out: pd.Series([], dtype=g[ts_col].dtype)})
         if markers.empty:
             return rest.assign(**{out: pd.NaT})
-        joined = pd.merge_asof(rest, markers, left_on=ts_col, right_on=out,
-                               direction="backward", allow_exact_matches=True)
-        return joined
+        return pd.merge_asof(rest, markers, left_on=ts_col, right_on=out,
+                             by=key_col, direction="backward",
+                             allow_exact_matches=True)
 
-    def _apply(ds):
-        return ds.groupby(key_col).map_groups(_per_key, batch_format="pandas")
-    return FnStep(f"asof[{marker_value}]", _apply)
+    return partitioned_apply(key_col, _per_partition,
+                             f"asof[{marker_value}]", num_partitions)
+
+
+def running_aggregate(key_col: str, ts_col: str, value_col: str,
+                      out: str = "running_value",
+                      order_cols: list[str] | None = None,
+                      ndigits: int | None = 2,
+                      num_partitions: int = 64) -> FnStep:
+    """Per-key cumulative sum in (ts, order_cols) order — one grouped
+    pandas cumsum per partition."""
+    order = [ts_col] + list(order_cols or [])
+
+    def _per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col] + order, kind="mergesort")
+        run = g.groupby(key_col, sort=False)[value_col].cumsum()
+        g[out] = run.round(ndigits) if ndigits is not None else run
+        return g
+
+    return partitioned_apply(key_col, _per_partition,
+                             f"running_sum[{value_col}]", num_partitions)

@@ -59,11 +59,11 @@ def test_replay_parity_with_sha256(tmp_path, backend):
     _shutdown(eng)
 
 
-def test_out_of_order_and_duplicate_delivery(tmp_path):
+def test_out_of_order_and_duplicate_delivery(tmp_path, backend):
     """Hand-built pathological batch: late stale update must lose; duplicate
     (key,lsn) delivery is idempotent; delete tombstone blocks resurrection
     by an earlier-LSN insert arriving later."""
-    eng = _engine(tmp_path)
+    eng = _engine(tmp_path, backend=backend)
 
     def ev(lsn, op, path, content):
         import hashlib
@@ -89,11 +89,11 @@ def test_out_of_order_and_duplicate_delivery(tmp_path):
     assert df.loc["c.py", "lsn"] == 7
 
 
-def test_update_to_missing_key_inserts(tmp_path):
+def test_update_to_missing_key_inserts(tmp_path, backend):
     import hashlib
 
     import ray.data
-    eng = _engine(tmp_path)
+    eng = _engine(tmp_path, backend=backend)
     rows = [{"lsn": 1, "op": "U", "repo": "r", "path": "ghost.py",
              "commit": "c1", "lang": "py", "content": "x",
              "content_sha256": hashlib.sha256(b"x").hexdigest()}]
@@ -101,6 +101,7 @@ def test_update_to_missing_key_inserts(tmp_path):
         pa.Table.from_pylist(rows, schema=binlog.EVENT_SCHEMA_V2)), 0)
     df = eng.read().to_pandas()
     assert len(df) == 1 and df.iloc[0]["path"] == "ghost.py"
+    _shutdown(eng)
 
 
 def test_crash_before_manifest_resume(tmp_path, backend):
@@ -117,9 +118,9 @@ def test_crash_before_manifest_resume(tmp_path, backend):
     _shutdown(eng)
 
 
-def test_crash_mid_write_tmp_debris(tmp_path):
+def test_crash_mid_write_tmp_debris(tmp_path, backend):
     """Tmp dir debris from a crashed epoch is cleaned and the epoch re-runs."""
-    eng = _engine(tmp_path)
+    eng = _engine(tmp_path, backend=backend)
     eng.ingest_epoch(binlog.gen_epoch(SPEC, 0), 0)
     tmp = lake.epoch_dir(eng.cfg.lake_dir, 1, tmp=True)
     os.makedirs(tmp)
@@ -129,6 +130,7 @@ def test_crash_mid_write_tmp_debris(tmp_path):
     assert not os.path.isdir(tmp)
     eng.ingest_epoch(binlog.gen_epoch(SPEC, 1), 1)
     assert _final_state(eng) == _oracle_state(SPEC, 2)
+    _shutdown(eng)
 
 
 def test_epoch_order_enforced(tmp_path):
@@ -231,11 +233,11 @@ def test_hot_key_skew_bounded_and_correct(tmp_path):
     assert df.loc["hot.py", "lsn"] == max(hot_lsns)
 
 
-def test_delta_mode_parity_and_compaction(tmp_path):
+def test_delta_mode_parity_and_compaction(tmp_path, backend):
     """compact_interval=3: epochs 0,1 write delta files only (no state
     rewrite), epoch 2 compacts. Snapshots at EVERY epoch must match the
     oracle; after compaction the deltas are folded into one base file."""
-    eng = _engine(tmp_path, compact_interval=3)
+    eng = _engine(tmp_path, compact_interval=3, backend=backend)
     for ep in range(4):
         eng.ingest_epoch(binlog.gen_epoch(SPEC, ep), ep)
         assert _final_state(eng) == _oracle_state(SPEC, ep + 1), f"epoch {ep}"
@@ -245,12 +247,13 @@ def test_delta_mode_parity_and_compaction(tmp_path):
     assert any(rec["deltas"] for rec in m3["partitions"].values())
     m1 = lake.read_manifest(eng.cfg.lake_dir, 1)
     assert any(rec["deltas"] for rec in m1["partitions"].values())
+    _shutdown(eng)
 
 
-def test_delta_mode_crash_resume(tmp_path):
+def test_delta_mode_crash_resume(tmp_path, backend):
     """Crash between a delta epoch's data write and manifest commit: resume
     re-runs it; final state identical; no duplicate delta references."""
-    eng = _engine(tmp_path, compact_interval=4)
+    eng = _engine(tmp_path, compact_interval=4, backend=backend)
     for ep in range(3):
         eng.ingest_epoch(binlog.gen_epoch(SPEC, ep), ep)
     os.remove(os.path.join(eng.cfg.lake_dir, "manifests", "epoch-0002.json"))
@@ -260,6 +263,7 @@ def test_delta_mode_crash_resume(tmp_path):
     m = lake.read_manifest(eng.cfg.lake_dir, 2)
     for rec in m["partitions"].values():
         assert len(rec["deltas"]) == len(set(rec["deltas"]))
+    _shutdown(eng)
 
 
 def test_delta_mode_matches_compact_mode(tmp_path):
@@ -314,7 +318,7 @@ def test_actor_pool_delta_mode_parity(tmp_path):
     e2._pool.shutdown()
 
 
-def test_tombstone_gc(tmp_path):
+def test_tombstone_gc(tmp_path, backend):
     """With gc_lateness_epochs=1, tombstones older than the watermark two
     epochs back are dropped at compaction; younger tombstones survive and
     still block resurrection."""
@@ -334,7 +338,7 @@ def test_tombstone_gc(tmp_path):
     # keys to observe the horizon behavior deterministically
     eng = engine.CDCEngine(engine.CDCConfig(
         lake_dir=str(tmp_path / "lake"), num_partitions=1,
-        merge_concurrency=1, gc_lateness_epochs=1))
+        merge_concurrency=1, gc_lateness_epochs=1, backend=backend))
     epochs = [
         [ev(0, "I", "a.py"), ev(1, "D", "a.py"), ev(2, "I", "b.py")],   # watermark 2
         [ev(3, "I", "c.py"), ev(4, "D", "c.py")],                       # watermark 4
@@ -351,6 +355,7 @@ def test_tombstone_gc(tmp_path):
     assert "c.py" in tombs                # lsn 4 == horizon(4) -> kept (not <)
     live = set(eng.read().to_pandas()["path"])
     assert live == {"b.py", "d.py", "e.py"}
+    _shutdown(eng)
 
 
 def test_actor_pool_split_fanout_parity(tmp_path):
@@ -362,3 +367,71 @@ def test_actor_pool_split_fanout_parity(tmp_path):
         e2.ingest_epoch(binlog.gen_epoch(SPEC, ep), ep)
     assert _final_state(e1) == _final_state(e2) == _oracle_state(SPEC, 2)
     e1._pool.shutdown(); e2._pool.shutdown()
+
+
+# --- schema-evolution property (hypothesis) ---------------------------------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(max_examples=8, deadline=None)
+@given(data=st.data())
+def test_schema_evolution_property(data):
+    """Random tiny binlogs across the evolution boundary: any mix of ops,
+    duplicate delivery (same or later epoch than the original), and
+    arbitrary arrival order must replay to the dict-oracle state — with the
+    additive `lang` column null for pre-evolution events everywhere."""
+    import hashlib
+    import tempfile
+
+    import ray.data
+
+    per_epoch = data.draw(st.integers(8, 30))
+    n_epochs = 2
+    keys = [("r%d" % r, "f%d.py" % p) for r in range(3) for p in range(3)]
+
+    events = []          # one canonical payload per lsn
+    for lsn in range(per_epoch * n_epochs):
+        orig_epoch = lsn // per_epoch
+        op = data.draw(st.sampled_from(["I", "U", "D"]))
+        repo, path = data.draw(st.sampled_from(keys))
+        content = None if op == "D" else f"body{lsn}"
+        events.append({
+            "lsn": lsn, "op": op, "repo": repo, "path": path,
+            "commit": f"c{lsn:04d}",
+            "lang": (None if orig_epoch == 0 or op == "D" else "py"),
+            "content": content,
+            "content_sha256": (hashlib.sha256(content.encode()).hexdigest()
+                               if content is not None else None),
+            "_orig": orig_epoch,
+        })
+
+    # delivery plan: original epoch + optional duplicate in same-or-later epoch
+    deliveries = {0: [], 1: []}
+    for e in events:
+        deliveries[e["_orig"]].append(e)
+        if data.draw(st.booleans()):
+            deliveries[data.draw(st.integers(e["_orig"], n_epochs - 1))].append(e)
+    for ep in deliveries:   # arbitrary arrival order within the epoch
+        deliveries[ep] = data.draw(st.permutations(deliveries[ep]))
+
+    def to_table(evs, with_lang):
+        schema = binlog.EVENT_SCHEMA_V2 if with_lang else binlog.EVENT_SCHEMA_V1
+        rows = [{k: v for k, v in e.items() if k != "_orig" and (with_lang or k != "lang")}
+                for e in evs]
+        return pa.Table.from_pylist(rows, schema=schema)
+
+    lake_dir = tempfile.mkdtemp(prefix="cdc_prop_", dir="/tmp")
+    eng = engine.CDCEngine(engine.CDCConfig(lake_dir=lake_dir, num_partitions=4,
+                                            merge_concurrency=1))
+    for ep in range(n_epochs):
+        eng.ingest_epoch(ray.data.from_arrow(to_table(deliveries[ep], ep >= 1)), ep)
+
+    got = _final_state(eng)
+
+    all_evs = to_table(sorted(events, key=lambda e: e["lsn"]), True)
+    exp = {k: (v["lsn"], v["commit"], v["content_sha256"], v["lang"])
+           for k, v in oracle.live_rows(oracle.replay(all_evs)).items()}
+    assert got == exp
+    shutil.rmtree(lake_dir, ignore_errors=True)
