@@ -113,8 +113,11 @@ class EpochStats:
 def _data_schema(event_schema: pa.Schema, prev_schema: pa.Schema | None) -> pa.Schema:
     """Evolved lake schema: event columns minus op, plus lsn + _deleted;
     unified additively with the previous epoch's schema (type widening via
-    permissive unify)."""
-    fields = [f for f in event_schema if f.name not in ("op",)]
+    permissive unify). Metadata is STRIPPED: parquet pandas-metadata makes
+    pa.Schema unhashable, which disables Ray's block-schema dedup and spams
+    'Failed to hash the schemas' warnings per merge task."""
+    fields = [pa.field(f.name, f.type) for f in event_schema
+              if f.name not in ("op",)]
     s = pa.schema(fields)
     if prev_schema is not None:
         prev_data = pa.schema([f for f in prev_schema if f.name != "_deleted"])

@@ -43,6 +43,14 @@ def _tune_context() -> None:
     _TUNED = True
 
 
+def _strip_meta(t: pa.Table) -> pa.Table:
+    """Drop schema-level metadata (zero-copy). The testdata parquet carries
+    a pandas metadata blob that makes pa.Schema UNHASHABLE — Ray then logs
+    'Failed to hash the schemas (for deduplication)' per task and loses its
+    block-schema dedup."""
+    return t.replace_schema_metadata(None) if t.schema.metadata else t
+
+
 def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> ray.data.Dataset:
     """Column-pruned read with blocks sized from the ACTUAL row count —
     Ray's parallelism heuristic splits a 5k-row file into 64 sliver blocks
@@ -52,8 +60,10 @@ def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> ray.data
     path = os.path.join(sf_dir, f"{table}.parquet")
     rows = pq.read_metadata(path).num_rows
     blocks = max(1, min(64, rows // 8192))
-    return ray.data.read_parquet(path, columns=columns,
-                                 override_num_blocks=blocks)
+    ds = ray.data.read_parquet(path, columns=columns,
+                               override_num_blocks=blocks)
+    return ds.map_batches(_strip_meta, batch_format="pyarrow",
+                          zero_copy_batch=True)
 
 
 # ---------------------------------------------------------------------------

@@ -79,16 +79,17 @@ def _shingle_hashes(text: str, k: int) -> np.ndarray:
     return np.unique(h)
 
 
-def _minhash_sig(sh: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    """num_hashes minima of (a*x+b) mod p over the shingle set."""
-    with np.errstate(over="ignore"):
-        m = (sh[None, :] * a[:, None] + b[:, None]) % _MERSENNE
-    return m.min(axis=1)
-
-
 class _MinHashSig:
-    """Actor: per-doc minhash signature + band keys (state: the hash-family
-    coefficients, built once)."""
+    """Actor: minhash signatures + band keys, vectorized ACROSS the batch
+    (state: the hash-family coefficients, built once per actor).
+
+    All docs' shingle sets are concatenated into one u64 array; each chunk
+    of hash functions is applied as a single (chunk x total_shingles)
+    broadcast multiply and reduced per doc with np.minimum.reduceat — no
+    per-doc hashing loop, no per-band blake2b (band keys are a u64
+    polynomial mix + avalanche of the band's signature rows)."""
+
+    _HASH_CHUNK = 16           # bounds the (chunk x total_shingles) temp
 
     def __init__(self, text_col: str, id_col: str, k: int, num_hashes: int,
                  bands: int, seed: int):
@@ -98,25 +99,56 @@ class _MinHashSig:
         self.text_col, self.id_col = text_col, id_col
         self.k, self.num_hashes, self.bands = k, num_hashes, bands
         self.rows_per_band = num_hashes // bands
+        # odd multiplier powers for the band-key polynomial (mod 2^64)
+        mix = np.uint64(0x9E3779B97F4A7C15)
+        with np.errstate(over="ignore"):
+            self.mix_pows = np.array(
+                [mix ** np.uint64(i + 1) for i in range(self.rows_per_band)],
+                dtype=np.uint64)
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        ids, bands_out, bhash = [], [], []
         texts = t[self.text_col].to_pylist()
         id_vals = t[self.id_col].to_pylist()
+        sh_list, keep_ids = [], []
         for did, txt in zip(id_vals, texts):
             if txt is None:
                 continue
-            sig = _minhash_sig(_shingle_hashes(txt, self.k), self.a, self.b)
-            for bi in range(self.bands):
-                chunk = sig[bi * self.rows_per_band:(bi + 1) * self.rows_per_band]
-                h = hashlib.blake2b(chunk.tobytes(), digest_size=8).hexdigest()
-                ids.append(did)
-                bands_out.append(bi)
-                bhash.append(h)
+            sh_list.append(_shingle_hashes(txt, self.k))
+            keep_ids.append(did)
+        if not sh_list:
+            return pa.table({self.id_col: pa.array([], pa.int64()),
+                             "band": pa.array([], pa.int32()),
+                             "band_hash": pa.array([], pa.int64())})
+        n = len(sh_list)
+        lens = np.array([len(s) for s in sh_list], dtype=np.int64)
+        allsh = np.concatenate(sh_list)
+        offsets = np.zeros(n, dtype=np.int64)
+        offsets[1:] = np.cumsum(lens)[:-1]
+
+        sig = np.empty((n, self.num_hashes), dtype=np.uint64)
+        for h0 in range(0, self.num_hashes, self._HASH_CHUNK):
+            a = self.a[h0:h0 + self._HASH_CHUNK, None]
+            b = self.b[h0:h0 + self._HASH_CHUNK, None]
+            with np.errstate(over="ignore"):
+                m = (allsh[None, :] * a + b) % _MERSENNE
+            sig[:, h0:h0 + self._HASH_CHUNK] = \
+                np.minimum.reduceat(m, offsets, axis=1).T
+
+        # band keys: (docs, bands, rows) -> u64 polynomial + xor-avalanche
+        sigs3 = sig.reshape(n, self.bands, self.rows_per_band)
+        with np.errstate(over="ignore"):
+            keys = (sigs3 * self.mix_pows[None, None, :]).sum(
+                axis=2, dtype=np.uint64)
+            keys ^= keys >> np.uint64(33)
+            keys *= np.uint64(0xFF51AFD7ED558CCD)
+            keys ^= keys >> np.uint64(29)
+
+        ids_rep = np.repeat(np.asarray(keep_ids, dtype=np.int64), self.bands)
+        band_rep = np.tile(np.arange(self.bands, dtype=np.int32), n)
         return pa.table({
-            self.id_col: pa.array(ids),
-            "band": pa.array(bands_out, pa.int32()),
-            "band_hash": pa.array(bhash, pa.string()),
+            self.id_col: pa.array(ids_rep, pa.int64()),
+            "band": pa.array(band_rep, pa.int32()),
+            "band_hash": pa.array(keys.reshape(-1).view(np.int64), pa.int64()),
         })
 
 
@@ -164,7 +196,7 @@ def minhash_lsh_pairs(ds: ray.data.Dataset, text_col: str = "text",
                                             (id_col, "ascending")])
         t = g.take(idx)
         band = t["band"].to_numpy()
-        bh = np.asarray(t["band_hash"].to_pylist())
+        bh = t["band_hash"].to_numpy()
         ids = np.asarray(t[id_col].to_pylist())
         n = len(ids)
         if n == 0:
