@@ -108,11 +108,25 @@ def run_bench() -> dict:
             verify_sha=True,
             backend=os.environ.get("BENCH_BACKEND", "actor_pool"),
         ))
+        # Epoch pipelining helps the actor_pool backend (it materializes
+        # normalized blocks before the fan-out, so prefetching epoch N+1's
+        # normalize overlaps real work). The map_groups backend already
+        # streams normalize into the sort within an epoch — forcing a
+        # materialize barrier there is a 2x LOSS, so keep it off.
+        default_pipe = "1" if eng.cfg.backend == "actor_pool" else "0"
+        pipelined = os.environ.get("BENCH_PIPELINE", default_pipe) == "1"
         t0 = time.perf_counter()
-        for ep in range(EPOCHS):
-            evs = ray.data.read_parquet(os.path.join(log_dir, f"ep{ep:04d}"),
-                                        override_num_blocks=32)
-            eng.ingest_epoch(evs, ep, events_in=events_per_epoch)
+        if pipelined:
+            eng.ingest_epochs_pipelined(
+                [(ep, ray.data.read_parquet(os.path.join(log_dir, f"ep{ep:04d}"),
+                                            override_num_blocks=32))
+                 for ep in range(EPOCHS)],
+                events_in=events_per_epoch)
+        else:
+            for ep in range(EPOCHS):
+                evs = ray.data.read_parquet(os.path.join(log_dir, f"ep{ep:04d}"),
+                                            override_num_blocks=32)
+                eng.ingest_epoch(evs, ep, events_in=events_per_epoch)
         final_rows = eng.read().count()
         cdc_sec = min(cdc_sec, time.perf_counter() - t0)
         if eng._pool is not None:

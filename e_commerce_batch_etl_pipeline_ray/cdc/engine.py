@@ -300,8 +300,18 @@ class CDCEngine:
         return norm_m.map_batches(_filter, batch_format="pyarrow",
                                   zero_copy_batch=True)
 
+    def _normalize(self, events: ray.data.Dataset,
+                   schema: pa.Schema) -> ray.data.Dataset:
+        return events.map_batches(
+            _normalize_factory(schema, self.cfg.num_partitions,
+                               self.cfg.verify_sha),
+            batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=self.cfg.batch_size)
+
     def ingest_epoch(self, events: ray.data.Dataset, epoch: int,
-                     events_in: int | None = None) -> EpochStats:
+                     events_in: int | None = None,
+                     _normalized: ray.data.Dataset | None = None,
+                     _schema: pa.Schema | None = None) -> EpochStats:
         cfg = self.cfg
         last = self.last_committed_epoch()
         expected = 0 if last is None else last + 1
@@ -310,15 +320,20 @@ class CDCEngine:
 
         prev_manifest = lake.read_manifest(cfg.lake_dir, last) if last is not None else None
         prev_schema = lake.schema_from_b64(prev_manifest["schema"]) if prev_manifest else None
-        event_schema = events.schema().base_schema
-        schema = _data_schema(event_schema, prev_schema)
+        if _normalized is not None:
+            # pipelined path: normalize ran ahead with a schema computed
+            # from the deterministic schema CHAIN — must equal the one the
+            # committed manifest now implies
+            schema = _schema
+            if schema != _data_schema(events.schema().base_schema, prev_schema):
+                raise ValueError("pipelined schema does not match manifest chain")
+        else:
+            schema = _data_schema(events.schema().base_schema, prev_schema)
         schema_b64 = lake.schema_to_b64(schema)
         prev_parts = prev_manifest["partitions"] if prev_manifest else {}
 
-        normalized = events.map_batches(
-            _normalize_factory(schema, cfg.num_partitions, cfg.verify_sha),
-            batch_format="pyarrow", zero_copy_batch=True,
-            batch_size=cfg.batch_size)
+        normalized = _normalized if _normalized is not None else \
+            self._normalize(events, schema)
 
         if cfg.two_phase_shuffle:
             normalized = self._winner_filter(normalized)
@@ -387,6 +402,59 @@ class CDCEngine:
             partitions_touched=len(partitions),
             lineage=lineage.to_pylist(),
         )
+
+    def ingest_epochs_pipelined(self, epochs: list[tuple[int, ray.data.Dataset]],
+                                events_in: int | None = None) -> list[EpochStats]:
+        """Multi-epoch ingest with EPOCH PIPELINING: epoch N+1's
+        read+normalize+sha-verify+combine runs (materialized) on a
+        background thread while epoch N's shuffle+merge+commit runs in the
+        foreground. Strict commit order is preserved — only the STATELESS
+        prefix runs ahead, which is safe because its target schema is a
+        pure function of the event-schema chain (additive unify), known
+        before the prior epoch commits; the merge still waits for the
+        committed manifest it reads prior state from.
+
+        Overlap win: with sha verification on, normalize is the CPU-heavy
+        stage and merge is shuffle/IO-heavy — on a cluster they use
+        disjoint resources, so ~min(normalize, merge) per epoch is hidden.
+
+        Use with backend="actor_pool" (which materializes normalized blocks
+        before its fan-out anyway; measured ~+9% at 50k-event epochs,
+        growing with epoch size). The map_groups backend already streams
+        normalize into its sort WITHIN an epoch — the materialize barrier
+        this method adds makes it SLOWER there; keep the sequential loop.
+        """
+        from concurrent.futures import ThreadPoolExecutor
+
+        if not epochs:
+            return []
+        last = self.last_committed_epoch()
+        prev_schema = (lake.schema_from_b64(
+            lake.read_manifest(self.cfg.lake_dir, last)["schema"])
+            if last is not None else None)
+
+        # deterministic schema chain, computed up front
+        schemas = []
+        for _, events in epochs:
+            s = _data_schema(events.schema().base_schema, prev_schema)
+            schemas.append(s)
+            prev_schema = s
+
+        stats = []
+        with ThreadPoolExecutor(max_workers=1) as ex:
+            fut = ex.submit(lambda: self._normalize(
+                epochs[0][1], schemas[0]).materialize())
+            for i, (epoch, events) in enumerate(epochs):
+                normalized = fut.result()
+                if i + 1 < len(epochs):
+                    nxt_events, nxt_schema = epochs[i + 1][1], schemas[i + 1]
+                    fut = ex.submit(lambda ev=nxt_events, sc=nxt_schema:
+                                    self._normalize(ev, sc).materialize())
+                stats.append(self.ingest_epoch(events, epoch,
+                                               events_in=events_in,
+                                               _normalized=normalized,
+                                               _schema=schemas[i]))
+        return stats
 
     def read(self, epoch: int | None = None, **kwargs) -> ray.data.Dataset:
         return lake.read_lake(self.cfg.lake_dir, epoch=epoch, **kwargs)

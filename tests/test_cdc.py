@@ -435,3 +435,18 @@ def test_schema_evolution_property(data):
            for k, v in oracle.live_rows(oracle.replay(all_evs)).items()}
     assert got == exp
     shutil.rmtree(lake_dir, ignore_errors=True)
+
+
+def test_pipelined_ingest_parity(tmp_path, backend):
+    """Epoch-pipelined ingest (normalize N+1 overlapped with merge N) must
+    produce the identical final state as the sequential loop, across the
+    schema-evolution boundary, on both backends."""
+    import ray.data
+    e_seq = _engine(tmp_path / "seq", backend=backend)
+    e_pipe = _engine(tmp_path / "pipe", backend=backend)
+    for ep in range(3):
+        e_seq.ingest_epoch(binlog.gen_epoch(SPEC, ep), ep)
+    e_pipe.ingest_epochs_pipelined(
+        [(ep, binlog.gen_epoch(SPEC, ep)) for ep in range(3)])
+    assert _final_state(e_pipe) == _final_state(e_seq) == _oracle_state(SPEC, 3)
+    _shutdown(e_seq); _shutdown(e_pipe)

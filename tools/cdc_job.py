@@ -40,6 +40,8 @@ def main() -> int:
     ap.add_argument("--gc-lateness-epochs", type=int, default=None,
                     help="drop tombstones older than the watermark this many "
                          "epochs back (bounded-lateness contract)")
+    ap.add_argument("--pipeline", action="store_true",
+                    help="overlap epoch N+1 normalize with epoch N merge")
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--generate", action="store_true",
                     help="generate the synthetic binlog epochs first")
@@ -89,15 +91,29 @@ def main() -> int:
 
     t0 = time.perf_counter()
     total = 0
-    for ep in range(start, args.epochs):
+
+    def _evs(ep):
         path = os.path.join(args.binlog_dir, f"ep{ep:04d}")
-        evs = ray.data.read_parquet(path, override_num_blocks=32)
-        st = eng.ingest_epoch(evs, ep, events_in=args.events_per_epoch)
-        total += args.events_per_epoch
-        print(json.dumps({"epoch": ep, "rows_applied": st.rows_applied,
-                          "lsn_watermark": st.lsn_watermark,
-                          "partitions_touched": st.partitions_touched,
-                          "bytes_written": st.bytes_written}))
+        return ray.data.read_parquet(path, override_num_blocks=32)
+
+    if args.pipeline:
+        stats = eng.ingest_epochs_pipelined(
+            [(ep, _evs(ep)) for ep in range(start, args.epochs)],
+            events_in=args.events_per_epoch)
+        total = args.events_per_epoch * len(stats)
+        for st in stats:
+            print(json.dumps({"epoch": st.epoch, "rows_applied": st.rows_applied,
+                              "lsn_watermark": st.lsn_watermark,
+                              "partitions_touched": st.partitions_touched,
+                              "bytes_written": st.bytes_written}))
+    else:
+        for ep in range(start, args.epochs):
+            st = eng.ingest_epoch(_evs(ep), ep, events_in=args.events_per_epoch)
+            total += args.events_per_epoch
+            print(json.dumps({"epoch": ep, "rows_applied": st.rows_applied,
+                              "lsn_watermark": st.lsn_watermark,
+                              "partitions_touched": st.partitions_touched,
+                              "bytes_written": st.bytes_written}))
     elapsed = time.perf_counter() - t0
     final_rows = (eng.read().count()
                   if eng.last_committed_epoch() is not None else 0)
