@@ -92,11 +92,12 @@ class _MinHashSig:
     _HASH_CHUNK = 16           # bounds the (chunk x total_shingles) temp
 
     def __init__(self, text_col: str, id_col: str, k: int, num_hashes: int,
-                 bands: int, seed: int):
+                 bands: int, seed: int, carry_text: bool = False):
         rng = np.random.RandomState(seed)
         self.a = rng.randint(1, 1 << 61, size=num_hashes).astype(np.uint64)
         self.b = rng.randint(0, 1 << 61, size=num_hashes).astype(np.uint64)
         self.text_col, self.id_col = text_col, id_col
+        self.carry_text = carry_text
         self.k, self.num_hashes, self.bands = k, num_hashes, bands
         self.rows_per_band = num_hashes // bands
         # odd multiplier powers for the band-key polynomial (mod 2^64)
@@ -109,16 +110,21 @@ class _MinHashSig:
     def __call__(self, t: pa.Table) -> pa.Table:
         texts = t[self.text_col].to_pylist()
         id_vals = t[self.id_col].to_pylist()
-        sh_list, keep_ids = [], []
+        sh_list, keep_ids, keep_texts = [], [], []
         for did, txt in zip(id_vals, texts):
             if txt is None:
                 continue
             sh_list.append(_shingle_hashes(txt, self.k))
             keep_ids.append(did)
+            if self.carry_text:
+                keep_texts.append(txt)
         if not sh_list:
-            return pa.table({self.id_col: pa.array([], pa.int64()),
-                             "band": pa.array([], pa.int32()),
-                             "band_hash": pa.array([], pa.int64())})
+            cols = {self.id_col: pa.array([], pa.int64()),
+                    "band": pa.array([], pa.int32()),
+                    "band_hash": pa.array([], pa.int64())}
+            if self.carry_text:
+                cols["_text"] = pa.array([], pa.string())
+            return pa.table(cols)
         n = len(sh_list)
         lens = np.array([len(s) for s in sh_list], dtype=np.int64)
         allsh = np.concatenate(sh_list)
@@ -130,7 +136,11 @@ class _MinHashSig:
             a = self.a[h0:h0 + self._HASH_CHUNK, None]
             b = self.b[h0:h0 + self._HASH_CHUNK, None]
             with np.errstate(over="ignore"):
-                m = (allsh[None, :] * a + b) % _MERSENNE
+                m = allsh[None, :] * a + b
+                # Mersenne-61 fold instead of u64 modulo (integer % is the
+                # hot op here; fold = shift+mask+add, ~3x cheaper)
+                m = (m & _MERSENNE) + (m >> np.uint64(61))
+                m = np.where(m >= _MERSENNE, m - _MERSENNE, m)
             sig[:, h0:h0 + self._HASH_CHUNK] = \
                 np.minimum.reduceat(m, offsets, axis=1).T
 
@@ -145,11 +155,25 @@ class _MinHashSig:
 
         ids_rep = np.repeat(np.asarray(keep_ids, dtype=np.int64), self.bands)
         band_rep = np.tile(np.arange(self.bands, dtype=np.int32), n)
-        return pa.table({
+        cols = {
             self.id_col: pa.array(ids_rep, pa.int64()),
             "band": pa.array(band_rep, pa.int32()),
             "band_hash": pa.array(keys.reshape(-1).view(np.int64), pa.int64()),
-        })
+        }
+        if self.carry_text:
+            cols["_text"] = pa.array(
+                np.repeat(np.asarray(keep_texts, dtype=object), self.bands),
+                pa.string())
+        return pa.table(cols)
+
+
+def _minhash_sig_batch(t: pa.Table, *, text_col: str, id_col: str, k: int,
+                       num_hashes: int, bands: int, seed: int,
+                       carry_text: bool) -> pa.Table:
+    """Task-pool form of _MinHashSig (coefficient setup is trivially cheap,
+    so a stateless task beats paying actor-pool spin-up)."""
+    return _MinHashSig(text_col, id_col, k, num_hashes, bands, seed,
+                       carry_text)(t)
 
 
 def ngram_jaccard(a: str, b: str, k: int = 5) -> float:
@@ -163,8 +187,8 @@ def ngram_jaccard(a: str, b: str, k: int = 5) -> float:
 def minhash_lsh_pairs(ds: ray.data.Dataset, text_col: str = "text",
                       id_col: str = "doc_id", k: int = 5, num_hashes: int = 128,
                       bands: int = 16, threshold: float = 0.8,
-                      seed: int = 42,
-                      join_partitions: int = 16) -> ray.data.Dataset:
+                      seed: int = 42, verify_mode: str = "carry",
+                      join_partitions: int = 4) -> ray.data.Dataset:
     """bands=16 x 8 rows tunes the S-curve for threshold~0.8:
     P(candidate | j=0.8) ~ 0.95, P(candidate | j=0.5) ~ 0.06. The previous
     32x4 default fired on ~87% of j=0.5 pairs -> candidate explosion on
@@ -172,24 +196,45 @@ def minhash_lsh_pairs(ds: ray.data.Dataset, text_col: str = "text",
 
     Near-duplicate pairs (id_a < id_b, jaccard >= threshold).
 
-    Verification texts come back through TWO hash-partitioned joins of the
-    (small) candidate set against the documents table on id — NO driver
-    materialization and NO whole-corpus broadcast anywhere in the path; the
-    per-join traffic is candidates + corpus partitioned on the id key, the
-    100-TB-safe shape. (Round 1 broadcast an id->text dict of the entire
-    corpus here — driver OOM at any real corpus size.)
+    NO whole-corpus broadcast and NO driver materialization in EITHER
+    verify mode (round 1 broadcast an id->text dict of the whole corpus —
+    driver OOM at any real size). Two 100-TB-safe shapes:
+
+    * ``verify_mode="carry"`` (default): texts ride through the band-bucket
+      shuffle and verification stays bucket-local — a single shuffle whose
+      traffic is ``bands``x the text bytes, zero joins. Best when documents
+      are small relative to band fan-out (web text, source files).
+    * ``verify_mode="join"``: candidates are id-joined back to the docs
+      table (Bloom-prefiltered to candidate members first, so the joins
+      shuffle only candidate-relevant docs). Texts cross the wire at most
+      twice — best for FAT documents where bands x text is too heavy.
     """
-    # 1. signatures + band keys (actor pool, vectorized inner math)
+    if verify_mode not in ("carry", "join"):
+        raise ValueError(f"unknown verify_mode {verify_mode}")
+    carry = verify_mode == "carry"
+    out_schema = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),
+                            ("jaccard", pa.float64())])
+
+    # 1. signatures + band keys (vectorized inner math). Runs as a TASK
+    #    pool, not an actor pool: the only per-worker state is 128 rng
+    #    coefficients (microseconds to rebuild), and tasks skip the actor
+    #    spin-up latency that dominated the actor-pool version.
+    #    batch_size splits large input blocks so the map actually runs in
+    #    parallel — a 1-block input would otherwise serialize the whole
+    #    corpus through one worker.
+    import functools
     sig = ds.map_batches(
-        _MinHashSig, batch_format="pyarrow", zero_copy_batch=True,
-        fn_constructor_args=(text_col, id_col, k, num_hashes, bands, seed),
-        concurrency=(1, 8))
+        functools.partial(_minhash_sig_batch, text_col=text_col,
+                          id_col=id_col, k=k, num_hashes=num_hashes,
+                          bands=bands, seed=seed, carry_text=carry),
+        batch_format="pyarrow", zero_copy_batch=True, batch_size=512)
 
     # 2. bucket shuffle -> candidate pairs. NOT groupby(band, band_hash).
     #    map_groups — that is one Python call per bucket (O(n_docs x bands)
     #    tiny groups, 100x slower). Instead: hash-partition buckets, then ONE
     #    vectorized pass per partition (sort + boundary mask; pair loop only
-    #    over the rare buckets with >= 2 members).
+    #    over the rare buckets with >= 2 members). In carry mode the same
+    #    pass ALSO verifies (texts are bucket-local), emitting final pairs.
     def _pairs_partition(g: pa.Table) -> pa.Table:
         idx = pc.sort_indices(g, sort_keys=[("band", "ascending"),
                                             ("band_hash", "ascending"),
@@ -198,23 +243,57 @@ def minhash_lsh_pairs(ds: ray.data.Dataset, text_col: str = "text",
         band = t["band"].to_numpy()
         bh = t["band_hash"].to_numpy()
         ids = np.asarray(t[id_col].to_pylist())
+        texts = t["_text"].to_pylist() if carry else None
         n = len(ids)
         if n == 0:
-            return pa.table({"id_a": pa.array([], pa.int64()),
-                             "id_b": pa.array([], pa.int64())})
+            return (out_schema.empty_table() if carry else
+                    pa.table({"id_a": pa.array([], pa.int64()),
+                              "id_b": pa.array([], pa.int64())}))
         new_group = np.ones(n, dtype=bool)
         new_group[1:] = (band[1:] != band[:-1]) | (bh[1:] != bh[:-1])
         starts = np.flatnonzero(new_group)
         ends = np.append(starts[1:], n)
-        a_out, b_out = [], []
+        a_out, b_out, jac = [], [], []
+        sh_memo: dict = {}
+
+        def _sh(did, txt):
+            s = sh_memo.get(did)
+            if s is None:
+                s = _shingle_hashes(txt, k)
+                sh_memo[did] = s
+            return s
+
+        seen_pairs: set = set()
         for s, e in zip(starts, ends):
             if e - s < 2:
                 continue
-            members = np.unique(ids[s:e])
-            for i in range(len(members)):
-                for j in range(i + 1, len(members)):
-                    a_out.append(int(members[i]))
-                    b_out.append(int(members[j]))
+            if carry:
+                members, first_idx = np.unique(ids[s:e], return_index=True)
+                for i in range(len(members)):
+                    for j in range(i + 1, len(members)):
+                        a_id, b_id = int(members[i]), int(members[j])
+                        if (a_id, b_id) in seen_pairs:
+                            continue           # same pair from another band
+                        seen_pairs.add((a_id, b_id))
+                        sa = _sh(a_id, texts[s + first_idx[i]])
+                        sb = _sh(b_id, texts[s + first_idx[j]])
+                        inter = np.intersect1d(sa, sb, assume_unique=True).size
+                        union = sa.size + sb.size - inter
+                        jv = inter / union if union else 1.0
+                        if jv >= threshold:
+                            a_out.append(a_id)
+                            b_out.append(b_id)
+                            jac.append(round(jv, 6))
+            else:
+                members = np.unique(ids[s:e])
+                for i in range(len(members)):
+                    for j in range(i + 1, len(members)):
+                        a_out.append(int(members[i]))
+                        b_out.append(int(members[j]))
+        if carry:
+            return pa.table({"id_a": pa.array(a_out, pa.int64()),
+                             "id_b": pa.array(b_out, pa.int64()),
+                             "jaccard": pa.array(jac, pa.float64())})
         return pa.table({"id_a": pa.array(a_out, pa.int64()),
                          "id_b": pa.array(b_out, pa.int64())})
 
@@ -226,11 +305,17 @@ def minhash_lsh_pairs(ds: ray.data.Dataset, text_col: str = "text",
                            zero_copy_batch=True)
     cand = cand.groupby("_bpid").map_groups(_pairs_partition,
                                             batch_format="pyarrow")
-    # dedupe candidate pairs produced by multiple bands
+    # dedupe pairs produced by multiple bands (cross-partition duplicates;
+    # within-partition ones are already filtered by seen_pairs)
     pair_ids_schema = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())])
-    out_schema = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),
-                            ("jaccard", pa.float64())])
-    cand = dedup_keyed(["id_a", "id_b"], ["id_a"], num_partitions=32).apply(cand)
+    if carry:
+        verified = dedup_keyed(["id_a", "id_b"], ["jaccard"],
+                               num_partitions=8).apply(cand)
+        return verified.map_batches(_ensure_schema(out_schema),
+                                    batch_format="pyarrow",
+                                    zero_copy_batch=True)
+    cand = dedup_keyed(["id_a", "id_b"], ["id_a"],
+                       num_partitions=join_partitions * 2).apply(cand)
     cand = _detach(cand.map_batches(_ensure_schema(pair_ids_schema),
                                     batch_format="pyarrow",
                                     zero_copy_batch=True), pair_ids_schema)
@@ -238,9 +323,26 @@ def minhash_lsh_pairs(ds: ray.data.Dataset, text_col: str = "text",
         return ray.data.from_arrow(out_schema.empty_table())
 
     # 3. verify exact jaccard: hash-join the candidate ids back to the docs
-    #    table (id-partitioned both sides), once per pair side, then a
-    #    vectorized-kernel verify over rows that now CARRY both texts.
+    #    table, once per pair side, then a vectorized-kernel verify over
+    #    rows that now CARRY both texts. The docs side is Bloom-PREFILTERED
+    #    on the candidate-id set first (fixed-size bitmap broadcast, no
+    #    false negatives; false positives are dropped by the inner join) —
+    #    so the joins shuffle only candidate-relevant docs, not the corpus.
+    from e_commerce_batch_etl_pipeline_ray.stages.joins import bloom_semi_join
+
+    def _cand_ids(t: pa.Table) -> pa.Table:
+        both = pa.concat_arrays([t["id_a"].combine_chunks(),
+                                 t["id_b"].combine_chunks()])
+        return pa.table({id_col: both})
+
+    cand_ids = cand.map_batches(_cand_ids, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    base = ds.schema().base_schema
+    doc_schema = pa.schema([(id_col, base.field(id_col).type),
+                            (text_col, base.field(text_col).type)])
     docs = ds.select_columns([id_col, text_col])
+    docs = bloom_semi_join(cand_ids, on=id_col).apply(docs)
+    docs = _detach(docs, doc_schema)
     j1_schema = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),
                            ("_text_a", pa.string())])
     j2_schema = j1_schema.append(pa.field("_text_b", pa.string()))
@@ -489,6 +591,7 @@ def simhash_pairs(ds: ray.data.Dataset, text_col: str = "text",
     (hamming <= 3 -> at least one chunk equal), bucket-shuffle, verify."""
     sigs = ds.map_batches(_SimHash, batch_format="pyarrow", zero_copy_batch=True,
                           fn_constructor_args=(text_col, id_col),
+                          batch_size=512,
                           concurrency=(1, 8)).select_columns([id_col, "simhash"])
 
     def _explode(t: pa.Table) -> pa.Table:
@@ -588,7 +691,7 @@ def embedding_neardup_pairs(ds: ray.data.Dataset, emb_col: str = "embedding",
 
     bucketed = ds.map_batches(_Bucket, batch_format="pyarrow",
                               fn_constructor_args=(planes_ref,),
-                              concurrency=(1, 8))
+                              batch_size=2048, concurrency=(1, 8))
 
     # partition-level vectorized bucketing — the SAME _bpid pattern as
     # minhash/simhash: hash-partition the (tab, bucket) keys, then ONE
