@@ -1085,3 +1085,25 @@ ORDER BY 1, 2
 
 QUERIES.update({"q33_analytics_cube": q33_analytics_cube})
 ORACLE.update({"q33_analytics_cube": Q33_SQL})
+
+
+# ---------------------------------------------------------------------------
+# q34 — Bloom-prefiltered semi-join: a fixed-size bitmap stands in for a key
+# set too large to broadcast exactly; an exact semi-join refines the few
+# false positives away, so the result equals the plain semi-join (q27 SQL)
+
+def q34_bloom_semi_join(sf_dir: str):
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    vips = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"])
+    vips = maps.filter_expr(lambda t: pc.greater(t["c_acctbal"], 5000.0),
+                            name="vip").apply(vips).select_columns(["c_custkey"])
+    vips = vips.map_batches(
+        lambda t: pa.table({"o_custkey": t["c_custkey"]}),
+        batch_format="pyarrow", zero_copy_batch=True).materialize()
+    pre = joins.bloom_semi_join(vips, on="o_custkey").apply(ds)
+    out = joins.broadcast_semi_join(vips, on="o_custkey").apply(pre)
+    return out.sort("o_orderkey")
+
+
+QUERIES.update({"q34_bloom_semi_join": q34_bloom_semi_join})
+ORACLE.update({"q34_bloom_semi_join": Q27_SQL})

@@ -307,3 +307,14 @@ def test_sum_bool_and_std_pre_aggregated_match_direct():
         .apply(ds).to_pandas().sort_values("g").reset_index(drop=True)
     assert direct["nf"].tolist() == exp["nf"].tolist()
     assert all(math.isclose(a, b, rel_tol=1e-6) for a, b in zip(direct["sd"], exp["sd"]))
+
+
+def test_bloom_semi_join_no_false_negatives():
+    from e_commerce_batch_etl_pipeline_ray.stages import joins
+    keys = pa.table({"k": pa.array(range(0, 10000, 2), pa.int64())})
+    probe = ray.data.from_arrow(pa.table({"k": pa.array(range(10000), pa.int64())}))
+    out = joins.bloom_semi_join(keys, "k").apply(probe).to_pandas()
+    kept = set(out["k"])
+    evens = set(range(0, 10000, 2))
+    assert evens <= kept                      # prefilter: zero false negatives
+    assert len(kept - evens) / 5000 < 0.05    # and a small FP rate
