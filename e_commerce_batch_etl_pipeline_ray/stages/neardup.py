@@ -693,20 +693,27 @@ def embedding_neardup_pairs(ds: ray.data.Dataset, emb_col: str = "embedding",
             self.planes = ray.get(ref)
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            v = np.asarray(t[emb_col].to_pylist(), dtype=np.float64)
-            ids_out, tab_out, key_out, vec_out = [], [], [], []
-            ids = t[id_col].to_pylist()
+            from e_commerce_batch_etl_pipeline_ray.stages.similarity import _emb_matrix
+            v = _emb_matrix(t[emb_col])
+            nrow, ndim = v.shape
+            ntab = len(self.planes)
+            ids = t[id_col].combine_chunks()
+            keys = np.empty((ntab, nrow), dtype=np.int64)
             for ti, P in enumerate(self.planes):
                 signs = (v @ P) > 0
-                keys = (signs.astype(np.uint64)
-                        * (np.uint64(1) << np.arange(signs.shape[1], dtype=np.uint64))).sum(axis=1)
-                ids_out.extend(ids)
-                tab_out.extend([ti] * len(ids))
-                key_out.extend(keys.astype(np.int64).tolist())
-                vec_out.extend(v.tolist())
-            return pa.table({id_col: pa.array(ids_out), "tab": pa.array(tab_out, pa.int32()),
-                             "bucket": pa.array(key_out, pa.int64()),
-                             "vec": pa.array(vec_out, pa.list_(pa.float64()))})
+                keys[ti] = (signs.astype(np.uint64)
+                            * (np.uint64(1) << np.arange(signs.shape[1],
+                                                         dtype=np.uint64))
+                            ).sum(axis=1).astype(np.int64)
+            vec_flat = np.tile(v.reshape(-1), ntab)
+            vec_col = pa.FixedSizeListArray.from_arrays(
+                pa.array(vec_flat, pa.float64()), ndim)
+            return pa.table({
+                id_col: pa.concat_arrays([ids] * ntab),
+                "tab": pa.array(np.repeat(np.arange(ntab, dtype=np.int32), nrow)),
+                "bucket": pa.array(keys.reshape(-1), pa.int64()),
+                "vec": vec_col,
+            })
 
     bucketed = ds.map_batches(_Bucket, batch_format="pyarrow",
                               fn_constructor_args=(planes_ref,),
@@ -730,7 +737,8 @@ def embedding_neardup_pairs(ds: ray.data.Dataset, emb_col: str = "embedding",
         tab = t["tab"].to_numpy()
         bucket = t["bucket"].to_numpy()
         ids = t[id_col].to_numpy()
-        v = np.asarray(t["vec"].to_pylist(), dtype=np.float64)
+        from e_commerce_batch_etl_pipeline_ray.stages.similarity import _emb_matrix
+        v = _emb_matrix(t["vec"])
         norm = np.linalg.norm(v, axis=1, keepdims=True)
         norm[norm == 0] = 1.0
         vn = v / norm

@@ -22,6 +22,17 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / n
 
 
+def _emb_matrix(col: pa.ChunkedArray) -> np.ndarray:
+    """list<float> column -> (n, dim) float64 matrix via the flattened value
+    buffer (near-zero-copy; `to_pylist` builds n*dim Python floats)."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    n = len(arr)
+    if n == 0:
+        return np.empty((0, 0), dtype=np.float64)
+    values = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    return values.reshape(n, values.size // n)
+
+
 class _BruteTopK:
     """Per-batch scorer: cosine of batch vectors against the broadcast query
     matrix, local top-k per query."""
@@ -33,7 +44,7 @@ class _BruteTopK:
         self.emb_col, self.id_col, self.k = emb_col, id_col, k
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        v = np.asarray(t[self.emb_col].to_pylist(), dtype=np.float64)
+        v = _emb_matrix(t[self.emb_col])
         ids = np.asarray(t[self.id_col].to_pylist())
         vn = _normalize(v)
         sim = self.qn @ vn.T                        # (nq, batch)
@@ -127,7 +138,7 @@ def knn_ivf(ds: ray.data.Dataset, queries: tuple[list[int], np.ndarray],
             self.q_ids, self.qm, self.probe = ray.get(q_ref)
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            v = np.asarray(t[emb_col].to_pylist(), dtype=np.float64)
+            v = _emb_matrix(t[emb_col])
             ids = np.asarray(t[id_col].to_pylist())
             vn = _normalize(v)
             assign = np.argmax(vn @ self.cent.T, axis=1)
