@@ -125,17 +125,37 @@ def _data_schema(event_schema: pa.Schema, prev_schema: pa.Schema | None) -> pa.S
     return s.append(pa.field("_deleted", pa.bool_()))
 
 
+def _verify_content_sha(t: pa.Table) -> None:
+    """Per-row sha256(content) == content_sha256. Hashing is inherently
+    per-value, but the bytes are hashed STRAIGHT OFF the Arrow string
+    buffer (offset slices of one memoryview) — no to_pylist, no
+    str-decode/encode round-trip of kilobyte contents."""
+    import numpy as np
+    col = t["content"].combine_chunks()
+    expected = t["content_sha256"].combine_chunks()
+    off_buf = col.buffers()[1]
+    data_buf = col.buffers()[2]
+    if off_buf is None or data_buf is None:
+        return
+    width = np.int64 if pa.types.is_large_string(col.type) else np.int32
+    offsets = np.frombuffer(off_buf, dtype=width, count=len(col) + 1,
+                            offset=col.offset * np.dtype(width).itemsize)
+    data = memoryview(data_buf)
+    valid = (pc.and_(pc.is_valid(col), pc.is_valid(expected))
+             .to_numpy(zero_copy_only=False))
+    exp = expected.to_pylist()        # 64-char hex strings; cheap
+    sha256 = hashlib.sha256
+    for i in np.flatnonzero(valid):
+        if sha256(data[offsets[i]:offsets[i + 1]]).hexdigest() != exp[i]:
+            raise ValueError("content sha256 mismatch in binlog")
+
+
 def _normalize_factory(schema: pa.Schema, num_partitions: int, verify_sha: bool):
     """Batch fn: unify to evolved schema, verify sha, LWW-combine within the
     batch, assign partition ids."""
     def _fn(t: pa.Table) -> pa.Table:
         if verify_sha and "content" in t.column_names:
-            contents = t["content"].to_pylist()
-            shas = t["content_sha256"].to_pylist()
-            for c, s in zip(contents, shas):
-                if c is not None and s is not None:
-                    if hashlib.sha256(c.encode()).hexdigest() != s:
-                        raise ValueError("content sha256 mismatch in binlog")
+            _verify_content_sha(t)
         # build unified layout: all schema cols (null-backfilled) + _deleted from op
         deleted = pc.equal(t["op"], "D")
         cols = []

@@ -450,3 +450,25 @@ def test_pipelined_ingest_parity(tmp_path, backend):
         [(ep, binlog.gen_epoch(SPEC, ep)) for ep in range(3)])
     assert _final_state(e_pipe) == _final_state(e_seq) == _oracle_state(SPEC, 3)
     _shutdown(e_seq); _shutdown(e_pipe)
+
+
+def test_verify_sha_accepts_good_and_rejects_corrupt(tmp_path):
+    """verify_sha=True: clean binlog ingests; a corrupted content byte (sha
+    no longer matching) fails the epoch loudly."""
+    import ray.data
+
+    eng = _engine(tmp_path / "good", verify_sha=True)
+    eng.ingest_epoch(binlog.gen_epoch(SPEC, 0), 0)
+    assert _final_state(eng) == _oracle_state(SPEC, 1)
+
+    bad = binlog.gen_epoch_table(SPEC, 0)
+    contents = bad["content"].to_pylist()
+    for i, c in enumerate(contents):
+        if c is not None:
+            contents[i] = c + "TAMPERED"
+            break
+    bad = bad.set_column(bad.column_names.index("content"), "content",
+                         pa.array(contents, pa.string()))
+    eng2 = _engine(tmp_path / "bad", verify_sha=True)
+    with pytest.raises(Exception, match="sha256 mismatch"):
+        eng2.ingest_epoch(ray.data.from_arrow(bad), 0)
