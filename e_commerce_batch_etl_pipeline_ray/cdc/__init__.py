@@ -1,1 +1,1 @@
-from e_commerce_batch_etl_pipeline_ray.cdc import binlog, engine, lake, oracle  # noqa: F401
+from e_commerce_batch_etl_pipeline_ray.cdc import binlog, engine, lake, multi, oracle  # noqa: F401

@@ -38,10 +38,24 @@ _MERSENNE = np.uint64((1 << 61) - 1)
 
 def content_hash(text_col: str = "text", out: str = "content_hash") -> FnStep:
     """sha256 of the exact content — the exact-dedup key (and the CDC
-    engine's per-row invariant column)."""
+    engine's per-row invariant column). Hashing is per-value by nature, but
+    the bytes come straight off the Arrow string buffer (offset slices of
+    one memoryview) — no to_pylist / str decode+encode round-trip."""
     def _fn(t: pa.Table) -> pa.Table:
-        hs = [hashlib.sha256(v.encode()).hexdigest() if v is not None else None
-              for v in t[text_col].to_pylist()]
+        col = t[text_col].combine_chunks()
+        n = len(col)
+        off_buf, data_buf = col.buffers()[1], col.buffers()[2]
+        if n == 0 or off_buf is None:
+            return t.append_column(out, pa.nulls(n, pa.string()))
+        width = np.int64 if pa.types.is_large_string(col.type) else np.int32
+        offsets = np.frombuffer(off_buf, dtype=width, count=n + 1,
+                                offset=col.offset * np.dtype(width).itemsize)
+        data = memoryview(data_buf) if data_buf is not None else memoryview(b"")
+        valid = pc.is_valid(col).to_numpy(zero_copy_only=False)
+        sha256 = hashlib.sha256
+        hs: list[str | None] = [None] * n
+        for i in np.flatnonzero(valid):
+            hs[i] = sha256(data[offsets[i]:offsets[i + 1]]).hexdigest()
         return t.append_column(out, pa.array(hs, pa.string()))
 
     def _apply(ds):

@@ -472,3 +472,41 @@ def test_verify_sha_accepts_good_and_rejects_corrupt(tmp_path):
     eng2 = _engine(tmp_path / "bad", verify_sha=True)
     with pytest.raises(Exception, match="sha256 mismatch"):
         eng2.ingest_epoch(ray.data.from_arrow(bad), 0)
+
+
+def test_multi_table_lake_independent_epochs(tmp_path):
+    """Two tables under one root: independent epoch counters, schemas and
+    crash recovery — corrupting one table's last manifest rolls back only
+    that table."""
+    import ray.data
+
+    from e_commerce_batch_etl_pipeline_ray.cdc import multi
+
+    root = str(tmp_path / "lake")
+    mt = multi.MultiTableCDC(root, engine.CDCConfig(
+        lake_dir="ignored", num_partitions=4, merge_concurrency=1))
+
+    spec_b = binlog.BinlogSpec(events_per_epoch=800, n_repos=5,
+                               paths_per_repo=30, evolution_epoch=1,
+                               content_chars_min=16, content_chars_max=64,
+                               seed=99)
+    # table A: 2 epochs; table B: 1 epoch (different rates)
+    for ep in range(2):
+        mt.ingest_epoch("repos_a", binlog.gen_epoch(SPEC, ep), ep)
+    mt.ingest_epoch("repos_b", binlog.gen_epoch(spec_b, 0), 0)
+
+    assert mt.tables() == ["repos_a", "repos_b"]
+    a = {(r.repo, r.path): r.lsn for r in mt.read("repos_a").to_pandas().itertuples()}
+    exp_a = {k: v[0] for k, v in _oracle_state(SPEC, 2).items()}
+    assert a == exp_a
+
+    # crash table A's epoch-1 commit; B untouched
+    os.remove(os.path.join(root, "tables", "repos_a", "manifests",
+                           "epoch-0001.json"))
+    pts = mt.resume_points()
+    assert pts == {"repos_a": 1, "repos_b": 1}
+    mt.ingest_epoch("repos_a", binlog.gen_epoch(SPEC, 1), 1)
+    a2 = {(r.repo, r.path): r.lsn for r in mt.read("repos_a").to_pandas().itertuples()}
+    assert a2 == exp_a
+    assert mt.read("repos_b").count() > 0
+    mt.shutdown()
