@@ -31,7 +31,8 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 EPOCHS = int(os.environ.get("BENCH_EPOCHS", "3"))
 BENCH_QUERIES = ["q1_pricing_summary", "q3_dedup_lww", "q6_hash_join",
                  "q11_window_agg", "q14_exact_dedup", "q15_token_stats",
-                 "q17_knn_brute", "q18_minhash_pairs", "q25_sessionize"]
+                 "q17_knn_brute", "q18_minhash_pairs", "q25_sessionize",
+                 "q33_analytics_cube"]
 
 
 def _lineitem_rows(sf_dir: str) -> int:

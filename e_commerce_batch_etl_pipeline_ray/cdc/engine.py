@@ -332,6 +332,8 @@ class CDCEngine:
                      events_in: int | None = None,
                      _normalized: ray.data.Dataset | None = None,
                      _schema: pa.Schema | None = None) -> EpochStats:
+        import time
+        t_start = time.perf_counter()
         cfg = self.cfg
         last = self.last_committed_epoch()
         expected = 0 if last is None else last + 1
@@ -411,8 +413,17 @@ class CDCEngine:
                     "rows_total": rec["rows_total"],
                     "bytes_written": rec["bytes_written"],
                 }
+        metrics = {
+            "events_in": events_in if events_in is not None else -1,
+            "rows_applied": sum(r["rows_applied"] for r in partitions.values()),
+            "bytes_written": sum(r["bytes_written"] for r in partitions.values()),
+            "partitions_touched": len(partitions),
+            "mode": mode,
+            "backend": cfg.backend,
+            "elapsed_s": round(time.perf_counter() - t_start, 3),
+        }
         manifest = lake.commit_manifest(cfg.lake_dir, epoch, partitions,
-                                        schema, prev_manifest)
+                                        schema, prev_manifest, metrics=metrics)
         return EpochStats(
             epoch=epoch,
             events_in=events_in if events_in is not None else -1,

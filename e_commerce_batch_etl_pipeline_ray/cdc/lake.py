@@ -77,9 +77,12 @@ def schema_from_b64(s: str) -> pa.Schema:
 
 
 def commit_manifest(lake_dir: str, epoch: int, partitions: dict[int, dict],
-                    schema: pa.Schema, prev: dict | None) -> dict:
+                    schema: pa.Schema, prev: dict | None,
+                    metrics: dict | None = None) -> dict:
     """Build epoch manifest (carrying forward untouched partitions from
-    ``prev``) and commit it atomically: tmp file + os.replace."""
+    ``prev``) and commit it atomically: tmp file + os.replace.
+    ``metrics``: optional epoch-level observability record (events_in,
+    rows_applied, elapsed_s, ...) persisted alongside the lineage."""
     part_map: dict[str, dict] = dict(prev["partitions"]) if prev else {}
     for pid, rec in partitions.items():
         part_map[str(pid)] = rec
@@ -92,6 +95,8 @@ def commit_manifest(lake_dir: str, epoch: int, partitions: dict[int, dict],
         "partitions": part_map,
         "committed": True,
     }
+    if metrics:
+        manifest["metrics"] = metrics
     os.makedirs(os.path.join(lake_dir, MANIFEST_DIR), exist_ok=True)
     path = _manifest_path(lake_dir, epoch)
     tmp = path + ".tmp"

@@ -510,3 +510,14 @@ def test_multi_table_lake_independent_epochs(tmp_path):
     assert a2 == exp_a
     assert mt.read("repos_b").count() > 0
     mt.shutdown()
+
+
+def test_manifest_epoch_metrics(tmp_path):
+    """Epoch-level observability record persisted in the manifest."""
+    eng = _engine(tmp_path)
+    eng.ingest_epoch(binlog.gen_epoch(SPEC, 0), 0, events_in=SPEC.events_per_epoch)
+    m = lake.read_manifest(eng.cfg.lake_dir, 0)
+    met = m["metrics"]
+    assert met["events_in"] == SPEC.events_per_epoch
+    assert met["rows_applied"] > 0 and met["bytes_written"] > 0
+    assert met["elapsed_s"] > 0 and met["mode"] == "compact"
