@@ -449,11 +449,15 @@ class CDCEngine:
         stage and merge is shuffle/IO-heavy — on a cluster they use
         disjoint resources, so ~min(normalize, merge) per epoch is hidden.
 
-        Use with backend="actor_pool" (which materializes normalized blocks
-        before its fan-out anyway; measured ~+9% at 50k-event epochs,
-        growing with epoch size). The map_groups backend already streams
-        normalize into its sort WITHIN an epoch — the materialize barrier
-        this method adds makes it SLOWER there; keep the sequential loop.
+        Use with backend="actor_pool" in COMPACT mode (merge work heavy
+        enough to hide the normalize behind: measured +10-15% at bench
+        size). Two regimes where it is a net LOSS — keep the sequential
+        loop there: (a) the map_groups backend, which already streams
+        normalize into its sort within an epoch; (b) LSM delta mode
+        (compact_interval > 1), where the merge is a cheap delta write and
+        the prefetch's materialize barrier (epoch-sized object-store
+        pinning) outweighs the overlap (measured 336k -> 228k ev/s at the
+        12M soak).
         """
         from concurrent.futures import ThreadPoolExecutor
 

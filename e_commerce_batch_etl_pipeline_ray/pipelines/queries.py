@@ -1107,3 +1107,62 @@ def q34_bloom_semi_join(sf_dir: str):
 
 QUERIES.update({"q34_bloom_semi_join": q34_bloom_semi_join})
 ORACLE.update({"q34_bloom_semi_join": Q27_SQL})
+
+
+# ---------------------------------------------------------------------------
+# q35/q36 — deterministic dataset assembly (training-data ops): hash-based
+# train/val/test split and a weighted two-source mixture. Assignment is a
+# pure function of the row id (Knuth u32 hash) that the SQL oracle
+# reproduces bit-for-bit — stable under retries, block layout, and resume.
+
+def q35_hash_split(sf_dir: str):
+    from e_commerce_batch_etl_pipeline_ray.stages import sampling
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    ds = sampling.hash_split("doc_id", [0.8, 0.1, 0.1],
+                             ["train", "val", "test"], seed=7).apply(ds)
+    out = aggregates.grouped_aggregate(
+        ["split"], [("count", None, "n_docs")], pre_aggregate=True).apply(ds)
+    return out.sort("split")
+
+
+def _q35_sql() -> str:
+    from e_commerce_batch_etl_pipeline_ray.stages.sampling import sql_unit_hash
+    u = sql_unit_hash("doc_id", seed=7)
+    return f"""
+SELECT CASE WHEN {u} < 0.8 THEN 'train'
+            WHEN {u} < 0.9 THEN 'val'
+            ELSE 'test' END AS split,
+       COUNT(*) AS n_docs
+FROM documents GROUP BY 1 ORDER BY 1
+"""
+
+
+def q36_mixture(sf_dir: str):
+    from e_commerce_batch_etl_pipeline_ray.stages import sampling
+    docs = _read(sf_dir, "documents", ["doc_id"])
+    evs = _read(sf_dir, "events", ["event_id"])
+    evs = evs.map_batches(lambda t: _strip_meta(t).rename_columns(["doc_id"]),
+                          batch_format="pyarrow", zero_copy_batch=True)
+    mixed = sampling.mixture([("docs", docs), ("events", evs)],
+                             id_cols=["doc_id", "doc_id"],
+                             fractions=[0.5, 0.25], seed=3)
+    out = aggregates.grouped_aggregate(
+        ["_source"], [("count", None, "n_rows")], pre_aggregate=True).apply(mixed)
+    return out.sort("_source")
+
+
+def _q36_sql() -> str:
+    from e_commerce_batch_etl_pipeline_ray.stages.sampling import sql_unit_hash
+    ud = sql_unit_hash("doc_id", seed=3)
+    ue = sql_unit_hash("event_id", seed=3)
+    return f"""
+SELECT _source, COUNT(*) AS n_rows FROM (
+  SELECT 'docs' AS _source FROM documents WHERE {ud} < 0.5
+  UNION ALL
+  SELECT 'events' AS _source FROM events WHERE {ue} < 0.25
+) GROUP BY 1 ORDER BY 1
+"""
+
+
+QUERIES.update({"q35_hash_split": q35_hash_split, "q36_mixture": q36_mixture})
+ORACLE.update({"q35_hash_split": _q35_sql(), "q36_mixture": _q36_sql()})

@@ -1,0 +1,106 @@
+"""Deterministic sampling / splitting / mixing for training-data pipelines
+(engine brief: dataset assembly ops a 100-TB curriculum build needs).
+
+All three ops are pure row-local functions of a hash of the row's ID —
+embarrassingly parallel, zero shuffle, reproducible at ANY parallelism and
+resumable (re-running a shard yields the same assignment). That is the
+property that matters at scale: a random() sample changes under retry and
+block-layout changes; a hash sample never does.
+
+The hash is Knuth multiplicative hashing in u32 space —
+``((id + seed) % 2^32 * 2654435761) % 2^32 / 2^32`` — chosen over siphash/
+splitmix64 deliberately: it is exactly expressible in ANSI SQL (HUGEINT
+arithmetic), so the DuckDB oracles reproduce the assignment bit-for-bit.
+Intermediate products stay below 2^64, so numpy u64 and SQL exact integers
+agree everywhere.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from e_commerce_batch_etl_pipeline_ray.core import FnStep
+
+_KNUTH = np.uint64(2654435761)
+_MOD = np.uint64(1) << np.uint64(32)
+
+
+def _unit_hash(ids: np.ndarray, seed: int) -> np.ndarray:
+    """[0,1) hash of integer ids: Knuth multiplicative in u32 space,
+    salted by seed. Exactly ((id + seed) % 2^32 * 2654435761) % 2^32 /
+    2^32 — the pre-multiply mod keeps the product < 2^64 so numpy u64 and
+    the SQL oracle's exact HUGEINT arithmetic agree bit-for-bit."""
+    with np.errstate(over="ignore"):
+        h = (((ids.astype(np.uint64) + np.uint64(seed)) % _MOD) * _KNUTH) % _MOD
+    return h.astype(np.float64) / float(_MOD)
+
+
+def hash_sample(id_col: str, fraction: float, seed: int = 0) -> FnStep:
+    """Deterministic Bernoulli sample: keep rows whose unit hash < fraction.
+    Unlike Dataset.random_sample, membership is a pure function of the row
+    id — stable under retries, repartitioning and resume."""
+    def _fn(t: pa.Table) -> pa.Table:
+        u = _unit_hash(t[id_col].to_numpy(), seed)
+        return t.filter(pa.array(u < fraction))
+
+    def _apply(ds):
+        return ds.map_batches(_fn, batch_format="pyarrow", zero_copy_batch=True)
+    return FnStep(f"hash_sample[{fraction}]", _apply)
+
+
+def hash_split(id_col: str, weights: Sequence[float],
+               labels: Sequence[str] | None = None, seed: int = 0,
+               out: str = "split") -> FnStep:
+    """Deterministic train/val/test split: the unit hash lands in one of
+    ``len(weights)`` cumulative buckets. Every row gets exactly one label;
+    the assignment never changes across runs or layouts."""
+    w = np.asarray(weights, dtype=np.float64)
+    if (w <= 0).any():
+        raise ValueError("weights must be positive")
+    cum = np.cumsum(w / w.sum())
+    labs = list(labels) if labels else [f"split_{i}" for i in range(len(w))]
+    if len(labs) != len(w):
+        raise ValueError("need one label per weight")
+
+    def _fn(t: pa.Table) -> pa.Table:
+        u = _unit_hash(t[id_col].to_numpy(), seed)
+        idx = np.searchsorted(cum, u, side="right")
+        idx = np.minimum(idx, len(labs) - 1)
+        vals = np.asarray(labs, dtype=object)[idx]
+        return t.append_column(out, pa.array(vals, pa.string()))
+
+    def _apply(ds):
+        return ds.map_batches(_fn, batch_format="pyarrow", zero_copy_batch=True)
+    return FnStep(f"hash_split[{','.join(labs)}]", _apply)
+
+
+def mixture(datasets: "Sequence[tuple]", id_cols: Sequence[str],
+            fractions: Sequence[float], seed: int = 0):
+    """Weighted mixture of N sources: hash-sample each source at its
+    fraction, tag provenance, union. ``datasets``: (name, Dataset) pairs.
+    The union streams — no materialization; per-source rates are exact in
+    expectation and deterministic per row."""
+    import ray.data  # noqa: F401
+    parts = []
+    for (name, ds), id_col, frac in zip(datasets, id_cols, fractions):
+        sampled = hash_sample(id_col, frac, seed=seed).apply(ds)
+
+        def _tag(t: pa.Table, _n=name) -> pa.Table:
+            return t.append_column("_source",
+                                   pa.array([_n] * t.num_rows, pa.string()))
+        parts.append(sampled.map_batches(_tag, batch_format="pyarrow",
+                                         zero_copy_batch=True))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out
+
+
+def sql_unit_hash(id_expr: str, seed: int = 0) -> str:
+    """The DuckDB expression equal to _unit_hash — shared by the oracles."""
+    return (f"(((CAST({id_expr} AS HUGEINT) + {seed}) % 4294967296) "
+            f"* 2654435761 % 4294967296) / 4294967296.0")

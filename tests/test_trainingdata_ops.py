@@ -206,3 +206,45 @@ def test_dq_all_pass():
     cfg = checks.DQConfig(min_rows=1, max_null_pct={"qty": 50.0})
     report, overall = checks.run_checks(_dirty_ds(), cfg)
     assert overall == "PASS"
+
+
+# --- deterministic sampling / split / mixture -------------------------------
+
+def test_hash_sample_deterministic_and_layout_invariant():
+    import ray.data
+
+    from e_commerce_batch_etl_pipeline_ray.stages import sampling
+    t = pa.table({"doc_id": pa.array(range(10_000), pa.int64())})
+    a = sampling.hash_sample("doc_id", 0.3, seed=1).apply(
+        ray.data.from_arrow(t)).to_pandas()
+    b = sampling.hash_sample("doc_id", 0.3, seed=1).apply(
+        ray.data.from_arrow(t).repartition(13)).to_pandas()
+    assert sorted(a["doc_id"]) == sorted(b["doc_id"])     # layout-invariant
+    assert 0.25 < len(a) / 10_000 < 0.35
+
+
+def test_hash_split_total_and_disjoint():
+    import ray.data
+
+    from e_commerce_batch_etl_pipeline_ray.stages import sampling
+    t = pa.table({"doc_id": pa.array(range(20_000), pa.int64())})
+    out = sampling.hash_split("doc_id", [0.8, 0.1, 0.1],
+                              ["train", "val", "test"], seed=7).apply(
+        ray.data.from_arrow(t)).to_pandas()
+    assert len(out) == 20_000                              # total
+    frac = out["split"].value_counts(normalize=True)
+    assert 0.77 < frac["train"] < 0.83
+    assert 0.08 < frac["val"] < 0.12 and 0.08 < frac["test"] < 0.12
+
+
+def test_mixture_tags_and_rates():
+    import ray.data
+
+    from e_commerce_batch_etl_pipeline_ray.stages import sampling
+    a = ray.data.from_arrow(pa.table({"i": pa.array(range(8000), pa.int64())}))
+    b = ray.data.from_arrow(pa.table({"i": pa.array(range(8000), pa.int64())}))
+    out = sampling.mixture([("a", a), ("b", b)], id_cols=["i", "i"],
+                           fractions=[0.5, 0.125], seed=2).to_pandas()
+    counts = out["_source"].value_counts()
+    assert 0.45 * 8000 < counts["a"] < 0.55 * 8000
+    assert 0.10 * 8000 < counts["b"] < 0.15 * 8000
