@@ -1166,3 +1166,82 @@ SELECT _source, COUNT(*) AS n_rows FROM (
 
 QUERIES.update({"q35_hash_split": q35_hash_split, "q36_mixture": q36_mixture})
 ORACLE.update({"q35_hash_split": _q35_sql(), "q36_mixture": _q36_sql()})
+
+
+# ---------------------------------------------------------------------------
+# q37 — sequence packing (rows-only: FFD bin assignment is algorithmic, not
+# SQL-expressible; pytest asserts the budget/partition invariants). Returns
+# per-doc pack assignment aggregated to per-pack stats.
+
+def q37_pack_sequences(sf_dir: str):
+    from e_commerce_batch_etl_pipeline_ray.stages import packing, text as T
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ds = T.token_stats().apply(ds).select_columns(["doc_id", "n_tokens"])
+    packed = packing.pack_sequences("doc_id", "n_tokens", budget=512,
+                                    num_partitions=16).apply(ds)
+    out = aggregates.grouped_aggregate(
+        ["pack_id"], [("count", None, "n_docs"),
+                      ("sum", "n_tokens", "pack_tokens")],
+        pre_aggregate=True).apply(packed)
+    return out.sort("pack_id")
+
+
+# ---------------------------------------------------------------------------
+# q38 — composed curation pipeline WITH full SQL oracle: quality score ->
+# threshold filter -> deterministic train/val/test split -> per-split stats.
+# Every stage is SQL-reproducible (q16's scoring expression + q35's hash).
+
+def q38_quality_filtered_split(sf_dir: str):
+    from e_commerce_batch_etl_pipeline_ray.stages import sampling, text as T
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ds = T.quality_score().apply(ds)
+    ds = maps.filter_expr(lambda t: pc.greater_equal(t["quality"], 0.75),
+                          name="quality_gate").apply(ds)
+    ds = sampling.hash_split("doc_id", [0.9, 0.05, 0.05],
+                             ["train", "val", "test"], seed=11).apply(ds)
+    out = aggregates.grouped_aggregate(
+        ["split"], [("count", None, "n_docs"),
+                    ("mean", "quality", "avg_quality")],
+        pre_aggregate=True).apply(ds)
+    out = out.map_batches(
+        lambda t: t.set_column(t.column_names.index("avg_quality"),
+                               "avg_quality", F.round2(t["avg_quality"], 4)),
+        batch_format="pyarrow")
+    return out.sort("split")
+
+
+def _q38_sql() -> str:
+    from e_commerce_batch_etl_pipeline_ray.stages.sampling import sql_unit_hash
+    u = sql_unit_hash("doc_id", seed=11)
+    return rf"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(length(text) AS DOUBLE) AS n_chars,
+         CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS DOUBLE) AS n_tokens,
+         CAST(len(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE) AS n_punct,
+         CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) AS n_digit,
+         CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) AS n_letters
+  FROM documents),
+scored AS (
+  SELECT doc_id,
+         ROUND(
+           0.25 * (CASE WHEN n_chars >= 50 AND n_chars <= 100000 THEN 1.0 ELSE 0.0 END)
+         + 0.25 * (1.0 - LEAST(n_punct / GREATEST(n_chars, 1.0), 1.0))
+         + 0.25 * (1.0 - LEAST(n_digit / GREATEST(n_chars, 1.0), 1.0))
+         + 0.25 * (CASE WHEN n_letters / GREATEST(n_tokens, 1.0) >= 2.0
+                         AND n_letters / GREATEST(n_tokens, 1.0) <= 12.0
+                        THEN 1.0 ELSE 0.0 END), 6) AS quality
+  FROM t),
+gated AS (SELECT * FROM scored WHERE quality >= 0.75)
+SELECT CASE WHEN {u} < 0.9 THEN 'train'
+            WHEN {u} < 0.95 THEN 'val'
+            ELSE 'test' END AS split,
+       COUNT(*) AS n_docs,
+       ROUND(AVG(quality), 4) AS avg_quality
+FROM gated GROUP BY 1 ORDER BY 1
+"""
+
+
+QUERIES.update({"q37_pack_sequences": q37_pack_sequences,
+                "q38_quality_filtered_split": q38_quality_filtered_split})
+ORACLE.update({"q38_quality_filtered_split": _q38_sql()})

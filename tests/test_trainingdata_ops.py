@@ -248,3 +248,36 @@ def test_mixture_tags_and_rates():
     counts = out["_source"].value_counts()
     assert 0.45 * 8000 < counts["a"] < 0.55 * 8000
     assert 0.10 * 8000 < counts["b"] < 0.15 * 8000
+
+
+def test_pack_sequences_budget_and_coverage():
+    import ray.data
+
+    from e_commerce_batch_etl_pipeline_ray.stages import packing
+    rng = np.random.RandomState(5)
+    n = 3000
+    toks = rng.randint(10, 400, size=n)
+    toks[::97] = 700                                     # oversized docs
+    t = pa.table({"doc_id": pa.array(range(n), pa.int64()),
+                  "n_tokens": pa.array(toks, pa.int64())})
+    out = packing.pack_sequences("doc_id", "n_tokens", budget=512,
+                                 num_partitions=8).apply(
+        ray.data.from_arrow(t)).to_pandas()
+    assert len(out) == n                                 # every doc packed once
+    assert out["doc_id"].is_unique
+    per_pack = out.groupby("pack_id").agg(tokens=("n_tokens", "sum"),
+                                          docs=("doc_id", "size"),
+                                          over=("oversize", "any"))
+    ok = per_pack[~per_pack["over"]]
+    assert (ok["tokens"] <= 512).all()                   # budget respected
+    assert (out[out.oversize].groupby("pack_id").size() == 1).all()
+    # utilization: FFD should fill bins reasonably (not one doc per bin)
+    assert ok["tokens"].mean() > 512 * 0.7
+
+    # determinism under different block layout
+    out2 = packing.pack_sequences("doc_id", "n_tokens", budget=512,
+                                  num_partitions=8).apply(
+        ray.data.from_arrow(t).repartition(11)).to_pandas()
+    m1 = out.sort_values("doc_id")["pack_id"].tolist()
+    m2 = out2.sort_values("doc_id")["pack_id"].tolist()
+    assert m1 == m2
