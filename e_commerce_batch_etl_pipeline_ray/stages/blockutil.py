@@ -1,0 +1,56 @@
+"""Block-level utilities shared by every stage that feeds Ray Dataset
+joins (neardup verify, transitive dedup, the CDC two-phase shuffle).
+
+Ray 2.49 `Dataset.join` fails with `ArrowInvalid: No match or multiple
+matches for key field reference FieldRef.Name(...)` in two situations:
+(a) ANY input block is EMPTY (the hash-shuffle partition builder turns it
+into a zero-column table acero can't key), and (b) a materialized dataset
+whose lineage contains a Join is fed back into another Join. Both are
+worked around by rebuilding the dataset from its NON-EMPTY block refs,
+which also severs the logical plan.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+import ray.data
+
+
+def ensure_schema(schema: pa.Schema):
+    """Batch fn: pin blocks to ``schema`` (zero-column empty blocks from
+    groupby/aggregate operators -> explicitly-schema'd empty tables; extra
+    columns dropped; types cast)."""
+    def _fn(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or not all(n in t.column_names for n in schema.names):
+            return schema.empty_table()
+        cols = [t[f.name].cast(f.type) if t[f.name].type != f.type else t[f.name]
+                for f in schema]
+        return pa.Table.from_arrays(cols, schema=schema)
+    return _fn
+
+
+def ensure_schema_renamed(schema: pa.Schema, mapping: dict[str, str]):
+    """Rename then pin to schema."""
+    base = ensure_schema(schema)
+
+    def _fn(t: pa.Table) -> pa.Table:
+        t = t.rename_columns([mapping.get(c, c) for c in t.column_names])
+        return base(t)
+    return _fn
+
+
+def detach(ds: ray.data.Dataset, schema: pa.Schema) -> ray.data.Dataset:
+    """Materialize and rebuild from NON-EMPTY block refs (block METADATA
+    row counts only — no driver fetch of contents). Returns a single
+    explicitly-schema'd empty-table dataset when everything was empty;
+    callers joining against the result must still ``count()`` first."""
+    m = ds.materialize()
+    refs = []
+    for bundle in m.iter_internal_ref_bundles():
+        for ref, meta in bundle.blocks:
+            if meta.num_rows is None or meta.num_rows > 0:
+                refs.append(ref)
+    if not refs:
+        return ray.data.from_arrow(schema.empty_table())
+    return ray.data.from_arrow_refs(refs)

@@ -421,49 +421,17 @@ def _rename(t: pa.Table, mapping: dict[str, str], drop: list[str] = ()) -> pa.Ta
     return t.rename_columns([mapping.get(c, c) for c in t.column_names])
 
 
-def _detach(ds: ray.data.Dataset, schema: pa.Schema) -> ray.data.Dataset:
-    """Materialize and rebuild the dataset from its NON-EMPTY block refs.
-
-    Ray 2.49 join bug workaround: an EMPTY block in either join input makes
-    the hash-shuffle partition builder produce a zero-column table and acero
-    fails with 'No match for FieldRef' — so any dataset feeding a Join is
-    compacted to non-empty blocks first (block METADATA row counts only; no
-    driver fetch of block contents). Returns a single explicitly-schema'd
-    empty-table dataset when everything was empty — callers must still
-    count() before joining against it."""
-    m = ds.materialize()
-    refs = []
-    for bundle in m.iter_internal_ref_bundles():
-        for ref, meta in bundle.blocks:
-            if meta.num_rows is None or meta.num_rows > 0:
-                refs.append(ref)
-    if not refs:
-        return ray.data.from_arrow(schema.empty_table())
-    return ray.data.from_arrow_refs(refs)
+from e_commerce_batch_etl_pipeline_ray.stages.blockutil import (   # noqa: E402
+    detach as _detach_impl,
+    ensure_schema as _ensure_schema,
+    ensure_schema_renamed as _ensure_schema_renamed,
+)
 
 
-def _ensure_schema_renamed(schema: pa.Schema, mapping: dict[str, str]):
-    """Rename then pin to schema (empty/zero-column blocks -> empty table)."""
-    base = _ensure_schema(schema)
-
-    def _fn(t: pa.Table) -> pa.Table:
-        return base(_rename(t, mapping))
-    return _fn
-
-
-def _ensure_schema(schema: pa.Schema):
-    """Batch fn: pin blocks to ``schema``. Ray's groupby/aggregate operators
-    emit ZERO-COLUMN empty blocks ("new schema: ." executor warnings) which
-    crash a downstream Dataset.join with 'No match for FieldRef' — every
-    groupby-derived dataset that feeds a join goes through this."""
-    def _fn(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0 or not all(n in t.column_names for n in schema.names):
-            return schema.empty_table()
-        cols = [t[f.name].cast(f.type) if t[f.name].type != f.type else t[f.name]
-                for f in schema]
-        return pa.Table.from_arrays(cols, schema=schema)
-    return _fn
-
+def _detach(ds, schema):
+    """See stages/blockutil.detach (Ray 2.49 join empty-block/lineage
+    workaround)."""
+    return _detach_impl(ds, schema)
 
 def dedup_by_pairs(ds: ray.data.Dataset, pairs: ray.data.Dataset,
                    id_col: str = "doc_id", max_rounds: int = 20,

@@ -521,3 +521,15 @@ def test_manifest_epoch_metrics(tmp_path):
     assert met["events_in"] == SPEC.events_per_epoch
     assert met["rows_applied"] > 0 and met["bytes_written"] > 0
     assert met["elapsed_s"] > 0 and met["mode"] == "compact"
+
+
+def test_two_phase_shuffle_parity(tmp_path):
+    """Opt-in winner-first shuffle (distributed winner join, no driver
+    broadcast) produces the identical final state as the plain path,
+    including dups/out-of-order/evolution."""
+    e1 = _engine(tmp_path / "plain")
+    e2 = _engine(tmp_path / "two_phase", two_phase_shuffle=True)
+    for ep in range(2):
+        e1.ingest_epoch(binlog.gen_epoch(SPEC, ep), ep)
+        e2.ingest_epoch(binlog.gen_epoch(SPEC, ep), ep)
+    assert _final_state(e2) == _final_state(e1) == _oracle_state(SPEC, 2)
