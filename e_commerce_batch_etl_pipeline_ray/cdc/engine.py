@@ -70,11 +70,12 @@ class CDCConfig:
     verify_sha: bool = False            # recompute+check content sha256
     batch_size: int | None = None       # None -> whole blocks through combine
     # Resolve LWW winners on skinny (repo, path, lsn) columns FIRST (tiny
-    # shuffle), then ship only the winning rows' content to the merge
-    # partitions. Huge shuffle-byte reduction under hot-key skew (many
-    # updates to few keys per epoch); costs one extra pass + a broadcast of
-    # the winner key set, so keep it off when epochs touch mostly-unique
-    # keys or the per-epoch winner set is too large to broadcast.
+    # shuffle), then inner-join the full rows to the winner set — only
+    # winner content crosses the wire to merge-apply. Huge shuffle-byte
+    # reduction under hot-key skew (many updates to few keys per epoch);
+    # costs one extra skinny shuffle + a distributed join, so keep it off
+    # when epochs touch mostly-unique keys (the combiner already bounds
+    # per-key traffic at one row per block).
     two_phase_shuffle: bool = False
     # LSM-style write amplification control: with compact_interval=K, K-1 of
     # every K epochs write only per-partition DELTA files (no prior read, no

@@ -123,11 +123,14 @@ class LangId:
         return batch
 
 
-def lang_id(text_col: str = "text", concurrency: tuple[int, int] = (1, 4)) -> FnStep:
+def lang_id(text_col: str = "text", concurrency: tuple[int, int] = (1, 4),
+            batch_size: int = 1024) -> FnStep:
     def _apply(ds):
+        # batch_size splits single-block inputs across the pool — without
+        # it a one-block corpus serializes through one actor
         return ds.map_batches(LangId, batch_format="pyarrow", zero_copy_batch=True,
                               fn_constructor_args=(text_col,),
-                              concurrency=concurrency)
+                              batch_size=batch_size, concurrency=concurrency)
     return FnStep("lang_id", _apply)
 
 
@@ -173,11 +176,11 @@ class Fingerprint:
 
 
 def fingerprint(text_col: str = "text", concurrency: tuple[int, int] = (1, 4),
-                **kwargs) -> FnStep:
+                batch_size: int = 1024, **kwargs) -> FnStep:
     def _apply(ds):
         return ds.map_batches(Fingerprint, batch_format="pyarrow",
                               zero_copy_batch=True,
                               fn_constructor_args=(text_col,),
                               fn_constructor_kwargs=kwargs,
-                              concurrency=concurrency)
+                              batch_size=batch_size, concurrency=concurrency)
     return FnStep("fingerprint", _apply)
