@@ -216,3 +216,59 @@ def read_lake(lake_dir: str, epoch: int | None = None,
 
     return ray.data.from_items(parts).map_batches(
         _merge_partition, batch_format="pyarrow", batch_size=1)
+
+
+def vacuum(lake_dir: str, keep_last: int = 1) -> dict:
+    """Reclaim storage: delete data files and manifests not referenced by
+    the newest ``keep_last`` committed manifests.
+
+    Carry-forward safety: an untouched partition's file lives in an OLD
+    epoch dir but is still referenced by the newest manifest — vacuum
+    walks the kept manifests' file references (bases AND deltas) and only
+    removes unreferenced files, then prunes empty epoch dirs and old
+    manifests. Time travel to vacuumed epochs is gone by definition;
+    resume is unaffected (it only needs the newest manifest).
+    """
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    last = last_committed_epoch(lake_dir)
+    if last is None:
+        return {"files_removed": 0, "bytes_reclaimed": 0,
+                "manifests_removed": 0}
+    keep_epochs = [e for e in range(last - keep_last + 1, last + 1)
+                   if os.path.exists(_manifest_path(lake_dir, e))]
+    referenced: set[str] = set()
+    for e in keep_epochs:
+        m = read_manifest(lake_dir, e)
+        for rec in m["partitions"].values():
+            if rec.get("file"):
+                referenced.add(os.path.realpath(rec["file"]))
+            for d in rec.get("deltas", []):
+                referenced.add(os.path.realpath(d))
+
+    files_removed = 0
+    bytes_reclaimed = 0
+    for name in sorted(os.listdir(lake_dir)):
+        if not name.startswith("epoch="):
+            continue
+        full = os.path.join(lake_dir, name)
+        for fname in sorted(os.listdir(full)):
+            fpath = os.path.join(full, fname)
+            if os.path.realpath(fpath) not in referenced:
+                bytes_reclaimed += os.path.getsize(fpath)
+                os.remove(fpath)
+                files_removed += 1
+        if not os.listdir(full):
+            os.rmdir(full)
+
+    manifests_removed = 0
+    mdir = os.path.join(lake_dir, MANIFEST_DIR)
+    for f in sorted(os.listdir(mdir)):
+        if f.startswith("epoch-") and f.endswith(".json"):
+            e = int(f[len("epoch-"):-len(".json")])
+            if e not in keep_epochs:
+                os.remove(os.path.join(mdir, f))
+                manifests_removed += 1
+    return {"files_removed": files_removed,
+            "bytes_reclaimed": bytes_reclaimed,
+            "manifests_removed": manifests_removed}

@@ -68,6 +68,13 @@ class _BruteTopK:
         })
 
 
+def _brute_topk_batch(t: pa.Table, *, q_ref, emb_col: str, id_col: str,
+                      k: int) -> pa.Table:
+    """Task-pool form of _BruteTopK (the broadcast queries resolve from the
+    worker-local object store; no actor spin-up latency)."""
+    return _BruteTopK(q_ref, emb_col, id_col, k)(t)
+
+
 def knn_brute(ds: ray.data.Dataset, queries: tuple[list[int], np.ndarray],
               k: int = 10, emb_col: str = "embedding", id_col: str = "vec_id",
               concurrency: tuple[int, int] = (1, 8)) -> pa.Table:
@@ -78,10 +85,14 @@ def knn_brute(ds: ray.data.Dataset, queries: tuple[list[int], np.ndarray],
     (-cosine, neighbor_id).
     """
     q_ref = ray.put((list(queries[0]), np.asarray(queries[1], dtype=np.float64)))
+    # task pool + batch_size: the broadcast ref resolves from the local
+    # plasma cache per task (cheap), and splitting single-block corpora
+    # avoids serializing everything through one worker; no actor spin-up.
+    import functools
     partials = ds.map_batches(
-        _BruteTopK, batch_format="pyarrow", zero_copy_batch=True,
-        fn_constructor_args=(q_ref, emb_col, id_col, k),
-        concurrency=concurrency)
+        functools.partial(_brute_topk_batch, q_ref=q_ref, emb_col=emb_col,
+                          id_col=id_col, k=k),
+        batch_format="pyarrow", zero_copy_batch=True, batch_size=2048)
     t = pa.concat_tables(ray.get(partials.to_arrow_refs()),
                          promote_options="default")
     df = t.to_pandas()
@@ -172,3 +183,71 @@ def knn_ivf(ds: ray.data.Dataset, queries: tuple[list[int], np.ndarray],
     df["cosine"] = df["cosine"].round(6)
     return pa.Table.from_pandas(
         df[["query_id", "neighbor_id", "rank", "cosine"]], preserve_index=False)
+
+
+# ---------------------------------------------------------------------------
+# IVF partitioned index: persist per-centroid parquet partitions so a search
+# READS only the probed partitions — pruning at the read is the 100-TB scale
+# path (knn_ivf above still scans every block and filters in-task).
+
+
+def ivf_index_build(ds: ray.data.Dataset, index_dir: str,
+                    n_centroids: int = 16, emb_col: str = "embedding",
+                    id_col: str = "vec_id", seed: int = 11) -> np.ndarray:
+    """Build a persisted IVF index: train the coarse quantizer, assign every
+    vector to its nearest centroid, and write one parquet DIRECTORY per
+    centroid (``index_dir/list=C/``) plus the centroid matrix. Search then
+    touches only ``nprobe`` directories — I/O proportional to the probed
+    fraction of the corpus, not the corpus."""
+    import os
+
+    cent = train_centroids(ds, n_centroids, emb_col, seed=seed)
+    cent_ref = ray.put(cent)
+
+    def _assign(t: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        vn = _normalize(_emb_matrix(t[emb_col]))
+        a = np.argmax(vn @ c.T, axis=1).astype(np.int32)
+        return t.append_column("_list", pa.array(a))
+
+    assigned = ds.map_batches(_assign, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    os.makedirs(index_dir, exist_ok=True)
+    # one directory per centroid list — the unit a search prunes on; also
+    # the resume unit (a crashed build re-runs whole lists idempotently)
+    assigned.write_parquet(index_dir, partition_cols=["_list"])
+    np.save(os.path.join(index_dir, "centroids.npy"), cent)
+    return cent
+
+
+def ivf_index_search(index_dir: str, queries: tuple[list[int], np.ndarray],
+                     k: int = 10, nprobe: int = 4,
+                     emb_col: str = "embedding",
+                     id_col: str = "vec_id") -> pa.Table:
+    """Search the persisted index: pick each query's ``nprobe`` nearest
+    centroids, then read ONLY those list directories (column-pruned) and
+    run the brute scorer over the union. Same output contract as
+    knn_brute/knn_ivf."""
+    import os
+
+    import ray.data as rd
+
+    cent = np.load(os.path.join(index_dir, "centroids.npy"))
+    q_ids = list(queries[0])
+    qm = _normalize(np.asarray(queries[1], dtype=np.float64))
+    probe = np.argsort(-(qm @ cent.T), axis=1)[:, :nprobe]
+    import glob
+    lists = sorted({int(c) for row in probe for c in row})
+    files = []
+    for c in lists:
+        files.extend(sorted(glob.glob(
+            os.path.join(index_dir, f"_list={c}", "*.parquet"))))
+    dirs = files
+    if not dirs:
+        return pa.table({"query_id": pa.array([], pa.int64()),
+                         "neighbor_id": pa.array([], pa.int64()),
+                         "rank": pa.array([], pa.int64()),
+                         "cosine": pa.array([], pa.float64())})
+    sub = rd.read_parquet(dirs, columns=[id_col, emb_col])
+    # exactness caveat identical to knn_ivf: recall bounded by the probe set
+    return knn_brute(sub, (q_ids, qm), k=k, emb_col=emb_col, id_col=id_col)

@@ -281,3 +281,33 @@ def test_pack_sequences_budget_and_coverage():
     m1 = out.sort_values("doc_id")["pack_id"].tolist()
     m2 = out2.sort_values("doc_id")["pack_id"].tolist()
     assert m1 == m2
+
+
+def test_ivf_index_build_and_search(tmp_path):
+    """Persisted per-centroid partition layout: search reads only probed
+    list directories and still finds the exact neighbors brute force finds
+    (high-recall config: nprobe = n_centroids gives exact parity)."""
+    import ray.data
+
+    from e_commerce_batch_etl_pipeline_ray.stages import similarity
+    rng = np.random.RandomState(4)
+    vecs = rng.randn(2000, 32)
+    t = pa.table({"vec_id": pa.array(range(2000), pa.int64()),
+                  "embedding": pa.array([r.tolist() for r in vecs],
+                                        pa.list_(pa.float64()))})
+    ds = ray.data.from_arrow(t)
+    idx_dir = str(tmp_path / "ivf")
+    similarity.ivf_index_build(ds, idx_dir, n_centroids=8)
+
+    q = ([0, 7], vecs[[0, 7]])
+    exact = similarity.knn_brute(ds, q, k=5).to_pandas()
+    # full probe -> exact parity with brute force
+    full = similarity.ivf_index_search(idx_dir, q, k=5, nprobe=8).to_pandas()
+    assert full.values.tolist() == exact.values.tolist()
+    # partial probe -> self is always found, recall stays high
+    part = similarity.ivf_index_search(idx_dir, q, k=5, nprobe=3).to_pandas()
+    for qid in (0, 7):
+        e = set(exact[exact.query_id == qid]["neighbor_id"])
+        p = set(part[part.query_id == qid]["neighbor_id"])
+        assert qid in p
+        assert len(e & p) >= 3
