@@ -1245,3 +1245,20 @@ FROM gated GROUP BY 1 ORDER BY 1
 QUERIES.update({"q37_pack_sequences": q37_pack_sequences,
                 "q38_quality_filtered_split": q38_quality_filtered_split})
 ORACLE.update({"q38_quality_filtered_split": _q38_sql()})
+
+
+# ---------------------------------------------------------------------------
+# q39 — full near-dup dedup composition (rows-only: LSH candidates are not
+# SQL-expressible): minhash pairs -> distributed transitive min-label
+# dedup -> surviving documents. Exercises the whole corpus-safe pipeline
+# (bucket-local verify, edge-set label propagation, id-partitioned filter).
+
+def q39_neardup_dedup(sf_dir: str):
+    from e_commerce_batch_etl_pipeline_ray.stages import neardup
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    pairs = neardup.minhash_lsh_pairs(ds, threshold=0.8)
+    kept = neardup.dedup_by_pairs(ds, pairs, id_col="doc_id")
+    return kept.select_columns(["doc_id"]).sort("doc_id")
+
+
+QUERIES.update({"q39_neardup_dedup": q39_neardup_dedup})
