@@ -485,6 +485,7 @@ def dedup_by_pairs(ds: ray.data.Dataset, pairs: ray.data.Dataset,
         batch_format="pyarrow", zero_copy_batch=True), label_schema)
     prev_sum = labels.sum("_label")
 
+    converged = False
     for _ in range(max_rounds):
         # label[src] flows along every edge (incl. the self-loop) ...
         msgs = sym.join(labels, join_type="inner", on=("_src",),
@@ -500,8 +501,17 @@ def dedup_by_pairs(ds: ray.data.Dataset, pairs: ray.data.Dataset,
             batch_format="pyarrow", zero_copy_batch=True), label_schema)
         cur_sum = labels.sum("_label")
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
+    if not converged:
+        # silently using half-propagated labels would keep duplicate
+        # cluster members; a chain longer than max_rounds is pathological
+        # for near-dup graphs — fail loudly with the remedy
+        raise RuntimeError(
+            f"dedup_by_pairs did not converge in {max_rounds} rounds "
+            f"(a duplicate component has diameter > {max_rounds}); "
+            f"raise max_rounds")
 
     # non-winners (label != own id) are dropped from the corpus via an
     # id-partitioned left-outer join; winners and untouched docs pass through

@@ -311,3 +311,26 @@ def test_ivf_index_build_and_search(tmp_path):
         p = set(part[part.query_id == qid]["neighbor_id"])
         assert qid in p
         assert len(e & p) >= 3
+
+
+def test_dedup_by_pairs_long_chain_and_round_guard():
+    import ray.data
+
+    # a 12-node chain: needs ~11 propagation rounds; converges and keeps
+    # only the minimum id
+    docs = pa.table({"doc_id": pa.array(range(14), pa.int64()),
+                     "text": ["t"] * 14})
+    chain = pa.table({"id_a": pa.array(range(11), pa.int64()),
+                      "id_b": pa.array(range(1, 12), pa.int64()),
+                      "jaccard": pa.array([1.0] * 11)})
+    kept = neardup.dedup_by_pairs(ray.data.from_arrow(docs),
+                                  ray.data.from_arrow(chain),
+                                  max_rounds=15)
+    assert sorted(kept.to_pandas()["doc_id"]) == [0, 12, 13]
+
+    # too few rounds -> loud failure, never silent wrong labels
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        neardup.dedup_by_pairs(ray.data.from_arrow(docs),
+                               ray.data.from_arrow(chain),
+                               max_rounds=3).to_pandas()
