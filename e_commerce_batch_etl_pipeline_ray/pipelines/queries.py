@@ -1262,3 +1262,41 @@ def q39_neardup_dedup(sf_dir: str):
 
 
 QUERIES.update({"q39_neardup_dedup": q39_neardup_dedup})
+
+
+# ---------------------------------------------------------------------------
+# q40 — sliding (hopping) window aggregate: 60-minute windows every 30
+# minutes over the events table; row-local window fan-out + pre-aggregated
+# grouped sum (no shuffle beyond the final tiny groupby)
+
+def q40_sliding_window(sf_dir: str):
+    from e_commerce_batch_etl_pipeline_ray.stages import streaming
+    ds = _read(sf_dir, "events", ["ts", "value"])
+    ds = streaming.sliding_window("ts", window_minutes=60,
+                                  slide_minutes=30).apply(ds)
+    out = aggregates.grouped_aggregate(
+        ["window_start"], [("count", None, "n_events"),
+                           ("sum", "value", "sum_value")],
+        pre_aggregate=True).apply(ds)
+    out = out.map_batches(
+        lambda t: t.set_column(t.column_names.index("sum_value"), "sum_value",
+                               F.round2(t["sum_value"], 2)),
+        batch_format="pyarrow")
+    return out.sort("window_start")
+
+
+Q40_SQL = """
+WITH shifted AS (
+  SELECT time_bucket(INTERVAL 30 MINUTE, ts) AS window_start, value FROM events
+  UNION ALL
+  SELECT time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE, value
+  FROM events
+)
+SELECT window_start, COUNT(*) AS n_events,
+       ROUND(SUM(value), 2) AS sum_value
+FROM shifted GROUP BY 1 ORDER BY 1
+"""
+
+
+QUERIES.update({"q40_sliding_window": q40_sliding_window})
+ORACLE.update({"q40_sliding_window": Q40_SQL})

@@ -70,6 +70,38 @@ def tumbling_window(ts_col: str, unit: str = "day", out: str = "window_start") -
     return FnStep(f"tumbling[{unit}]", _apply)
 
 
+def sliding_window(ts_col: str, window_minutes: int, slide_minutes: int,
+                   out: str = "window_start") -> FnStep:
+    """Sliding event-time windows: every row is replicated into each of the
+    ``window_minutes / slide_minutes`` windows covering its timestamp (a
+    row-local flat-map — no shuffle; compose with grouped_aggregate for the
+    windowed aggregate, exactly like tumbling_window).
+
+    ``window_minutes`` must be a multiple of ``slide_minutes`` (hopping
+    windows); the fan-out factor is their ratio.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if window_minutes % slide_minutes != 0:
+        raise ValueError("window_minutes must be a multiple of slide_minutes")
+    n_rep = window_minutes // slide_minutes
+
+    def _fn(t: pa.Table) -> pa.Table:
+        base = pc.floor_temporal(t[ts_col], multiple=slide_minutes,
+                                 unit="minute")
+        parts = []
+        for k in range(n_rep):
+            shift = pa.scalar(k * slide_minutes * 60_000_000, pa.duration("us"))
+            ws = pc.subtract(base, shift)
+            parts.append(t.append_column(out, ws))
+        return pa.concat_tables(parts)
+
+    def _apply(ds):
+        return ds.map_batches(_fn, batch_format="pyarrow", zero_copy_batch=True)
+    return FnStep(f"sliding[{window_minutes}/{slide_minutes}]", _apply)
+
+
 def sessionize(key_col: str, ts_col: str, gap_minutes: float = 30.0,
                order_cols: list[str] | None = None,
                num_partitions: int = 64) -> FnStep:
