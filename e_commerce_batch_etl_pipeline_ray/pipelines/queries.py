@@ -1300,3 +1300,29 @@ FROM shifted GROUP BY 1 ORDER BY 1
 
 QUERIES.update({"q40_sliding_window": q40_sliding_window})
 ORACLE.update({"q40_sliding_window": Q40_SQL})
+
+
+# ---------------------------------------------------------------------------
+# q41 — EXACT distributed quantiles without a global sort (iterative range
+# narrowing, O(log) streaming passes); rank semantics == DuckDB
+# quantile_disc (inverted CDF)
+
+def q41_exact_quantiles(sf_dir: str):
+    ds = _read(sf_dir, "events", ["value"])
+    q50, q90, q99 = aggregates.exact_quantiles(ds, "value",
+                                               [0.5, 0.9, 0.99])
+    return pa.table({"q50": pa.array([q50], pa.float64()),
+                     "q90": pa.array([q90], pa.float64()),
+                     "q99": pa.array([q99], pa.float64())})
+
+
+Q41_SQL = """
+SELECT quantile_disc(value, 0.5) AS q50,
+       quantile_disc(value, 0.9) AS q90,
+       quantile_disc(value, 0.99) AS q99
+FROM events
+"""
+
+
+QUERIES.update({"q41_exact_quantiles": q41_exact_quantiles})
+ORACLE.update({"q41_exact_quantiles": Q41_SQL})

@@ -385,3 +385,89 @@ def approx_count_distinct_by(ds: ray.data.Dataset, by: Sequence[str], col: str,
     partials = ds.map_batches(_sketch, batch_format="pyarrow",
                               zero_copy_batch=True)
     return partials.groupby(by).map_groups(_merge, batch_format="pyarrow")
+
+
+def exact_quantiles(ds: ray.data.Dataset, col: str, qs: Sequence[float],
+                    bins: int = 2048, fetch_limit: int = 200_000) -> list[float]:
+    """EXACT distributed quantiles WITHOUT a global sort: iterative range
+    narrowing. Each round histograms the current candidate range per batch
+    (mergeable ``bins``-cell counts — one streaming pass), the driver finds
+    the cell containing the target rank and recurses into it; when a cell's
+    population fits ``fetch_limit`` the exact value is picked from a single
+    bounded fetch. O(log_bins(n/fetch_limit) + 1) passes; a 10^12-row column
+    needs 2-3.
+
+    Rank semantics match DuckDB ``quantile_disc`` / numpy ``inverted_cdf``:
+    the element at 0-based rank ``max(0, ceil(q*n) - 1)``.
+    """
+    import math
+
+    import numpy as np
+
+    qs = list(qs)
+
+    def _stats(t: pa.Table) -> pa.Table:
+        c = t[col]
+        return pa.table({"n": pa.array([len(c) - c.null_count], pa.int64()),
+                         "lo": pa.array([pc.min(c).as_py()], pa.float64()),
+                         "hi": pa.array([pc.max(c).as_py()], pa.float64())})
+
+    st = pa.concat_tables(ray.get(
+        ds.map_batches(_stats, batch_format="pyarrow",
+                       zero_copy_batch=True).to_arrow_refs()),
+        promote_options="default")
+    n = pc.sum(st["n"]).as_py() or 0
+    if n == 0:
+        raise ValueError("no non-null values")
+    glo, ghi = pc.min(st["lo"]).as_py(), pc.max(st["hi"]).as_py()
+
+    out = []
+    for q in qs:
+        rank = max(0, math.ceil(q * n) - 1)        # 0-based target
+        lo, hi, offset = glo, ghi, 0               # offset = count below lo
+        while True:
+            if lo == hi:
+                out.append(lo)
+                break
+            edges = np.linspace(lo, hi, bins + 1)
+
+            def _hist(t: pa.Table, _lo=lo, _hi=hi, _edges=edges) -> pa.Table:
+                v = t[col].to_numpy(zero_copy_only=False)
+                v = v[~np.isnan(v)] if v.dtype.kind == "f" else v
+                in_r = v[(v >= _lo) & (v <= _hi)]
+                counts, _ = np.histogram(in_r, bins=_edges)
+                return pa.table({"c": pa.array(counts, pa.int64()),
+                                 "i": pa.array(np.arange(len(counts)), pa.int32())})
+
+            h = pa.concat_tables(ray.get(
+                ds.map_batches(_hist, batch_format="pyarrow",
+                               zero_copy_batch=True).to_arrow_refs()),
+                promote_options="default")
+            counts = np.zeros(bins, dtype=np.int64)
+            np.add.at(counts, h["i"].to_numpy(), h["c"].to_numpy())
+            cum = np.cumsum(counts)
+            b = int(np.searchsorted(cum, rank - offset + 1, side="left"))
+            b = min(b, bins - 1)
+            blo = edges[b]
+            bhi = edges[b + 1] if b + 1 < len(edges) else hi
+            below = offset + (int(cum[b - 1]) if b > 0 else 0)
+            in_bin = int(counts[b])
+            if in_bin <= fetch_limit:
+                # bounded fetch of just the candidate cell (np.histogram
+                # bins are half-open except the last, which is closed)
+                def _grab(t: pa.Table, _blo=blo, _bhi=bhi,
+                          _closed=(b == bins - 1)) -> pa.Table:
+                    v = t[col].to_numpy(zero_copy_only=False)
+                    v = v[~np.isnan(v)] if v.dtype.kind == "f" else v
+                    m = (v >= _blo) & ((v <= _bhi) if _closed else (v < _bhi))
+                    return pa.table({"v": pa.array(np.sort(v[m]), pa.float64())})
+
+                g = pa.concat_tables(ray.get(
+                    ds.map_batches(_grab, batch_format="pyarrow",
+                                   zero_copy_batch=True).to_arrow_refs()),
+                    promote_options="default")
+                vals = np.sort(g["v"].to_numpy())
+                out.append(float(vals[rank - below]))
+                break
+            lo, hi, offset = blo, bhi, below
+    return out

@@ -318,3 +318,17 @@ def test_bloom_semi_join_no_false_negatives():
     evens = set(range(0, 10000, 2))
     assert evens <= kept                      # prefilter: zero false negatives
     assert len(kept - evens) / 5000 < 0.05    # and a small FP rate
+
+
+def test_exact_quantiles_vs_numpy():
+    import numpy as np
+
+    from e_commerce_batch_etl_pipeline_ray.stages import aggregates
+    rng = np.random.RandomState(9)
+    vals = np.concatenate([rng.randn(30_000) * 5, rng.randn(100) * 500])
+    ds = ray.data.from_arrow(pa.table({"v": pa.array(vals)})).repartition(9)
+    got = aggregates.exact_quantiles(ds, "v", [0.0, 0.25, 0.5, 0.99, 1.0],
+                                     fetch_limit=2_000)
+    exp = [float(np.quantile(vals, q, method="inverted_cdf"))
+           for q in (0.0, 0.25, 0.5, 0.99, 1.0)]
+    assert got == exp          # EXACT, not approximate
