@@ -190,11 +190,16 @@ def grouped_aggregate(by: Sequence[str],
     return FnStep(f"group_agg_partial[{','.join(by)}]", _apply)
 
 
-def count_distinct(by: Sequence[str], col: str, alias: str) -> FnStep:
-    """Exact COUNT(DISTINCT col) GROUP BY by — nested two-phase groupby:
-    distinct (by+col) pairs first (local distinct per batch, then shuffle of
-    the already-thinned pairs), then count per ``by``.
+def count_distinct(by: Sequence[str], col: str, alias: str,
+                   num_partitions: int = 32) -> FnStep:
+    """Exact COUNT(DISTINCT col) GROUP BY by — three thin vectorized
+    phases: local distinct per batch (combiner: traffic is distinct pairs
+    per block, not rows), hash-partitioned global distinct (the dedup_keyed
+    sort+boundary kernel — num_partitions Python calls, never one per
+    group), then a pre-aggregated count per ``by``.
     Reference: countDistinct notebooks/06_optimizations.py:281."""
+    from e_commerce_batch_etl_pipeline_ray.stages.dedup import dedup_keyed
+
     by = list(by)
     keys = by + [col]
 
@@ -203,12 +208,12 @@ def count_distinct(by: Sequence[str], col: str, alias: str) -> FnStep:
             return t.select(keys).group_by(keys).aggregate([]).select(keys)
         ds = ds.map_batches(_local_distinct, batch_format="pyarrow",
                             zero_copy_batch=True)
-        # global distinct + count per `by` in one grouped pass:
-        def _per_group(t: pa.Table) -> pa.Table:
-            n = t.group_by(keys).aggregate([]).num_rows
-            out = t.select(by).slice(0, 1)
-            return out.append_column(alias, pa.array([n], pa.int64()))
-        return ds.groupby(by).map_groups(_per_group, batch_format="pyarrow")
+        # rows are identical per key, so any winner works; order_by=col is a
+        # no-op tiebreak that keeps the combine kernel total
+        ds = dedup_keyed(keys, [col], descending=False,
+                         num_partitions=num_partitions).apply(ds)
+        return grouped_aggregate(by, [("count", None, alias)],
+                                 pre_aggregate=True).apply(ds)
     return FnStep(f"count_distinct[{col} by {','.join(by)}]", _apply)
 
 
