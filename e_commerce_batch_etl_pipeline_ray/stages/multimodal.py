@@ -88,6 +88,46 @@ class DecodeImage:
         return t.append_column("features", pa.array(feats, pa.list_(pa.float32())))
 
 
+class DecodeAudio:
+    """Actor-pool audio decode -> (duration_ms, spectral feature vector).
+
+    Real implementation would load soundfile/torchaudio in __init__ (once
+    per actor). Without the libs: ``fake=True`` derives a duration from the
+    payload length and a 16-dim magnitude-spectrum feature from the raw
+    bytes (deterministic numpy rFFT); ``fake=False`` raises
+    NotImplementedError at construction.
+    """
+
+    def __init__(self, fake: bool = False, sample_rate: int = 16_000):
+        if not fake:
+            raise NotImplementedError(
+                "audio decode requires soundfile/torchaudio (not in this "
+                "container); construct with fake=True for plumbing tests")
+        self.sample_rate = sample_rate
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        durations, feats = [], []
+        for payload in t["payload"].to_pylist():
+            if payload is None:
+                durations.append(None)
+                feats.append(None)
+                continue
+            # fake: bytes as 8-bit samples at sample_rate
+            arr = np.frombuffer(payload, dtype=np.uint8).astype(np.float32)
+            arr = (arr - 128.0) / 128.0
+            durations.append(int(len(arr) * 1000 / self.sample_rate))
+            spec = np.abs(np.fft.rfft(arr))
+            # 16 log-spaced band magnitudes, L1-normalized
+            bands = np.array_split(spec, 16)
+            f = np.array([b.mean() for b in bands], dtype=np.float32)
+            s = f.sum()
+            feats.append((f / s if s else f).tolist())
+        t = t.set_column(t.column_names.index("duration_ms"), "duration_ms",
+                         pa.array(durations, pa.int32()))
+        return t.append_column("audio_features",
+                               pa.array(feats, pa.list_(pa.float32())))
+
+
 class SampleFrames:
     """Actor-pool video frame sampler stub: emits ``n_frames`` byte-slices
     per video row (flat_map layout: one output row per frame)."""
@@ -125,6 +165,16 @@ def decode_images(fake: bool = False, batch_size: int = 128,
                               fn_constructor_kwargs={"fake": fake},
                               concurrency=concurrency)
     return FnStep("decode_images", _apply)
+
+
+def decode_audio(fake: bool = False, batch_size: int = 128,
+                 concurrency: tuple[int, int] = (1, 4)) -> FnStep:
+    def _apply(ds):
+        return ds.map_batches(DecodeAudio, batch_format="pyarrow",
+                              zero_copy_batch=True, batch_size=batch_size,
+                              fn_constructor_kwargs={"fake": fake},
+                              concurrency=concurrency)
+    return FnStep("decode_audio", _apply)
 
 
 def sample_frames(n_frames: int = 4, fake: bool = False, batch_size: int = 64,

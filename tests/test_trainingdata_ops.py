@@ -334,3 +334,25 @@ def test_dedup_by_pairs_long_chain_and_round_guard():
         neardup.dedup_by_pairs(ray.data.from_arrow(docs),
                                ray.data.from_arrow(chain),
                                max_rounds=3).to_pandas()
+
+
+def test_decode_audio_plumbing():
+    import ray.data
+
+    from e_commerce_batch_etl_pipeline_ray.stages import multimodal
+    media = multimodal.fake_media_table(64, seed=3, payload_bytes=1024)
+    ds = ray.data.from_arrow(media)
+    out = multimodal.decode_audio(fake=True, batch_size=16).apply(ds).to_pandas()
+    assert len(out) == 64
+    assert out["duration_ms"].notna().all()
+    assert all(len(f) == 16 for f in out["audio_features"])
+    # deterministic
+    out2 = multimodal.decode_audio(fake=True, batch_size=16).apply(
+        ray.data.from_arrow(media).repartition(5)).to_pandas()
+    a = out.sort_values("media_id")["audio_features"].tolist()
+    b = out2.sort_values("media_id")["audio_features"].tolist()
+    assert all(list(x) == list(y) for x, y in zip(a, b))
+    # non-fake raises loudly
+    import pytest as _pytest
+    with _pytest.raises(Exception):
+        multimodal.decode_audio(fake=False).apply(ds).materialize()
