@@ -570,3 +570,30 @@ def test_vacuum_keeps_carried_forward_files(tmp_path):
     assert before.values.tolist() == after.values.tolist()
     # resume still lands after the last epoch
     assert eng.resume_point() == 3
+
+
+def test_schema_evolution_type_widening(tmp_path):
+    """Beyond additive columns: a column whose type WIDENS between epochs
+    (int32 -> int64) unifies permissively; early rows read back widened."""
+    import hashlib
+
+    import ray.data
+
+    def ev(lsn, path, size, size_type):
+        c = f"v{lsn}"
+        return pa.Table.from_pylist([{
+            "lsn": lsn, "op": "I", "repo": "r", "path": path,
+            "commit": f"c{lsn}", "lang": None, "content": c,
+            "content_sha256": hashlib.sha256(c.encode()).hexdigest(),
+            "size": size,
+        }], schema=binlog.EVENT_SCHEMA_V2.append(pa.field("size", size_type)))
+
+    eng = _engine(tmp_path)
+    eng.ingest_epoch(ray.data.from_arrow(
+        ev(0, "a.py", 10, pa.int32())), 0)
+    assert eng.read().schema().base_schema.field("size").type == pa.int32()
+    eng.ingest_epoch(ray.data.from_arrow(
+        ev(1, "b.py", 2**40, pa.int64())), 1)
+    df = eng.read().to_pandas().sort_values("path")
+    assert eng.read().schema().base_schema.field("size").type == pa.int64()
+    assert df["size"].tolist() == [10, 2**40]
