@@ -1326,3 +1326,31 @@ FROM events
 
 QUERIES.update({"q41_exact_quantiles": q41_exact_quantiles})
 ORACLE.update({"q41_exact_quantiles": Q41_SQL})
+
+
+# ---------------------------------------------------------------------------
+# q42 — PII/URL redaction: chained vectorized RE2 global replacements;
+# Arrow and DuckDB share the RE2 dialect so the oracle reproduces the
+# transform byte-for-byte
+
+def q42_redact(sf_dir: str):
+    from e_commerce_batch_etl_pipeline_ray.stages import text as T
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ds = T.redact("text", out="redacted").apply(ds)
+    return ds.select_columns(["doc_id", "redacted"]).sort("doc_id")
+
+
+Q42_SQL = r"""
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           'https?://[^\s]+', '<URL>', 'g'),
+         '\d{9,}', '<NUM>', 'g') AS redacted
+FROM documents ORDER BY doc_id
+"""
+
+
+QUERIES.update({"q42_redact": q42_redact})
+ORACLE.update({"q42_redact": Q42_SQL})

@@ -184,3 +184,79 @@ def fingerprint(text_col: str = "text", concurrency: tuple[int, int] = (1, 4),
                               fn_constructor_kwargs=kwargs,
                               batch_size=batch_size, concurrency=concurrency)
     return FnStep("fingerprint", _apply)
+
+
+# ---------------------------------------------------------------------------
+# redaction + compression-ratio (training-data hygiene ops)
+
+REDACT_DEFAULTS = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"https?://[^\s]+", "<URL>"),
+    (r"\d{9,}", "<NUM>"),
+]
+
+
+def redact(text_col: str = "text", out: str | None = None,
+           patterns: list[tuple[str, str]] | None = None) -> FnStep:
+    """PII/URL scrubbing: a chain of vectorized RE2 global replacements
+    (emails -> <EMAIL>, URLs -> <URL>, long digit runs -> <NUM> by
+    default). Arrow and DuckDB both use RE2, so the SQL oracle reproduces
+    the transform with regexp_replace(..., 'g') exactly."""
+    out_name = out or text_col
+    pats = patterns if patterns is not None else REDACT_DEFAULTS
+
+    def _fn(t: pa.Table) -> pa.Table:
+        col = t[text_col]
+        for pat, repl in pats:
+            col = pc.replace_substring_regex(col, pattern=pat,
+                                             replacement=repl)
+        if out_name in t.column_names:
+            return t.set_column(t.column_names.index(out_name), out_name, col)
+        return t.append_column(out_name, col)
+    return batch_step("redact", _fn)
+
+
+class CompressionRatio:
+    """Per-doc zlib compression ratio — the classic low-information /
+    boilerplate detector (highly repetitive text compresses far below
+    normal prose). Compression is per-value by nature; the payload bytes
+    come straight off the Arrow string buffer."""
+
+    def __init__(self, text_col: str = "text", level: int = 6,
+                 out: str = "compress_ratio"):
+        self.text_col, self.level, self.out = text_col, level, out
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        import zlib
+
+        import numpy as np
+        col = t[self.text_col].combine_chunks()
+        n = len(col)
+        vals: list[float | None] = [None] * n
+        off_buf, data_buf = col.buffers()[1], col.buffers()[2]
+        if n and off_buf is not None:
+            width = np.int64 if pa.types.is_large_string(col.type) else np.int32
+            offsets = np.frombuffer(off_buf, dtype=width, count=n + 1,
+                                    offset=col.offset * np.dtype(width).itemsize)
+            data = memoryview(data_buf) if data_buf is not None else memoryview(b"")
+            valid = pc.is_valid(col).to_numpy(zero_copy_only=False)
+            compress = zlib.compress
+            for i in np.flatnonzero(valid):
+                raw = data[offsets[i]:offsets[i + 1]]
+                if len(raw) == 0:
+                    vals[i] = 1.0
+                else:
+                    vals[i] = round(len(compress(raw, self.level)) / len(raw), 6)
+        return t.append_column(self.out, pa.array(vals, pa.float64()))
+
+
+def compression_ratio(text_col: str = "text", level: int = 6,
+                      out: str = "compress_ratio",
+                      batch_size: int = 1024,
+                      concurrency: tuple[int, int] = (1, 4)) -> FnStep:
+    def _apply(ds):
+        return ds.map_batches(CompressionRatio, batch_format="pyarrow",
+                              zero_copy_batch=True,
+                              fn_constructor_args=(text_col, level, out),
+                              batch_size=batch_size, concurrency=concurrency)
+    return FnStep("compression_ratio", _apply)

@@ -172,3 +172,52 @@ def test_orders_pipeline_semantics():
     assert (disc["effective_price"] < disc["unit_price"]).all()
     rep = {r["check_name"] for r in report.to_pylist()}
     assert "whitelist__order_status" in rep and "dup_pct" in rep
+
+
+# --- JSONL source (beyond-reference: the standard text-corpus format) -------
+
+from e_commerce_batch_etl_pipeline_ray.sources import jsonl_source  # noqa: E402
+
+JSONL_SPEC = TableSpec("j", pa.schema([
+    ("name", pa.string()), ("qty", pa.int32()), ("price", pa.float64()),
+]))
+
+
+def _write_jsonl(path, lines):
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    return str(path)
+
+
+def test_jsonl_permissive_nulls_bad_fields_keeps_rows(tmp_path):
+    p = _write_jsonl(tmp_path / "a.jsonl", [
+        '{"name": "x", "qty": 5, "price": 1.5}',
+        '{"name": "y", "qty": "notanint", "price": 2.0}',   # bad field -> null
+        '{"name": "z"}',                                     # missing -> null
+        'this is not json at all',                           # bad line -> null row
+    ])
+    out = jsonl_source.read_jsonl(p, JSONL_SPEC, mode="PERMISSIVE").take_all()
+    assert len(out) == 4
+    by = sorted(out, key=lambda r: (r["name"] is None, r["name"] or ""))
+    assert by[0]["name"] == "x" and by[0]["qty"] == 5 and by[0]["price"] == 1.5
+    assert by[1]["name"] == "y" and by[1]["qty"] is None and by[1]["price"] == 2.0
+    assert by[2]["name"] == "z" and by[2]["qty"] is None
+    assert by[3]["name"] is None                             # the bad line
+
+
+def test_jsonl_dropmalformed_skips_bad_lines(tmp_path):
+    p = _write_jsonl(tmp_path / "b.jsonl", [
+        '{"name": "x", "qty": 1, "price": 0.5}',
+        'garbage line',
+        '{"name": "y", "qty": 2, "price": 1.0}',
+    ])
+    out = jsonl_source.read_jsonl(p, JSONL_SPEC, mode="DROPMALFORMED").take_all()
+    assert sorted(r["name"] for r in out) == ["x", "y"]
+
+
+def test_jsonl_failfast_raises_on_bad_value(tmp_path):
+    p = _write_jsonl(tmp_path / "c.jsonl", [
+        '{"name": "x", "qty": "NaNsense", "price": 1.0}',
+    ])
+    with pytest.raises(Exception):
+        jsonl_source.read_jsonl(p, JSONL_SPEC, mode="FAILFAST").take_all()

@@ -356,3 +356,26 @@ def test_decode_audio_plumbing():
     import pytest as _pytest
     with _pytest.raises(Exception):
         multimodal.decode_audio(fake=False).apply(ds).materialize()
+
+
+def test_redact_and_compression_ratio():
+    import ray.data
+
+    from e_commerce_batch_etl_pipeline_ray.stages import text as T
+    docs = pa.table({"doc_id": pa.array([0, 1, 2], pa.int64()),
+                     "text": ["mail me at bob.smith+x@corp.example.org now",
+                              "see https://example.com/a?b=1 and card 4111111111111111",
+                              "plain prose with nothing sensitive"]})
+    out = T.redact("text", out="red").apply(
+        ray.data.from_arrow(docs)).to_pandas().sort_values("doc_id")
+    assert out["red"][0] == "mail me at <EMAIL> now"
+    assert out["red"][1] == "see <URL> and card <NUM>"
+    assert out["red"][2] == docs["text"][2].as_py()
+
+    rep = pa.table({"doc_id": pa.array([0, 1], pa.int64()),
+                    "text": ["abc " * 500,                      # repetitive
+                             "The quick brown fox jumps over the lazy dog; "
+                             "entropy varies considerably across sentences."]})
+    cr = T.compression_ratio().apply(
+        ray.data.from_arrow(rep)).to_pandas().sort_values("doc_id")
+    assert cr["compress_ratio"][0] < 0.1 < cr["compress_ratio"][1]
