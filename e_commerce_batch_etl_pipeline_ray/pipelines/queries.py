@@ -1354,3 +1354,32 @@ FROM documents ORDER BY doc_id
 
 QUERIES.update({"q42_redact": q42_redact})
 ORACLE.update({"q42_redact": Q42_SQL})
+
+
+# ---------------------------------------------------------------------------
+# q43 — corpus-hygiene signals: stopword fraction (vectorized RE2 whole-word
+# matches) + duplicate-line fraction (Gopher-style boilerplate detector)
+
+def q43_text_hygiene(sf_dir: str):
+    from e_commerce_batch_etl_pipeline_ray.stages import text as T
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ds = T.text_hygiene().apply(ds)
+    return ds.select_columns(["doc_id", "stopword_frac",
+                              "dup_line_frac"]).sort("doc_id")
+
+
+Q43_SQL = r"""
+SELECT doc_id,
+       ROUND(len(regexp_extract_all(text,
+             '\b(the|and|of|to|a|in|is|it|that|for|on|with|as|was|at|by|an|be|this|are)\b'))
+             / GREATEST(len(regexp_extract_all(text, '[A-Za-z0-9_]+')), 1.0),
+             6) AS stopword_frac,
+       ROUND((len(string_split(text, chr(10)))
+              - len(list_distinct(string_split(text, chr(10)))))
+             / len(string_split(text, chr(10))) * 1.0, 6) AS dup_line_frac
+FROM documents ORDER BY doc_id
+"""
+
+
+QUERIES.update({"q43_text_hygiene": q43_text_hygiene})
+ORACLE.update({"q43_text_hygiene": Q43_SQL})

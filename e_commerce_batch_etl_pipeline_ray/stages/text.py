@@ -260,3 +260,37 @@ def compression_ratio(text_col: str = "text", level: int = 6,
                               fn_constructor_args=(text_col, level, out),
                               batch_size=batch_size, concurrency=concurrency)
     return FnStep("compression_ratio", _apply)
+
+
+STOPWORD_RE = (r"\b(the|and|of|to|a|in|is|it|that|for|on|with|as|was|at|by"
+               r"|an|be|this|are)\b")
+
+
+def text_hygiene(text_col: str = "text") -> FnStep:
+    """Two more corpus-hygiene signals (engine brief 'stopword ratios'):
+
+    * ``stopword_frac`` — whole-word stopword hits / word tokens, fully
+      vectorized RE2 (natural prose ~0.3-0.5; keyword spam / code ~0).
+    * ``dup_line_frac`` — fraction of non-unique lines per doc (Gopher-style
+      boilerplate detector). Line splitting is vectorized
+      (split_pattern); the per-doc distinct count is a cheap loop over the
+      already-split list column.
+    """
+    def _fn(t: pa.Table) -> pa.Table:
+        col = t[text_col]
+        n_tokens = pc.count_substring_regex(col, pattern=TOKEN_RE).cast(pa.float64())
+        n_stop = pc.count_substring_regex(col, pattern=STOPWORD_RE).cast(pa.float64())
+        stop_frac = pc.round(
+            pc.divide(n_stop, pc.max_element_wise(n_tokens, 1.0)), ndigits=6)
+
+        lines = pc.split_pattern(col, pattern="\n")
+        dup_fracs: list[float | None] = []
+        for lst in lines.to_pylist():
+            if lst is None or not lst:
+                dup_fracs.append(None)
+                continue
+            dup_fracs.append(round((len(lst) - len(set(lst))) / len(lst), 6))
+        t = t.append_column("stopword_frac", stop_frac)
+        t = t.append_column("dup_line_frac", pa.array(dup_fracs, pa.float64()))
+        return t
+    return batch_step("text_hygiene", _fn)
