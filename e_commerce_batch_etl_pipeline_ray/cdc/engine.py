@@ -387,12 +387,22 @@ class CDCEngine:
             lineage = self._pool.run_epoch(normalized, epoch, schema_b64,
                                            prev_parts, mode, gc_horizon)
         else:
+            # cap the merge actor pool below the cluster CPU count: each
+            # actor reserves 1 CPU, and if the pool takes EVERY CPU the
+            # upstream sort/map tasks starve -> the streaming executor
+            # deadlocks (observed at merge_concurrency == num_cpus)
+            conc = cfg.merge_concurrency
+            try:
+                avail = int(ray.cluster_resources().get("CPU", conc + 2))
+                conc = max(1, min(conc, avail - 2))
+            except Exception:  # noqa: BLE001
+                pass
             lineage_ds = normalized.groupby(_PID).map_groups(
                 MergeApply, batch_format="pyarrow",
                 fn_constructor_args=(cfg.lake_dir, epoch, schema_b64,
                                      prev_parts, cfg.cache_partitions, mode,
                                      gc_horizon),
-                concurrency=cfg.merge_concurrency,
+                concurrency=conc,
                 num_cpus=1)
             lineage = pa.concat_tables(ray.get(lineage_ds.to_arrow_refs()),
                                        promote_options="default")

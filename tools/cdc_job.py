@@ -40,6 +40,8 @@ def main() -> int:
     ap.add_argument("--gc-lateness-epochs", type=int, default=None,
                     help="drop tombstones older than the watermark this many "
                          "epochs back (bounded-lateness contract)")
+    ap.add_argument("--vacuum-keep", type=int, default=None,
+                    help="after ingest, vacuum the lake keeping the last N manifests")
     ap.add_argument("--pipeline", action="store_true",
                     help="overlap epoch N+1 normalize with epoch N merge")
     ap.add_argument("--resume", action="store_true")
@@ -115,6 +117,10 @@ def main() -> int:
                               "partitions_touched": st.partitions_touched,
                               "bytes_written": st.bytes_written}))
     elapsed = time.perf_counter() - t0
+    if args.vacuum_keep is not None:
+        from e_commerce_batch_etl_pipeline_ray.cdc import lake as _lake
+        print(json.dumps({"vacuum": _lake.vacuum(args.lake_dir,
+                                                 keep_last=args.vacuum_keep)}))
     final_rows = (eng.read().count()
                   if eng.last_committed_epoch() is not None else 0)
     print(json.dumps({
