@@ -110,3 +110,27 @@ def test_hash_partition_ids_stable_and_in_range(pairs, p):
     t2 = t.take(pa.array(perm))
     ids3 = hash_partition_ids(t2, ["repo", "path"], p)
     assert (ids3 == ids1[perm]).all()
+
+
+# --- sampling hash SQL parity (the q35/q36 oracle invariant) ---------------
+
+@settings(max_examples=40, deadline=None)
+@given(ids=st.lists(st.integers(0, 2**31 - 1), min_size=1, max_size=300,
+                    unique=True),
+       seed=st.integers(0, 10_000))
+def test_unit_hash_matches_duckdb_exactly(ids, seed):
+    """The Knuth u32 unit hash must agree bit-for-bit with its documented
+    SQL expression — the invariant every sampling/split oracle rests on."""
+    import duckdb
+
+    from e_commerce_batch_etl_pipeline_ray.stages.sampling import (
+        _unit_hash,
+        sql_unit_hash,
+    )
+    got = _unit_hash(np.asarray(ids, dtype=np.int64), seed)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(id BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?)", [(i,) for i in ids])
+    exp = [r[0] for r in con.execute(
+        f"SELECT {sql_unit_hash('id', seed)} FROM t ORDER BY rowid").fetchall()]
+    assert got.tolist() == exp

@@ -40,6 +40,8 @@ def main() -> int:
     ap.add_argument("--gc-lateness-epochs", type=int, default=None,
                     help="drop tombstones older than the watermark this many "
                          "epochs back (bounded-lateness contract)")
+    ap.add_argument("--history", action="store_true",
+                    help="print per-epoch manifest metrics for the lake and exit")
     ap.add_argument("--vacuum-keep", type=int, default=None,
                     help="after ingest, vacuum the lake keeping the last N manifests")
     ap.add_argument("--pipeline", action="store_true",
@@ -50,6 +52,24 @@ def main() -> int:
     ap.add_argument("--num-cpus", type=int,
                     default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
     args = ap.parse_args()
+
+    if args.history:
+        import os as _os
+
+        from e_commerce_batch_etl_pipeline_ray.cdc import lake as _lake
+        last = _lake.last_committed_epoch(args.lake_dir)
+        if last is None:
+            print(json.dumps({"error": "no committed epochs"}))
+            return 1
+        for ep in range(last + 1):
+            try:
+                m = _lake.read_manifest(args.lake_dir, ep)
+            except FileNotFoundError:
+                continue        # vacuumed
+            print(json.dumps({"epoch": ep,
+                              "lsn_watermark": m.get("lsn_watermark"),
+                              **m.get("metrics", {})}))
+        return 0
 
     import ray
     owns_session = not ray.is_initialized()
