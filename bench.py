@@ -58,11 +58,20 @@ def run_bench() -> dict:
     ctx = ray.data.DataContext.get_current()
     ctx.enable_progress_bars = False
     ctx.read_op_min_num_blocks = 32   # constant across CPU levels; no sliver blocks
-    ctx.use_push_based_shuffle = True  # ~5-10% faster sort shuffle at this scale
+    # ~5-10% faster sort shuffle at this scale (was the deprecated
+    # use_push_based_shuffle=True; BENCH_SHUFFLE=hash_shuffle selects Ray's
+    # hash-shuffle backend instead for A/B runs)
+    from ray.data.context import ShuffleStrategy
+    ctx.shuffle_strategy = {
+        "push": ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED,
+        "pull": ShuffleStrategy.SORT_SHUFFLE_PULL_BASED,
+        "hash_shuffle": ShuffleStrategy.HASH_SHUFFLE,
+    }[os.environ.get("BENCH_SHUFFLE", "push")]
 
 
     from e_commerce_batch_etl_pipeline_ray.cdc import binlog, engine
     from e_commerce_batch_etl_pipeline_ray.pipelines import queries as Q
+    from e_commerce_batch_etl_pipeline_ray.stages.blockutil import read_parquet_clean
 
     n_li = _lineitem_rows(SF_DIR)
     events_per_epoch = int(os.environ.get("BENCH_EVENTS", str(2 * n_li)))
@@ -82,7 +91,7 @@ def run_bench() -> dict:
 
     # warm-up (untimed): page cache, worker pool, merge-actor code paths —
     # a full tiny ingest into a throwaway lake
-    ray.data.read_parquet(log_dir).count()
+    read_parquet_clean(log_dir).count()
     warm_spec = binlog.BinlogSpec(events_per_epoch=20_000, n_repos=10,
                                   paths_per_repo=50, evolution_epoch=1,
                                   content_chars_min=32, content_chars_max=128)
@@ -119,14 +128,14 @@ def run_bench() -> dict:
         t0 = time.perf_counter()
         if pipelined:
             eng.ingest_epochs_pipelined(
-                [(ep, ray.data.read_parquet(os.path.join(log_dir, f"ep{ep:04d}"),
-                                            override_num_blocks=32))
+                [(ep, read_parquet_clean(os.path.join(log_dir, f"ep{ep:04d}"),
+                                         override_num_blocks=32))
                  for ep in range(EPOCHS)],
                 events_in=events_per_epoch)
         else:
             for ep in range(EPOCHS):
-                evs = ray.data.read_parquet(os.path.join(log_dir, f"ep{ep:04d}"),
-                                            override_num_blocks=32)
+                evs = read_parquet_clean(os.path.join(log_dir, f"ep{ep:04d}"),
+                                         override_num_blocks=32)
                 eng.ingest_epoch(evs, ep, events_in=events_per_epoch)
         final_rows = eng.read().count()
         cdc_sec = min(cdc_sec, time.perf_counter() - t0)

@@ -228,6 +228,15 @@ def vacuum(lake_dir: str, keep_last: int = 1) -> dict:
     removes unreferenced files, then prunes empty epoch dirs and old
     manifests. Time travel to vacuumed epochs is gone by definition;
     resume is unaffected (it only needs the newest manifest).
+
+    Concurrency: epoch dirs NEWER than the last committed manifest are
+    skipped entirely — an ingest that has promoted ``.tmp-epoch=N`` to
+    ``epoch=N`` but not yet committed its manifest must not have its
+    in-flight files reclaimed. ``.tmp-epoch=*`` dirs are never touched
+    either (that is ``clean_uncommitted``'s job, at ingest startup only).
+    Beyond that window vacuum MUST NOT run concurrently with an ingest
+    into the same lake — it reads the manifest set once and deletes
+    against that snapshot.
     """
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
@@ -250,6 +259,9 @@ def vacuum(lake_dir: str, keep_last: int = 1) -> dict:
     bytes_reclaimed = 0
     for name in sorted(os.listdir(lake_dir)):
         if not name.startswith("epoch="):
+            continue
+        if int(name.split("=")[1]) > last:
+            # promoted-but-not-yet-manifested epoch of a concurrent ingest
             continue
         full = os.path.join(lake_dir, name)
         for fname in sorted(os.listdir(full)):

@@ -615,6 +615,45 @@ def q20_lang_id(sf_dir: str):
     return maps.select(["doc_id", "lang_pred", "lang_score"]).apply(out)
 
 
+def _q20_sql() -> str:
+    """SQL mirror of the vectorized trigram scorer (stages/text.py LangId):
+    non-overlapping gram counts via length-replace arithmetic (equal to the
+    kernel's count_substring for these non-self-overlapping grams), integer
+    weighted sum, one exact int/int double division per language — scores
+    are bit-identical to the Arrow/numpy path."""
+    from e_commerce_batch_etl_pipeline_ray.stages.text import _LANG_PROFILES
+    score_exprs = []
+    for lang, tris in _LANG_PROFILES.items():
+        terms = [
+            f"{len(tris) - i}*((length(s)-length(replace(s,'{g}','')))//3)"
+            for i, g in enumerate(tris)]
+        score_exprs.append(
+            f"({' + '.join(terms)})::DOUBLE / total AS {lang}_score")
+    langs = list(_LANG_PROFILES)
+    best = f"greatest({', '.join(l + '_score' for l in langs)})"
+    # first-max-wins in profile order == numpy argmax tie semantics
+    case = [f"WHEN {best} <= 0 THEN 'und'"]
+    for i, l in enumerate(langs[:-1]):
+        conds = " AND ".join(f"{l}_score >= {r}_score" for r in langs[i + 1:])
+        case.append(f"WHEN {conds} THEN '{l}'")
+    case_sql = "CASE " + " ".join(case) + f" ELSE '{langs[-1]}' END"
+    return f"""
+WITH padded AS (
+  SELECT doc_id, ' ' || lower(substr(coalesce(text, ''), 1, 400)) || ' ' AS s
+  FROM documents
+), t AS (
+  SELECT doc_id, s, greatest(length(s) - 2, 1) AS total FROM padded
+), sc AS (
+  SELECT doc_id, {', '.join(score_exprs)} FROM t
+)
+SELECT doc_id, {case_sql} AS lang_pred, {best} AS lang_score
+FROM sc
+"""
+
+
+Q20_SQL = _q20_sql()
+
+
 def q21_fingerprint(sf_dir: str):
     from e_commerce_batch_etl_pipeline_ray.stages import text as T
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
@@ -670,17 +709,49 @@ def q23_knn_ivf(sf_dir: str):
 # idempotently + atomically (wip + os.replace) from BOTH the query fn and
 # __ray_entry__.oracle_sql(), so the driver may evaluate either side first.
 
-_FIXTURE_DIR = "/tmp/graft_oracle_fixtures"
-Q24_BINLOG_DIR = os.path.join(_FIXTURE_DIR, "q24_binlog_v1")
+def _spec_tag(*parts) -> str:
+    """Content-address a fixture on its generating spec AND the generator
+    source: a spec/generator change moves the path, so a stale (or foreign)
+    file at the old path can never be silently reused by both sides of the
+    oracle compare (round-2 ADVICE)."""
+    import hashlib
+    import inspect
+    blob = []
+    for p in parts:
+        blob.append(inspect.getsource(p) if callable(p) else repr(p))
+    return hashlib.sha256("\x00".join(blob).encode()).hexdigest()[:12]
+
+
+# per-user dir: a shared host must not let another user's files (or a
+# tampered world-writable file) feed the oracle compare
+_FIXTURE_DIR = f"/tmp/graft_oracle_fixtures-{os.getuid()}"
+_Q24_PARAMS = dict(events_per_epoch=5000, n_repos=20, paths_per_repo=100,
+                   evolution_epoch=1, content_chars_min=32,
+                   content_chars_max=512)
 Q24_EPOCHS = 2
-Q26_ORDERS_PATH = os.path.join(_FIXTURE_DIR, "q26_orders_v1", "orders_raw.parquet")
+_Q26_PARAMS = dict(n=20_000, seed=42)
 
 
 def _q24_spec():
     from e_commerce_batch_etl_pipeline_ray.cdc import binlog
-    return binlog.BinlogSpec(events_per_epoch=5000, n_repos=20,
-                             paths_per_repo=100, evolution_epoch=1,
-                             content_chars_min=32, content_chars_max=512)
+    return binlog.BinlogSpec(**_Q24_PARAMS)
+
+
+def _fixture_paths() -> tuple[str, str]:
+    """(q24 binlog dir, q26 orders path), spec+generator content-addressed."""
+    from e_commerce_batch_etl_pipeline_ray.cdc import binlog
+    from e_commerce_batch_etl_pipeline_ray.sources import generators
+    q24 = os.path.join(_FIXTURE_DIR,
+                       "q24_binlog_" + _spec_tag(_Q24_PARAMS, Q24_EPOCHS,
+                                                 binlog.gen_epoch_table))
+    q26 = os.path.join(_FIXTURE_DIR,
+                       "q26_orders_" + _spec_tag(_Q26_PARAMS,
+                                                 generators.orders_raw_table),
+                       "orders_raw.parquet")
+    return q24, q26
+
+
+Q24_BINLOG_DIR, Q26_ORDERS_PATH = _fixture_paths()
 
 
 def _atomic_write_parquet(table: pa.Table, path: str) -> None:
@@ -694,18 +765,20 @@ def _atomic_write_parquet(table: pa.Table, path: str) -> None:
 def ensure_oracle_fixtures() -> None:
     """Materialize the q24 binlog epochs and the q26 raw-orders table
     (driver-side, no Ray session needed — tiny, pure functions of a seed).
-    If a version's file exists it is reused; bump the _v1 suffix when a
-    generator/spec changes."""
+    Paths are content-addressed on spec+generator (_spec_tag), so an
+    existing file is always the right one and reuse is safe."""
     from e_commerce_batch_etl_pipeline_ray.cdc import binlog
+    from e_commerce_batch_etl_pipeline_ray.sources import generators
     spec = _q24_spec()
     for ep in range(Q24_EPOCHS):
         p = os.path.join(Q24_BINLOG_DIR, f"epoch-{ep}.parquet")
         if not os.path.exists(p):
             _atomic_write_parquet(binlog.gen_epoch_table(spec, ep), p)
     if not os.path.exists(Q26_ORDERS_PATH):
-        from e_commerce_batch_etl_pipeline_ray.sources import generators
-        _atomic_write_parquet(generators.orders_raw_table(20_000, seed=42),
-                              Q26_ORDERS_PATH)
+        _atomic_write_parquet(
+            generators.orders_raw_table(_Q26_PARAMS["n"],
+                                        seed=_Q26_PARAMS["seed"]),
+            Q26_ORDERS_PATH)
 
 
 def q24_cdc_ingest(sf_dir: str):
@@ -723,8 +796,9 @@ def q24_cdc_ingest(sf_dir: str):
     eng = engine.CDCEngine(engine.CDCConfig(lake_dir=lake_dir,
                                             num_partitions=16,
                                             merge_concurrency=2))
+    from e_commerce_batch_etl_pipeline_ray.stages.blockutil import read_parquet_clean
     for ep in range(Q24_EPOCHS):
-        events = ray.data.read_parquet(
+        events = read_parquet_clean(
             os.path.join(Q24_BINLOG_DIR, f"epoch-{ep}.parquet"),
             override_num_blocks=8)
         eng.ingest_epoch(events, ep)
@@ -763,6 +837,7 @@ ORACLE.update({
     "q13_dq_report": Q13_SQL,
     "q14_exact_dedup": Q14_SQL,
     "q15_token_stats": Q15_SQL,
+    "q20_lang_id": Q20_SQL,
     "q16_quality": Q16_SQL,
     "q17_knn_brute": Q17_SQL,
     "q24_cdc_ingest": Q24_SQL,
@@ -810,8 +885,9 @@ def q26_orders_pipeline(sf_dir: str):
     deriveds -> revenue band -> 24-col contract) in SQL
     (notebooks/02_transformations.py:59-274 semantics)."""
     from e_commerce_batch_etl_pipeline_ray.pipelines import orders as O
+    from e_commerce_batch_etl_pipeline_ray.stages.blockutil import read_parquet_clean
     ensure_oracle_fixtures()
-    raw = ray.data.read_parquet(Q26_ORDERS_PATH, override_num_blocks=8)
+    raw = read_parquet_clean(Q26_ORDERS_PATH, override_num_blocks=8)
     ds, _report, _overall = O.run(raw, num_partitions=16, gate=False)
     return ds.sort("order_id")
 
@@ -1262,6 +1338,95 @@ def q39_neardup_dedup(sf_dir: str):
 
 
 QUERIES.update({"q39_neardup_dedup": q39_neardup_dedup})
+
+
+# ---------------------------------------------------------------------------
+# q44/q45 — GROUND-TRUTH oracles for the near-dup family (round-2 VERDICT #1).
+# At smoke scale DuckDB can compute the EXACT all-pairs k-shingle Jaccard
+# (500 docs -> 125k candidate pairs) and exact connected components (recursive
+# CTE), so the LSH -> exact-verify -> transitive-dedup chain is checked against
+# an independent exact oracle instead of verifying itself.
+#
+# The Ray side runs minhash at a recall-complete operating point for j>=0.8:
+# bands=64 x rows=4 (num_hashes=256) has P(miss | j=0.8) = (1-0.8^4)^64
+# ~= 4e-15, so every true pair is a candidate and the exact bucket-local
+# verify makes output == ground truth. Precision is exact by construction
+# (each emitted pair carries its exact shingle-set Jaccard).
+#
+# SQL shingles mirror stages/neardup.py::_shingle_hashes: lowercase, 5-char
+# windows, space-pad-to-k for short texts, DISTINCT per doc. Jaccard is the
+# same int/int double division, so values (and the >= threshold cut) are
+# bit-identical modulo u64 shingle-hash collisions (~2e-9 for this corpus).
+
+_Q44_NEARDUP_GROUND_TRUTH_CTES = """
+WITH RECURSIVE docs AS (
+  SELECT doc_id,
+         CASE WHEN length(text) < 5 THEN rpad(lower(text), 5, ' ')
+              ELSE lower(text) END AS s
+  FROM documents WHERE text IS NOT NULL
+), sh AS (
+  SELECT DISTINCT doc_id, substr(s, CAST(i AS INT), 5) AS g
+  FROM docs CROSS JOIN UNNEST(range(1, length(s) - 3)) AS t(i)
+), sizes AS (
+  SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+), pairs AS (
+  SELECT id_a, id_b, ic::DOUBLE / (sa.sz + sb.sz - ic) AS jaccard
+  FROM (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ic
+        FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY 1, 2) i
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE ic::DOUBLE / (sa.sz + sb.sz - ic) >= 0.8
+)
+"""
+
+
+def _recall_complete_pairs(ds):
+    """minhash_lsh_pairs at the recall-complete smoke-scale operating point
+    (see q44 comment); carry-mode exact verify -> (id_a, id_b, jaccard)."""
+    from e_commerce_batch_etl_pipeline_ray.stages import neardup
+    return neardup.minhash_lsh_pairs(ds, threshold=0.8,
+                                     num_hashes=256, bands=64)
+
+
+def q44_neardup_pairs_exact(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return _recall_complete_pairs(ds)
+
+
+Q44_SQL = _Q44_NEARDUP_GROUND_TRUTH_CTES + """
+SELECT id_a, id_b, jaccard FROM pairs
+"""
+
+
+def q45_neardup_keep_exact(sf_dir: str):
+    from e_commerce_batch_etl_pipeline_ray.stages import neardup
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    kept = neardup.dedup_by_pairs(ds, _recall_complete_pairs(ds),
+                                  id_col="doc_id")
+    return kept.select_columns(["doc_id"])
+
+
+Q45_SQL = _Q44_NEARDUP_GROUND_TRUTH_CTES + """,
+edges AS (
+  SELECT id_a AS s, id_b AS d FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs
+), reach(node, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.node
+), labels AS (
+  SELECT node, min(r) AS label FROM reach GROUP BY node
+)
+SELECT node AS doc_id FROM labels WHERE node = label
+"""
+
+
+QUERIES.update({"q44_neardup_pairs_exact": q44_neardup_pairs_exact,
+                "q45_neardup_keep_exact": q45_neardup_keep_exact})
+ORACLE.update({"q44_neardup_pairs_exact": Q44_SQL,
+               "q45_neardup_keep_exact": Q45_SQL})
 
 
 # ---------------------------------------------------------------------------

@@ -180,7 +180,12 @@ def grouped_aggregate(by: Sequence[str],
                         pc.subtract(n, pa.scalar(1.0)))
                     # clamp tiny negative fp residue before sqrt
                     var = pc.max_element_wise(var, pa.scalar(0.0))
-                    out = out.append_column(alias, pc.sqrt(var))
+                    # sample stddev of a singleton group is NULL in
+                    # DuckDB/Spark, not 0/0=NaN — guard n<=1
+                    std_vals = pc.if_else(pc.greater(n, pa.scalar(1.0)),
+                                          pc.sqrt(var),
+                                          pa.scalar(None, pa.float64()))
+                    out = out.append_column(alias, std_vals)
                 else:
                     out = out.append_column(alias, t[pcols[0]])
             return out
@@ -393,23 +398,38 @@ def approx_count_distinct_by(ds: ray.data.Dataset, by: Sequence[str], col: str,
 
 
 def exact_quantiles(ds: ray.data.Dataset, col: str, qs: Sequence[float],
-                    bins: int = 2048, fetch_limit: int = 200_000) -> list[float]:
+                    bins: int = 2048, fetch_limit: int = 200_000,
+                    pass_counter: list | None = None) -> list[float]:
     """EXACT distributed quantiles WITHOUT a global sort: iterative range
-    narrowing. Each round histograms the current candidate range per batch
-    (mergeable ``bins``-cell counts — one streaming pass), the driver finds
-    the cell containing the target rank and recurses into it; when a cell's
-    population fits ``fetch_limit`` the exact value is picked from a single
-    bounded fetch. O(log_bins(n/fetch_limit) + 1) passes; a 10^12-row column
-    needs 2-3.
+    narrowing. Each round runs ONE streaming histogram pass serving ALL
+    still-unresolved quantiles (each with its own [lo,hi] candidate range;
+    the per-batch fn histograms every active range and tags counts with the
+    range index — mergeable ``bins``-cell counts per range). The driver
+    finds each quantile's target cell and recurses into it; cells whose
+    population fits ``fetch_limit`` are resolved together in ONE bounded
+    fetch pass. O(log_bins(n/fetch_limit) + 1) pass-rounds TOTAL regardless
+    of how many quantiles are requested; a 10^12-row column needs 2-3.
 
     Rank semantics match DuckDB ``quantile_disc`` / numpy ``inverted_cdf``:
     the element at 0-based rank ``max(0, ceil(q*n) - 1)``.
+
+    ``pass_counter``: optional list; one element is appended per full
+    dataset pass (tests assert the shared-pass bound).
     """
     import math
 
     import numpy as np
 
     qs = list(qs)
+    if pass_counter is None:
+        pass_counter = []
+
+    def _collect(fn):
+        pass_counter.append(1)
+        return pa.concat_tables(ray.get(
+            ds.map_batches(fn, batch_format="pyarrow",
+                           zero_copy_batch=True).to_arrow_refs()),
+            promote_options="default")
 
     def _stats(t: pa.Table) -> pa.Table:
         c = t[col]
@@ -417,62 +437,92 @@ def exact_quantiles(ds: ray.data.Dataset, col: str, qs: Sequence[float],
                          "lo": pa.array([pc.min(c).as_py()], pa.float64()),
                          "hi": pa.array([pc.max(c).as_py()], pa.float64())})
 
-    st = pa.concat_tables(ray.get(
-        ds.map_batches(_stats, batch_format="pyarrow",
-                       zero_copy_batch=True).to_arrow_refs()),
-        promote_options="default")
+    st = _collect(_stats)
     n = pc.sum(st["n"]).as_py() or 0
     if n == 0:
         raise ValueError("no non-null values")
     glo, ghi = pc.min(st["lo"]).as_py(), pc.max(st["hi"]).as_py()
 
-    out = []
-    for q in qs:
-        rank = max(0, math.ceil(q * n) - 1)        # 0-based target
-        lo, hi, offset = glo, ghi, 0               # offset = count below lo
-        while True:
-            if lo == hi:
-                out.append(lo)
-                break
-            edges = np.linspace(lo, hi, bins + 1)
+    # per-quantile narrowing state; offset = count strictly below lo
+    states = [{"rank": max(0, math.ceil(q * n) - 1), "lo": glo, "hi": ghi,
+               "offset": 0, "val": None} for q in qs]
 
-            def _hist(t: pa.Table, _lo=lo, _hi=hi, _edges=edges) -> pa.Table:
-                v = t[col].to_numpy(zero_copy_only=False)
-                v = v[~np.isnan(v)] if v.dtype.kind == "f" else v
-                in_r = v[(v >= _lo) & (v <= _hi)]
-                counts, _ = np.histogram(in_r, bins=_edges)
-                return pa.table({"c": pa.array(counts, pa.int64()),
-                                 "i": pa.array(np.arange(len(counts)), pa.int32())})
+    while True:
+        for s in states:
+            if s["val"] is None and s["lo"] == s["hi"]:
+                s["val"] = s["lo"]
+        pending = [s for s in states if s["val"] is None]
+        if not pending:
+            break
 
-            h = pa.concat_tables(ray.get(
-                ds.map_batches(_hist, batch_format="pyarrow",
-                               zero_copy_batch=True).to_arrow_refs()),
-                promote_options="default")
-            counts = np.zeros(bins, dtype=np.int64)
-            np.add.at(counts, h["i"].to_numpy(), h["c"].to_numpy())
-            cum = np.cumsum(counts)
-            b = int(np.searchsorted(cum, rank - offset + 1, side="left"))
+        # ONE histogram pass over the union of active ranges (deduped)
+        ranges = sorted({(s["lo"], s["hi"]) for s in pending})
+        edges_list = [np.linspace(lo, hi, bins + 1) for lo, hi in ranges]
+
+        def _hist(t: pa.Table, _ranges=ranges, _edges=edges_list) -> pa.Table:
+            v = t[col].to_numpy(zero_copy_only=False)
+            v = v[~np.isnan(v)] if v.dtype.kind == "f" else v
+            cs, iis, rs = [], [], []
+            for ri, ((lo, hi), edges) in enumerate(zip(_ranges, _edges)):
+                in_r = v[(v >= lo) & (v <= hi)]
+                counts, _ = np.histogram(in_r, bins=edges)
+                cs.append(counts)
+                iis.append(np.arange(len(counts), dtype=np.int32))
+                rs.append(np.full(len(counts), ri, dtype=np.int32))
+            return pa.table({"r": pa.array(np.concatenate(rs)),
+                             "i": pa.array(np.concatenate(iis)),
+                             "c": pa.array(np.concatenate(cs), pa.int64())})
+
+        h = _collect(_hist)
+        counts_by_r = np.zeros((len(ranges), bins), dtype=np.int64)
+        np.add.at(counts_by_r,
+                  (h["r"].to_numpy(), h["i"].to_numpy()), h["c"].to_numpy())
+        cums = np.cumsum(counts_by_r, axis=1)
+
+        # narrow every pending quantile against its range's histogram;
+        # small-enough cells queue for one combined bounded fetch
+        fetch_cells: dict[tuple, list] = {}   # cell -> [(state, below)]
+        for s in pending:
+            ri = ranges.index((s["lo"], s["hi"]))
+            edges, cum, counts = edges_list[ri], cums[ri], counts_by_r[ri]
+            b = int(np.searchsorted(cum, s["rank"] - s["offset"] + 1,
+                                    side="left"))
             b = min(b, bins - 1)
             blo = edges[b]
-            bhi = edges[b + 1] if b + 1 < len(edges) else hi
-            below = offset + (int(cum[b - 1]) if b > 0 else 0)
+            bhi = edges[b + 1] if b + 1 < len(edges) else s["hi"]
+            below = s["offset"] + (int(cum[b - 1]) if b > 0 else 0)
             in_bin = int(counts[b])
             if in_bin <= fetch_limit:
-                # bounded fetch of just the candidate cell (np.histogram
-                # bins are half-open except the last, which is closed)
-                def _grab(t: pa.Table, _blo=blo, _bhi=bhi,
-                          _closed=(b == bins - 1)) -> pa.Table:
-                    v = t[col].to_numpy(zero_copy_only=False)
-                    v = v[~np.isnan(v)] if v.dtype.kind == "f" else v
-                    m = (v >= _blo) & ((v <= _bhi) if _closed else (v < _bhi))
-                    return pa.table({"v": pa.array(np.sort(v[m]), pa.float64())})
+                cell = (blo, bhi, b == bins - 1)   # (lo, hi, closed-right)
+                fetch_cells.setdefault(cell, []).append((s, below))
+            else:
+                s["lo"], s["hi"], s["offset"] = blo, bhi, below
 
-                g = pa.concat_tables(ray.get(
-                    ds.map_batches(_grab, batch_format="pyarrow",
-                                   zero_copy_batch=True).to_arrow_refs()),
-                    promote_options="default")
-                vals = np.sort(g["v"].to_numpy())
-                out.append(float(vals[rank - below]))
-                break
-            lo, hi, offset = blo, bhi, below
-    return out
+        if fetch_cells:
+            # ONE bounded fetch pass over all resolved cells (np.histogram
+            # bins are half-open except the last, which is closed)
+            cells = sorted(fetch_cells)
+
+            def _grab(t: pa.Table, _cells=cells) -> pa.Table:
+                v = t[col].to_numpy(zero_copy_only=False)
+                v = v[~np.isnan(v)] if v.dtype.kind == "f" else v
+                vals, cis = [], []
+                for ci, (blo, bhi, closed) in enumerate(_cells):
+                    m = (v >= blo) & ((v <= bhi) if closed else (v < bhi))
+                    got = v[m]
+                    vals.append(got)
+                    cis.append(np.full(len(got), ci, dtype=np.int32))
+                return pa.table({"ci": pa.array(np.concatenate(cis)),
+                                 "v": pa.array(
+                                     np.concatenate(vals).astype(np.float64),
+                                     pa.float64())})
+
+            g = _collect(_grab)
+            ci_arr = g["ci"].to_numpy()
+            v_arr = g["v"].to_numpy()
+            for ci, cell in enumerate(cells):
+                vals = np.sort(v_arr[ci_arr == ci])
+                for s, below in fetch_cells[cell]:
+                    s["val"] = float(vals[s["rank"] - below])
+
+    return [s["val"] for s in states]

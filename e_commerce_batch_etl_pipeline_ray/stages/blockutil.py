@@ -17,13 +17,37 @@ import pyarrow as pa
 import ray.data
 
 
+def strip_schema_metadata(t: pa.Table) -> pa.Table:
+    """Drop schema-level metadata (zero-copy). Parquet written via pandas
+    carries a metadata blob that makes ``pa.Schema`` UNHASHABLE — Ray then
+    logs 'Failed to hash the schemas (for deduplication)' per task and
+    loses its block-schema dedup."""
+    return t.replace_schema_metadata(None) if t.schema.metadata else t
+
+
+def read_parquet_clean(paths, **kwargs) -> ray.data.Dataset:
+    """``ray.data.read_parquet`` with schema metadata stripped — use for
+    ANY parquet of unknown provenance (testdata, fixtures, binlogs)."""
+    ds = ray.data.read_parquet(paths, **kwargs)
+    return ds.map_batches(strip_schema_metadata, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
 def ensure_schema(schema: pa.Schema):
     """Batch fn: pin blocks to ``schema`` (zero-column empty blocks from
     groupby/aggregate operators -> explicitly-schema'd empty tables; extra
     columns dropped; types cast)."""
     def _fn(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0 or not all(n in t.column_names for n in schema.names):
+        if t.num_rows == 0:
             return schema.empty_table()
+        missing = [n for n in schema.names if n not in t.column_names]
+        if missing:
+            # A non-empty block missing schema columns is an upstream
+            # contract break (column rename, Ray alias change) — dropping
+            # it would be silent row loss.
+            raise ValueError(
+                f"ensure_schema: non-empty block ({t.num_rows} rows) is "
+                f"missing columns {missing}; has {t.column_names}")
         cols = [t[f.name].cast(f.type) if t[f.name].type != f.type else t[f.name]
                 for f in schema]
         return pa.Table.from_arrays(cols, schema=schema)

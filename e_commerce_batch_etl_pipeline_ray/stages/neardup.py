@@ -79,6 +79,18 @@ def exact_dedup(text_col: str = "text", id_col: str = "doc_id",
 # shingling + minhash
 
 
+def _check_int_id(col, id_col: str, op: str) -> None:
+    """The vectorized near-dup paths hard-code int64 ids (numpy repeat /
+    pair emission / label propagation). A string/UUID id would otherwise
+    fail deep inside the pipeline with an opaque numpy cast error — fail
+    up front with the contract instead."""
+    if not pa.types.is_integer(col.type):
+        raise TypeError(
+            f"{op}: id column '{id_col}' must be an integer type, got "
+            f"{col.type}. Map string/UUID ids to a dense int64 surrogate "
+            f"first (e.g. a row-number or a 64-bit hash column).")
+
+
 def _shingle_hashes(text: str, k: int) -> np.ndarray:
     """u64 hashes of the k-char shingle set (lowercased)."""
     s = text.lower()
@@ -122,6 +134,7 @@ class _MinHashSig:
                 dtype=np.uint64)
 
     def __call__(self, t: pa.Table) -> pa.Table:
+        _check_int_id(t[self.id_col], self.id_col, "minhash_lsh_pairs")
         texts = t[self.text_col].to_pylist()
         id_vals = t[self.id_col].to_pylist()
         sh_list, keep_ids, keep_texts = [], [], []
@@ -457,6 +470,7 @@ def dedup_by_pairs(ds: ray.data.Dataset, pairs: ray.data.Dataset,
         each round is a single join + grouped min (no union — Ray 2.49
         mis-plans a materialized dataset reused as both join-right and
         union-input in one DAG)."""
+        _check_int_id(t["id_a"], "id_a", "dedup_by_pairs")
         a, b = t["id_a"].combine_chunks(), t["id_b"].combine_chunks()
         a = a.cast(pa.int64())
         b = b.cast(pa.int64())
@@ -606,6 +620,7 @@ def simhash_pairs(ds: ray.data.Dataset, text_col: str = "text",
                           concurrency=(1, 8)).select_columns([id_col, "simhash"])
 
     def _explode(t: pa.Table) -> pa.Table:
+        _check_int_id(t[id_col], id_col, "simhash_pairs")
         ids, band, key, sh = [], [], [], []
         for did, h in zip(t[id_col].to_pylist(), t["simhash"].to_pylist()):
             hu = h & 0xFFFFFFFFFFFFFFFF
@@ -686,6 +701,7 @@ def embedding_neardup_pairs(ds: ray.data.Dataset, emb_col: str = "embedding",
 
         def __call__(self, t: pa.Table) -> pa.Table:
             from e_commerce_batch_etl_pipeline_ray.stages.similarity import _emb_matrix
+            _check_int_id(t[id_col], id_col, "embedding_neardup_pairs")
             v = _emb_matrix(t[emb_col])
             nrow, ndim = v.shape
             ntab = len(self.planes)

@@ -84,42 +84,58 @@ _LANG_PROFILES: dict[str, list[str]] = {
 
 
 class LangId:
-    """Actor-pool language-ID: trigram-profile scoring. Profiles are built
-    ONCE per actor in __init__ (the stateful-stage pattern); scoring is a
-    per-row loop over a capped prefix (cheap) — acceptable because the op is
-    O(chars) with tiny constants and runs in a sized actor pool."""
+    """Actor-pool language-ID: trigram-profile scoring, fully VECTORIZED —
+    one ``pc.count_substring`` kernel per profile gram (60 total) over the
+    space-padded lowercase 400-char prefix, weighted-summed in numpy.
+    Profiles are built ONCE per actor in __init__ (the stateful-stage
+    pattern). No profile gram self-overlaps (none has g[0]==g[2] or three
+    equal chars), so the kernel's non-overlapping count equals the
+    sliding-window occurrence count.
+
+    score(lang) = sum(w_g * count(g)) / max(1, len(padded)-2), an exact
+    int/int ratio in float64 — bit-identical to the SQL mirror (q20's
+    DuckDB oracle computes the same counts via length-replace arithmetic).
+    Prediction = first language (profile order) reaching the max score,
+    'und' when every score is 0 (or the text is null/empty)."""
 
     CAP = 400  # chars scored per doc
 
     def __init__(self, text_col: str = "text"):
         self.text_col = text_col
+        self.langs = list(_LANG_PROFILES)
         self.profiles = {
             lang: {g: len(tris) - i for i, g in enumerate(tris)}
             for lang, tris in _LANG_PROFILES.items()
         }
 
-    def _score(self, text: str | None) -> tuple[str, float]:
-        if not text:
-            return "und", 0.0
-        s = f" {text[:self.CAP].lower()} "
-        grams: dict[str, int] = {}
-        for i in range(len(s) - 2):
-            g = s[i:i + 3]
-            grams[g] = grams.get(g, 0) + 1
-        best_lang, best = "und", 0.0
-        total = max(1, len(s) - 2)
-        for lang, prof in self.profiles.items():
-            sc = sum(w * grams.get(g, 0) for g, w in prof.items()) / total
-            if sc > best:
-                best_lang, best = lang, sc
-        return best_lang, round(best, 6)
-
     def __call__(self, batch: pa.Table) -> pa.Table:
-        pairs = [self._score(v) for v in batch[self.text_col].to_pylist()]
-        batch = batch.append_column(
-            "lang_pred", pa.array([p[0] for p in pairs], pa.string()))
-        batch = batch.append_column(
-            "lang_score", pa.array([p[1] for p in pairs], pa.float64()))
+        col = batch[self.text_col]
+        n = len(col)
+        pad = pa.scalar(" ")
+        s = pc.binary_join_element_wise(
+            pad, pc.utf8_lower(pc.utf8_slice_codeunits(col, 0, self.CAP)),
+            pad, "")
+        # null text -> "  ": total=max(1,0)=1, all counts 0 -> ('und', 0.0),
+        # matching the per-row None contract
+        s = pc.fill_null(s, "  ")
+        total = np.maximum(
+            pc.utf8_length(s).cast(pa.int64()).to_numpy(zero_copy_only=False) - 2,
+            1).astype(np.float64)
+        scores = np.empty((len(self.langs), n), dtype=np.float64)
+        for li, lang in enumerate(self.langs):
+            acc = np.zeros(n, dtype=np.int64)
+            for g, w in self.profiles[lang].items():
+                acc += w * pc.count_substring(s, pattern=g).cast(
+                    pa.int64()).to_numpy(zero_copy_only=False)
+            scores[li] = acc
+        scores /= total
+        best = scores.max(axis=0) if n else np.zeros(0)
+        idx = scores.argmax(axis=0) if n else np.zeros(0, dtype=np.int64)
+        langs_arr = np.array(self.langs, dtype=object)
+        pred = np.where(best > 0, langs_arr[idx], "und")
+        batch = batch.append_column("lang_pred",
+                                    pa.array(pred.tolist(), pa.string()))
+        batch = batch.append_column("lang_score", pa.array(best, pa.float64()))
         return batch
 
 

@@ -327,8 +327,14 @@ def test_exact_quantiles_vs_numpy():
     rng = np.random.RandomState(9)
     vals = np.concatenate([rng.randn(30_000) * 5, rng.randn(100) * 500])
     ds = ray.data.from_arrow(pa.table({"v": pa.array(vals)})).repartition(9)
+    passes: list = []
     got = aggregates.exact_quantiles(ds, "v", [0.0, 0.25, 0.5, 0.99, 1.0],
-                                     fetch_limit=2_000)
+                                     fetch_limit=2_000, pass_counter=passes)
     exp = [float(np.quantile(vals, q, method="inverted_cdf"))
            for q in (0.0, 0.25, 0.5, 0.99, 1.0)]
     assert got == exp          # EXACT, not approximate
+    # shared-pass bound: all 5 quantiles ride ONE histogram chain — stats
+    # pass + per-round (shared histogram + shared bounded fetch), NOT one
+    # chain per quantile (which would be ~5x). The heavy-tailed data needs
+    # 2 narrowing rounds here: 1 + 2*2 = 5 passes max.
+    assert len(passes) <= 5, passes

@@ -115,8 +115,9 @@ def main() -> int:
     total = 0
 
     def _evs(ep):
+        from e_commerce_batch_etl_pipeline_ray.stages.blockutil import read_parquet_clean
         path = os.path.join(args.binlog_dir, f"ep{ep:04d}")
-        return ray.data.read_parquet(path, override_num_blocks=32)
+        return read_parquet_clean(path, override_num_blocks=32)
 
     if args.pipeline:
         stats = eng.ingest_epochs_pipelined(
