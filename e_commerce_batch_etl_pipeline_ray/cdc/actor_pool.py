@@ -155,6 +155,24 @@ class MergeWorker:
         })
 
 
+def resolve_fan_out(fan_out: str, n_nodes: int | None = None) -> str:
+    """Resolve the "auto" fan-out policy to a concrete strategy.
+
+    broadcast is only optimal when every worker can read every block from
+    the SAME plasma store (one host); on a real cluster it is W-fold
+    network traffic per epoch. auto therefore picks "split" whenever more
+    than one alive node is visible, and "broadcast" on a single host.
+    """
+    if fan_out in ("broadcast", "split"):
+        return fan_out
+    if fan_out != "auto":
+        raise ValueError(f"unknown fan_out {fan_out!r} "
+                         "(expected auto|broadcast|split)")
+    if n_nodes is None:
+        n_nodes = sum(1 for n in ray.nodes() if n.get("Alive", False))
+    return "split" if n_nodes > 1 else "broadcast"
+
+
 @ray.remote
 def _split_block(block: pa.Table, n_workers: int) -> list[pa.Table]:
     """One task per block: pre-split into per-worker sub-tables. On a real
@@ -173,12 +191,13 @@ class PersistentMergePool:
     ``fan_out``: "broadcast" hands every block ref to every worker
     (zero-copy plasma reads; optimal on one host), "split" pre-splits each
     block in a task and routes per-worker sub-tables (the multi-node-shaped
-    exchange: per-worker traffic is 1x, not W-fold)."""
+    exchange: per-worker traffic is 1x, not W-fold), "auto" (default)
+    selects split when the cluster has more than one alive node."""
 
     def __init__(self, lake_dir: str, n_workers: int,
-                 fan_out: str = "broadcast"):
+                 fan_out: str = "auto"):
         self.n_workers = n_workers
-        self.fan_out = fan_out
+        self.fan_out = resolve_fan_out(fan_out)
         self.workers = [MergeWorker.remote(w, n_workers, lake_dir)
                         for w in range(n_workers)]
 

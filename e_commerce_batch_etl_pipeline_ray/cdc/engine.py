@@ -95,9 +95,11 @@ class CDCConfig:
     # than the horizon can no longer arrive, so its tombstone is dead weight.
     # None (default) keeps tombstones forever.
     gc_lateness_epochs: int | None = None
-    # actor_pool fan-out: "broadcast" (single-host optimal) | "split"
-    # (multi-node-shaped: per-worker traffic 1x instead of W-fold)
-    fan_out: str = "broadcast"
+    # actor_pool fan-out: "auto" (default: split when >1 alive Ray node,
+    # else broadcast) | "broadcast" (single-host optimal: every worker
+    # reads every block zero-copy from plasma) | "split" (multi-node-
+    # shaped: per-worker network traffic 1x instead of W-fold)
+    fan_out: str = "auto"
 
 
 @dataclass

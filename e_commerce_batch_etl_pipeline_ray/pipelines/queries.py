@@ -1064,14 +1064,18 @@ ORACLE.update({"q29_grouped_topk": Q29_SQL, "q30_running_sum": Q30_SQL})
 # brute-force KNN over the features
 
 def q31_multimodal_knn(sf_dir: str):
+    """REAL decode path: deterministic PPM/BMP payloads decoded by the
+    pure-numpy kernels (pixel-histogram features), then brute KNN."""
     import numpy as np
 
     import ray.data as rd
 
     from e_commerce_batch_etl_pipeline_ray.stages import multimodal, similarity
-    media = multimodal.fake_media_table(512, seed=7, payload_bytes=2048)
-    ds = rd.from_arrow(media)
-    decoded = multimodal.decode_images(fake=True, batch_size=64).apply(ds)
+    media = multimodal.real_media_table(512, seed=7)
+    ds = rd.from_arrow(media).map_batches(
+        lambda t: t.filter(pc.equal(t["media_type"], "image")),
+        batch_format="pyarrow", zero_copy_batch=True)
+    decoded = multimodal.decode_images(fake=False, batch_size=64).apply(ds)
     feats = decoded.select_columns(["media_id", "features"])
     qrows = feats.take(2)
     qids = [r["media_id"] for r in qrows]

@@ -2,12 +2,14 @@
 ``binary`` columns with typed metadata, processed by actor-pool map_batches
 stages.
 
-The decode kernels themselves are STUBBED (image/audio libraries are not in
-this container): ``DecodeImage`` / ``SampleFrames`` raise
-NotImplementedError unless constructed with ``fake=True``, in which case a
-deterministic fake decoder (header-derived dimensions, checksum features)
-exercises the real Ray-side plumbing — schema, small-batch sizing for wide
-binary rows, actor signature, output layout — which IS tested.
+Decode kernels: REAL pure-numpy decoders for the container-friendly
+formats — P6 PPM and 24-bit uncompressed BMP images (``decode_image_bytes``,
+with nearest-neighbor resize), and PCM16/PCM8 WAV audio
+(``decode_wav_bytes``). Formats that require external libraries
+(JPEG/PNG/ffmpeg video) raise NotImplementedError per payload with the
+library named. ``fake=True`` keeps the deterministic fake decoder
+(header-derived dimensions, checksum features) for plumbing tests and for
+corpora of opaque payloads.
 
 Scale notes: binary payloads make rows wide; callers must use small
 ``batch_size`` (e.g. 64-256) so batch x concurrency fits worker heap, and
@@ -17,11 +19,151 @@ keep everything in Arrow (pandas object columns would copy).
 from __future__ import annotations
 
 import hashlib
+import struct
 
 import numpy as np
 import pyarrow as pa
 
 from e_commerce_batch_etl_pipeline_ray.core import FnStep
+
+
+# ---------------------------------------------------------------------------
+# pure-numpy codecs (no PIL/ffmpeg/soundfile in this container)
+
+
+def encode_ppm(arr: np.ndarray) -> bytes:
+    """uint8 (H, W, 3) -> binary P6 PPM."""
+    h, w = arr.shape[:2]
+    return f"P6\n{w} {h}\n255\n".encode() + np.ascontiguousarray(
+        arr, dtype=np.uint8).tobytes()
+
+
+def _decode_ppm(b: bytes) -> np.ndarray:
+    # tokenizer: magic, width, height, maxval — whitespace-separated, with
+    # '#' comments; a single whitespace byte then raster data
+    pos, tokens = 0, []
+    while len(tokens) < 4:
+        while pos < len(b) and b[pos:pos + 1].isspace():
+            pos += 1
+        if b[pos:pos + 1] == b"#":
+            while pos < len(b) and b[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(b) and not b[pos:pos + 1].isspace():
+            pos += 1
+        tokens.append(b[start:pos])
+    pos += 1                                     # the single ws after maxval
+    if tokens[0] != b"P6":
+        raise ValueError(f"not a P6 PPM: magic {tokens[0]!r}")
+    w, h, maxval = int(tokens[1]), int(tokens[2]), int(tokens[3])
+    if maxval != 255:
+        raise NotImplementedError("only 8-bit PPM supported")
+    data = np.frombuffer(b, dtype=np.uint8, count=w * h * 3, offset=pos)
+    return data.reshape(h, w, 3).copy()
+
+
+def encode_bmp(arr: np.ndarray) -> bytes:
+    """uint8 (H, W, 3) RGB -> 24-bit uncompressed bottom-up BMP."""
+    h, w = arr.shape[:2]
+    row_raw = w * 3
+    pad = (4 - row_raw % 4) % 4
+    img_size = (row_raw + pad) * h
+    header = struct.pack("<2sIHHI", b"BM", 54 + img_size, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size,
+                       2835, 2835, 0, 0)
+    bgr = np.ascontiguousarray(arr[::-1, :, ::-1], dtype=np.uint8)  # bottom-up, BGR
+    if pad:
+        rows = bgr.reshape(h, row_raw)
+        rows = np.concatenate([rows, np.zeros((h, pad), np.uint8)], axis=1)
+        body = rows.tobytes()
+    else:
+        body = bgr.tobytes()
+    return header + info + body
+
+
+def _decode_bmp(b: bytes) -> np.ndarray:
+    if b[:2] != b"BM":
+        raise ValueError("not a BMP")
+    offset = struct.unpack_from("<I", b, 10)[0]
+    hdr_size = struct.unpack_from("<I", b, 14)[0]
+    if hdr_size < 40:
+        raise NotImplementedError("BITMAPCOREHEADER BMP not supported")
+    w, h = struct.unpack_from("<ii", b, 18)
+    bpp = struct.unpack_from("<H", b, 28)[0]
+    comp = struct.unpack_from("<I", b, 30)[0]
+    if comp != 0 or bpp != 24:
+        raise NotImplementedError(
+            f"only 24-bit uncompressed BMP supported (bpp={bpp}, comp={comp})")
+    flip = h > 0                                # positive height = bottom-up
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    rows = np.frombuffer(b, dtype=np.uint8, count=stride * h,
+                         offset=offset).reshape(h, stride)
+    img = rows[:, :w * 3].reshape(h, w, 3)[:, :, ::-1]       # BGR -> RGB
+    return (img[::-1] if flip else img).copy()
+
+
+def decode_image_bytes(payload: bytes) -> np.ndarray:
+    """Decode PPM (P6) or BMP (24-bit uncompressed) to uint8 (H, W, 3).
+    Other formats need external libs -> NotImplementedError naming them."""
+    if payload[:2] == b"P6":
+        return _decode_ppm(payload)
+    if payload[:2] == b"BM":
+        return _decode_bmp(payload)
+    raise NotImplementedError(
+        f"unsupported image format (magic {payload[:4]!r}): only PPM/BMP "
+        "decode in pure numpy; JPEG/PNG require PIL (not in this container)")
+
+
+def resize_nearest(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Nearest-neighbor resize, pure numpy (uint8 (H, W, C))."""
+    h, w = img.shape[:2]
+    yi = np.minimum((np.arange(out_h) * h) // out_h, h - 1)
+    xi = np.minimum((np.arange(out_w) * w) // out_w, w - 1)
+    return img[yi][:, xi]
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 16_000) -> bytes:
+    """float32 [-1,1] mono -> PCM16 WAV."""
+    pcm = np.clip(samples, -1.0, 1.0)
+    pcm = (pcm * 32767.0).astype("<i2").tobytes()
+    hdr = struct.pack("<4sI4s4sIHHIIHH4sI", b"RIFF", 36 + len(pcm), b"WAVE",
+                      b"fmt ", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16,
+                      b"data", len(pcm))
+    return hdr + pcm
+
+
+def decode_wav_bytes(payload: bytes) -> tuple[np.ndarray, int]:
+    """PCM16/PCM8 WAV -> (float32 mono samples in [-1,1], sample_rate).
+    Chunk-walks RIFF; compressed codecs -> NotImplementedError."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise NotImplementedError(
+            f"unsupported audio format (magic {payload[:4]!r}): only PCM "
+            "WAV decodes in pure numpy; mp3/ogg/flac require soundfile")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid, size = struct.unpack_from("<4sI", payload, pos)
+        body = payload[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)             # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_fmt, n_ch, rate, _, _, bits = fmt
+    if audio_fmt != 1:
+        raise NotImplementedError(f"non-PCM WAV (format {audio_fmt})")
+    if bits == 16:
+        x = np.frombuffer(data, dtype="<i2").astype(np.float32) / 32768.0
+    elif bits == 8:
+        x = (np.frombuffer(data, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+    else:
+        raise NotImplementedError(f"{bits}-bit PCM not supported")
+    if n_ch > 1:                                 # downmix to mono
+        x = x[: len(x) - len(x) % n_ch].reshape(-1, n_ch).mean(axis=1)
+    return x, rate
 
 MEDIA_SCHEMA = pa.schema([
     ("media_id", pa.int64()),
@@ -51,23 +193,82 @@ def fake_media_table(n: int, seed: int = 42, payload_bytes: int = 4096) -> pa.Ta
     })
 
 
+def real_media_table(n: int, seed: int = 42, max_side: int = 48) -> pa.Table:
+    """Deterministic REAL payloads: PPM and BMP images (alternating) plus
+    PCM16 WAV audio every third row — decodable by the pure-numpy kernels."""
+    rng = np.random.RandomState(seed)
+    ids, types, payloads, mimes, ws, hs, durs = [], [], [], [], [], [], []
+    for i in range(n):
+        ids.append(i)
+        if i % 3 == 2:
+            rate = 8000
+            x = np.sin(np.linspace(0, 20 + i, rate // 4)) * 0.5
+            payloads.append(encode_wav(x.astype(np.float32), rate))
+            types.append("audio")
+            mimes.append("audio/wav")
+            ws.append(None)
+            hs.append(None)
+            durs.append(None)
+        else:
+            w = int(rng.randint(8, max_side))
+            h = int(rng.randint(8, max_side))
+            img = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+            payloads.append(encode_ppm(img) if i % 2 == 0 else encode_bmp(img))
+            types.append("image")
+            mimes.append("image/x-portable-pixmap" if i % 2 == 0
+                         else "image/bmp")
+            ws.append(None)
+            hs.append(None)
+            durs.append(None)
+    return pa.table({
+        "media_id": pa.array(ids, pa.int64()),
+        "media_type": pa.array(types, pa.string()),
+        "payload": pa.array(payloads, pa.binary()),
+        "mime": pa.array(mimes, pa.string()),
+        "width": pa.array(ws, pa.int32()),
+        "height": pa.array(hs, pa.int32()),
+        "duration_ms": pa.array(durs, pa.int32()),
+    })
+
+
 class DecodeImage:
     """Actor-pool image decode -> (width, height, feature vector).
 
-    Real implementation would load PIL/torchvision in __init__ (once per
-    actor). Without the libs: ``fake=True`` derives dimensions and an
-    8-dim byte-histogram feature deterministically from the payload;
-    ``fake=False`` raises NotImplementedError at construction.
+    ``fake=False`` (default): REAL pure-numpy decode of PPM/BMP payloads
+    (decode_image_bytes); optional ``resize_to=(w, h)`` nearest-neighbor
+    resize before feature extraction; features = 8-bin grayscale-pixel
+    histogram, L1-normalized. JPEG/PNG payloads raise NotImplementedError
+    naming the missing library. A PIL-based path would slot in here
+    (loaded once per actor in __init__) when the container gains it.
+
+    ``fake=True``: deterministic fake decoder (blake2b-derived dimensions,
+    byte-histogram features) for plumbing tests / opaque payloads.
     """
 
-    def __init__(self, fake: bool = False):
-        if not fake:
-            raise NotImplementedError(
-                "image decode requires PIL/torchvision (not in this container); "
-                "construct with fake=True for plumbing tests")
-        self.fake = True
+    def __init__(self, fake: bool = False,
+                 resize_to: tuple[int, int] | None = None):
+        self.fake = fake
+        self.resize_to = resize_to
+
+    def _decode_real(self, payload: bytes):
+        img = decode_image_bytes(payload)
+        h, w = img.shape[:2]
+        if self.resize_to is not None:
+            img = resize_nearest(img, *self.resize_to)
+        gray = img.astype(np.float32).mean(axis=2)
+        hist, _ = np.histogram(gray, bins=8, range=(0, 256))
+        feat = (hist / max(1, gray.size)).astype(np.float32)
+        return w, h, feat.tolist()
+
+    def _decode_fake(self, payload: bytes):
+        h = hashlib.blake2b(payload, digest_size=8).digest()
+        arr = np.frombuffer(payload, dtype=np.uint8)
+        hist, _ = np.histogram(arr, bins=8, range=(0, 256))
+        return (64 + h[0] % 192, 64 + h[1] % 192,
+                (hist / max(1, len(arr))).astype(np.float32).tolist())
 
     def __call__(self, t: pa.Table) -> pa.Table:
+        decode = self._decode_fake if self.fake else self._decode_real
         widths, heights, feats = [], [], []
         for payload in t["payload"].to_pylist():
             if payload is None:
@@ -75,12 +276,10 @@ class DecodeImage:
                 heights.append(None)
                 feats.append(None)
                 continue
-            h = hashlib.blake2b(payload, digest_size=8).digest()
-            widths.append(64 + h[0] % 192)
-            heights.append(64 + h[1] % 192)
-            arr = np.frombuffer(payload, dtype=np.uint8)
-            hist, _ = np.histogram(arr, bins=8, range=(0, 256))
-            feats.append((hist / max(1, len(arr))).astype(np.float32).tolist())
+            w, h, f = decode(payload)
+            widths.append(w)
+            heights.append(h)
+            feats.append(f)
         t = t.set_column(t.column_names.index("width"), "width",
                          pa.array(widths, pa.int32()))
         t = t.set_column(t.column_names.index("height"), "height",
@@ -91,19 +290,26 @@ class DecodeImage:
 class DecodeAudio:
     """Actor-pool audio decode -> (duration_ms, spectral feature vector).
 
-    Real implementation would load soundfile/torchaudio in __init__ (once
-    per actor). Without the libs: ``fake=True`` derives a duration from the
-    payload length and a 16-dim magnitude-spectrum feature from the raw
-    bytes (deterministic numpy rFFT); ``fake=False`` raises
-    NotImplementedError at construction.
+    ``fake=False`` (default): REAL pure-numpy PCM WAV decode
+    (decode_wav_bytes — header-parsed sample rate, PCM16/PCM8, multi-channel
+    downmix); compressed codecs raise NotImplementedError naming soundfile.
+    ``fake=True``: payload bytes treated as 8-bit samples at ``sample_rate``
+    (plumbing tests / opaque payloads). Features in both modes: 16 band
+    magnitudes of the rFFT, L1-normalized.
     """
 
     def __init__(self, fake: bool = False, sample_rate: int = 16_000):
-        if not fake:
-            raise NotImplementedError(
-                "audio decode requires soundfile/torchaudio (not in this "
-                "container); construct with fake=True for plumbing tests")
+        self.fake = fake
         self.sample_rate = sample_rate
+
+    @staticmethod
+    def _spectral_features(arr: np.ndarray) -> list[float]:
+        spec = np.abs(np.fft.rfft(arr))
+        bands = np.array_split(spec, 16)
+        f = np.array([b.mean() if len(b) else 0.0 for b in bands],
+                     dtype=np.float32)
+        s = f.sum()
+        return (f / s if s else f).tolist()
 
     def __call__(self, t: pa.Table) -> pa.Table:
         durations, feats = [], []
@@ -112,16 +318,14 @@ class DecodeAudio:
                 durations.append(None)
                 feats.append(None)
                 continue
-            # fake: bytes as 8-bit samples at sample_rate
-            arr = np.frombuffer(payload, dtype=np.uint8).astype(np.float32)
-            arr = (arr - 128.0) / 128.0
-            durations.append(int(len(arr) * 1000 / self.sample_rate))
-            spec = np.abs(np.fft.rfft(arr))
-            # 16 log-spaced band magnitudes, L1-normalized
-            bands = np.array_split(spec, 16)
-            f = np.array([b.mean() for b in bands], dtype=np.float32)
-            s = f.sum()
-            feats.append((f / s if s else f).tolist())
+            if self.fake:
+                arr = np.frombuffer(payload, dtype=np.uint8).astype(np.float32)
+                arr = (arr - 128.0) / 128.0
+                rate = self.sample_rate
+            else:
+                arr, rate = decode_wav_bytes(payload)
+            durations.append(int(len(arr) * 1000 / rate))
+            feats.append(self._spectral_features(arr))
         t = t.set_column(t.column_names.index("duration_ms"), "duration_ms",
                          pa.array(durations, pa.int32()))
         return t.append_column("audio_features",

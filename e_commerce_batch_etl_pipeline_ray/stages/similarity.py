@@ -191,33 +191,111 @@ def knn_ivf(ds: ray.data.Dataset, queries: tuple[list[int], np.ndarray],
 # path (knn_ivf above still scans every block and filters in-task).
 
 
-def ivf_index_build(ds: ray.data.Dataset, index_dir: str,
-                    n_centroids: int = 16, emb_col: str = "embedding",
-                    id_col: str = "vec_id", seed: int = 11) -> np.ndarray:
-    """Build a persisted IVF index: train the coarse quantizer, assign every
-    vector to its nearest centroid, and write one parquet DIRECTORY per
-    centroid (``index_dir/list=C/``) plus the centroid matrix. Search then
-    touches only ``nprobe`` directories — I/O proportional to the probed
-    fraction of the corpus, not the corpus."""
-    import os
-
-    cent = train_centroids(ds, n_centroids, emb_col, seed=seed)
-    cent_ref = ray.put(cent)
-
+def _make_assign(cent_ref, emb_col: str):
     def _assign(t: pa.Table) -> pa.Table:
         c = ray.get(cent_ref)
         vn = _normalize(_emb_matrix(t[emb_col]))
         a = np.argmax(vn @ c.T, axis=1).astype(np.int32)
         return t.append_column("_list", pa.array(a))
+    return _assign
 
-    assigned = ds.map_batches(_assign, batch_format="pyarrow",
-                              zero_copy_batch=True)
+
+def _assign_stats(ds: ray.data.Dataset, cent_ref, emb_col: str,
+                  n_centroids: int) -> tuple[np.ndarray, int]:
+    """(per-centroid assignment counts, n) over ``ds`` — one partials pass.
+    The assignment DISTRIBUTION is the drift signal the append check
+    compares against: a distribution shift concentrates new vectors in few
+    lists (skew -> recall decay), which mean-similarity cannot see in high
+    dimensions."""
+    def _partial(t: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        vn = _normalize(_emb_matrix(t[emb_col]))
+        a = np.argmax(vn @ c.T, axis=1) if len(vn) else np.zeros(0, np.int64)
+        counts = np.bincount(a, minlength=n_centroids).astype(np.int64)
+        return pa.table({"c": pa.array(counts),
+                         "i": pa.array(np.arange(n_centroids, dtype=np.int32))})
+
+    parts = pa.concat_tables(ray.get(
+        ds.map_batches(_partial, batch_format="pyarrow",
+                       zero_copy_batch=True).to_arrow_refs()),
+        promote_options="default")
+    counts = np.zeros(n_centroids, dtype=np.int64)
+    np.add.at(counts, parts["i"].to_numpy(), parts["c"].to_numpy())
+    return counts, int(counts.sum())
+
+
+def ivf_index_build(ds: ray.data.Dataset, index_dir: str,
+                    n_centroids: int = 16, emb_col: str = "embedding",
+                    id_col: str = "vec_id", seed: int = 11,
+                    centroids: np.ndarray | None = None) -> np.ndarray:
+    """Build a persisted IVF index: train the coarse quantizer (or use the
+    given ``centroids``), assign every vector to its nearest centroid, and
+    write one parquet DIRECTORY per centroid (``index_dir/_list=C/``) plus
+    the centroid matrix and fit stats. Search then touches only ``nprobe``
+    directories — I/O proportional to the probed fraction of the corpus,
+    not the corpus."""
+    import json
+    import os
+
+    cent = (np.asarray(centroids, dtype=np.float64) if centroids is not None
+            else train_centroids(ds, n_centroids, emb_col, seed=seed))
+    cent_ref = ray.put(cent)
+    assigned = ds.map_batches(_make_assign(cent_ref, emb_col),
+                              batch_format="pyarrow", zero_copy_batch=True)
     os.makedirs(index_dir, exist_ok=True)
     # one directory per centroid list — the unit a search prunes on; also
     # the resume unit (a crashed build re-runs whole lists idempotently)
     assigned.write_parquet(index_dir, partition_cols=["_list"])
     np.save(os.path.join(index_dir, "centroids.npy"), cent)
+    counts, n = _assign_stats(ds, cent_ref, emb_col, len(cent))
+    with open(os.path.join(index_dir, "stats.json"), "w") as f:
+        json.dump({"list_counts": counts.tolist(), "n_vectors": n}, f)
     return cent
+
+
+def ivf_index_append(ds: ray.data.Dataset, index_dir: str,
+                     emb_col: str = "embedding", id_col: str = "vec_id",
+                     drift_tol: float = 0.25) -> dict:
+    """Incrementally append new vectors to an EXISTING index: assign with
+    the persisted quantizer and write additional parquet files into the
+    same ``_list=C`` directories (Ray's write filenames are unique per
+    execution, so appends never clobber) — no full rebuild.
+
+    Centroid-drift check: total-variation distance between the index's
+    recorded per-list assignment fractions and the new batch's. A shifted
+    data distribution concentrates in few lists (TV -> 1), skewing list
+    sizes and decaying recall; iid growth keeps TV at sampling noise.
+    ``drift > drift_tol`` sets ``rebuild_recommended``. Stats are merged
+    (count-wise) either way.
+    """
+    import json
+    import os
+
+    cent = np.load(os.path.join(index_dir, "centroids.npy"))
+    cent_ref = ray.put(cent)
+    assigned = ds.map_batches(_make_assign(cent_ref, emb_col),
+                              batch_format="pyarrow", zero_copy_batch=True)
+    assigned.write_parquet(index_dir, partition_cols=["_list"])
+
+    new_counts, new_n = _assign_stats(ds, cent_ref, emb_col, len(cent))
+    stats_path = os.path.join(index_dir, "stats.json")
+    old_counts, old_n = np.zeros(len(cent), dtype=np.int64), 0
+    if os.path.exists(stats_path):
+        with open(stats_path) as f:
+            st = json.load(f)
+        old_counts = np.asarray(st["list_counts"], dtype=np.int64)
+        old_n = st["n_vectors"]
+    if old_n and new_n:
+        drift = 0.5 * float(np.abs(old_counts / old_n
+                                   - new_counts / new_n).sum())
+    else:
+        drift = 0.0
+    merged = old_counts + new_counts
+    with open(stats_path, "w") as f:
+        json.dump({"list_counts": merged.tolist(),
+                   "n_vectors": old_n + new_n}, f)
+    return {"appended": new_n, "drift": drift,
+            "rebuild_recommended": bool(drift > drift_tol)}
 
 
 def ivf_index_search(index_dir: str, queries: tuple[list[int], np.ndarray],

@@ -307,6 +307,57 @@ def test_actor_pool_backend_crash_resume(tmp_path):
     eng2._pool.shutdown()
 
 
+def test_fan_out_auto_resolution():
+    """auto -> broadcast on one node, split on many; explicit modes pass
+    through; junk rejected."""
+    from e_commerce_batch_etl_pipeline_ray.cdc.actor_pool import resolve_fan_out
+    assert resolve_fan_out("auto", n_nodes=1) == "broadcast"
+    assert resolve_fan_out("auto", n_nodes=4) == "split"
+    assert resolve_fan_out("broadcast", n_nodes=4) == "broadcast"
+    assert resolve_fan_out("split", n_nodes=1) == "split"
+    with pytest.raises(ValueError):
+        resolve_fan_out("bogus")
+    # in THIS sandbox (single host) auto must land on broadcast
+    assert resolve_fan_out("auto") == "broadcast"
+
+
+@pytest.mark.parametrize("fan_out", ["broadcast", "split"])
+def test_actor_pool_worker_killed_mid_epoch(tmp_path, fan_out):
+    """Kill a persistent MergeWorker between commit N and commit N+1: the
+    in-flight epoch fails loudly (no partial manifest), and a re-run from
+    the committed manifest (fresh pool, empty caches — the cache-
+    invalidation path) reproduces the exact state a clean run produces.
+    Covers BOTH fan-out modes."""
+    import ray
+
+    eng = _engine(tmp_path / "crash", backend="actor_pool", fan_out=fan_out)
+    eng.ingest_epoch(binlog.gen_epoch(SPEC, 0), 0)
+    # hard-kill one worker: epoch 1's merge must fail mid-flight
+    ray.kill(eng._pool.workers[0], no_restart=True)
+    with pytest.raises(Exception) as ei:
+        eng.ingest_epoch(binlog.gen_epoch(SPEC, 1), 1)
+    assert "died" in str(ei.value).lower() or "actor" in str(ei.value).lower()
+    # the failed epoch must NOT have committed
+    assert lake.last_committed_epoch(eng.cfg.lake_dir) == 0
+    _shutdown(eng)
+
+    # recovery: fresh engine (fresh actors, empty caches) resumes from the
+    # committed manifest and re-runs the epoch
+    eng2 = _engine(tmp_path / "crash", backend="actor_pool", fan_out=fan_out)
+    assert eng2.resume_point() == 1
+    eng2.ingest_epoch(binlog.gen_epoch(SPEC, 1), 1)
+    state = _final_state(eng2)
+    _shutdown(eng2)
+
+    # equal to the replay oracle AND to an uninterrupted clean run
+    assert state == _oracle_state(SPEC, 2)
+    clean = _engine(tmp_path / "clean", backend="actor_pool", fan_out=fan_out)
+    for ep in range(2):
+        clean.ingest_epoch(binlog.gen_epoch(SPEC, ep), ep)
+    assert state == _final_state(clean)
+    _shutdown(clean)
+
+
 def test_actor_pool_delta_mode_parity(tmp_path):
     """actor_pool backend x LSM delta mode == map_groups compact-every state."""
     e1 = _engine(tmp_path / "a")

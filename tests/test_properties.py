@@ -134,3 +134,48 @@ def test_unit_hash_matches_duckdb_exactly(ids, seed):
     exp = [r[0] for r in con.execute(
         f"SELECT {sql_unit_hash('id', seed)} FROM t ORDER BY rowid").fetchall()]
     assert got.tolist() == exp
+
+
+@settings(max_examples=10, deadline=None)
+@given(ids_a=st.lists(st.integers(0, 2**31 - 1), min_size=1, max_size=150,
+                      unique=True),
+       ids_b=st.lists(st.integers(0, 2**31 - 1), min_size=1, max_size=150,
+                      unique=True),
+       frac_a=st.floats(0.0, 1.0, allow_nan=False),
+       frac_b=st.floats(0.0, 1.0, allow_nan=False),
+       seed=st.integers(0, 10_000))
+def test_mixture_matches_duckdb_exactly(ids_a, ids_b, frac_a, frac_b, seed):
+    """Multi-source mixture SQL parity (extends the q36 oracle to arbitrary
+    rates/seeds): the Ray mixture's per-row membership AND provenance tag
+    equal the SQL reproduction (per-source hash predicate + UNION ALL) —
+    bit-for-bit, at any fraction, including 0 and 1."""
+    import duckdb
+
+    import ray.data
+    from e_commerce_batch_etl_pipeline_ray.stages.sampling import (
+        mixture,
+        sql_unit_hash,
+    )
+
+    srcs = {"a": ids_a, "b": ids_b}
+    datasets = [(n, ray.data.from_arrow(
+        pa.table({"id": pa.array(v, pa.int64())}))) for n, v in srcs.items()]
+    got = mixture(datasets, ["id", "id"], [frac_a, frac_b],
+                  seed=seed).to_pandas()
+    # an all-empty mixture comes back as a 0-row, column-less frame
+    got_set = (set() if got.empty
+               else set(zip(got["id"], got["_source"])))
+
+    con = duckdb.connect()
+    for n, v in srcs.items():
+        con.execute(f"CREATE TABLE t_{n}(id BIGINT)")
+        con.executemany(f"INSERT INTO t_{n} VALUES (?)", [(i,) for i in v])
+    exp = con.execute(f"""
+        SELECT id, 'a' AS _source FROM t_a
+        WHERE {sql_unit_hash('id', seed)} < {frac_a!r}
+        UNION ALL
+        SELECT id, 'b' FROM t_b
+        WHERE {sql_unit_hash('id', seed)} < {frac_b!r}
+    """).fetchall()
+    assert got_set == set(exp)
+    assert len(got) == len(exp)          # no dup/loss through the union

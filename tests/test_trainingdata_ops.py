@@ -149,9 +149,57 @@ def test_decode_images_fake_plumbing():
     assert out["features"].map(len).eq(8).all()
 
 
-def test_decode_images_real_raises():
-    with pytest.raises(NotImplementedError):
-        multimodal.DecodeImage(fake=False)
+def test_image_codec_roundtrip():
+    """Pure-numpy PPM and BMP codecs are exact inverses (incl. BMP row
+    padding on non-multiple-of-4 widths)."""
+    rng = np.random.RandomState(3)
+    for w, h in [(5, 7), (8, 8), (33, 2)]:
+        img = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+        assert (multimodal.decode_image_bytes(multimodal.encode_ppm(img))
+                == img).all()
+        assert (multimodal.decode_image_bytes(multimodal.encode_bmp(img))
+                == img).all()
+    # nearest-neighbor resize shape + corner identity
+    big = rng.randint(0, 256, size=(16, 12, 3), dtype=np.uint8)
+    small = multimodal.resize_nearest(big, 6, 8)
+    assert small.shape == (8, 6, 3)
+    assert (small[0, 0] == big[0, 0]).all()
+
+
+def test_wav_codec_roundtrip():
+    x = (np.sin(np.linspace(0, 50, 4000)) * 0.7).astype(np.float32)
+    got, rate = multimodal.decode_wav_bytes(multimodal.encode_wav(x, 8000))
+    assert rate == 8000
+    assert len(got) == len(x)
+    assert np.abs(got - x).max() < 1e-3          # PCM16 quantization only
+
+
+def test_decode_images_real_kernels():
+    """End-to-end Ray stage over REAL PPM/BMP payloads: true dimensions,
+    pixel-histogram features; WAV rows decode through DecodeAudio with
+    header-true durations; unsupported magics raise with the library named."""
+    t = multimodal.real_media_table(24, seed=11)
+    images = t.filter(pa.compute.equal(t["media_type"], "image"))
+    out = multimodal.decode_images(fake=False, batch_size=8).apply(
+        ray.data.from_arrow(images)).to_pandas()
+    assert len(out) == len(images)
+    # dimensions are the REAL encoded ones, not hash-derived
+    for row, payload in zip(out.itertuples(), images["payload"].to_pylist()):
+        img = multimodal.decode_image_bytes(payload)
+        assert (row.height, row.width) == img.shape[:2]
+    assert out["features"].map(len).eq(8).all()
+    assert out["features"].map(lambda f: abs(sum(f) - 1.0) < 1e-5).all()
+
+    audio = t.filter(pa.compute.equal(t["media_type"], "audio"))
+    aout = multimodal.decode_audio(fake=False, batch_size=8).apply(
+        ray.data.from_arrow(audio)).to_pandas()
+    assert (aout["duration_ms"] == 250).all()    # rate//4 samples at rate
+    assert aout["audio_features"].map(len).eq(16).all()
+
+    with pytest.raises(NotImplementedError, match="PIL"):
+        multimodal.DecodeImage(fake=False)._decode_real(b"\xff\xd8\xff\xe0jpeg")
+    with pytest.raises(NotImplementedError, match="soundfile"):
+        multimodal.decode_wav_bytes(b"ID3\x04mp3 junk....")
 
 
 def test_sample_frames_layout():
@@ -311,6 +359,47 @@ def test_ivf_index_build_and_search(tmp_path):
         p = set(part[part.query_id == qid]["neighbor_id"])
         assert qid in p
         assert len(e & p) >= 3
+
+
+def test_ivf_index_append_equals_rebuild(tmp_path):
+    """Incremental append: build on half the corpus, append the other half
+    -> search results identical to a from-scratch build over the full
+    corpus WITH THE SAME quantizer (same centroids => same lists; append
+    must only add files, never perturb). Drift check flags a shifted
+    distribution."""
+    import ray.data
+
+    from e_commerce_batch_etl_pipeline_ray.stages import similarity
+
+    rng = np.random.RandomState(4)
+    vecs = rng.randn(2000, 32)
+
+    def _ds(lo, hi):
+        return ray.data.from_arrow(pa.table({
+            "vec_id": pa.array(range(lo, hi), pa.int64()),
+            "embedding": pa.array([r.tolist() for r in vecs[lo:hi]],
+                                  pa.list_(pa.float64()))}))
+
+    inc_dir, full_dir = str(tmp_path / "inc"), str(tmp_path / "full")
+    cent = similarity.ivf_index_build(_ds(0, 1000), inc_dir, n_centroids=8)
+    rep = similarity.ivf_index_append(_ds(1000, 2000), inc_dir)
+    assert rep["appended"] == 1000
+    assert not rep["rebuild_recommended"]        # same distribution
+
+    similarity.ivf_index_build(_ds(0, 2000), full_dir, centroids=cent)
+    q = ([0, 7], vecs[[0, 7]])
+    got = similarity.ivf_index_search(inc_dir, q, k=5, nprobe=8).to_pandas()
+    exp = similarity.ivf_index_search(full_dir, q, k=5, nprobe=8).to_pandas()
+    assert got.values.tolist() == exp.values.tolist()
+
+    # a genuinely shifted distribution trips the drift flag
+    shifted = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array(range(2000, 2500), pa.int64()),
+        "embedding": pa.array(
+            [(r + 25.0).tolist() for r in rng.randn(500, 32)],
+            pa.list_(pa.float64()))}))
+    rep2 = similarity.ivf_index_append(shifted, inc_dir)
+    assert rep2["rebuild_recommended"]
 
 
 def test_dedup_by_pairs_long_chain_and_round_guard():
