@@ -32,6 +32,7 @@ import pyarrow.parquet as pq
 import ray
 
 from e_commerce_batch_etl_pipeline_ray.cdc import lake
+from e_commerce_batch_etl_pipeline_ray.stages.blockutil import collect_block_refs
 from e_commerce_batch_etl_pipeline_ray.stages.dedup import combine_keep_extreme
 
 KEY = ["repo", "path"]
@@ -209,7 +210,7 @@ class PersistentMergePool:
                  for w in self.workers])
         futures = []
         if self.fan_out == "split":
-            for ref in normalized.to_arrow_refs():
+            for ref in collect_block_refs(normalized):
                 parts = _split_block.options(
                     num_returns=self.n_workers).remote(ref, self.n_workers)
                 if self.n_workers == 1:
@@ -217,7 +218,7 @@ class PersistentMergePool:
                 for w, part_ref in zip(self.workers, parts):
                     futures.append(w.ingest_parts.remote(part_ref))
         else:
-            for ref in normalized.to_arrow_refs():
+            for ref in collect_block_refs(normalized):
                 for w in self.workers:
                     futures.append(w.ingest_block.remote(ref))
         ray.get(futures)

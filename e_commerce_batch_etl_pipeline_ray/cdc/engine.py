@@ -406,8 +406,10 @@ class CDCEngine:
                                      gc_horizon),
                 concurrency=conc,
                 num_cpus=1)
-            lineage = pa.concat_tables(ray.get(lineage_ds.to_arrow_refs()),
-                                       promote_options="default")
+            from e_commerce_batch_etl_pipeline_ray.stages.blockutil import (
+                collect_arrow,
+            )
+            lineage = collect_arrow(lineage_ds)
 
         # commit: promote data dir, then manifest (atomic)
         lake.promote_epoch_dir(cfg.lake_dir, epoch)

@@ -19,7 +19,14 @@ import pyarrow.compute as pc
 import ray.data
 
 from e_commerce_batch_etl_pipeline_ray.functions import scalar as F
-from e_commerce_batch_etl_pipeline_ray.stages import aggregates, dedup, joins, maps, sorts
+from e_commerce_batch_etl_pipeline_ray.stages import (
+    aggregates,
+    blockutil,
+    dedup,
+    joins,
+    maps,
+    sorts,
+)
 
 
 _TUNED = False
@@ -184,8 +191,8 @@ def q4_group_agg_distinct(sf_dir: str):
     distinct = aggregates.count_distinct(
         ["order_year", "o_orderstatus"], "o_custkey", "n_customers").apply(ds)
     # both sides are tiny aggregate outputs -> driver-side merge is fine
-    bt = pa.concat_tables(ray.get(base.to_arrow_refs()), promote_options="default")
-    dt = pa.concat_tables(ray.get(distinct.to_arrow_refs()), promote_options="default")
+    bt = blockutil.collect_arrow(base)
+    dt = blockutil.collect_arrow(distinct)
     bdf = bt.to_pandas().merge(dt.to_pandas(), on=["order_year", "o_orderstatus"])
     bdf["sum_price"] = bdf["sum_price"].round(2)
     bdf["avg_price"] = bdf["avg_price"].round(2)
@@ -209,9 +216,8 @@ ORDER BY 1, 2
 # q5 — broadcast lookup join (J1): customer -> nation name, then rollup
 
 def q5_lookup_join(sf_dir: str):
-    nation = pa.concat_tables(ray.get(
-        _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_arrow_refs()),
-        promote_options="default")
+    nation = blockutil.collect_arrow(
+        _read(sf_dir, "nation", ["n_nationkey", "n_name"]))
     ds = _read(sf_dir, "customer", ["c_custkey", "c_nationkey", "c_acctbal"])
     ds = joins.broadcast_lookup(
         nation, on="c_nationkey", small_key="n_nationkey",
@@ -1137,8 +1143,8 @@ def q33_analytics_cube(sf_dir: str):
         pre_aggregate=True).apply(ds)
     distinct = aggregates.count_distinct(
         ["order_year", "o_orderstatus"], "o_custkey", "n_customers").apply(ds)
-    bt = pa.concat_tables(ray.get(base.to_arrow_refs()), promote_options="default")
-    dt = pa.concat_tables(ray.get(distinct.to_arrow_refs()), promote_options="default")
+    bt = blockutil.collect_arrow(base)
+    dt = blockutil.collect_arrow(distinct)
     df = bt.to_pandas().merge(dt.to_pandas(), on=["order_year", "o_orderstatus"])
     for c in ("sum_price", "avg_price", "std_price"):
         df[c] = df[c].round(2)

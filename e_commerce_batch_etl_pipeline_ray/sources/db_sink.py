@@ -86,8 +86,8 @@ def write_table(ds: ray.data.Dataset, db_path: str, table: str,
         fn_constructor_args=(db_path, table, columns, batch_rows),
         concurrency=concurrency, num_cpus=0.5)
     import pyarrow.compute as pc
-    totals = pa.concat_tables(ray.get(out.to_arrow_refs()),
-                              promote_options="default")
+    from e_commerce_batch_etl_pipeline_ray.stages.blockutil import collect_arrow
+    totals = collect_arrow(out)
     return pc.sum(totals["rows_written"]).as_py() or 0
 
 

@@ -19,6 +19,7 @@ import ray.data
 from ray.data.aggregate import Count, Max, Mean, Min, Std, Sum
 
 from e_commerce_batch_etl_pipeline_ray.core import FnStep
+from e_commerce_batch_etl_pipeline_ray.stages.blockutil import collect_arrow
 
 # aggregate spec: list of (agg_kind, column, alias). agg_kind in
 # {"count", "sum", "mean", "min", "max", "std", "sum_bool",
@@ -245,8 +246,7 @@ def null_counts(columns: Sequence[str] | None = None) -> "FnStep":
 
 def sum_partials(ds: ray.data.Dataset) -> dict[str, int]:
     """Reduce a tiny partials dataset (one row per batch) on the driver."""
-    t = pa.concat_tables(
-        ray.get(ds.to_arrow_refs()), promote_options="default")
+    t = collect_arrow(ds)
     return {c: (pc.sum(t[c]).as_py() or 0) for c in t.column_names}
 
 
@@ -312,12 +312,10 @@ def approx_count_distinct(ds: ray.data.Dataset, col: str,
 
     partials = ds.map_batches(_sketch, batch_format="pyarrow",
                               zero_copy_batch=True)
-    import ray as _ray
-    tables = _ray.get(partials.to_arrow_refs())
+    merged = collect_arrow(partials)
     regs = np.zeros(m, dtype=np.int8)
-    for t in tables:
-        for b in t["regs"].to_pylist():
-            regs = np.maximum(regs, np.frombuffer(b, dtype=np.int8))
+    for b in merged["regs"].to_pylist():
+        regs = np.maximum(regs, np.frombuffer(b, dtype=np.int8))
     # HLL estimate with small-range correction
     alpha = 0.7213 / (1 + 1.079 / m)
     est = alpha * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
@@ -426,10 +424,9 @@ def exact_quantiles(ds: ray.data.Dataset, col: str, qs: Sequence[float],
 
     def _collect(fn):
         pass_counter.append(1)
-        return pa.concat_tables(ray.get(
+        return collect_arrow(
             ds.map_batches(fn, batch_format="pyarrow",
-                           zero_copy_batch=True).to_arrow_refs()),
-            promote_options="default")
+                           zero_copy_batch=True))
 
     def _stats(t: pa.Table) -> pa.Table:
         c = t[col]

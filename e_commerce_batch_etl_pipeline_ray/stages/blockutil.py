@@ -64,6 +64,40 @@ def ensure_schema_renamed(schema: pa.Schema, mapping: dict[str, str]):
     return _fn
 
 
+def collect_block_refs(ds: ray.data.Dataset) -> list:
+    """Execute ``ds`` and return its block object refs WITHOUT asking Ray
+    for the dataset schema afterwards.
+
+    ``Dataset.to_arrow_refs()`` calls ``schema(fetch_if_missing=True)``
+    AFTER execution; when the executed plan's unified schema is unknown
+    (zero-column empty bundles from groupby/map_groups operators on blocks
+    that held no groups), that call silently RE-EXECUTES the entire plan
+    with ``limit(1)`` — double work on every collect, and re-fires
+    side-effecting stages (observed: CDC MergeApply re-running against an
+    already-promoted epoch dir). Blocks in this engine are always Arrow
+    (``batch_format="pyarrow"`` end to end), so the refs are usable
+    directly — the schema probe to_arrow_refs does is only needed for
+    pandas-block datasets."""
+    refs = []
+    for bundle in ds.iter_internal_ref_bundles():
+        refs.extend(bundle.block_refs)
+    return refs
+
+
+def collect_arrow(ds: ray.data.Dataset) -> pa.Table:
+    """Materialize a SMALL result dataset into one driver-side Arrow
+    table, skipping zero-column empty blocks. Replacement for the
+    ``pa.concat_tables(ray.get(ds.to_arrow_refs()))`` pattern — see
+    collect_block_refs for why to_arrow_refs double-executes."""
+    import ray as _ray
+    tables = [t for t in _ray.get(collect_block_refs(ds)) if t.num_columns]
+    if not tables:
+        return pa.table({})
+    if len(tables) == 1:
+        return tables[0]
+    return pa.concat_tables(tables, promote_options="default")
+
+
 def detach(ds: ray.data.Dataset, schema: pa.Schema) -> ray.data.Dataset:
     """Materialize and rebuild from NON-EMPTY block refs (block METADATA
     row counts only — no driver fetch of contents). Returns a single

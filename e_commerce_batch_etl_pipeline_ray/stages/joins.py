@@ -22,6 +22,10 @@ import pyarrow.compute as pc
 import ray
 
 from e_commerce_batch_etl_pipeline_ray.core import FnStep
+from e_commerce_batch_etl_pipeline_ray.stages.blockutil import (
+    collect_arrow,
+    collect_block_refs,
+)
 
 
 class _BroadcastLookup:
@@ -124,8 +128,7 @@ def broadcast_semi_join(keys: pa.Table | "ray.data.Dataset", on: str,
     """
     import ray.data as rd
     if isinstance(keys, rd.Dataset):
-        keys = pa.concat_tables(ray.get(keys.to_arrow_refs()),
-                                promote_options="default")
+        keys = collect_arrow(keys)
     key_arr = keys.column(0).combine_chunks() if keys.num_columns else pa.array([])
     ref = ray.put(key_arr)
 
@@ -185,7 +188,7 @@ def build_bloom(keys: "ray.data.Dataset | pa.Table", on: str,
     partials = keys.map_batches(_partial, batch_format="pyarrow",
                                 zero_copy_batch=True)
     out = np.zeros(nbytes, dtype=np.uint8)
-    for ref in partials.to_arrow_refs():
+    for ref in collect_block_refs(partials):
         t = ray.get(ref)
         for b in t["bm"].to_pylist() if "bm" in t.column_names else []:
             out |= np.frombuffer(b, dtype=np.uint8)

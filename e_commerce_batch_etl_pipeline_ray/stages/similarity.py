@@ -15,6 +15,8 @@ import pyarrow as pa
 import ray
 import ray.data
 
+from e_commerce_batch_etl_pipeline_ray.stages.blockutil import collect_arrow
+
 
 def _normalize(m: np.ndarray) -> np.ndarray:
     n = np.linalg.norm(m, axis=1, keepdims=True)
@@ -93,8 +95,7 @@ def knn_brute(ds: ray.data.Dataset, queries: tuple[list[int], np.ndarray],
         functools.partial(_brute_topk_batch, q_ref=q_ref, emb_col=emb_col,
                           id_col=id_col, k=k),
         batch_format="pyarrow", zero_copy_batch=True, batch_size=2048)
-    t = pa.concat_tables(ray.get(partials.to_arrow_refs()),
-                         promote_options="default")
+    t = collect_arrow(partials)
     df = t.to_pandas()
     df["cosine_r"] = df["cosine"].round(9)
     df = df.sort_values(["query_id", "cosine_r", "neighbor_id"],
@@ -172,8 +173,7 @@ def knn_ivf(ds: ray.data.Dataset, queries: tuple[list[int], np.ndarray],
 
     partials = ds.map_batches(_IVFScore, batch_format="pyarrow",
                               zero_copy_batch=True, concurrency=(1, 8))
-    t = pa.concat_tables(ray.get(partials.to_arrow_refs()),
-                         promote_options="default")
+    t = collect_arrow(partials)
     df = t.to_pandas()
     df["cosine_r"] = df["cosine"].round(9)
     df = df.sort_values(["query_id", "cosine_r", "neighbor_id"],
@@ -215,10 +215,9 @@ def _assign_stats(ds: ray.data.Dataset, cent_ref, emb_col: str,
         return pa.table({"c": pa.array(counts),
                          "i": pa.array(np.arange(n_centroids, dtype=np.int32))})
 
-    parts = pa.concat_tables(ray.get(
+    parts = collect_arrow(
         ds.map_batches(_partial, batch_format="pyarrow",
-                       zero_copy_batch=True).to_arrow_refs()),
-        promote_options="default")
+                       zero_copy_batch=True))
     counts = np.zeros(n_centroids, dtype=np.int64)
     np.add.at(counts, parts["i"].to_numpy(), parts["c"].to_numpy())
     return counts, int(counts.sum())

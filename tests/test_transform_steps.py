@@ -338,3 +338,39 @@ def test_exact_quantiles_vs_numpy():
     # chain per quantile (which would be ~5x). The heavy-tailed data needs
     # 2 narrowing rounds here: 1 + 2*2 = 5 passes max.
     assert len(passes) <= 5, passes
+
+
+def test_collect_arrow_single_execution_with_empty_groups():
+    """collect_arrow must (a) tolerate zero-column empty blocks from
+    groupby/map_groups operators (blocks that held no groups), and (b) run
+    the plan EXACTLY ONCE. to_arrow_refs re-fetches the schema after
+    execution, and an unknown unified schema (those empty blocks) made it
+    silently re-execute the whole plan with limit(1) — double work, and
+    re-fired side-effecting stages (CDC MergeApply against an
+    already-promoted epoch dir)."""
+    import os
+    import tempfile
+
+    from e_commerce_batch_etl_pipeline_ray.stages.blockutil import collect_arrow
+
+    marker = tempfile.mktemp(prefix="collect_calls_", dir="/tmp")
+
+    def _per_group(t: pa.Table) -> pa.Table:
+        with open(marker, "a") as f:
+            f.write(f"{t['g'][0].as_py()}\n")
+        return pa.table({"g": [t["g"][0]], "n": [t.num_rows]})
+
+    # 16 blocks, only 3 distinct groups -> the sort shuffle leaves most
+    # map_groups output blocks EMPTY (zero-column), poisoning the schema
+    ds = ray.data.from_arrow(pa.table({
+        "g": pa.array([i % 3 for i in range(160)], pa.int64()),
+        "x": pa.array(range(160), pa.int64()),
+    })).repartition(16)
+    out = collect_arrow(ds.groupby("g").map_groups(_per_group,
+                                                   batch_format="pyarrow"))
+    assert sorted(out["g"].to_pylist()) == [0, 1, 2]
+    assert sorted(out["n"].to_pylist()) == [53, 53, 54]
+    with open(marker) as f:
+        calls = f.read().splitlines()
+    os.unlink(marker)
+    assert sorted(calls) == ["0", "1", "2"]     # one call per group, ONCE
