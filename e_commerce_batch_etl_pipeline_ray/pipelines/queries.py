@@ -1558,3 +1558,106 @@ FROM documents ORDER BY doc_id
 
 QUERIES.update({"q43_text_hygiene": q43_text_hygiene})
 ORACLE.update({"q43_text_hygiene": Q43_SQL})
+
+
+# ---------------------------------------------------------------------------
+# q46 — GROUND-TRUTH oracle for embedding cosine near-dup (the q44 pattern
+# applied to the SRP-LSH family): DuckDB computes EXACT all-pairs cosine on
+# the same corpus, so bucket -> verify -> cross-table dedup is checked
+# against an independent exact oracle instead of a planted-recall assertion
+# (q22 stays as the default operating point).
+#
+# The planted near-dups are SQL-mirrorable BY CONSTRUCTION (unlike q22's
+# numpy-RandomState noise): planted[j] = float32(float64(v[j]) *
+# (1 + 0.01*cos(j+1))) — IEEE double multiply + float32 round and libm cos
+# are bit-identical between numpy and DuckDB (verified: planted vectors are
+# bitwise equal), so both sides see the same float32 corpus. Planted-pair
+# cosine ~0.99997; the raw corpus's max off-diagonal cosine is 0.51, so the
+# >= 0.95 cut has no boundary cases.
+#
+# Recall-complete operating point: miss(c) = (1-(1-acos(c)/pi)^planes)^tables;
+# at c=0.99997, planes=8, tables=8 -> ~1e-14. Every true pair reaches the
+# exact in-bucket verify, so output == ground truth.
+
+def _q46_planted(sf_dir: str):
+    import numpy as np
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def _plant(t: pa.Table) -> pa.Table:
+        t = t.select(["vec_id", "embedding"])
+        sub = t.filter(pc.less(t["vec_id"], 10))
+        if sub.num_rows == 0:
+            return t
+        v64 = np.asarray(sub["embedding"].to_pylist(), dtype=np.float64)
+        fac = 1.0 + 0.01 * np.cos(np.arange(1, v64.shape[1] + 1,
+                                            dtype=np.float64))
+        p32 = (v64 * fac).astype(np.float32)
+        planted = pa.table({
+            "vec_id": pc.add(sub["vec_id"], 100000),
+            "embedding": pa.array([row.tolist() for row in p32],
+                                  t["embedding"].type),
+        })
+        return pa.concat_tables([t, planted])
+
+    return ds.map_batches(_plant, batch_format="pyarrow")
+
+
+def q46_embedding_neardup_exact(sf_dir: str):
+    from e_commerce_batch_etl_pipeline_ray.stages import neardup
+    return neardup.embedding_neardup_pairs(
+        _q46_planted(sf_dir), dim=64, threshold=0.95,
+        n_planes=8, n_tables=8)
+
+
+Q46_SQL = """
+WITH planted AS (
+  SELECT vec_id + 100000 AS vec_id,
+         list_transform(range(1, len(embedding) + 1),
+           i -> CAST(CAST(embedding[i] AS DOUBLE) * (1 + 0.01*cos(i)) AS FLOAT))
+           AS embedding
+  FROM embeddings WHERE vec_id < 10),
+corpus AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL SELECT vec_id, embedding FROM planted),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                CAST(b.embedding AS DOUBLE[])) AS cos
+  FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id)
+SELECT id_a, id_b, ROUND(cos, 6) AS cosine
+FROM pairs WHERE cos >= 0.95
+"""
+
+
+# ---------------------------------------------------------------------------
+# q47 — GROUND-TRUTH oracle for the persisted IVF index: searched with
+# nprobe == n_centroids it reads EVERY list, so build -> partitioned write ->
+# pruned read -> probe -> merge must reproduce exact brute-force top-k —
+# checked against the SAME exact SQL oracle as q17. Any row lost between the
+# partitioned write and the probed read (or a scoring/tiebreak divergence)
+# shows as a hash mismatch. q23 stays as the approximate operating point.
+
+def q47_knn_ivf_exact(sf_dir: str):
+    import shutil
+    import tempfile
+
+    import numpy as np
+
+    from e_commerce_batch_etl_pipeline_ray.stages import similarity
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qrows = ds.take(3)
+    qids = [r["vec_id"] for r in qrows]
+    qm = np.asarray([r["embedding"] for r in qrows], dtype=np.float64)
+    idx = tempfile.mkdtemp(prefix="q47_ivf_")
+    try:
+        similarity.ivf_index_build(ds, idx, n_centroids=16)
+        return similarity.ivf_index_search(idx, (qids, qm), k=10, nprobe=16)
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
+QUERIES.update({"q46_embedding_neardup_exact": q46_embedding_neardup_exact,
+                "q47_knn_ivf_exact": q47_knn_ivf_exact})
+ORACLE.update({"q46_embedding_neardup_exact": Q46_SQL,
+               "q47_knn_ivf_exact": Q17_SQL})

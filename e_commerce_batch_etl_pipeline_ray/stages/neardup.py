@@ -686,13 +686,15 @@ def simhash_pairs(ds: ray.data.Dataset, text_col: str = "text",
 def embedding_neardup_pairs(ds: ray.data.Dataset, emb_col: str = "embedding",
                             id_col: str = "vec_id", dim: int = 64,
                             n_planes: int = 12, threshold: float = 0.95,
-                            seed: int = 7) -> ray.data.Dataset:
+                            seed: int = 7, n_tables: int = 2) -> ray.data.Dataset:
     """Near-duplicate vector pairs: random-hyperplane sign bucket -> exact
-    cosine verify within bucket. Two SRP tables (rotated seeds) to cut the
-    miss rate; pairs deduped across tables."""
+    cosine verify within bucket. ``n_tables`` independent SRP tables cut the
+    miss rate multiplicatively; pairs are deduped across tables. For a
+    recall-complete smoke-scale operating point (exact-oracle checks), use
+    few planes x many tables: miss(c) = (1 - (1 - acos(c)/pi)^n_planes)^n_tables."""
     import ray
     rng = np.random.RandomState(seed)
-    planes = [rng.randn(dim, n_planes), rng.randn(dim, n_planes)]
+    planes = [rng.randn(dim, n_planes) for _ in range(n_tables)]
     planes_ref = ray.put(planes)
 
     class _Bucket:

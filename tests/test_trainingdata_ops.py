@@ -104,6 +104,24 @@ def test_embedding_neardup():
     assert (0, 20) in {tuple(sorted(p)) for p in zip(pairs["id_a"], pairs["id_b"])}
 
 
+def test_embedding_neardup_n_tables_exact_recall():
+    """At the recall-complete operating point (few planes x many tables) the
+    SRP pipeline must return EXACTLY the numpy all-pairs ground truth —
+    the invariant q46's DuckDB oracle checks at sf scale."""
+    rng = np.random.RandomState(5)
+    base = rng.randn(40, 16)
+    vecs = np.vstack([base, base[:5] * 1.001 + rng.randn(5, 16) * 0.005])
+    rows = [{"vec_id": i, "embedding": vecs[i].tolist()} for i in range(45)]
+    ds = ray.data.from_arrow(pa.Table.from_pylist(rows))
+    got = neardup.embedding_neardup_pairs(
+        ds, dim=16, threshold=0.98, n_planes=6, n_tables=12).to_pandas()
+    vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sim = vn @ vn.T
+    truth = {(i, j) for i in range(45) for j in range(i + 1, 45)
+             if sim[i, j] >= 0.98}
+    assert {tuple(p) for p in zip(got["id_a"], got["id_b"])} == truth
+
+
 # --- similarity search -----------------------------------------------------
 
 def _emb_ds(n=100, dim=16, seed=3):
