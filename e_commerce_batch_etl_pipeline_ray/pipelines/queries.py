@@ -93,7 +93,9 @@ def q1_pricing_summary(sf_dir: str):
          ("sum", "disc_price", "sum_disc_price"),
          ("mean", "l_quantity", "avg_qty"),
          ("count", None, "count_order")],
-        pre_aggregate=True).apply(ds)
+        # 6 fixed groups (returnflag x linestatus): driver-side final merge
+        # of the per-block partials — no all-to-all for a dashboard shape
+        pre_aggregate=True, final="driver").apply(ds)
 
     def _round(t: pa.Table) -> pa.Table:
         for c in ("sum_qty", "sum_base_price", "sum_disc_price", "avg_qty"):
@@ -187,9 +189,10 @@ def q4_group_agg_distinct(sf_dir: str):
         [("count", None, "n_orders"),
          ("sum", "o_totalprice", "sum_price"),
          ("mean", "o_totalprice", "avg_price")],
-        pre_aggregate=True).apply(ds)
+        pre_aggregate=True, final="driver").apply(ds)
     distinct = aggregates.count_distinct(
-        ["order_year", "o_orderstatus"], "o_custkey", "n_customers").apply(ds)
+        ["order_year", "o_orderstatus"], "o_custkey", "n_customers",
+        final="driver").apply(ds)
     # both sides are tiny aggregate outputs -> driver-side merge is fine
     bt = blockutil.collect_arrow(base)
     dt = blockutil.collect_arrow(distinct)
@@ -225,7 +228,7 @@ def q5_lookup_join(sf_dir: str):
     out = aggregates.grouped_aggregate(
         ["n_name"],
         [("count", None, "n_customers"), ("sum", "c_acctbal", "sum_acctbal")],
-        pre_aggregate=True).apply(ds)
+        pre_aggregate=True, final="driver").apply(ds)
 
     def _round(t: pa.Table) -> pa.Table:
         i = t.column_names.index("sum_acctbal")
@@ -253,7 +256,7 @@ def q6_hash_join(sf_dir: str):
     out = aggregates.grouped_aggregate(
         ["c_mktsegment"],
         [("count", None, "n_orders"), ("sum", "o_totalprice", "revenue")],
-        pre_aggregate=True).apply(joined)
+        pre_aggregate=True, final="driver").apply(joined)
 
     def _round(t: pa.Table) -> pa.Table:
         i = t.column_names.index("revenue")
@@ -294,7 +297,7 @@ def q8_bucket(sf_dir: str):
                         ["Low", "Medium", "High", "Premium"], "price_band").apply(ds)
     return aggregates.grouped_aggregate(
         ["price_band"], [("count", None, "n_parts")],
-        pre_aggregate=True).apply(ds).sort("price_band")
+        pre_aggregate=True, final="driver").apply(ds).sort("price_band")
 
 
 Q8_SQL = """
@@ -1140,9 +1143,10 @@ def q33_analytics_cube(sf_dir: str):
          ("mean", "o_totalprice", "avg_price"),
          ("std", "o_totalprice", "std_price"),
          ("sum_bool", "is_big", "n_big")],
-        pre_aggregate=True).apply(ds)
+        pre_aggregate=True, final="driver").apply(ds)
     distinct = aggregates.count_distinct(
-        ["order_year", "o_orderstatus"], "o_custkey", "n_customers").apply(ds)
+        ["order_year", "o_orderstatus"], "o_custkey", "n_customers",
+        final="driver").apply(ds)
     bt = blockutil.collect_arrow(base)
     dt = blockutil.collect_arrow(distinct)
     df = bt.to_pandas().merge(dt.to_pandas(), on=["order_year", "o_orderstatus"])
@@ -1207,7 +1211,8 @@ def q35_hash_split(sf_dir: str):
     ds = sampling.hash_split("doc_id", [0.8, 0.1, 0.1],
                              ["train", "val", "test"], seed=7).apply(ds)
     out = aggregates.grouped_aggregate(
-        ["split"], [("count", None, "n_docs")], pre_aggregate=True).apply(ds)
+        ["split"], [("count", None, "n_docs")], pre_aggregate=True,
+        final="driver").apply(ds)
     return out.sort("split")
 
 
@@ -1233,7 +1238,8 @@ def q36_mixture(sf_dir: str):
                              id_cols=["doc_id", "doc_id"],
                              fractions=[0.5, 0.25], seed=3)
     out = aggregates.grouped_aggregate(
-        ["_source"], [("count", None, "n_rows")], pre_aggregate=True).apply(mixed)
+        ["_source"], [("count", None, "n_rows")], pre_aggregate=True,
+        final="driver").apply(mixed)
     return out.sort("_source")
 
 
@@ -1288,7 +1294,7 @@ def q38_quality_filtered_split(sf_dir: str):
     out = aggregates.grouped_aggregate(
         ["split"], [("count", None, "n_docs"),
                     ("mean", "quality", "avg_quality")],
-        pre_aggregate=True).apply(ds)
+        pre_aggregate=True, final="driver").apply(ds)
     out = out.map_batches(
         lambda t: t.set_column(t.column_names.index("avg_quality"),
                                "avg_quality", F.round2(t["avg_quality"], 4)),

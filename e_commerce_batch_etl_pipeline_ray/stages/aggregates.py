@@ -37,7 +37,8 @@ _PARTIAL_MAP = {  # agg -> (local pa.Table.group_by agg, merge fn on partials)
 
 def grouped_aggregate(by: Sequence[str],
                       aggs: Sequence[tuple[str, str | None, str]],
-                      pre_aggregate: bool = True) -> FnStep:
+                      pre_aggregate: bool = True,
+                      final: str = "shuffle") -> FnStep:
     """A2/A3 — grouped multi-aggregate with partial (combiner) pre-aggregation.
 
     Reference: GROUP BY year, month -> COUNT/SUM/AVG/COUNT DISTINCT
@@ -49,9 +50,24 @@ def grouped_aggregate(by: Sequence[str],
     not be mixed with pre-aggregated aggs in one call — use
     ``count_distinct()`` and join, or set pre_aggregate=False (falls back to
     Ray's full-shuffle aggregate for everything in one pass).
+
+    ``final`` (pre-aggregated plan only) picks where the MERGE of the
+    per-block partials runs:
+
+    - ``"shuffle"`` (default): Ray ``groupby().aggregate()`` — fully
+      distributed, the right choice when the group-key cardinality is
+      unbounded (the shuffle carries only partials either way).
+    - ``"driver"``: collect the partials and merge with one Arrow
+      ``group_by`` on the driver. Driver memory holds at most
+      (#blocks x per-block distinct keys) partial rows — use ONLY for
+      low-cardinality keys (dashboard/cube shapes: years x statuses).
+      Skips the all-to-all entirely: no sort, no empty range partitions,
+      and none of Ray's fixed shuffle latency on sub-second inputs.
     """
     by = list(by)
     aggs = [tuple(a) for a in aggs]
+    if final not in ("shuffle", "driver"):
+        raise ValueError(f"final must be 'shuffle' or 'driver', got {final!r}")
 
     if not pre_aggregate or any(k == "count_distinct" for k, _, _ in aggs):
         def _apply_direct(ds):
@@ -146,8 +162,58 @@ def grouped_aggregate(by: Sequence[str],
         out = t.group_by(by).aggregate(gb_aggs)
         return out
 
+    def _finalize(t: pa.Table) -> pa.Table:
+        out = t.select(by)
+        for alias, kind, pcols in plan:
+            if kind == "count":
+                out = out.append_column(alias, t["__rows_sum"].cast(pa.int64()))
+            elif kind == "mean":
+                s, c = t[pcols[0]], t[pcols[1]]
+                out = out.append_column(
+                    alias, pc.divide(s.cast(pa.float64()), c.cast(pa.float64())))
+            elif kind == "sum_bool":
+                out = out.append_column(alias, t[pcols[0]].cast(pa.int64()))
+            elif kind == "std":
+                s = t[pcols[0]].cast(pa.float64())
+                sq = t[pcols[1]].cast(pa.float64())
+                n = t[pcols[2]].cast(pa.float64())
+                var = pc.divide(
+                    pc.subtract(sq, pc.divide(pc.multiply(s, s), n)),
+                    pc.subtract(n, pa.scalar(1.0)))
+                # clamp tiny negative fp residue before sqrt
+                var = pc.max_element_wise(var, pa.scalar(0.0))
+                # sample stddev of a singleton group is NULL in
+                # DuckDB/Spark, not 0/0=NaN — guard n<=1
+                std_vals = pc.if_else(pc.greater(n, pa.scalar(1.0)),
+                                      pc.sqrt(var),
+                                      pa.scalar(None, pa.float64()))
+                out = out.append_column(alias, std_vals)
+            else:
+                out = out.append_column(alias, t[pcols[0]])
+        return out
+
     def _apply(ds):
         ds = ds.map_batches(_local, batch_format="pyarrow", zero_copy_batch=True)
+        if final == "driver":
+            from e_commerce_batch_etl_pipeline_ray.stages.blockutil import (
+                collect_arrow,
+            )
+            t = collect_arrow(ds)
+            merge_pairs: list[tuple[str, str]] = []
+            rename: dict[str, str] = {}
+            for col, arrow_agg in local_aggs:
+                pname = f"{col}_{arrow_agg}"
+                how = arrow_agg if arrow_agg in ("min", "max") else "sum"
+                merge_pairs.append((pname, how))
+                rename[f"{pname}_{how}"] = pname
+            if needs_rowcount:
+                merge_pairs.append(("__rows_sum", "sum"))
+                rename["__rows_sum_sum"] = "__rows_sum"
+            merged_t = t.group_by(by).aggregate(merge_pairs)
+            merged_t = merged_t.rename_columns(
+                [rename.get(c, c) for c in merged_t.column_names])
+            import ray.data as _rd
+            return _rd.from_arrow(_finalize(merged_t))
         merge_aggs = []
         for col, arrow_agg in local_aggs:
             pname = f"{col}_{arrow_agg}"
@@ -160,36 +226,6 @@ def grouped_aggregate(by: Sequence[str],
         if needs_rowcount:
             merge_aggs.append(Sum("__rows_sum", alias_name="__rows_sum"))
         merged = ds.groupby(by).aggregate(*merge_aggs)
-
-        def _finalize(t: pa.Table) -> pa.Table:
-            out = t.select(by)
-            for alias, kind, pcols in plan:
-                if kind == "count":
-                    out = out.append_column(alias, t["__rows_sum"].cast(pa.int64()))
-                elif kind == "mean":
-                    s, c = t[pcols[0]], t[pcols[1]]
-                    out = out.append_column(
-                        alias, pc.divide(s.cast(pa.float64()), c.cast(pa.float64())))
-                elif kind == "sum_bool":
-                    out = out.append_column(alias, t[pcols[0]].cast(pa.int64()))
-                elif kind == "std":
-                    s = t[pcols[0]].cast(pa.float64())
-                    sq = t[pcols[1]].cast(pa.float64())
-                    n = t[pcols[2]].cast(pa.float64())
-                    var = pc.divide(
-                        pc.subtract(sq, pc.divide(pc.multiply(s, s), n)),
-                        pc.subtract(n, pa.scalar(1.0)))
-                    # clamp tiny negative fp residue before sqrt
-                    var = pc.max_element_wise(var, pa.scalar(0.0))
-                    # sample stddev of a singleton group is NULL in
-                    # DuckDB/Spark, not 0/0=NaN — guard n<=1
-                    std_vals = pc.if_else(pc.greater(n, pa.scalar(1.0)),
-                                          pc.sqrt(var),
-                                          pa.scalar(None, pa.float64()))
-                    out = out.append_column(alias, std_vals)
-                else:
-                    out = out.append_column(alias, t[pcols[0]])
-            return out
         return merged.map_batches(_finalize, batch_format="pyarrow",
                                   zero_copy_batch=True)
 
@@ -197,7 +233,7 @@ def grouped_aggregate(by: Sequence[str],
 
 
 def count_distinct(by: Sequence[str], col: str, alias: str,
-                   num_partitions: int = 32) -> FnStep:
+                   num_partitions: int = 32, final: str = "shuffle") -> FnStep:
     """Exact COUNT(DISTINCT col) GROUP BY by — three thin vectorized
     phases: local distinct per batch (combiner: traffic is distinct pairs
     per block, not rows), hash-partitioned global distinct (the dedup_keyed
@@ -219,7 +255,7 @@ def count_distinct(by: Sequence[str], col: str, alias: str,
         ds = dedup_keyed(keys, [col], descending=False,
                          num_partitions=num_partitions).apply(ds)
         return grouped_aggregate(by, [("count", None, alias)],
-                                 pre_aggregate=True).apply(ds)
+                                 pre_aggregate=True, final=final).apply(ds)
     return FnStep(f"count_distinct[{col} by {','.join(by)}]", _apply)
 
 

@@ -308,6 +308,22 @@ def test_sum_bool_and_std_pre_aggregated_match_direct():
     assert direct["nf"].tolist() == exp["nf"].tolist()
     assert all(math.isclose(a, b, rel_tol=1e-6) for a, b in zip(direct["sd"], exp["sd"]))
 
+    # driver-side final merge agrees with the shuffle final for every agg
+    # kind (incl. mean/min/max — partials merged across blocks on driver)
+    spec2 = spec + [("mean", "v", "m"), ("min", "v", "lo"), ("max", "v", "hi")]
+    drv = aggregates.grouped_aggregate(["g"], spec2, pre_aggregate=True,
+                                       final="driver") \
+        .apply(ds.repartition(7)).to_pandas().sort_values("g") \
+        .reset_index(drop=True)
+    shf = aggregates.grouped_aggregate(["g"], spec2, pre_aggregate=True) \
+        .apply(ds.repartition(7)).to_pandas().sort_values("g") \
+        .reset_index(drop=True)
+    assert drv["n"].tolist() == shf["n"].tolist()
+    assert drv["nf"].tolist() == shf["nf"].tolist()
+    for c in ("s", "sd", "m", "lo", "hi"):
+        assert all(math.isclose(a, b, rel_tol=1e-9)
+                   for a, b in zip(drv[c], shf[c]))
+
 
 def test_bloom_semi_join_no_false_negatives():
     from e_commerce_batch_etl_pipeline_ray.stages import joins
