@@ -670,6 +670,52 @@ def q21_fingerprint(sf_dir: str):
     return maps.select(["doc_id", "fingerprint"]).apply(out)
 
 
+def _q21_sql() -> str:
+    """SQL mirror of stages/text.py::Fingerprint — Rabin-Karp k-gram hashes
+    (mod-2^64 HUGEINT arithmetic, powers of 1000003 precomputed mod 2^64),
+    16-wide window minima via a ROWS window frame (truncated frames dropped
+    to match numpy's n-w+1 sliding view), distinct minima sorted ascending,
+    lowest 8 xor-folded with odd weights. Bit-identical to the numpy path
+    for ASCII corpora with len >= k (this testdata: all-ASCII, len >= 48;
+    the kernel's short-doc and non-ASCII byte paths are pytest-covered)."""
+    M = 18446744073709551616           # 2^64 — uint64 wraparound modulus
+    pows = [pow(1000003, 7 - j, M) for j in range(8)]
+    terms = " + ".join(
+        f"ord(substr(g,{j + 1},1))::HUGEINT * {pows[j]}::HUGEINT"
+        for j in range(8))
+    return f"""
+WITH pos AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS i, substr(text, CAST(i AS INT), 8) AS g,
+         length(text) - 7 AS npos
+  FROM documents CROSS JOIN UNNEST(range(1, length(text) - 6)) AS t(i)
+), h AS (
+  SELECT doc_id, i, npos, CAST(({terms}) % {M}::HUGEINT AS HUGEINT) AS hv
+  FROM pos
+), wm AS (
+  SELECT doc_id, i, npos,
+         min(hv) OVER (PARTITION BY doc_id ORDER BY i
+                       ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS wmin
+  FROM h
+), valid AS (
+  SELECT DISTINCT doc_id, wmin FROM wm
+  WHERE i <= npos - LEAST(16, npos) + 1
+), sel AS (
+  SELECT doc_id, wmin,
+         row_number() OVER (PARTITION BY doc_id ORDER BY wmin) AS rn
+  FROM valid
+), folded AS (
+  SELECT doc_id,
+         bit_xor(CAST((wmin * (2*(rn-1)+1)::HUGEINT) % {M}::HUGEINT AS UBIGINT)) AS acc
+  FROM sel WHERE rn <= 8 GROUP BY doc_id
+)
+SELECT doc_id, lower(lpad(to_hex(acc), 16, '0')) AS fingerprint
+FROM folded
+"""
+
+
+Q21_SQL = _q21_sql()
+
+
 def q22_embedding_neardup(sf_dir: str):
     """Near-dup vectors via SRP-LSH buckets + cosine verify. The driver's
     embeddings are random (no natural near-dups at 0.95 cosine), so K
@@ -847,6 +893,7 @@ ORACLE.update({
     "q14_exact_dedup": Q14_SQL,
     "q15_token_stats": Q15_SQL,
     "q20_lang_id": Q20_SQL,
+    "q21_fingerprint": Q21_SQL,
     "q16_quality": Q16_SQL,
     "q17_knn_brute": Q17_SQL,
     "q24_cdc_ingest": Q24_SQL,
