@@ -104,8 +104,10 @@ def run_bench() -> dict:
     shutil.rmtree(warm_lake, ignore_errors=True)
 
     # timed: best of BENCH_ROUNDS full ingests (sustained steady-state
-    # throughput; single-host runs have multi-second OS/scheduling noise)
-    rounds = int(os.environ.get("BENCH_ROUNDS", "2"))
+    # throughput; identical back-to-back runs on this single host spread
+    # 8.7-23.6 s from OS/scheduler noise, so best-of-3 is the floor for a
+    # number worth recording)
+    rounds = int(os.environ.get("BENCH_ROUNDS", "3"))
     cdc_sec = float("inf")
     final_rows = 0
     for _ in range(rounds):

@@ -61,16 +61,19 @@ def _strip_meta(t: pa.Table) -> pa.Table:
 def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> ray.data.Dataset:
     """Column-pruned read with blocks sized from the ACTUAL row count —
     Ray's parallelism heuristic splits a 5k-row file into 64 sliver blocks
-    and every downstream op (especially sorts) pays 64x task overhead."""
+    and every downstream op (especially sorts) pays 64x task overhead.
+    Metadata-stripped at the read (read_parquet_clean) so the READ
+    operator's own block-schema dedup works."""
+    from e_commerce_batch_etl_pipeline_ray.stages.blockutil import (
+        read_parquet_clean,
+    )
     _tune_context()
     import pyarrow.parquet as pq
     path = os.path.join(sf_dir, f"{table}.parquet")
     rows = pq.read_metadata(path).num_rows
     blocks = max(1, min(64, rows // 8192))
-    ds = ray.data.read_parquet(path, columns=columns,
-                               override_num_blocks=blocks)
-    return ds.map_batches(_strip_meta, batch_format="pyarrow",
-                          zero_copy_batch=True)
+    return read_parquet_clean(path, columns=columns,
+                              override_num_blocks=blocks)
 
 
 # ---------------------------------------------------------------------------

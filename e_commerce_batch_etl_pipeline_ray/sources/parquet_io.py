@@ -21,8 +21,13 @@ import ray.data
 def read_parquet(path: str | list[str], columns: list[str] | None = None,
                  **kwargs) -> ray.data.Dataset:
     """Column-pruned parquet read (always pass ``columns`` in pipelines —
-    a read that loads all columns for a 2-column transform is wrong)."""
-    return ray.data.read_parquet(path, columns=columns, **kwargs)
+    a read that loads all columns for a 2-column transform is wrong).
+    Metadata-stripped at the read so pandas-written files can't break
+    Ray's block-schema dedup (see blockutil.read_parquet_clean)."""
+    from e_commerce_batch_etl_pipeline_ray.stages.blockutil import (
+        read_parquet_clean,
+    )
+    return read_parquet_clean(path, columns=columns, **kwargs)
 
 
 def write_parquet_partitioned(ds: ray.data.Dataset, path: str,

@@ -25,10 +25,48 @@ def strip_schema_metadata(t: pa.Table) -> pa.Table:
     return t.replace_schema_metadata(None) if t.schema.metadata else t
 
 
-def read_parquet_clean(paths, **kwargs) -> ray.data.Dataset:
+def _clean_schema_of(paths, columns=None) -> pa.Schema | None:
+    """Metadata-stripped schema of the first parquet file under ``paths``
+    (driver-side footer read — cheap). None when it can't be determined
+    (callers fall back to a post-read strip)."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+    p = paths[0] if isinstance(paths, (list, tuple)) else paths
+    if os.path.isdir(p):
+        files = sorted(glob.glob(os.path.join(p, "*.parquet")))
+        if not files:
+            return None
+        p = files[0]
+    try:
+        schema = pq.read_schema(p).remove_metadata()
+    except Exception:  # noqa: BLE001
+        return None
+    if columns is not None:
+        if any(c not in schema.names for c in columns):
+            return None
+        schema = pa.schema([schema.field(c) for c in columns])
+    return schema
+
+
+def read_parquet_clean(paths, columns=None, **kwargs) -> ray.data.Dataset:
     """``ray.data.read_parquet`` with schema metadata stripped — use for
-    ANY parquet of unknown provenance (testdata, fixtures, binlogs)."""
-    ds = ray.data.read_parquet(paths, **kwargs)
+    ANY parquet of unknown provenance (testdata, fixtures, binlogs).
+
+    The strip happens AT the read (an explicit metadata-free ``schema=``):
+    pandas-written parquet carries a metadata blob that makes ``pa.Schema``
+    unhashable, and the READ operator itself then logs 'Failed to hash the
+    schemas (for deduplication)' per task and loses block-schema dedup — a
+    post-read map_batches strip is too late for that operator's own blocks.
+    Assumes a uniform schema across the files of one read (true for every
+    caller: single tables, one binlog epoch dir, fixtures); falls back to
+    the post-read strip when no footer is readable."""
+    schema = _clean_schema_of(paths, columns)
+    if schema is not None:
+        return ray.data.read_parquet(paths, columns=columns, schema=schema,
+                                     **kwargs)
+    ds = ray.data.read_parquet(paths, columns=columns, **kwargs)
     return ds.map_batches(strip_schema_metadata, batch_format="pyarrow",
                           zero_copy_batch=True)
 
