@@ -91,7 +91,11 @@ def run_bench() -> dict:
 
     # warm-up (untimed): page cache, worker pool, merge-actor code paths —
     # a full tiny ingest into a throwaway lake
-    read_parquet_clean(log_dir).count()
+    # page-cache warm per epoch dir: one read spanning all epochs mixes the
+    # pre- and post-evolution schemas (epoch 1 adds `lang`) and Ray rightly
+    # warns about the mixed-schema bundles — per-epoch reads are uniform
+    for _ep in range(EPOCHS):
+        read_parquet_clean(os.path.join(log_dir, f"ep{_ep:04d}")).count()
     warm_spec = binlog.BinlogSpec(events_per_epoch=20_000, n_repos=10,
                                   paths_per_repo=50, evolution_epoch=1,
                                   content_chars_min=32, content_chars_max=128)
@@ -99,8 +103,11 @@ def run_bench() -> dict:
     shutil.rmtree(warm_lake, ignore_errors=True)
     warm_eng = engine.CDCEngine(engine.CDCConfig(
         lake_dir=warm_lake, num_partitions=16,
-        merge_concurrency=max(2, NUM_CPUS // 2), cache_partitions=False))
+        merge_concurrency=max(2, NUM_CPUS // 2), cache_partitions=False,
+        backend=os.environ.get("BENCH_BACKEND", "actor_pool")))
     warm_eng.ingest_epoch(binlog.gen_epoch(warm_spec, 0), 0)
+    if warm_eng._pool is not None:
+        warm_eng._pool.shutdown()
     shutil.rmtree(warm_lake, ignore_errors=True)
 
     # timed: best of BENCH_ROUNDS full ingests (sustained steady-state

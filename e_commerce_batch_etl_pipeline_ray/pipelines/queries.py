@@ -1717,3 +1717,93 @@ QUERIES.update({"q46_embedding_neardup_exact": q46_embedding_neardup_exact,
                 "q47_knn_ivf_exact": q47_knn_ivf_exact})
 ORACLE.update({"q46_embedding_neardup_exact": Q46_SQL,
                "q47_knn_ivf_exact": Q17_SQL})
+
+
+# ---------------------------------------------------------------------------
+# q48 — GROUND-TRUTH oracle for the simhash chain (the q44/q46 pattern).
+# The siphash token hash isn't SQL-expressible, but EXACT duplicates are
+# invariant to the hash function: equal text => equal token sequence =>
+# equal 64-bit simhash => hamming 0 => every 16-bit chunk collides => the
+# pair is a candidate in ALL FOUR bands and is always emitted. Plant exact
+# copies of doc_id < 10 at +100000, run the full signature -> banding ->
+# bucket-shuffle -> hamming-verify -> cross-band pair-dedup chain, then
+# keep the provably-deterministic subset: hamming == 0 AND text_a ==
+# text_b (two id-partitioned joins). That set must EQUAL the SQL
+# equal-text pair set — covering signature determinism, bucket routing,
+# cross-band dedup and the join-back. q19 stays as the general
+# hamming <= 3 operating point (probabilistic for 0 < d <= 3, rows-only).
+
+def _q48_planted(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _plant(t: pa.Table) -> pa.Table:
+        t = t.select(["doc_id", "text"])
+        sub = t.filter(pc.less(t["doc_id"], 10))
+        if sub.num_rows == 0:
+            return t
+        planted = pa.table({"doc_id": pc.add(sub["doc_id"], 100000),
+                            "text": sub["text"]})
+        return pa.concat_tables([t, planted])
+
+    return ds.map_batches(_plant, batch_format="pyarrow")
+
+
+def q48_simhash_exact(sf_dir: str):
+    from e_commerce_batch_etl_pipeline_ray.stages import joins, neardup
+    from e_commerce_batch_etl_pipeline_ray.stages.blockutil import detach
+
+    corpus = _q48_planted(sf_dir)
+    pairs = neardup.simhash_pairs(corpus, max_hamming=3)
+
+    def _zero(t: pa.Table) -> pa.Table:
+        if "hamming" not in t.column_names:    # empty zero-column block
+            return t
+        return t.filter(pc.equal(t["hamming"], 0))
+
+    pair_schema = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),
+                             ("hamming", pa.int32())])
+    zero = detach(pairs.map_batches(_zero, batch_format="pyarrow",
+                                    zero_copy_batch=True), pair_schema)
+    doc_schema = pa.schema([("doc_id", pa.int64()), ("text", pa.string())])
+    docs = detach(corpus, doc_schema)
+
+    def _keep(cols):
+        def _fn(t: pa.Table) -> pa.Table:
+            have = [c for c in cols if c in t.column_names]
+            return t.select(have).rename_columns(
+                [("text_a" if c == "text" else c) for c in have])
+        return _fn
+
+    j = joins.hash_join(docs, on="id_a", right_on="doc_id",
+                        join_type="inner", num_partitions=8).apply(zero)
+    j = detach(j.map_batches(_keep(["id_a", "id_b", "text"]),
+                             batch_format="pyarrow"),
+               pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),
+                          ("text_a", pa.string())]))
+    j2 = joins.hash_join(docs, on="id_b", right_on="doc_id",
+                         join_type="inner", num_partitions=8).apply(j)
+
+    def _eq(t: pa.Table) -> pa.Table:
+        if "text" not in t.column_names:
+            return t.select([c for c in ("id_a", "id_b")
+                             if c in t.column_names])
+        t = t.filter(pc.equal(t["text_a"], t["text"]))
+        return t.select(["id_a", "id_b"])
+
+    return j2.map_batches(_eq, batch_format="pyarrow").sort(["id_a", "id_b"])
+
+
+Q48_SQL = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id < 10
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b
+FROM corpus a JOIN corpus b ON a.doc_id < b.doc_id AND a.text = b.text
+ORDER BY id_a, id_b
+"""
+
+
+QUERIES.update({"q48_simhash_exact": q48_simhash_exact})
+ORACLE.update({"q48_simhash_exact": Q48_SQL})
