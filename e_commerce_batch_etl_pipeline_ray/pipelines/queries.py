@@ -1807,3 +1807,46 @@ ORDER BY id_a, id_b
 
 QUERIES.update({"q48_simhash_exact": q48_simhash_exact})
 ORACLE.update({"q48_simhash_exact": Q48_SQL})
+
+
+# ---------------------------------------------------------------------------
+# q49 — SQL window/ranking functions (row_number / rank / dense_rank /
+# lag / lead / ntile over PARTITION BY user ORDER BY ts) — the reference's
+# Spark Window.partitionBy().orderBy() surface, one hash-partition shuffle.
+
+def q49_window_functions(sf_dir: str):
+    from e_commerce_batch_etl_pipeline_ray.stages import streaming
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id",
+                                  "event_type", "value"])
+    out = streaming.window_functions(
+        "user_id", ["ts", "event_id"],
+        [
+            {"kind": "row_number", "out": "rn"},
+            {"kind": "rank", "out": "rk", "order": ["event_type"]},
+            {"kind": "dense_rank", "out": "drk", "order": ["event_type"]},
+            {"kind": "lag", "col": "value", "offset": 1, "out": "prev_value"},
+            {"kind": "lead", "col": "value", "offset": 1, "out": "next_value"},
+            {"kind": "ntile", "n": 4, "out": "quartile"},
+        ],
+        num_partitions=32).apply(ds)
+    return out.select_columns(["user_id", "event_id", "rn", "rk", "drk",
+                               "prev_value", "next_value", "quartile"]) \
+              .sort(["user_id", "event_id"])
+
+
+Q49_SQL = """
+SELECT user_id, event_id,
+       ROW_NUMBER() OVER w AS rn,
+       RANK() OVER (PARTITION BY user_id ORDER BY event_type) AS rk,
+       DENSE_RANK() OVER (PARTITION BY user_id ORDER BY event_type) AS drk,
+       LAG(value, 1) OVER w AS prev_value,
+       LEAD(value, 1) OVER w AS next_value,
+       NTILE(4) OVER w AS quartile
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+ORDER BY user_id, event_id
+"""
+
+
+QUERIES.update({"q49_window_functions": q49_window_functions})
+ORACLE.update({"q49_window_functions": Q49_SQL})

@@ -164,6 +164,97 @@ def asof_join_last_event(key_col: str, ts_col: str, marker_col: str,
                              f"asof[{marker_value}]", num_partitions)
 
 
+def window_functions(key_col: str, order_cols: list[str],
+                     specs: list[dict],
+                     num_partitions: int = 64) -> FnStep:
+    """SQL window/ranking functions over ``PARTITION BY key ORDER BY
+    order_cols`` (the reference's Spark ``Window.partitionBy(...).orderBy``
+    surface — e.g. notebooks/02_transformations ROW_NUMBER dedup idiom —
+    generalized).
+
+    ``specs`` is a list of dicts, each producing one output column:
+
+      {"kind": "row_number", "out": "rn"}
+      {"kind": "rank" | "dense_rank", "out": "rk", "order": [cols]}  # optional
+           per-spec ORDER BY override (ties allowed; rank/dense_rank are
+           deterministic even with ties)
+      {"kind": "lag" | "lead", "col": "value", "offset": 1, "out": "prev"}
+      {"kind": "ntile", "n": 4, "out": "quartile"}   # SQL NTILE: first
+           (cnt % n) buckets get the extra row
+
+    Scale shape: ONE hash-partition shuffle on ``key_col``, then one
+    vectorized pandas pass per partition covering all of its keys (grouped
+    cumcount/shift/ffill — no per-key dispatch). Specs with an ``order``
+    override re-sort within the partition (cheap, partition-local).
+
+    Determinism: specs WITHOUT an override require ``order_cols`` to be a
+    total order within each key (e.g. include a unique id); rank/dense_rank
+    with ties are deterministic by construction.
+    """
+    import numpy as np
+
+    kinds = {"row_number", "rank", "dense_rank", "lag", "lead", "ntile"}
+    for s in specs:
+        if s.get("kind") not in kinds:
+            raise ValueError(f"unknown window kind: {s.get('kind')!r}")
+        if s["kind"] in ("lag", "lead") and "col" not in s:
+            raise ValueError(f"{s['kind']} spec needs 'col'")
+        if s["kind"] == "ntile" and int(s.get("n", 0)) < 1:
+            raise ValueError("ntile spec needs n >= 1")
+        if "out" not in s:
+            raise ValueError("every window spec needs 'out'")
+
+    def _per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col] + order_cols, kind="mergesort")
+        # one sorted view per distinct ordering; index survives sort_values,
+        # so series computed on a view assign back position-correct.
+        views: dict[tuple, pd.DataFrame] = {(): g}
+
+        def _view(order_override):
+            key = tuple(order_override or ())
+            if key not in views:
+                views[key] = g.sort_values([key_col] + list(key),
+                                           kind="mergesort")
+            return views[key]
+
+        for s in specs:
+            kind, out = s["kind"], s["out"]
+            h = _view(s.get("order"))
+            hgb = h.groupby(key_col, sort=False)
+            if kind == "row_number":
+                g[out] = hgb.cumcount() + 1
+            elif kind in ("rank", "dense_rank"):
+                ocols = list(s.get("order") or order_cols)
+                firsts = ~h.duplicated([key_col] + ocols)
+                if kind == "rank":
+                    rn = hgb.cumcount() + 1
+                    g[out] = (rn.where(firsts)
+                              .groupby(h[key_col], sort=False).ffill()
+                              .astype("int64"))
+                else:
+                    g[out] = firsts.groupby(h[key_col], sort=False).cumsum() \
+                                   .astype("int64")
+            elif kind in ("lag", "lead"):
+                off = int(s.get("offset", 1))
+                g[out] = hgb[s["col"]].shift(off if kind == "lag" else -off)
+            else:  # ntile
+                n = int(s["n"])
+                rn = (hgb.cumcount() + 1).to_numpy()
+                cnt = hgb[key_col].transform("size").to_numpy()
+                size, rem = cnt // n, cnt % n
+                boundary = rem * (size + 1)
+                g[out] = np.where(
+                    rn <= boundary,
+                    (rn - 1) // (size + 1) + 1,
+                    rem + (rn - 1 - boundary) // np.maximum(size, 1) + 1,
+                ).astype("int64")
+        return g
+
+    return FnStep(f"window[{key_col}]", lambda ds: partitioned_apply(
+        key_col, _per_partition, f"window[{key_col}]", num_partitions
+    ).apply(ds))
+
+
 def running_aggregate(key_col: str, ts_col: str, value_col: str,
                       out: str = "running_value",
                       order_cols: list[str] | None = None,

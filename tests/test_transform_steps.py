@@ -390,3 +390,50 @@ def test_collect_arrow_single_execution_with_empty_groups():
         calls = f.read().splitlines()
     os.unlink(marker)
     assert sorted(calls) == ["0", "1", "2"]     # one call per group, ONCE
+
+
+def test_window_functions_rank_ntile_lag_edges():
+    """Ranking/ntile/lag-lead edge cases vs hand-computed SQL semantics:
+    ties (rank gaps, dense_rank no gaps), NTILE with cnt < n (one row per
+    bucket) and cnt % n != 0 (front buckets get the extra), lag/lead nulls
+    at partition edges."""
+    import pandas as pd
+    from e_commerce_batch_etl_pipeline_ray.stages import streaming
+
+    rows = [
+        # user 1: 5 rows, tie on order key 'g' between seq 2 and 3
+        {"u": 1, "seq": 1, "g": "a", "v": 10.0},
+        {"u": 1, "seq": 2, "g": "b", "v": 20.0},
+        {"u": 1, "seq": 3, "g": "b", "v": 30.0},
+        {"u": 1, "seq": 4, "g": "c", "v": 40.0},
+        {"u": 1, "seq": 5, "g": "d", "v": 50.0},
+        # user 2: 2 rows (cnt < n for ntile(4))
+        {"u": 2, "seq": 1, "g": "x", "v": 1.0},
+        {"u": 2, "seq": 2, "g": "x", "v": 2.0},
+    ]
+    ds = ray.data.from_arrow(pa.Table.from_pylist(rows)).repartition(3)
+    out = streaming.window_functions(
+        "u", ["seq"],
+        [
+            {"kind": "row_number", "out": "rn"},
+            {"kind": "rank", "out": "rk", "order": ["g"]},
+            {"kind": "dense_rank", "out": "drk", "order": ["g"]},
+            {"kind": "lag", "col": "v", "offset": 1, "out": "prev"},
+            {"kind": "lead", "col": "v", "offset": 1, "out": "nxt"},
+            {"kind": "ntile", "n": 4, "out": "q4"},
+        ],
+        num_partitions=4).apply(ds)
+    df = out.to_pandas().sort_values(["u", "seq"]).reset_index(drop=True)
+
+    u1 = df[df.u == 1]
+    assert list(u1.rn) == [1, 2, 3, 4, 5]
+    assert list(u1.rk) == [1, 2, 2, 4, 5]       # RANK leaves a gap after ties
+    assert list(u1.drk) == [1, 2, 2, 3, 4]      # DENSE_RANK does not
+    assert pd.isna(u1.prev.iloc[0]) and list(u1.prev.iloc[1:]) == [10.0, 20.0, 30.0, 40.0]
+    assert pd.isna(u1.nxt.iloc[-1]) and list(u1.nxt.iloc[:-1]) == [20.0, 30.0, 40.0, 50.0]
+    # NTILE(4) over 5 rows: first bucket gets 2 rows, rest 1 each
+    assert list(u1.q4) == [1, 1, 2, 3, 4]
+    u2 = df[df.u == 2]
+    # cnt=2 < n=4: one row per bucket
+    assert list(u2.q4) == [1, 2]
+    assert list(u2.rn) == [1, 2]
