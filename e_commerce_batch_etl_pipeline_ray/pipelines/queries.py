@@ -1850,3 +1850,74 @@ ORDER BY user_id, event_id
 
 QUERIES.update({"q49_window_functions": q49_window_functions})
 ORACLE.update({"q49_window_functions": Q49_SQL})
+
+
+# ---------------------------------------------------------------------------
+# q50/q51 — GROUP BY ROLLUP / CUBE (Spark rollup()/cube(), the reference's
+# analytics-cube family at multiple grains). ONE combiner scan at the finest
+# grain; every coarser set is a re-merge of the tiny grain partials —
+# no extra pass or shuffle per grouping set.
+
+def q50_rollup(sf_dir: str):
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_orderstatus",
+                                  "o_totalprice"])
+    ds = maps.with_columns(
+        {"o_year": lambda t: pc.year(t["o_orderdate"])}).apply(ds)
+    out = aggregates.rollup(
+        ["o_year", "o_orderstatus"],
+        [("count", None, "n_orders"),
+         ("sum", "o_totalprice", "sum_price"),
+         ("mean", "o_totalprice", "avg_price"),
+         ("max", "o_totalprice", "max_price")],
+        final="driver").apply(ds)
+
+    def _round(t: pa.Table) -> pa.Table:
+        for c in ("sum_price", "avg_price"):
+            t = t.set_column(t.column_names.index(c), c, F.round2(t[c]))
+        return t
+
+    return out.map_batches(_round, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
+Q50_SQL = """
+WITH o AS (SELECT YEAR(o_orderdate) AS o_year, o_orderstatus, o_totalprice
+           FROM orders)
+SELECT o_year, o_orderstatus,
+       COUNT(*) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS sum_price,
+       ROUND(AVG(o_totalprice), 2) AS avg_price,
+       MAX(o_totalprice) AS max_price
+FROM o GROUP BY ROLLUP (o_year, o_orderstatus)
+"""
+
+
+def q51_cube(sf_dir: str):
+    ds = _read(sf_dir, "customer", ["c_mktsegment", "c_nationkey",
+                                    "c_acctbal"])
+    out = aggregates.cube(
+        ["c_mktsegment", "c_nationkey"],
+        [("count", None, "n_cust"),
+         ("mean", "c_acctbal", "avg_bal"),
+         ("min", "c_acctbal", "min_bal")],
+        final="driver").apply(ds)
+
+    def _round(t: pa.Table) -> pa.Table:
+        i = t.column_names.index("avg_bal")
+        return t.set_column(i, "avg_bal", F.round2(t["avg_bal"]))
+
+    return out.map_batches(_round, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
+Q51_SQL = """
+SELECT c_mktsegment, c_nationkey,
+       COUNT(*) AS n_cust,
+       ROUND(AVG(c_acctbal), 2) AS avg_bal,
+       MIN(c_acctbal) AS min_bal
+FROM customer GROUP BY CUBE (c_mktsegment, c_nationkey)
+"""
+
+
+QUERIES.update({"q50_rollup": q50_rollup, "q51_cube": q51_cube})
+ORACLE.update({"q50_rollup": Q50_SQL, "q51_cube": Q51_SQL})

@@ -104,67 +104,132 @@ def grouped_aggregate(by: Sequence[str],
         return FnStep(f"group_agg[{','.join(by)}]", _apply_direct)
 
     # --- pre-aggregated plan -------------------------------------------------
-    # local phase: per-batch pa.Table.group_by with decomposed partials
-    local_aggs: list[tuple[str, str]] = []   # (col, arrow_agg)
-    partial_names: list[str] = []
-    plan: list[tuple[str, str, list[str]]] = []  # (alias, kind, partial cols)
+    plan = _PartialPlan(by, aggs)
 
-    def _add_local(col: str, arrow_agg: str) -> str:
-        name = f"{col}_{arrow_agg}"
-        if name not in partial_names:
-            local_aggs.append((col, arrow_agg))
-            partial_names.append(name)
-        return name
+    def _apply(ds):
+        ds = ds.map_batches(plan.local, batch_format="pyarrow",
+                            zero_copy_batch=True)
+        if final == "driver":
+            from e_commerce_batch_etl_pipeline_ray.stages.blockutil import (
+                collect_arrow,
+            )
+            merged_t = plan.merge_arrow(collect_arrow(ds), by)
+            import ray.data as _rd
+            return _rd.from_arrow(plan.finalize(merged_t, by))
+        merged = ds.groupby(by).aggregate(*plan.merge_ray_aggs())
+        return merged.map_batches(lambda t: plan.finalize(t, by),
+                                  batch_format="pyarrow",
+                                  zero_copy_batch=True)
 
-    needs_rowcount = any(k in ("count", "mean") for k, _, _ in aggs)
-    derived_cols: dict[str, tuple[str, str]] = {}  # name -> (src col, kind)
-    for kind, col, alias in aggs:
-        if kind == "count":
-            plan.append((alias, "count", ["__rows_sum"]))
-        elif kind == "sum":
-            plan.append((alias, "sum", [_add_local(col, "sum")]))
-        elif kind == "mean":
-            plan.append((alias, "mean", [_add_local(col, "sum"),
-                                         _add_local(col, "count")]))
-        elif kind == "min":
-            plan.append((alias, "min", [_add_local(col, "min")]))
-        elif kind == "max":
-            plan.append((alias, "max", [_add_local(col, "max")]))
-        elif kind == "sum_bool":
-            # Spark sum(cast(bool as int)) — premium-customer count in the
-            # reference analytics cube (notebooks/06_optimizations.py:276-287)
-            name = f"__bool_{col}"
-            derived_cols[name] = (col, "bool_int")
-            plan.append((alias, "sum_bool", [_add_local(name, "sum")]))
-        elif kind == "std":
-            # sample stddev from (sum, sum of squares, count) partials —
-            # matches Spark stddev / DuckDB STDDEV (sample, n-1)
-            name = f"__sq_{col}"
-            derived_cols[name] = (col, "square")
-            plan.append((alias, "std", [_add_local(col, "sum"),
-                                        _add_local(name, "sum"),
-                                        _add_local(col, "count")]))
-        else:
-            raise ValueError(f"agg {kind} not supported with pre_aggregate")
+    return FnStep(f"group_agg_partial[{','.join(by)}]", _apply)
 
-    def _local(t: pa.Table) -> pa.Table:
-        for name, (src, how) in derived_cols.items():
+
+class _PartialPlan:
+    """Decomposed-partials plan shared by grouped_aggregate's combiner path
+    and grouping_sets/rollup/cube: every agg kind is expressed as mergeable
+    partials (sum/min/max/count + derived sum-of-squares / bool-as-int), so
+    partials can be merged again at any coarser grain (the grouping-sets
+    trick: one scan at the finest grain, re-merge for each set)."""
+
+    def __init__(self, by: Sequence[str], aggs: Sequence[tuple[str, str | None, str]]):
+        self.by = list(by)
+        self.local_aggs: list[tuple[str, str]] = []   # (col, arrow_agg)
+        self.partial_names: list[str] = []
+        self.plan: list[tuple[str, str, list[str]]] = []  # (alias, kind, pcols)
+        self.derived_cols: dict[str, tuple[str, str]] = {}  # name -> (src, kind)
+        self.needs_rowcount = any(k in ("count", "mean") for k, _, _ in aggs)
+
+        def _add_local(col: str, arrow_agg: str) -> str:
+            name = f"{col}_{arrow_agg}"
+            if name not in self.partial_names:
+                self.local_aggs.append((col, arrow_agg))
+                self.partial_names.append(name)
+            return name
+
+        for kind, col, alias in aggs:
+            if kind == "count":
+                self.plan.append((alias, "count", ["__rows_sum"]))
+            elif kind == "sum":
+                self.plan.append((alias, "sum", [_add_local(col, "sum")]))
+            elif kind == "mean":
+                self.plan.append((alias, "mean", [_add_local(col, "sum"),
+                                                  _add_local(col, "count")]))
+            elif kind == "min":
+                self.plan.append((alias, "min", [_add_local(col, "min")]))
+            elif kind == "max":
+                self.plan.append((alias, "max", [_add_local(col, "max")]))
+            elif kind == "sum_bool":
+                # Spark sum(cast(bool as int)) — premium-customer count in the
+                # reference cube (notebooks/06_optimizations.py:276-287)
+                name = f"__bool_{col}"
+                self.derived_cols[name] = (col, "bool_int")
+                self.plan.append((alias, "sum_bool", [_add_local(name, "sum")]))
+            elif kind == "std":
+                # sample stddev from (sum, sum of squares, count) partials —
+                # matches Spark stddev / DuckDB STDDEV (sample, n-1)
+                name = f"__sq_{col}"
+                self.derived_cols[name] = (col, "square")
+                self.plan.append((alias, "std", [_add_local(col, "sum"),
+                                                 _add_local(name, "sum"),
+                                                 _add_local(col, "count")]))
+            else:
+                raise ValueError(f"agg {kind} not supported with pre_aggregate")
+
+    def local(self, t: pa.Table) -> pa.Table:
+        """Per-batch combiner: derived columns + one Arrow group_by."""
+        by = self.by
+        for name, (src, how) in self.derived_cols.items():
             if how == "bool_int":
                 t = t.append_column(name, pc.cast(t[src], pa.int64()))
             else:
                 c = pc.cast(t[src], pa.float64())
                 t = t.append_column(name, pc.multiply(c, c))
-        cols = set(by) | {c for c, _ in local_aggs}
+        cols = set(by) | {c for c, _ in self.local_aggs}
         t = t.select([c for c in t.column_names if c in cols])
-        if needs_rowcount:
+        if self.needs_rowcount:
             t = t.append_column("__rows", pa.array([1] * t.num_rows, pa.int64()))
-        gb_aggs = list(local_aggs) + ([("__rows", "sum")] if needs_rowcount else [])
-        out = t.group_by(by).aggregate(gb_aggs)
-        return out
+        gb_aggs = list(self.local_aggs) + (
+            [("__rows", "sum")] if self.needs_rowcount else [])
+        return t.group_by(by).aggregate(gb_aggs)
 
-    def _finalize(t: pa.Table) -> pa.Table:
-        out = t.select(by)
-        for alias, kind, pcols in plan:
+    def _merge_pairs(self) -> tuple[list[tuple[str, str]], dict[str, str]]:
+        pairs: list[tuple[str, str]] = []
+        rename: dict[str, str] = {}
+        for col, arrow_agg in self.local_aggs:
+            pname = f"{col}_{arrow_agg}"
+            how = arrow_agg if arrow_agg in ("min", "max") else "sum"
+            pairs.append((pname, how))
+            rename[f"{pname}_{how}"] = pname
+        if self.needs_rowcount:
+            pairs.append(("__rows_sum", "sum"))
+            rename["__rows_sum_sum"] = "__rows_sum"
+        return pairs, rename
+
+    def merge_arrow(self, t: pa.Table, keys: Sequence[str]) -> pa.Table:
+        """Merge a partials table down to ``keys`` grain (idempotent across
+        grains: partials of partials merge with the same pairs)."""
+        pairs, rename = self._merge_pairs()
+        merged = t.group_by(list(keys)).aggregate(pairs)
+        return merged.rename_columns(
+            [rename.get(c, c) for c in merged.column_names])
+
+    def merge_ray_aggs(self):
+        aggs = []
+        for col, arrow_agg in self.local_aggs:
+            pname = f"{col}_{arrow_agg}"
+            if arrow_agg in ("sum", "count"):
+                aggs.append(Sum(pname, alias_name=pname))
+            elif arrow_agg == "min":
+                aggs.append(Min(pname, alias_name=pname))
+            elif arrow_agg == "max":
+                aggs.append(Max(pname, alias_name=pname))
+        if self.needs_rowcount:
+            aggs.append(Sum("__rows_sum", alias_name="__rows_sum"))
+        return aggs
+
+    def finalize(self, t: pa.Table, keys: Sequence[str]) -> pa.Table:
+        out = t.select(list(keys))
+        for alias, kind, pcols in self.plan:
             if kind == "count":
                 out = out.append_column(alias, t["__rows_sum"].cast(pa.int64()))
             elif kind == "mean":
@@ -192,44 +257,101 @@ def grouped_aggregate(by: Sequence[str],
                 out = out.append_column(alias, t[pcols[0]])
         return out
 
-    def _apply(ds):
-        ds = ds.map_batches(_local, batch_format="pyarrow", zero_copy_batch=True)
-        if final == "driver":
-            from e_commerce_batch_etl_pipeline_ray.stages.blockutil import (
-                collect_arrow,
-            )
-            t = collect_arrow(ds)
-            merge_pairs: list[tuple[str, str]] = []
-            rename: dict[str, str] = {}
-            for col, arrow_agg in local_aggs:
-                pname = f"{col}_{arrow_agg}"
-                how = arrow_agg if arrow_agg in ("min", "max") else "sum"
-                merge_pairs.append((pname, how))
-                rename[f"{pname}_{how}"] = pname
-            if needs_rowcount:
-                merge_pairs.append(("__rows_sum", "sum"))
-                rename["__rows_sum_sum"] = "__rows_sum"
-            merged_t = t.group_by(by).aggregate(merge_pairs)
-            merged_t = merged_t.rename_columns(
-                [rename.get(c, c) for c in merged_t.column_names])
-            import ray.data as _rd
-            return _rd.from_arrow(_finalize(merged_t))
-        merge_aggs = []
-        for col, arrow_agg in local_aggs:
-            pname = f"{col}_{arrow_agg}"
-            if arrow_agg in ("sum", "count"):
-                merge_aggs.append(Sum(pname, alias_name=pname))
-            elif arrow_agg == "min":
-                merge_aggs.append(Min(pname, alias_name=pname))
-            elif arrow_agg == "max":
-                merge_aggs.append(Max(pname, alias_name=pname))
-        if needs_rowcount:
-            merge_aggs.append(Sum("__rows_sum", alias_name="__rows_sum"))
-        merged = ds.groupby(by).aggregate(*merge_aggs)
-        return merged.map_batches(_finalize, batch_format="pyarrow",
-                                  zero_copy_batch=True)
 
-    return FnStep(f"group_agg_partial[{','.join(by)}]", _apply)
+def grouping_sets(sets: Sequence[Sequence[str]],
+                  aggs: Sequence[tuple[str, str | None, str]],
+                  final: str = "driver") -> FnStep:
+    """GROUP BY GROUPING SETS / ROLLUP / CUBE (Spark ``rollup``/``cube`` —
+    the reference's analytics-cube family generalized to multiple grains).
+
+    Scale shape: ONE combiner scan of the data at the FINEST grain (the
+    union of all sets' columns) — the only pass that touches every row —
+    then each grouping set is derived by RE-MERGING the tiny grain-G partial
+    table (partials are mergeable across grains by construction: sum of
+    sums, min of mins, ...). Output matches SQL: one row block per set,
+    rolled-up key columns NULL, plus no extra scan or shuffle per set.
+
+    ``final``: where the grain-G merge of per-block partials runs —
+    ``"driver"`` (default; right for dashboard/cube shapes whose finest
+    grain is low-cardinality) or ``"shuffle"`` (Ray groupby for unbounded
+    grain cardinality; the per-set re-merges still run driver-side on the
+    merged grain-G table, so the finest grain must fit on the driver —
+    grouping sets over an unbounded-cardinality grain is a different
+    operator: run one grouped_aggregate per set instead).
+
+    ``count_distinct`` is not supported (a distinct count is not mergeable
+    across grains from counts alone — use count_distinct() per set).
+    """
+    sets = [list(s) for s in sets]
+    if not sets:
+        raise ValueError("grouping_sets needs at least one set")
+    finest: list[str] = []
+    for s in sets:
+        for c in s:
+            if c not in finest:
+                finest.append(c)
+    for s in sets:
+        if not set(s) <= set(finest):
+            raise ValueError(f"set {s} not a subset of finest grain {finest}")
+    if any(k == "count_distinct" for k, _, _ in aggs):
+        raise ValueError("count_distinct is not mergeable across grains; "
+                         "use count_distinct() per grouping set")
+    if final not in ("shuffle", "driver"):
+        raise ValueError(f"final must be 'shuffle' or 'driver', got {final!r}")
+
+    plan = _PartialPlan(finest, aggs)
+
+    def _apply(ds):
+        from e_commerce_batch_etl_pipeline_ray.stages.blockutil import (
+            collect_arrow,
+        )
+        parts = ds.map_batches(plan.local, batch_format="pyarrow",
+                               zero_copy_batch=True)
+        if final == "driver":
+            grain = plan.merge_arrow(collect_arrow(parts), finest)
+        else:
+            merged = parts.groupby(finest).aggregate(*plan.merge_ray_aggs())
+            grain = collect_arrow(merged)
+
+        key_fields = {c: grain.schema.field(c) for c in finest}
+        outs = []
+        for s in sets:
+            if s:
+                sub = plan.finalize(plan.merge_arrow(grain, s), s)
+            else:  # grand total: Arrow group_by needs >=1 key — constant key
+                g = grain.append_column("__all", pa.nulls(grain.num_rows,
+                                                          pa.int8()))
+                sub = plan.finalize(plan.merge_arrow(g, ["__all"]),
+                                    ["__all"]).drop_columns(["__all"])
+            # SQL semantics: rolled-up keys come back as NULL columns
+            for c in finest:
+                if c not in s:
+                    sub = sub.append_column(
+                        key_fields[c].name,
+                        pa.nulls(sub.num_rows, key_fields[c].type))
+            outs.append(sub.select(finest + [a for a, _, _ in plan.plan]))
+        import ray.data as _rd
+        return _rd.from_arrow(pa.concat_tables(outs))
+
+    return FnStep(f"grouping_sets[{len(sets)}]", _apply)
+
+
+def rollup(by: Sequence[str], aggs: Sequence[tuple[str, str | None, str]],
+           final: str = "driver") -> FnStep:
+    """GROUP BY ROLLUP(by): (a,b,c) -> (a,b,c), (a,b), (a,), ()."""
+    by = list(by)
+    return grouping_sets([by[:i] for i in range(len(by), -1, -1)], aggs,
+                         final=final)
+
+
+def cube(by: Sequence[str], aggs: Sequence[tuple[str, str | None, str]],
+         final: str = "driver") -> FnStep:
+    """GROUP BY CUBE(by): every subset of ``by`` (2^n sets)."""
+    from itertools import combinations
+    by = list(by)
+    sets = [list(c) for n in range(len(by), -1, -1)
+            for c in combinations(by, n)]
+    return grouping_sets(sets, aggs, final=final)
 
 
 def count_distinct(by: Sequence[str], col: str, alias: str,

@@ -437,3 +437,48 @@ def test_window_functions_rank_ntile_lag_edges():
     # cnt=2 < n=4: one row per bucket
     assert list(u2.q4) == [1, 2]
     assert list(u2.rn) == [1, 2]
+
+
+def test_grouping_sets_rollup_cube_match_per_set_aggregates():
+    """rollup/cube derive every grain from ONE finest-grain partial table;
+    each set's rows must equal an independent grouped_aggregate at that
+    grain, and the grand total must equal global aggregates. Checked on
+    both final='driver' and final='shuffle'."""
+    import numpy as np
+    from e_commerce_batch_etl_pipeline_ray.stages import aggregates
+
+    rng = np.random.default_rng(7)
+    n = 5000
+    t = pa.table({
+        "a": pa.array(rng.integers(0, 4, n)),
+        "b": pa.array([f"s{v}" for v in rng.integers(0, 3, n)]),
+        "v": pa.array(rng.normal(100, 10, n)),
+    })
+    ds = ray.data.from_arrow(t).repartition(8)
+    aggs = [("count", None, "n"), ("sum", "v", "sv"),
+            ("mean", "v", "mv"), ("std", "v", "sd"),
+            ("min", "v", "lo"), ("max", "v", "hi")]
+
+    import pandas as pd
+    for final in ("driver", "shuffle"):
+        out = aggregates.rollup(["a", "b"], aggs, final=final).apply(ds) \
+                        .to_pandas()
+        # set (a,b): matches plain grouped_aggregate
+        fine = aggregates.grouped_aggregate(["a", "b"], aggs).apply(ds) \
+                         .to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+        got = out[out.a.notna() & out.b.notna()] \
+            .sort_values(["a", "b"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            got.astype({"a": "int64"}), fine, check_like=True, atol=1e-9)
+        # grand total row
+        total = out[out.a.isna() & out.b.isna()]
+        assert len(total) == 1
+        assert total.n.iloc[0] == n
+        assert abs(total.sv.iloc[0] - t["v"].to_numpy().sum()) < 1e-6
+        assert abs(total.sd.iloc[0] - np.std(t["v"].to_numpy(), ddof=1)) < 1e-9
+        # rollup of (a,b) has sets {(a,b),(a,),()}: row count sanity
+        assert len(out) == len(fine) + out.a.nunique() + 1
+
+    cube = aggregates.cube(["a", "b"], aggs).apply(ds).to_pandas()
+    # cube adds the (b,) set on top of rollup's three
+    assert len(cube) == len(out) + cube.b.nunique()
