@@ -1921,3 +1921,24 @@ FROM customer GROUP BY CUBE (c_mktsegment, c_nationkey)
 
 QUERIES.update({"q50_rollup": q50_rollup, "q51_cube": q51_cube})
 ORACLE.update({"q50_rollup": Q50_SQL, "q51_cube": Q51_SQL})
+
+
+# ---------------------------------------------------------------------------
+# q52 — EXACT n-gram Jaccard similarity self-join (prefix-filtered AllPairs/
+# PPJoin family): deterministic recall-1.0 alternative to the LSH sketches.
+# Unlike q44 (minhash at a recall-complete operating point), this pipeline
+# is exact BY CONSTRUCTION — the oracle equality is unconditional.
+
+def q52_allpairs_jaccard(sf_dir: str):
+    from e_commerce_batch_etl_pipeline_ray.stages import neardup
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return neardup.allpairs_jaccard(ds, threshold=0.8)
+
+
+Q52_SQL = _Q44_NEARDUP_GROUND_TRUTH_CTES + """
+SELECT id_a, id_b, jaccard FROM pairs
+"""
+
+
+QUERIES.update({"q52_allpairs_jaccard": q52_allpairs_jaccard})
+ORACLE.update({"q52_allpairs_jaccard": Q52_SQL})

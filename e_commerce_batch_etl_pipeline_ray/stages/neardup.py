@@ -349,12 +349,24 @@ def minhash_lsh_pairs(ds: ray.data.Dataset, text_col: str = "text",
     if cand.count() == 0:
         return ray.data.from_arrow(out_schema.empty_table())
 
-    # 3. verify exact jaccard: hash-join the candidate ids back to the docs
-    #    table, once per pair side, then a vectorized-kernel verify over
-    #    rows that now CARRY both texts. The docs side is Bloom-PREFILTERED
-    #    on the candidate-id set first (fixed-size bitmap broadcast, no
-    #    false negatives; false positives are dropped by the inner join) —
-    #    so the joins shuffle only candidate-relevant docs, not the corpus.
+    return _verify_pairs_by_join(ds, cand, text_col=text_col, id_col=id_col,
+                                 k=k, threshold=threshold,
+                                 join_partitions=join_partitions,
+                                 out_schema=out_schema)
+
+
+def _verify_pairs_by_join(ds: ray.data.Dataset, cand: ray.data.Dataset, *,
+                          text_col: str, id_col: str, k: int, threshold: float,
+                          join_partitions: int,
+                          out_schema: pa.Schema) -> ray.data.Dataset:
+    """Exact-Jaccard verification of deduped candidate id pairs: hash-join
+    the candidate ids back to the docs table, once per pair side, then a
+    vectorized-kernel verify over rows that now CARRY both texts. The docs
+    side is Bloom-PREFILTERED on the candidate-id set first (fixed-size
+    bitmap broadcast, no false negatives; false positives are dropped by
+    the inner join) — so the joins shuffle only candidate-relevant docs,
+    not the corpus. Shared by minhash verify_mode='join' and
+    allpairs_jaccard."""
     from e_commerce_batch_etl_pipeline_ray.stages.joins import bloom_semi_join
 
     def _cand_ids(t: pa.Table) -> pa.Table:
@@ -426,6 +438,133 @@ def minhash_lsh_pairs(ds: ray.data.Dataset, text_col: str = "text",
     return cand.map_batches(_Verify, batch_format="pyarrow",
                             fn_constructor_args=(k, threshold),
                             concurrency=(1, 8))
+
+
+def allpairs_jaccard(ds: ray.data.Dataset, text_col: str = "text",
+                     id_col: str = "doc_id", k: int = 5,
+                     threshold: float = 0.8, num_partitions: int = 32,
+                     join_partitions: int = 4) -> ray.data.Dataset:
+    """EXACT n-gram-Jaccard similarity self-join (every pair with
+    ``jaccard >= threshold``, id_a < id_b) — the deterministic alternative
+    to minhash_lsh_pairs: recall 1.0 by construction, no probabilistic
+    operating point to tune.
+
+    Prefix-filtering (the AllPairs/PPJoin family — Bayardo et al., WWW'07;
+    Xiao et al., WWW'08 — public literature): under ANY consistent total
+    order of shingle tokens, two sets with Jaccard >= t must share at least
+    one token among the first ``n - ceil(t*n) + 1`` tokens of EACH set
+    (else the possible overlap is too small). We order tokens by their u64
+    hash value — a consistent global order that needs NO frequency pass
+    over the corpus.
+
+    Scale shape (all stages streaming, no broadcast of the corpus):
+      1. per-doc prefix-token emission (``map_batches``): ~(1-t)*n tokens
+         per doc, each row 20 bytes (token, id, set size) — the ONLY pass
+         over the text until verification,
+      2. bucket shuffle on token (the _bpid hash-partition pattern; one
+         vectorized pass per partition, not per token) -> candidate id
+         pairs, pruned by the length filter ``ceil(t * |A|) <= |B|``
+         (pairs failing it cannot reach threshold),
+      3. distributed pair dedup, then the shared Bloom-prefiltered
+         join-back exact verify (texts cross the wire at most twice).
+
+    Cost note: exactness costs candidates — a token shared by m prefixes
+    yields O(m^2) candidates. For corpora with heavy boilerplate prefer
+    minhash_lsh_pairs; this operator is the ground-truth / compliance path
+    (and the oracle for the LSH ones at smoke scale).
+    """
+    out_schema = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),
+                            ("jaccard", pa.float64())])
+
+    import math
+
+    def _prefix_tokens(t: pa.Table) -> pa.Table:
+        _check_int_id(t[id_col], id_col, "allpairs_jaccard")
+        toks, ids, sizes = [], [], []
+        for did, txt in zip(t[id_col].to_pylist(), t[text_col].to_pylist()):
+            if txt is None:
+                continue
+            sh = _shingle_hashes(txt, k)       # sorted unique u64
+            n = sh.size
+            p = n - math.ceil(threshold * n) + 1
+            toks.append(sh[:p])
+            ids.append(np.full(p, did, dtype=np.int64))
+            sizes.append(np.full(p, n, dtype=np.int32))
+        if not toks:
+            return pa.table({"tok": pa.array([], pa.int64()),
+                             id_col: pa.array([], pa.int64()),
+                             "sz": pa.array([], pa.int32())})
+        return pa.table({
+            "tok": pa.array(np.concatenate(toks).view(np.int64), pa.int64()),
+            id_col: pa.array(np.concatenate(ids), pa.int64()),
+            "sz": pa.array(np.concatenate(sizes), pa.int32()),
+        })
+
+    pref = ds.map_batches(_prefix_tokens, batch_format="pyarrow",
+                          zero_copy_batch=True, batch_size=512)
+
+    def _assign_pid(t: pa.Table) -> pa.Table:
+        pid = hash_partition_ids(t, ["tok"], num_partitions)
+        return t.append_column("_bpid", pa.array(pid, pa.int32()))
+
+    def _pairs_partition(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(g, sort_keys=[("tok", "ascending"),
+                                            ("sz", "ascending"),
+                                            (id_col, "ascending")])
+        t = g.take(idx)
+        tok = t["tok"].to_numpy()
+        ids = t[id_col].to_numpy()
+        szs = t["sz"].to_numpy()
+        n = len(ids)
+        empty = pa.table({"id_a": pa.array([], pa.int64()),
+                          "id_b": pa.array([], pa.int64())})
+        if n == 0:
+            return empty
+        new_group = np.ones(n, dtype=bool)
+        new_group[1:] = tok[1:] != tok[:-1]
+        starts = np.flatnonzero(new_group)
+        ends = np.append(starts[1:], n)
+        a_out, b_out = [], []
+        seen: set = set()
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            # sorted by size ascending: for i<j, sz[i] <= sz[j]; the pair
+            # can reach threshold only if ceil(t*sz[j]) <= sz[i]
+            for i in range(s, e):
+                lim = szs[i] / threshold       # sz[j] <= sz[i]/t
+                for j in range(i + 1, e):
+                    if szs[j] > lim:
+                        break                  # sorted: no later j fits
+                    if ids[i] == ids[j]:
+                        continue
+                    a_id, b_id = (int(ids[i]), int(ids[j])) \
+                        if ids[i] < ids[j] else (int(ids[j]), int(ids[i]))
+                    if (a_id, b_id) not in seen:
+                        seen.add((a_id, b_id))
+                        a_out.append(a_id)
+                        b_out.append(b_id)
+        if not a_out:
+            return empty
+        return pa.table({"id_a": pa.array(a_out, pa.int64()),
+                         "id_b": pa.array(b_out, pa.int64())})
+
+    cand = pref.map_batches(_assign_pid, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    cand = cand.groupby("_bpid").map_groups(_pairs_partition,
+                                            batch_format="pyarrow")
+    pair_ids_schema = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())])
+    cand = dedup_keyed(["id_a", "id_b"], ["id_a"],
+                       num_partitions=join_partitions * 2).apply(cand)
+    cand = _detach(cand.map_batches(_ensure_schema(pair_ids_schema),
+                                    batch_format="pyarrow",
+                                    zero_copy_batch=True), pair_ids_schema)
+    if cand.count() == 0:
+        return ray.data.from_arrow(out_schema.empty_table())
+    return _verify_pairs_by_join(ds, cand, text_col=text_col, id_col=id_col,
+                                 k=k, threshold=threshold,
+                                 join_partitions=join_partitions,
+                                 out_schema=out_schema)
 
 
 def _rename(t: pa.Table, mapping: dict[str, str], drop: list[str] = ()) -> pa.Table:

@@ -486,3 +486,44 @@ def test_redact_and_compression_ratio():
     cr = T.compression_ratio().apply(
         ray.data.from_arrow(rep)).to_pandas().sort_values("doc_id")
     assert cr["compress_ratio"][0] < 0.1 < cr["compress_ratio"][1]
+
+
+def test_allpairs_jaccard_exact_vs_bruteforce():
+    """allpairs_jaccard must return EXACTLY the >= threshold pair set (recall
+    1.0 by the prefix-filter guarantee, precision 1.0 by exact verify) —
+    checked against driver-side brute force over every pair."""
+    import itertools
+    import random
+
+    rng = random.Random(11)
+    base = ("the quick brown fox jumps over the lazy dog and then runs far "
+            "away into the deep green forest looking for tasty food").split()
+    docs = []
+    for i in range(60):
+        words = list(base)
+        for _ in range(rng.randrange(0, 8)):      # 0-7 word edits
+            words[rng.randrange(len(words))] = rng.choice(
+                ["alpha", "beta", "gamma", "delta", "epsilon"])
+        docs.append({"doc_id": i, "text": " ".join(words)})
+    for i in range(60, 75):                       # unrelated docs
+        docs.append({"doc_id": i, "text": " ".join(
+            rng.choice(["zig", "zag", "quux", "blorp", "frob"])
+            for _ in range(30))})
+
+    thr = 0.8
+    truth = {}
+    for a, b in itertools.combinations(docs, 2):
+        j = neardup.ngram_jaccard(a["text"], b["text"], k=5)
+        if j >= thr:
+            truth[(a["doc_id"], b["doc_id"])] = round(j, 6)
+    assert truth, "fixture must contain true near-dup pairs"
+    assert len(truth) < len(docs) * (len(docs) - 1) // 4, \
+        "fixture must also contain sub-threshold pairs"
+
+    ds = ray.data.from_arrow(pa.Table.from_pylist(docs)).repartition(4)
+    got = neardup.allpairs_jaccard(ds, threshold=thr).to_pandas()
+    got_pairs = {(int(r.id_a), int(r.id_b)): r.jaccard
+                 for r in got.itertuples()}
+    assert set(got_pairs) == set(truth)
+    for p, j in truth.items():
+        assert abs(got_pairs[p] - j) < 1e-9
