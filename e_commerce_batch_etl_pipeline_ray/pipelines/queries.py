@@ -1942,3 +1942,60 @@ SELECT id_a, id_b, jaccard FROM pairs
 
 QUERIES.update({"q52_allpairs_jaccard": q52_allpairs_jaccard})
 ORACLE.update({"q52_allpairs_jaccard": Q52_SQL})
+
+
+# ---------------------------------------------------------------------------
+# q53/q54 — pivot (conditional aggregation, one partials-only shuffle) and
+# unpivot/melt (row-local flat transform, no shuffle).
+
+def q53_pivot(sf_dir: str):
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_orderstatus",
+                                  "o_totalprice"])
+    ds = maps.with_columns(
+        {"o_year": lambda t: pc.year(t["o_orderdate"])}).apply(ds)
+    out = aggregates.pivot(["o_year"], "o_orderstatus",
+                           values=["F", "O", "P"],
+                           agg=("sum", "o_totalprice"),
+                           prefix="sum_", final="driver").apply(ds)
+
+    def _round(t: pa.Table) -> pa.Table:
+        for c in ("sum_F", "sum_O", "sum_P"):
+            t = t.set_column(t.column_names.index(c), c, F.round2(t[c]))
+        return t
+
+    return out.map_batches(_round, batch_format="pyarrow",
+                           zero_copy_batch=True).sort("o_year")
+
+
+Q53_SQL = """
+SELECT YEAR(o_orderdate) AS o_year,
+       ROUND(SUM(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS sum_F,
+       ROUND(SUM(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS sum_O,
+       ROUND(SUM(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS sum_P
+FROM orders GROUP BY 1 ORDER BY o_year
+"""
+
+
+def q54_unpivot(sf_dir: str):
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber",
+                                    "l_quantity", "l_extendedprice",
+                                    "l_discount"])
+    out = maps.unpivot(["l_orderkey", "l_linenumber"],
+                       ["l_quantity", "l_extendedprice", "l_discount"],
+                       var_name="measure", value_name="val").apply(ds)
+    return out
+
+
+Q54_SQL = """
+SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS val
+FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+"""
+
+
+QUERIES.update({"q53_pivot": q53_pivot, "q54_unpivot": q54_unpivot})
+ORACLE.update({"q53_pivot": Q53_SQL, "q54_unpivot": Q54_SQL})

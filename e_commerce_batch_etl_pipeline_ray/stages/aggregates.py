@@ -681,3 +681,58 @@ def exact_quantiles(ds: ray.data.Dataset, col: str, qs: Sequence[float],
                     s["val"] = float(vals[s["rank"] - below])
 
     return [s["val"] for s in states]
+
+
+def pivot(by: Sequence[str], pivot_col: str, values: Sequence[str] | None,
+          agg: tuple[str, str | None] = ("sum", None),
+          prefix: str = "", final: str = "shuffle") -> FnStep:
+    """Spark ``groupBy(by).pivot(col, values).agg(...)`` as conditional
+    aggregation: ONE row-local map adds a column per pivot value (value
+    where pivot==v else NULL for sum/mean/min/max, 0/1 mask for count),
+    then the pre-aggregated combiner merge — a single partials-only
+    shuffle regardless of how many pivot columns there are.
+
+    ``values``: pass the pivot values explicitly (like Spark's two-arg
+    pivot — avoids an extra scan). ``values=None`` discovers them with a
+    distinct pass first (documented extra pass; fine when the pivot column
+    is low-cardinality, which is the only regime where pivot makes sense —
+    every value becomes a physical column).
+
+    SQL-parity nulls: a (group, value) cell with no rows is NULL for
+    sum/mean/min/max and 0 for count — matching SUM(CASE WHEN...) /
+    COUNT(CASE WHEN ... THEN 1 END).
+    """
+    kind, col = agg
+    if kind not in ("sum", "count", "mean", "min", "max"):
+        raise ValueError(f"pivot agg must be sum/count/mean/min/max, got {kind}")
+    if kind != "count" and col is None:
+        raise ValueError(f"pivot agg {kind} needs a value column")
+
+    def _apply(ds):
+        vals = list(values) if values is not None else sorted(
+            v for v in ds.select_columns([pivot_col]).unique(pivot_col)
+            if v is not None)
+        out_names = [f"{prefix}{v}" for v in vals]
+
+        def _widen(t: pa.Table) -> pa.Table:
+            pv = t[pivot_col]
+            for v, name in zip(vals, out_names):
+                mask = pc.equal(pv, pa.scalar(v))
+                if kind == "count":
+                    cell = pc.if_else(pc.fill_null(mask, False),
+                                      pa.scalar(1, pa.int64()),
+                                      pa.scalar(0, pa.int64()))
+                else:
+                    cell = pc.if_else(pc.fill_null(mask, False), t[col],
+                                      pa.scalar(None, t[col].type))
+                t = t.append_column(name, cell)
+            return t
+
+        agg_kind = "sum" if kind == "count" else kind
+        inner = grouped_aggregate(
+            by, [(agg_kind, n, n) for n in out_names], final=final)
+        ds = ds.map_batches(_widen, batch_format="pyarrow",
+                            zero_copy_batch=True)
+        return inner.apply(ds)
+
+    return FnStep(f"pivot[{pivot_col}]", _apply)

@@ -180,3 +180,35 @@ def checkpoint(name: str = "checkpoint") -> FnStep:
     def _apply(ds):
         return ds.materialize()
     return FnStep(name, _apply)
+
+
+def unpivot(id_cols: Sequence[str], value_cols: Sequence[str],
+            var_name: str = "variable", value_name: str = "value") -> FnStep:
+    """Long-format melt (Spark ``unpivot``/``stack``, SQL UNPIVOT): one
+    output row per (input row, value column). Row-local — a pure per-batch
+    flat transform, no shuffle; value columns are cast to a common Arrow
+    type (unify via pa.unify_schemas fails loudly on incompatible types)."""
+    ids, vals = list(id_cols), list(value_cols)
+    if not vals:
+        raise ValueError("unpivot needs at least one value column")
+
+    def _fn(t: pa.Table) -> pa.Table:
+        # common type for the value column (int32+int64 -> int64, int+float
+        # -> float64, ...), computed per batch off the actual schema
+        common = t.schema.field(vals[0]).type
+        for c in vals[1:]:
+            ft = t.schema.field(c).type
+            if ft != common:
+                common = pa.unify_schemas(
+                    [pa.schema([("v", common)]), pa.schema([("v", ft)])],
+                    promote_options="permissive").field("v").type
+        parts = []
+        for c in vals:
+            part = t.select(ids)
+            part = part.append_column(
+                var_name, pa.array([c] * t.num_rows, pa.string()))
+            part = part.append_column(value_name, t[c].cast(common))
+            parts.append(part)
+        return pa.concat_tables(parts)
+
+    return batch_step(f"unpivot[{len(vals)}]", _fn)

@@ -482,3 +482,41 @@ def test_grouping_sets_rollup_cube_match_per_set_aggregates():
     cube = aggregates.cube(["a", "b"], aggs).apply(ds).to_pandas()
     # cube adds the (b,) set on top of rollup's three
     assert len(cube) == len(out) + cube.b.nunique()
+
+
+def test_pivot_count_discovery_and_null_cells():
+    """pivot: values=None discovery, count vs sum cell semantics (empty
+    cell -> NULL for sum, 0 for count), SQL CASE-WHEN parity."""
+    from e_commerce_batch_etl_pipeline_ray.stages import aggregates
+
+    t = pa.table({
+        "g": ["x", "x", "y", "y", "y"],
+        "p": ["a", "b", "a", "a", None],
+        "v": [1.0, 2.0, 3.0, 4.0, 5.0],
+    })
+    ds = ray.data.from_arrow(t).repartition(2)
+    out = aggregates.pivot(["g"], "p", values=None, agg=("sum", "v")) \
+        .apply(ds).to_pandas().set_index("g").sort_index()
+    assert list(out.columns) == ["a", "b"]       # discovered, null excluded
+    assert out.loc["x", "a"] == 1.0 and out.loc["x", "b"] == 2.0
+    assert out.loc["y", "a"] == 7.0
+    import pandas as pd
+    assert pd.isna(out.loc["y", "b"])            # empty cell -> NULL
+
+    cnt = aggregates.pivot(["g"], "p", values=["a", "b"], agg=("count", None),
+                           prefix="n_").apply(ds).to_pandas() \
+        .set_index("g").sort_index()
+    assert cnt.loc["y", "n_a"] == 2 and cnt.loc["y", "n_b"] == 0  # count -> 0
+
+
+def test_unpivot_type_unification_roundtrip():
+    from e_commerce_batch_etl_pipeline_ray.stages import maps
+
+    t = pa.table({"id": [1, 2], "a": pa.array([1, 2], pa.int32()),
+                  "b": pa.array([0.5, 1.5], pa.float64())})
+    ds = ray.data.from_arrow(t)
+    out = maps.unpivot(["id"], ["a", "b"]).apply(ds).to_pandas()
+    assert len(out) == 4
+    assert out["value"].dtype.kind == "f"        # int32+float64 -> float64
+    wide = out.pivot(index="id", columns="variable", values="value")
+    assert wide.loc[1, "a"] == 1.0 and wide.loc[2, "b"] == 1.5
