@@ -1999,3 +1999,41 @@ SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
 
 QUERIES.update({"q53_pivot": q53_pivot, "q54_unpivot": q54_unpivot})
 ORACLE.update({"q53_pivot": Q53_SQL, "q54_unpivot": Q54_SQL})
+
+
+# ---------------------------------------------------------------------------
+# q55 — Pearson correlation / sample covariance as mergeable pair partials
+# in the combiner plan (one partials-only shuffle; composes with
+# rollup/cube because the partials merge across grains).
+
+def q55_corr_covar(sf_dir: str):
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity",
+                                    "l_extendedprice", "l_discount"])
+    out = aggregates.grouped_aggregate(
+        ["l_returnflag"],
+        [("corr", ("l_quantity", "l_extendedprice"), "corr_qty_price"),
+         ("covar", ("l_quantity", "l_discount"), "covar_qty_disc"),
+         ("count", None, "n_rows")],
+        final="driver").apply(ds)
+
+    def _round(t: pa.Table) -> pa.Table:
+        for c in ("corr_qty_price", "covar_qty_disc"):
+            t = t.set_column(t.column_names.index(c),
+                             c, pc.round(t[c], ndigits=6))
+        return t
+
+    return out.map_batches(_round, batch_format="pyarrow",
+                           zero_copy_batch=True).sort("l_returnflag")
+
+
+Q55_SQL = """
+SELECT l_returnflag,
+       ROUND(CORR(l_extendedprice, l_quantity), 6) AS corr_qty_price,
+       ROUND(COVAR_SAMP(l_discount, l_quantity), 6) AS covar_qty_disc,
+       COUNT(*) AS n_rows
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+QUERIES.update({"q55_corr_covar": q55_corr_covar})
+ORACLE.update({"q55_corr_covar": Q55_SQL})

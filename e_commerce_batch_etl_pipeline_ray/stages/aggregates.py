@@ -172,6 +172,24 @@ class _PartialPlan:
                 self.plan.append((alias, "std", [_add_local(col, "sum"),
                                                  _add_local(name, "sum"),
                                                  _add_local(col, "count")]))
+            elif kind in ("corr", "covar"):
+                # Pearson correlation / sample covariance from mergeable
+                # pair partials (sum x, sum y, sum xy, [sum x^2, sum y^2],
+                # pair count). SQL-parity nulls: rows where EITHER side is
+                # null are excluded from every partial (the mask), matching
+                # CORR/COVAR_SAMP; ``col`` is the (x, y) column pair.
+                if not (isinstance(col, (tuple, list)) and len(col) == 2):
+                    raise ValueError(f"{kind} needs col=(x, y), got {col!r}")
+                x, y = col
+                names = {part: f"__{kind[:2]}_{part}_{x}_{y}"
+                         for part in ("x", "y", "xy", "x2", "y2")}
+                parts = ["x", "y", "xy"] + (["x2", "y2"] if kind == "corr"
+                                            else [])
+                for part in parts:
+                    self.derived_cols[names[part]] = ((x, y), f"pair_{part}")
+                pcols = [_add_local(names[p], "sum") for p in parts]
+                pcols.append(_add_local(names["xy"], "count"))
+                self.plan.append((alias, kind, pcols))
             else:
                 raise ValueError(f"agg {kind} not supported with pre_aggregate")
 
@@ -181,9 +199,21 @@ class _PartialPlan:
         for name, (src, how) in self.derived_cols.items():
             if how == "bool_int":
                 t = t.append_column(name, pc.cast(t[src], pa.int64()))
-            else:
+            elif how == "square":
                 c = pc.cast(t[src], pa.float64())
                 t = t.append_column(name, pc.multiply(c, c))
+            else:  # pair_{x,y,xy,x2,y2}: null-masked corr/covar partials
+                x, y = src
+                cx = pc.cast(t[x], pa.float64())
+                cy = pc.cast(t[y], pa.float64())
+                both = pc.and_kleene(pc.is_valid(cx), pc.is_valid(cy))
+                part = how.removeprefix("pair_")
+                val = {"x": cx, "y": cy,
+                       "xy": pc.multiply(cx, cy),
+                       "x2": pc.multiply(cx, cx),
+                       "y2": pc.multiply(cy, cy)}[part]
+                t = t.append_column(
+                    name, pc.if_else(both, val, pa.scalar(None, pa.float64())))
         cols = set(by) | {c for c, _ in self.local_aggs}
         t = t.select([c for c in t.column_names if c in cols])
         if self.needs_rowcount:
@@ -253,6 +283,29 @@ class _PartialPlan:
                                       pc.sqrt(var),
                                       pa.scalar(None, pa.float64()))
                 out = out.append_column(alias, std_vals)
+            elif kind == "covar":
+                sx, sy, sxy, n = (t[c].cast(pa.float64()) for c in pcols)
+                cov = pc.divide(
+                    pc.subtract(sxy, pc.divide(pc.multiply(sx, sy), n)),
+                    pc.subtract(n, pa.scalar(1.0)))
+                out = out.append_column(
+                    alias, pc.if_else(pc.greater(n, pa.scalar(1.0)), cov,
+                                      pa.scalar(None, pa.float64())))
+            elif kind == "corr":
+                sx, sy, sxy, sx2, sy2, n = (t[c].cast(pa.float64())
+                                            for c in pcols)
+                num = pc.subtract(sxy, pc.divide(pc.multiply(sx, sy), n))
+                dx = pc.subtract(sx2, pc.divide(pc.multiply(sx, sx), n))
+                dy = pc.subtract(sy2, pc.divide(pc.multiply(sy, sy), n))
+                ok = pc.and_(
+                    pc.greater(n, pa.scalar(1.0)),
+                    pc.and_(pc.greater(dx, pa.scalar(0.0)),
+                            pc.greater(dy, pa.scalar(0.0))))
+                denom = pc.sqrt(pc.multiply(pc.max_element_wise(dx, pa.scalar(0.0)),
+                                            pc.max_element_wise(dy, pa.scalar(0.0))))
+                r = pc.divide(num, pc.if_else(ok, denom, pa.scalar(1.0)))
+                out = out.append_column(
+                    alias, pc.if_else(ok, r, pa.scalar(None, pa.float64())))
             else:
                 out = out.append_column(alias, t[pcols[0]])
         return out

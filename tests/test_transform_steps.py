@@ -520,3 +520,50 @@ def test_unpivot_type_unification_roundtrip():
     assert out["value"].dtype.kind == "f"        # int32+float64 -> float64
     wide = out.pivot(index="id", columns="variable", values="value")
     assert wide.loc[1, "a"] == 1.0 and wide.loc[2, "b"] == 1.5
+
+
+def test_corr_covar_null_masking_and_grain_merge():
+    """corr/covar partials: rows with EITHER side null are excluded (SQL
+    CORR/COVAR_SAMP semantics), values match numpy on the masked subset,
+    shuffle and driver finals agree, and the partials merge across grains
+    (rollup grand total == global corr)."""
+    import numpy as np
+    from e_commerce_batch_etl_pipeline_ray.stages import aggregates
+
+    rng = np.random.default_rng(3)
+    n = 4000
+    x = rng.normal(10, 2, n)
+    y = 3 * x + rng.normal(0, 1, n)
+    g = rng.integers(0, 3, n)
+    xm = x.copy(); ym = y.copy()
+    xm[rng.choice(n, 200, replace=False)] = np.nan
+    ym[rng.choice(n, 200, replace=False)] = np.nan
+    # from_pandas=True: NaN -> Arrow NULL (the masking is about SQL nulls)
+    t = pa.table({"g": pa.array(g), "x": pa.array(xm, from_pandas=True),
+                  "y": pa.array(ym, from_pandas=True)})
+    ds = ray.data.from_arrow(t).repartition(8)
+
+    aggs = [("corr", ("x", "y"), "r"), ("covar", ("x", "y"), "c")]
+    outs = {f: aggregates.grouped_aggregate(["g"], aggs, final=f).apply(ds)
+            .to_pandas().set_index("g").sort_index() for f in ("driver", "shuffle")}
+    assert np.allclose(outs["driver"].r, outs["shuffle"].r, atol=1e-12)
+
+    for gv in range(3):
+        m = (g == gv) & ~np.isnan(xm) & ~np.isnan(ym)
+        exp_r = np.corrcoef(xm[m], ym[m])[0, 1]
+        exp_c = np.cov(xm[m], ym[m], ddof=1)[0, 1]
+        assert abs(outs["driver"].loc[gv, "r"] - exp_r) < 1e-10
+        assert abs(outs["driver"].loc[gv, "c"] - exp_c) < 1e-10
+
+    # constant column -> NULL (not 0/0)
+    tc = pa.table({"g": [0, 0, 0], "x": [1.0, 1.0, 1.0], "y": [1.0, 2.0, 3.0]})
+    rc = aggregates.grouped_aggregate(["g"], [("corr", ("x", "y"), "r")]) \
+        .apply(ray.data.from_arrow(tc)).to_pandas()
+    import pandas as pd
+    assert pd.isna(rc.r.iloc[0])
+
+    # cross-grain merge: rollup grand total equals global masked corr
+    roll = aggregates.rollup(["g"], aggs).apply(ds).to_pandas()
+    total = roll[roll.g.isna()]
+    m = ~np.isnan(xm) & ~np.isnan(ym)
+    assert abs(total.r.iloc[0] - np.corrcoef(xm[m], ym[m])[0, 1]) < 1e-10
