@@ -2037,3 +2037,29 @@ FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 
 QUERIES.update({"q55_corr_covar": q55_corr_covar})
 ORACLE.update({"q55_corr_covar": Q55_SQL})
+
+
+# ---------------------------------------------------------------------------
+# q56 — exact per-group discrete quantiles (quantile_disc rank semantics),
+# hash-partitioned groups + one vectorized pass per partition (no global
+# sort, no per-group dispatch).
+
+def q56_grouped_quantiles(sf_dir: str):
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+    out = aggregates.grouped_quantiles(
+        ["o_orderpriority"], "o_totalprice", [0.25, 0.5, 0.9],
+        aliases=["p25", "p50", "p90"], num_partitions=8).apply(ds)
+    return out.sort("o_orderpriority")
+
+
+Q56_SQL = """
+SELECT o_orderpriority,
+       quantile_disc(o_totalprice, 0.25) AS p25,
+       quantile_disc(o_totalprice, 0.50) AS p50,
+       quantile_disc(o_totalprice, 0.90) AS p90
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+QUERIES.update({"q56_grouped_quantiles": q56_grouped_quantiles})
+ORACLE.update({"q56_grouped_quantiles": Q56_SQL})

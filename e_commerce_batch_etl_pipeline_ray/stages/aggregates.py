@@ -789,3 +789,78 @@ def pivot(by: Sequence[str], pivot_col: str, values: Sequence[str] | None,
         return inner.apply(ds)
 
     return FnStep(f"pivot[{pivot_col}]", _apply)
+
+
+def grouped_quantiles(by: Sequence[str], col: str, qs: Sequence[float],
+                      aliases: Sequence[str] | None = None,
+                      num_partitions: int = 32) -> FnStep:
+    """Exact per-group discrete quantiles (DuckDB ``quantile_disc`` /
+    Spark ``percentile`` rank semantics: the element at 0-based rank
+    ``max(0, ceil(q*n) - 1)`` of the group's sorted non-null values; a
+    group whose values are all null yields NULL).
+
+    Scale shape: hash-partition on the group key (each group lands whole
+    on one partition), then ONE vectorized numpy pass per partition —
+    sort + per-group offsets + fancy-index, no per-group dispatch and no
+    global sort. Complements ``exact_quantiles`` (global quantiles via
+    iterative narrowing, for when a single group's values exceed one
+    worker); grouped quantiles assume each GROUP fits in a partition,
+    the standard assumption for keyed analytics."""
+    import numpy as np
+    import pandas as pd
+
+    from e_commerce_batch_etl_pipeline_ray.stages.streaming import (
+        partitioned_apply,
+    )
+
+    by = list(by)
+    qs = list(qs)
+    aliases = list(aliases) if aliases is not None else [
+        f"q{str(q).replace('.', '_')}" for q in qs]
+    if len(aliases) != len(qs):
+        raise ValueError("aliases must match qs")
+
+    def _per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        keys_all = g[by].drop_duplicates().reset_index(drop=True)
+        g = g.dropna(subset=[col]).sort_values(by + [col], kind="mergesort")
+        if g.empty:
+            out = keys_all.copy()
+            for a in aliases:
+                out[a] = np.nan
+            return out
+        grp = g.groupby(by, sort=False, dropna=False)
+        cnt = grp.size().to_numpy()
+        off = np.zeros(len(cnt), dtype=np.int64)
+        off[1:] = np.cumsum(cnt)[:-1]
+        vals = g[col].to_numpy()
+        out = grp.head(1)[by].reset_index(drop=True)
+        for q, a in zip(qs, aliases):
+            idx = off + np.minimum(cnt - 1,
+                                   np.maximum(0, np.ceil(q * cnt).astype(np.int64) - 1))
+            out[a] = vals[idx]
+        # groups whose values were ALL null dropped out above — restore
+        # them with NULL quantiles (SQL GROUP BY emits the group)
+        return keys_all.merge(out, on=by, how="left")
+
+    def _apply(ds):
+        if len(by) == 1:
+            return partitioned_apply(by[0], _per_partition,
+                                     f"gquant[{col}]", num_partitions).apply(ds)
+        # multi-key: partition on the tuple via a derived key column
+        import pyarrow as _pa
+        from e_commerce_batch_etl_pipeline_ray.stages.dedup import (
+            hash_partition_ids,
+        )
+
+        def _assign(t: pa.Table) -> pa.Table:
+            pid = hash_partition_ids(t, by, num_partitions)
+            return t.append_column("__qpid", _pa.array(pid, _pa.int32()))
+
+        def _run(g: pd.DataFrame) -> pd.DataFrame:
+            return _per_partition(g.drop(columns=["__qpid"]))
+
+        ds = ds.map_batches(_assign, batch_format="pyarrow",
+                            zero_copy_batch=True)
+        return ds.groupby("__qpid").map_groups(_run, batch_format="pandas")
+
+    return FnStep(f"grouped_quantiles[{col}]", _apply)

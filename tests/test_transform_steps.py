@@ -567,3 +567,35 @@ def test_corr_covar_null_masking_and_grain_merge():
     total = roll[roll.g.isna()]
     m = ~np.isnan(xm) & ~np.isnan(ym)
     assert abs(total.r.iloc[0] - np.corrcoef(xm[m], ym[m])[0, 1]) < 1e-10
+
+
+def test_grouped_quantiles_rank_semantics_nulls_multikey():
+    """quantile_disc rank rule per group (ceil(q*n)-1), null values
+    ignored, all-null groups emit NULL, multi-key grouping path."""
+    import math
+    import numpy as np
+    import pandas as pd
+    from e_commerce_batch_etl_pipeline_ray.stages import aggregates
+
+    rng = np.random.default_rng(5)
+    rows = []
+    for a in range(3):
+        for b in ("u", "v"):
+            for _ in range(rng.integers(3, 40)):
+                rows.append({"a": a, "b": b, "v": float(rng.integers(0, 1000))})
+    rows.append({"a": 9, "b": "w", "v": None})   # all-null group
+    df = pd.DataFrame(rows)
+    ds = ray.data.from_arrow(pa.Table.from_pandas(df, preserve_index=False)) \
+        .repartition(4)
+
+    out = aggregates.grouped_quantiles(["a", "b"], "v", [0.5, 0.9],
+                                       aliases=["p50", "p90"],
+                                       num_partitions=4).apply(ds) \
+        .to_pandas().set_index(["a", "b"]).sort_index()
+
+    for (a, b), grp in df.dropna(subset=["v"]).groupby(["a", "b"]):
+        vals = np.sort(grp.v.to_numpy())
+        for q, col in ((0.5, "p50"), (0.9, "p90")):
+            exp = vals[max(0, math.ceil(q * len(vals)) - 1)]
+            assert out.loc[(a, b), col] == exp, (a, b, q)
+    assert pd.isna(out.loc[(9, "w"), "p50"])     # all-null group -> NULL row
