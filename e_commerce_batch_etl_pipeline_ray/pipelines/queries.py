@@ -2063,3 +2063,36 @@ FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
 
 QUERIES.update({"q56_grouped_quantiles": q56_grouped_quantiles})
 ORACLE.update({"q56_grouped_quantiles": Q56_SQL})
+
+
+# ---------------------------------------------------------------------------
+# q57 — stratified (per-stratum) deterministic sampling: Spark sampleBy
+# with the SQL-reproducible Knuth hash; strata absent from the fraction
+# map fall back to the default rate.
+
+def q57_stratified_sample(sf_dir: str):
+    from e_commerce_batch_etl_pipeline_ray.stages import sampling
+    ds = _read(sf_dir, "events", ["event_id", "event_type"])
+    ds = sampling.stratified_sample(
+        "event_id", "event_type",
+        {"view": 0.1, "click": 0.5, "purchase": 1.0},
+        default=0.25, seed=11).apply(ds)
+    out = aggregates.grouped_aggregate(
+        ["event_type"], [("count", None, "n_kept")], final="driver").apply(ds)
+    return out.sort("event_type")
+
+
+def _q57_sql() -> str:
+    from e_commerce_batch_etl_pipeline_ray.stages.sampling import sql_unit_hash
+    u = sql_unit_hash("event_id", seed=11)
+    return f"""
+SELECT event_type, COUNT(*) AS n_kept
+FROM events
+WHERE {u} < CASE event_type WHEN 'view' THEN 0.1 WHEN 'click' THEN 0.5
+            WHEN 'purchase' THEN 1.0 ELSE 0.25 END
+GROUP BY 1 ORDER BY 1
+"""
+
+
+QUERIES.update({"q57_stratified_sample": q57_stratified_sample})
+ORACLE.update({"q57_stratified_sample": _q57_sql()})

@@ -17,7 +17,7 @@ agree everywhere.
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Mapping, Sequence
 
 import numpy as np
 import pyarrow as pa
@@ -104,3 +104,27 @@ def sql_unit_hash(id_expr: str, seed: int = 0) -> str:
     """The DuckDB expression equal to _unit_hash — shared by the oracles."""
     return (f"(((CAST({id_expr} AS HUGEINT) + {seed}) % 4294967296) "
             f"* 2654435761 % 4294967296) / 4294967296.0")
+
+
+def stratified_sample(id_col: str, strata_col: str,
+                      fractions: Mapping[str, float],
+                      default: float = 0.0, seed: int = 0) -> FnStep:
+    """Deterministic per-stratum Bernoulli sample (Spark
+    ``sampleBy(col, fractions, seed)``): a row is kept iff its unit hash
+    is below its stratum's fraction; strata absent from ``fractions``
+    use ``default``. Pure row-local like hash_sample — zero shuffle,
+    reproducible under retries/layout changes, SQL-expressible (same
+    Knuth hash as the oracle). The rebalancing move for skewed training
+    mixtures: down-sample the boilerplate stratum, keep the rare one."""
+    fr = dict(fractions)
+
+    def _fn(t: pa.Table) -> pa.Table:
+        u = _unit_hash(t[id_col].to_numpy(), seed)
+        svals = t[strata_col].to_pylist()
+        limit = np.array([fr.get(s, default) for s in svals],
+                         dtype=np.float64)
+        return t.filter(pa.array(u < limit))
+
+    def _apply(ds):
+        return ds.map_batches(_fn, batch_format="pyarrow", zero_copy_batch=True)
+    return FnStep(f"stratified_sample[{strata_col}]", _apply)

@@ -527,3 +527,22 @@ def test_allpairs_jaccard_exact_vs_bruteforce():
     assert set(got_pairs) == set(truth)
     for p, j in truth.items():
         assert abs(got_pairs[p] - j) < 1e-9
+
+
+def test_stratified_sample_rates_and_subset_of_hash_sample():
+    """Per-stratum rates honored deterministically; a stratum at fraction f
+    keeps EXACTLY the rows hash_sample(f) would keep (same hash, same
+    seed) — so stratified membership is layout-invariant too."""
+    from e_commerce_batch_etl_pipeline_ray.stages import sampling
+
+    rows = [{"id": i, "s": ("a", "b", "c")[i % 3]} for i in range(3000)]
+    ds = ray.data.from_arrow(pa.Table.from_pylist(rows))
+    kept = sampling.stratified_sample("id", "s", {"a": 0.2, "b": 1.0},
+                                      default=0.0, seed=4).apply(ds) \
+        .to_pandas()
+    assert set(kept[kept.s == "b"].id) == {i for i in range(3000) if i % 3 == 1}
+    assert (kept.s != "c").all()                     # default=0 drops stratum
+    plain = sampling.hash_sample("id", 0.2, seed=4).apply(ds).to_pandas()
+    assert set(kept[kept.s == "a"].id) == set(plain[plain.s == "a"].id)
+    frac_a = len(kept[kept.s == "a"]) / 1000
+    assert 0.12 < frac_a < 0.28
