@@ -2096,3 +2096,46 @@ GROUP BY 1 ORDER BY 1
 
 QUERIES.update({"q57_stratified_sample": q57_stratified_sample})
 ORACLE.update({"q57_stratified_sample": _q57_sql()})
+
+
+# ---------------------------------------------------------------------------
+# q58 — per-document top-3 TF-IDF terms: tokenize -> combiner document
+# frequency -> term-shuffle join -> per-doc top-k. Whole-corpus statistic
+# with an exact SQL mirror (same tokenizer, same ln(N/df) definition,
+# same (score DESC, term) tiebreak).
+
+def q58_tfidf_top_terms(sf_dir: str):
+    from e_commerce_batch_etl_pipeline_ray.stages import text as T
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = T.tfidf_top_terms(ds, top_n=3)
+
+    def _round(t: pa.Table) -> pa.Table:
+        i = t.column_names.index("score")
+        return t.set_column(i, "score", F.round2(t["score"], ndigits=6))
+
+    return out.map_batches(_round, batch_format="pyarrow",
+                           zero_copy_batch=True).sort(["doc_id", "rk"])
+
+
+Q58_SQL = """
+WITH tok AS (
+  SELECT doc_id, UNNEST(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2
+), dfq AS (
+  SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1
+), nd AS (SELECT COUNT(*) AS n FROM documents)
+SELECT doc_id, term, tf, ROUND(score, 6) AS score, rk FROM (
+  SELECT tf.doc_id, tf.term, tf.tf,
+         tf.tf * ln(CAST(nd.n AS DOUBLE) / dfq.df) AS score,
+         ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                            ORDER BY tf.tf * ln(CAST(nd.n AS DOUBLE) / dfq.df) DESC,
+                                     tf.term) AS rk
+  FROM tf JOIN dfq ON tf.term = dfq.term CROSS JOIN nd
+) WHERE rk <= 3 ORDER BY doc_id, rk
+"""
+
+
+QUERIES.update({"q58_tfidf_top_terms": q58_tfidf_top_terms})
+ORACLE.update({"q58_tfidf_top_terms": Q58_SQL})

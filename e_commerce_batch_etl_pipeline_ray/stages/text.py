@@ -310,3 +310,112 @@ def text_hygiene(text_col: str = "text") -> FnStep:
         t = t.append_column("dup_line_frac", pa.array(dup_fracs, pa.float64()))
         return t
     return batch_step("text_hygiene", _fn)
+
+
+def tfidf_top_terms(ds, text_col: str = "text", id_col: str = "doc_id",
+                    top_n: int = 3, join_partitions: int = 8,
+                    num_partitions: int = 32):
+    """Per-document top-N TF-IDF terms over the whole corpus — the classic
+    keyword-extraction / feature pipeline, composed from the engine's own
+    shuffle primitives (returns a Dataset of
+    ``(doc_id, term, tf, score, rk)`` with ``rk <= top_n``).
+
+    Definition (mirrored exactly by the SQL oracle): tokens are
+    ``[a-z0-9]+`` runs of the lowercased text; tf = raw in-doc count;
+    idf = ln(N_docs / df); score = tf * idf; rank by
+    (score DESC, term ASC) per doc — deterministic under score ties.
+
+    Scale shape:
+      1. tokenize+count per batch (ONE pandas explode/groupby per batch,
+         no per-doc Python loop) -> (doc, term, tf) rows,
+      2. document frequency with a per-batch COMBINER (distinct docs per
+         term per batch) -> tiny groupby-sum shuffle of (term, df)
+         partials — never one row per (doc, term) into the shuffle,
+      3. tf join df by TERM — a hash-partitioned shuffle join (the
+         vocabulary is unbounded at corpus scale: broadcasting it is the
+         wrong default; term frequency skew is capped because a term's df
+         row is a single row),
+      4. per-DOC top-N: hash-partition by doc, one vectorized
+         sort+head(N) pass per partition.
+    """
+    import math
+
+    import pandas as pd
+
+    import ray.data
+
+    from e_commerce_batch_etl_pipeline_ray.stages.blockutil import detach
+    from e_commerce_batch_etl_pipeline_ray.stages.dedup import (
+        hash_partition_ids,
+    )
+
+    n_docs = ds.count()
+
+    def _term_counts(t: pa.Table) -> pd.DataFrame:
+        df = t.select([id_col, text_col]).to_pandas()
+        toks = df[text_col].str.lower().str.findall(r"[a-z0-9]+")
+        ex = df[[id_col]].assign(term=toks).explode("term")
+        ex = ex.dropna(subset=["term"])
+        if ex.empty:
+            return pd.DataFrame({id_col: pd.Series([], dtype="int64"),
+                                 "term": pd.Series([], dtype=str),
+                                 "tf": pd.Series([], dtype="int64")})
+        out = (ex.groupby([id_col, "term"], sort=False).size()
+               .rename("tf").reset_index())
+        out["tf"] = out["tf"].astype("int64")
+        return out
+
+    tf_schema = pa.schema([(id_col, pa.int64()), ("term", pa.string()),
+                           ("tf", pa.int64())])
+    tf = ds.map_batches(_term_counts, batch_format="pyarrow",
+                        batch_size=1024)
+    tf = detach(tf, tf_schema)
+
+    # df combiner: distinct docs per term within the batch (tf rows are
+    # already distinct per (doc, term)), so the shuffle carries per-batch
+    # (term, partial_df) rows only
+    def _df_partial(t: pa.Table) -> pa.Table:
+        return t.select(["term"]).group_by(["term"]).aggregate(
+            [("term", "count")]).rename_columns(["term", "df_partial"])
+
+    from ray.data.aggregate import Sum as _Sum
+    dfreq = tf.map_batches(_df_partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    dfreq = dfreq.groupby("term").aggregate(
+        _Sum("df_partial", alias_name="df"))
+    dfreq = detach(dfreq, pa.schema([("term", pa.string()),
+                                     ("df", pa.int64())]))
+
+    joined = tf.join(dfreq, join_type="inner", on=("term",),
+                     num_partitions=join_partitions)
+
+    def _score(t: pa.Table) -> pa.Table:
+        have = [c for c in (id_col, "term", "tf", "df") if c in t.column_names]
+        t = t.select(have)
+        if t.num_rows == 0 or "df" not in t.column_names:
+            return pa.schema([(id_col, pa.int64()), ("term", pa.string()),
+                              ("tf", pa.int64()),
+                              ("score", pa.float64())]).empty_table()
+        idf = pc.ln(pc.divide(pa.scalar(float(n_docs)),
+                              t["df"].cast(pa.float64())))
+        t = t.append_column("score", pc.multiply(t["tf"].cast(pa.float64()),
+                                                 idf))
+        return t.drop_columns(["df"])
+
+    scored = joined.map_batches(_score, batch_format="pyarrow")
+
+    def _top_per_doc(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["_tpid"]).sort_values(
+            [id_col, "score", "term"], ascending=[True, False, True],
+            kind="mergesort")
+        g["rk"] = g.groupby(id_col, sort=False).cumcount() + 1
+        return g[g.rk <= top_n]
+
+    def _assign(t: pa.Table) -> pa.Table:
+        pid = hash_partition_ids(t, [id_col], num_partitions)
+        return t.append_column("_tpid", pa.array(pid, pa.int32()))
+
+    scored = scored.map_batches(_assign, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    return scored.groupby("_tpid").map_groups(_top_per_doc,
+                                              batch_format="pandas")

@@ -546,3 +546,21 @@ def test_stratified_sample_rates_and_subset_of_hash_sample():
     assert set(kept[kept.s == "a"].id) == set(plain[plain.s == "a"].id)
     frac_a = len(kept[kept.s == "a"]) / 1000
     assert 0.12 < frac_a < 0.28
+
+
+def test_tfidf_top_terms_ranks_distinctive_words():
+    """A word unique to one doc must out-score corpus-wide words there;
+    ubiquitous words (df == N) get idf ln(1) = 0."""
+    docs = [
+        {"doc_id": 0, "text": "shared words here plus zebra zebra zebra"},
+        {"doc_id": 1, "text": "shared words here plus quasar"},
+        {"doc_id": 2, "text": "shared words here plus nothing else"},
+    ]
+    ds = ray.data.from_arrow(pa.Table.from_pylist(docs))
+    out = text.tfidf_top_terms(ds, top_n=2).to_pandas()
+    top0 = out[(out.doc_id == 0) & (out.rk == 1)].term.iloc[0]
+    top1 = out[(out.doc_id == 1) & (out.rk == 1)].term.iloc[0]
+    assert top0 == "zebra" and top1 == "quasar"
+    shared = out[out.term == "shared"]
+    assert (shared.score == 0).all() if len(shared) else True
+    assert (out.groupby("doc_id").rk.max() <= 2).all()
