@@ -2139,3 +2139,92 @@ SELECT doc_id, term, tf, ROUND(score, 6) AS score, rk FROM (
 
 QUERIES.update({"q58_tfidf_top_terms": q58_tfidf_top_terms})
 ORACLE.update({"q58_tfidf_top_terms": Q58_SQL})
+
+
+# ---------------------------------------------------------------------------
+# q59/q60 — SQL set operations (INTERSECT / EXCEPT, distinct semantics) as
+# ONE tagged-union shuffle (vs three for distinct+distinct+join).
+
+def _q59_sides(sf_dir: str):
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+    ds = maps.with_columns(
+        {"o_year": lambda t: pc.year(t["o_orderdate"])}).apply(ds)
+    a = maps.filter_expr(lambda t: pc.equal(t["o_year"], pa.scalar(1996)),
+                         name="y1996").apply(ds).select_columns(["o_custkey"])
+    b = maps.filter_expr(lambda t: pc.equal(t["o_year"], pa.scalar(1997)),
+                         name="y1997").apply(ds).select_columns(["o_custkey"])
+    return a, b
+
+
+def q59_intersect(sf_dir: str):
+    a, b = _q59_sides(sf_dir)
+    return dedup.set_op(a, b, "intersect").sort("o_custkey")
+
+
+Q59_SQL = """
+SELECT o_custkey FROM orders WHERE YEAR(o_orderdate) = 1996
+INTERSECT
+SELECT o_custkey FROM orders WHERE YEAR(o_orderdate) = 1997
+ORDER BY o_custkey
+"""
+
+
+def q60_except(sf_dir: str):
+    a, b = _q59_sides(sf_dir)
+    return dedup.set_op(a, b, "except").sort("o_custkey")
+
+
+Q60_SQL = """
+SELECT o_custkey FROM orders WHERE YEAR(o_orderdate) = 1996
+EXCEPT
+SELECT o_custkey FROM orders WHERE YEAR(o_orderdate) = 1997
+ORDER BY o_custkey
+"""
+
+
+QUERIES.update({"q59_intersect": q59_intersect, "q60_except": q60_except})
+ORACLE.update({"q59_intersect": Q59_SQL, "q60_except": Q60_SQL})
+
+
+# ---------------------------------------------------------------------------
+# q61 — keyed interval/range join (events within each user's 2-hour signup
+# window): bucketed-time replication of the interval side, ONE shuffle on
+# (key, bucket), vectorized per-partition merge+filter.
+
+def q61_interval_join(sf_dir: str):
+    from e_commerce_batch_etl_pipeline_ray.stages import joins as J
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
+    sg = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+    sg = maps.filter_expr(
+        lambda t: pc.equal(t["event_type"], pa.scalar("signup")),
+        name="signups").apply(sg)
+
+    def _to_windows(t: pa.Table) -> pa.Table:
+        two_h = pa.scalar(7_200_000_000, pa.duration("us"))
+        return pa.table({
+            "user_id": t["user_id"],
+            "w_start": t["ts"],
+            "w_end": pc.add(t["ts"], two_h),
+            "signup_id": t["event_id"],
+        })
+
+    sg = sg.map_batches(_to_windows, batch_format="pyarrow",
+                        zero_copy_batch=True)
+    out = J.interval_join(ev, sg, ts_col="ts", start_col="w_start",
+                          end_col="w_end", key_col="user_id",
+                          bucket_minutes=60, num_partitions=32)
+    return out.select_columns(["event_id", "signup_id"]) \
+              .sort(["event_id", "signup_id"])
+
+
+Q61_SQL = """
+SELECT e.event_id AS event_id, s.event_id AS signup_id
+FROM events e JOIN events s
+  ON s.event_type = 'signup' AND e.user_id = s.user_id
+ AND e.ts >= s.ts AND e.ts < s.ts + INTERVAL 2 HOUR
+ORDER BY 1, 2
+"""
+
+
+QUERIES.update({"q61_interval_join": q61_interval_join})
+ORACLE.update({"q61_interval_join": Q61_SQL})

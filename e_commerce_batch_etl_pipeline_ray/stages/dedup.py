@@ -136,3 +136,58 @@ def distinct(columns: Sequence[str], num_partitions: int = 64) -> FnStep:
         ds = ds.groupby(_PART_COL).map_groups(_part, batch_format="pyarrow")
         return ds
     return FnStep(f"distinct[{','.join(cols)}]", _apply)
+
+
+def set_op(left, right, how: str = "intersect",
+           num_partitions: int = 32):
+    """SQL set operations with DISTINCT semantics — ``INTERSECT`` /
+    ``EXCEPT`` (Spark ``intersect`` / ``subtract``) over whole rows.
+
+    ONE shuffle total: tag each side (int8), union, hash-partition on ALL
+    columns, then a single vectorized pandas pass per partition (sort +
+    per-group side min/max — equal rows land in the same partition, so
+    membership on both sides is partition-local). Compare with the naive
+    plan (distinct each side + join on every column = three shuffles).
+
+    Schemas must match by column name; nulls compare equal (SQL set-op
+    semantics: NULL IS NOT DISTINCT FROM NULL).
+    """
+    import ray.data as _rd
+
+    if how not in ("intersect", "except"):
+        raise ValueError(f"how must be 'intersect' or 'except', got {how!r}")
+    cols = [c for c in left.schema().names]
+    rcols = [c for c in right.schema().names]
+    if set(cols) != set(rcols):
+        raise ValueError(f"set_op schema mismatch: {cols} vs {rcols}")
+
+    def _tag(side: int):
+        def _fn(t: pa.Table) -> pa.Table:
+            t = t.select(cols)  # align column order across sides
+            return t.append_column("_side", pa.array(
+                np.full(t.num_rows, side, dtype=np.int8), pa.int8()))
+        return _fn
+
+    tagged = left.map_batches(_tag(0), batch_format="pyarrow",
+                              zero_copy_batch=True) \
+        .union(right.map_batches(_tag(1), batch_format="pyarrow",
+                                 zero_copy_batch=True))
+
+    def _assign(t: pa.Table) -> pa.Table:
+        pid = hash_partition_ids(t, cols, num_partitions)
+        return t.append_column(_PART_COL, pa.array(pid, pa.int32()))
+
+    def _per_partition(g: "pd.DataFrame") -> "pd.DataFrame":
+        g = g.drop(columns=[_PART_COL])
+        grp = g.groupby(cols, sort=False, dropna=False)["_side"]
+        agg = grp.agg(["min", "max"]).reset_index()
+        if how == "intersect":
+            keep = agg[(agg["min"] == 0) & (agg["max"] == 1)]
+        else:
+            keep = agg[agg["max"] == 0]     # only-left groups
+        return keep[cols]
+
+    tagged = tagged.map_batches(_assign, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    return tagged.groupby(_PART_COL).map_groups(_per_partition,
+                                                batch_format="pandas")

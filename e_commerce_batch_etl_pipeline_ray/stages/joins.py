@@ -230,3 +230,113 @@ def bloom_semi_join(keys: "ray.data.Dataset | pa.Table", on: str,
         return ds.map_batches(_BloomFilter, batch_format="pyarrow",
                               zero_copy_batch=True, concurrency=(1, 8))
     return FnStep(f"bloom_semi[{on}]", _apply)
+
+
+def interval_join(points, intervals, ts_col: str, start_col: str,
+                  end_col: str, key_col: str | None = None,
+                  bucket_minutes: int = 60,
+                  num_partitions: int = 32):
+    """Distributed range/interval join: each point row is matched with
+    every interval row satisfying ``start <= ts < end`` (and, when
+    ``key_col`` is given, the same key) — the event-in-window shape
+    (attribution windows, campaign periods, validity intervals) that a
+    plain equi-join cannot express.
+
+    Scale shape (ray_guide 'As-of / range join' generalization): time is
+    bucketed at ``bucket_minutes``; every interval row is replicated to
+    each bucket it covers (fan-out = interval length / bucket width — pick
+    the bucket near the typical interval length), every point lands in
+    exactly ONE bucket, both sides hash-shuffle ONCE on (key, bucket),
+    and each partition does one vectorized pandas merge+filter. No
+    replicated point rows means no output dedup pass is needed.
+
+    Column names (other than ``key_col``) must be disjoint across sides.
+    Returns point columns + interval columns, inner-join semantics.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from e_commerce_batch_etl_pipeline_ray.stages.dedup import (
+        hash_partition_ids,
+    )
+
+    pcols = list(points.schema().names)
+    icols = list(intervals.schema().names)
+    shared = (set(pcols) & set(icols)) - ({key_col} if key_col else set())
+    if shared:
+        raise ValueError(f"interval_join column clash: {sorted(shared)}")
+    out_icols = [c for c in icols if c != key_col]
+    # resolve field types EAGERLY — the map closures must not capture the
+    # Dataset objects themselves
+    itypes = {c: intervals.schema().base_schema.field(c).type for c in icols}
+    ptypes = {c: points.schema().base_schema.field(c).type for c in pcols}
+    gus = np.int64(bucket_minutes) * 60_000_000    # bucket width in us
+    all_cols = pcols + out_icols + ["_bkt", "_ivl"]
+
+    def _bucketize_points(t: pa.Table) -> pa.Table:
+        us = t[ts_col].cast(pa.timestamp("us")).cast(pa.int64())
+        bkt = pc.floor(pc.divide(us.cast(pa.float64()), pa.scalar(float(gus))))
+        t = t.append_column("_bkt", bkt.cast(pa.int64()))
+        for c in out_icols:
+            t = t.append_column(c, pa.nulls(t.num_rows, itypes[c]))
+        t = t.append_column("_ivl", pa.array(
+            np.zeros(t.num_rows, dtype=np.int8), pa.int8()))
+        return t.select(all_cols)   # one column order across the union
+
+    def _explode_intervals(t: pa.Table) -> pa.Table:
+        s = t[start_col].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy()
+        e = t[end_col].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy()
+        b0 = s // gus
+        # end EXCLUSIVE: the last covered bucket holds end - 1us
+        b1 = np.maximum(b0, (np.maximum(e, s + 1) - 1) // gus)
+        reps = (b1 - b0 + 1).astype(np.int64)
+        idx = np.repeat(np.arange(len(s), dtype=np.int64), reps)
+        # bucket sequence per replica: global arange minus each row's base
+        off = np.arange(reps.sum(), dtype=np.int64) - np.repeat(
+            np.cumsum(reps) - reps, reps)
+        out = t.take(pa.array(idx, pa.int64()))
+        out = out.append_column("_bkt", pa.array(b0[idx] + off, pa.int64()))
+        for c in pcols:
+            if c == key_col:
+                continue
+            out = out.append_column(c, pa.nulls(out.num_rows, ptypes[c]))
+        out = out.append_column("_ivl", pa.array(
+            np.ones(out.num_rows, dtype=np.int8), pa.int8()))
+        return out.select(all_cols)
+
+    part_keys = ([key_col] if key_col else []) + ["_bkt"]
+
+    def _align(t: pa.Table) -> pa.Table:
+        pid = hash_partition_ids(t, part_keys, num_partitions)
+        return t.append_column("_rjpid", pa.array(pid, pa.int32()))
+
+    tagged = points.map_batches(_bucketize_points, batch_format="pyarrow") \
+        .union(intervals.map_batches(_explode_intervals,
+                                     batch_format="pyarrow"))
+    tagged = tagged.map_batches(_align, batch_format="pyarrow",
+                                zero_copy_batch=True)
+
+    merge_on = ([key_col] if key_col else []) + ["_bkt"]
+
+    def _per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        pts = g[g._ivl == 0][pcols + ["_bkt"]]
+        ivls = g[g._ivl == 1][([key_col] if key_col else [])
+                              + out_icols + ["_bkt"]]
+        if pts.empty or ivls.empty:
+            return pd.DataFrame(columns=pcols + out_icols)
+        m = pts.merge(ivls, on=merge_on)
+        m = m[(m[start_col] <= m[ts_col]) & (m[ts_col] < m[end_col])]
+        return m[pcols + out_icols]
+
+    out = tagged.groupby("_rjpid").map_groups(_per_partition,
+                                              batch_format="pandas")
+    # the union's null padding made pandas promote int columns to float —
+    # restore the source Arrow types
+    out_schema = pa.schema([(c, ptypes[c]) for c in pcols]
+                           + [(c, itypes[c]) for c in out_icols])
+
+    def _cast(t: pa.Table) -> pa.Table:
+        return t.select(out_schema.names).cast(out_schema)
+
+    return out.map_batches(_cast, batch_format="pyarrow",
+                           zero_copy_batch=True)

@@ -599,3 +599,45 @@ def test_grouped_quantiles_rank_semantics_nulls_multikey():
             exp = vals[max(0, math.ceil(q * len(vals)) - 1)]
             assert out.loc[(a, b), col] == exp, (a, b, q)
     assert pd.isna(out.loc[(9, "w"), "p50"])     # all-null group -> NULL row
+
+
+def test_set_op_distinct_semantics_and_null_equality():
+    """INTERSECT/EXCEPT with DISTINCT semantics; NULL keys compare equal
+    (SQL set-op behavior), duplicates collapse."""
+    import pandas as pd
+    from e_commerce_batch_etl_pipeline_ray.stages import dedup
+
+    left = _ds([{"a": 1, "b": "x"}, {"a": 1, "b": "x"},   # dup collapses
+                {"a": 2, "b": None}, {"a": 3, "b": "z"}])
+    right = _ds([{"a": 1, "b": "x"}, {"a": 2, "b": None},
+                 {"a": 9, "b": "q"}])
+    inter = dedup.set_op(left, right, "intersect", num_partitions=4) \
+        .to_pandas().sort_values("a").reset_index(drop=True)
+    assert list(inter.a) == [1, 2]           # null row matched null row
+    assert pd.isna(inter.b.iloc[1])
+    exc = dedup.set_op(left, right, "except", num_partitions=4).to_pandas()
+    assert list(exc.a) == [3]
+
+
+def test_interval_join_bucket_spans_and_exclusive_end():
+    """Intervals longer than a bucket are found across bucket boundaries;
+    end bound is exclusive; unkeyed mode works; no duplicate matches for
+    multi-bucket intervals."""
+    import pandas as pd
+    from e_commerce_batch_etl_pipeline_ray.stages import joins
+
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+    pts = _ds([
+        {"pid": 0, "ts": t0},                                 # == start
+        {"pid": 1, "ts": t0 + pd.Timedelta(minutes=150)},     # mid, 3rd bucket
+        {"pid": 2, "ts": t0 + pd.Timedelta(minutes=180)},     # == end -> out
+        {"pid": 3, "ts": t0 - pd.Timedelta(seconds=1)},       # before
+    ])
+    ivl = _ds([{"iid": 7, "lo": t0,
+                "hi": t0 + pd.Timedelta(minutes=180)}])       # spans 3 buckets
+    out = joins.interval_join(pts, ivl, ts_col="ts", start_col="lo",
+                              end_col="hi", bucket_minutes=60,
+                              num_partitions=4).to_pandas()
+    assert sorted(out.pid) == [0, 1]
+    assert (out.iid == 7).all() and len(out) == 2
+    assert out.pid.dtype.kind == "i"         # types restored after padding
