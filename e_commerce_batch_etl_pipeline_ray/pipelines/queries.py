@@ -2228,3 +2228,87 @@ ORDER BY 1, 2
 
 QUERIES.update({"q61_interval_join": q61_interval_join})
 ORACLE.update({"q61_interval_join": Q61_SQL})
+
+
+# ---------------------------------------------------------------------------
+# q62 — salted skew-safe shuffle join: q6's orders x customer join with the
+# hot-key salting pattern (left salted per-row, right replicated per salt
+# value; join on (key, salt)). Result must be IDENTICAL to the plain
+# join — the oracle is exactly q6's SQL.
+
+def q62_salted_join(sf_dir: str):
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    joined = joins.salted_join(cust, on="o_custkey", right_on="c_custkey",
+                               salt=4, num_partitions=8).apply(orders)
+    out = aggregates.grouped_aggregate(
+        ["c_mktsegment"],
+        [("count", None, "n_orders"), ("sum", "o_totalprice", "revenue")],
+        pre_aggregate=True, final="driver").apply(joined)
+
+    def _round(t: pa.Table) -> pa.Table:
+        i = t.column_names.index("revenue")
+        return t.set_column(i, "revenue", F.round2(t["revenue"], 2))
+    return out.map_batches(_round, batch_format="pyarrow").sort("c_mktsegment")
+
+
+QUERIES.update({"q62_salted_join": q62_salted_join})
+ORACLE.update({"q62_salted_join": Q6_SQL})
+
+
+# ---------------------------------------------------------------------------
+# q63 — deterministic k-per-group sampling (distributed reservoir on the
+# SQL-reproducible hash; per-batch combiner prune caps shuffle traffic at
+# k rows per group per block).
+
+def q63_sample_per_group(sf_dir: str):
+    from e_commerce_batch_etl_pipeline_ray.stages import sampling
+    ds = _read(sf_dir, "events", ["event_type", "event_id", "user_id"])
+    out = sampling.sample_per_group(["event_type"], "event_id", 20,
+                                    seed=13, num_partitions=8).apply(ds)
+    return out.select_columns(["event_type", "event_id", "user_id"]) \
+              .sort(["event_type", "event_id"])
+
+
+def _q63_sql() -> str:
+    from e_commerce_batch_etl_pipeline_ray.stages.sampling import sql_unit_hash
+    u = sql_unit_hash("event_id", seed=13)
+    return f"""
+SELECT event_type, event_id, user_id FROM events
+QUALIFY ROW_NUMBER() OVER (PARTITION BY event_type
+                           ORDER BY {u}, event_id) <= 20
+ORDER BY event_type, event_id
+"""
+
+
+QUERIES.update({"q63_sample_per_group": q63_sample_per_group})
+ORACLE.update({"q63_sample_per_group": _q63_sql()})
+
+
+# ---------------------------------------------------------------------------
+# q64 — explode/posexplode (SQL UNNEST + ordinality): split documents into
+# space-separated tokens, one row per (doc, position, token). Row-local
+# Arrow list_flatten fan-out, no shuffle.
+
+def q64_explode(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ds = maps.with_columns({
+        "parts": lambda t: pc.split_pattern(pc.utf8_lower(t["text"]),
+                                            pattern=" "),
+    }).apply(ds)
+    out = maps.explode("parts", out="token", pos_col="pos") \
+        .apply(ds.select_columns(["doc_id", "parts"]))
+    return out.select_columns(["doc_id", "pos", "token"]) \
+              .sort(["doc_id", "pos"])
+
+
+Q64_SQL = """
+SELECT doc_id,
+       generate_subscripts(string_split(lower(text), ' '), 1) AS pos,
+       unnest(string_split(lower(text), ' ')) AS token
+FROM documents ORDER BY doc_id, pos
+"""
+
+
+QUERIES.update({"q64_explode": q64_explode})
+ORACLE.update({"q64_explode": Q64_SQL})

@@ -340,3 +340,53 @@ def interval_join(points, intervals, ts_col: str, start_col: str,
 
     return out.map_batches(_cast, batch_format="pyarrow",
                            zero_copy_batch=True)
+
+
+def salted_join(right, on: Sequence[str] | str, salt: int = 8,
+                right_on: Sequence[str] | str | None = None,
+                join_type: str = "inner",
+                num_partitions: int = 16) -> FnStep:
+    """Hot-key-safe shuffle join (SURVEY.md §7.4 #6): a plain hash join
+    sends EVERY row of a hot key to one partition — one straggler task
+    owns the skew. Salting splits each left key across ``salt``
+    sub-partitions (a per-row cyclic salt — any assignment is correct for
+    inner joins) and replicates each RIGHT row to all ``salt`` values, so
+    the join key becomes (key, salt) and the hot key's work spreads over
+    ``salt`` tasks. Cost: right side ships salt-fold — use when the right
+    side is modest but too large (or too hot) to broadcast; result is
+    IDENTICAL to the unsalted join.
+    """
+    import numpy as np
+
+    on = [on] if isinstance(on, str) else list(on)
+    ron = on if right_on is None else (
+        [right_on] if isinstance(right_on, str) else list(right_on))
+    if join_type != "inner":
+        raise ValueError("salted_join supports inner joins (outer semantics "
+                         "would need per-salt null-match reconciliation)")
+
+    def _salt_left(t: pa.Table) -> pa.Table:
+        return t.append_column("_salt", pa.array(
+            np.arange(t.num_rows, dtype=np.int64) % salt, pa.int64()))
+
+    def _replicate_right(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        idx = np.repeat(np.arange(n, dtype=np.int64), salt)
+        out = t.take(pa.array(idx, pa.int64()))
+        return out.append_column("_salt", pa.array(
+            np.tile(np.arange(salt, dtype=np.int64), n), pa.int64()))
+
+    def _apply(ds):
+        from e_commerce_batch_etl_pipeline_ray.stages.blockutil import detach
+        r = right.map_batches(_replicate_right, batch_format="pyarrow",
+                              zero_copy_batch=True)
+        rs = right.schema().base_schema
+        r = detach(r, pa.schema(list(rs) + [pa.field("_salt", pa.int64())]))
+        lds = ds.map_batches(_salt_left, batch_format="pyarrow",
+                             zero_copy_batch=True)
+        joined = lds.join(r, join_type=join_type, on=tuple(on + ["_salt"]),
+                          right_on=tuple(ron + ["_salt"]),
+                          num_partitions=num_partitions)
+        return joined.drop_columns(["_salt"])
+
+    return FnStep(f"salted_join[{salt}x]", _apply)

@@ -212,3 +212,39 @@ def unpivot(id_cols: Sequence[str], value_cols: Sequence[str],
         return pa.concat_tables(parts)
 
     return batch_step(f"unpivot[{len(vals)}]", _fn)
+
+
+def explode(list_col: str, out: str | None = None,
+            pos_col: str | None = None) -> FnStep:
+    """Spark ``explode`` / ``posexplode`` (SQL UNNEST): one output row per
+    list element, other columns replicated; rows with NULL lists emit
+    nothing (SQL semantics). ``pos_col`` adds the 1-based ordinality.
+
+    Row-local and fully vectorized: Arrow ``list_flatten`` +
+    ``list_parent_indices`` + one take — no Python loop over rows, no
+    shuffle. The inverse of a groupby-collect; the standard shape for
+    fanning a token/shingle/URL list column out to per-element rows."""
+    import numpy as np
+
+    name = out or list_col
+
+    def _fn(t: pa.Table) -> pa.Table:
+        col = t[list_col].combine_chunks()
+        flat = pc.list_flatten(col)
+        parents = pc.list_parent_indices(col)
+        base = t.drop_columns([list_col]).take(parents)
+        if pos_col is not None:
+            par = parents.to_numpy()
+            n = len(par)
+            if n:
+                starts = np.ones(n, dtype=bool)
+                starts[1:] = par[1:] != par[:-1]
+                run_id = np.cumsum(starts) - 1
+                run_start = np.flatnonzero(starts)
+                pos = np.arange(n, dtype=np.int64) - run_start[run_id] + 1
+            else:
+                pos = np.array([], dtype=np.int64)
+            base = base.append_column(pos_col, pa.array(pos, pa.int64()))
+        return base.append_column(name, flat)
+
+    return batch_step(f"explode[{list_col}]", _fn)

@@ -128,3 +128,47 @@ def stratified_sample(id_col: str, strata_col: str,
     def _apply(ds):
         return ds.map_batches(_fn, batch_format="pyarrow", zero_copy_batch=True)
     return FnStep(f"stratified_sample[{strata_col}]", _apply)
+
+
+def sample_per_group(by: Sequence[str], id_col: str, k: int,
+                     seed: int = 0, num_partitions: int = 32) -> FnStep:
+    """Deterministic uniform k-per-group sample (without replacement):
+    keep each group's k rows with the smallest ``(unit_hash(id), id)`` —
+    a distributed reservoir replacement that is layout/retry-invariant
+    and SQL-reproducible (QUALIFY ROW_NUMBER() OVER (PARTITION BY by
+    ORDER BY hash, id) <= k).
+
+    Scale shape: per-batch PRE-PRUNE to k rows per group (the combiner —
+    a batch can never contribute more than k survivors per group), then
+    one hash-partition shuffle on the group key and the same vectorized
+    prune per partition. Shuffle traffic is min(rows, k * groups_per_
+    batch * blocks), not the full table."""
+    import pandas as pd
+
+    by = list(by)
+
+    def _prune(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df[id_col].to_numpy()
+        df = df.assign(__h=_unit_hash(ids.astype(np.int64), seed))
+        df = df.sort_values(by + ["__h", id_col], kind="mergesort")
+        keep = df.groupby(by, sort=False, dropna=False).cumcount() < k
+        return df[keep].drop(columns="__h")
+
+    def _apply(ds):
+        from e_commerce_batch_etl_pipeline_ray.stages.dedup import (
+            hash_partition_ids,
+        )
+        ds = ds.map_batches(_prune, batch_format="pandas")
+
+        def _assign(t: pa.Table) -> pa.Table:
+            pid = hash_partition_ids(t, by, num_partitions)
+            return t.append_column("_spgid", pa.array(pid, pa.int32()))
+
+        def _final(df: pd.DataFrame) -> pd.DataFrame:
+            return _prune(df.drop(columns=["_spgid"]))
+
+        ds = ds.map_batches(_assign, batch_format="pyarrow",
+                            zero_copy_batch=True)
+        return ds.groupby("_spgid").map_groups(_final, batch_format="pandas")
+
+    return FnStep(f"sample_per_group[{k}]", _apply)

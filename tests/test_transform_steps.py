@@ -641,3 +641,50 @@ def test_interval_join_bucket_spans_and_exclusive_end():
     assert sorted(out.pid) == [0, 1]
     assert (out.iid == 7).all() and len(out) == 2
     assert out.pid.dtype.kind == "i"         # types restored after padding
+
+
+def test_salted_join_equals_plain_join_under_skew():
+    """Salted join result is identical to the plain hash join even with a
+    90%-hot key."""
+    from e_commerce_batch_etl_pipeline_ray.stages import joins
+
+    left = _ds([{"k": 1 if i < 900 else i, "v": i} for i in range(1000)])
+    right = _ds([{"rk": i, "name": f"n{i}"} for i in range(0, 1000, 3)])
+    plain = joins.hash_join(right, on="k", right_on="rk",
+                            num_partitions=4).apply(left).to_pandas()
+    salted = joins.salted_join(right, on="k", right_on="rk", salt=5,
+                               num_partitions=4).apply(left).to_pandas()
+    key = ["k", "v", "name"]
+    import pandas as pd
+    pd.testing.assert_frame_equal(
+        plain[key].sort_values(key).reset_index(drop=True),
+        salted[key].sort_values(key).reset_index(drop=True))
+
+
+def test_sample_per_group_exact_k_deterministic_layout_invariant():
+    from e_commerce_batch_etl_pipeline_ray.stages import sampling
+
+    rows = [{"g": f"g{i % 4}", "id": i} for i in range(2000)]
+    a = sampling.sample_per_group(["g"], "id", 7, seed=2, num_partitions=4) \
+        .apply(_ds(rows)).to_pandas()
+    b = sampling.sample_per_group(["g"], "id", 7, seed=2, num_partitions=4) \
+        .apply(ray.data.from_arrow(pa.Table.from_pylist(rows)).repartition(16)) \
+        .to_pandas()
+    assert a.groupby("g").size().eq(7).all()
+    assert set(map(tuple, a.values)) == set(map(tuple, b.values))
+    # k larger than the group keeps everything
+    small = sampling.sample_per_group(["g"], "id", 999, num_partitions=2) \
+        .apply(_ds(rows[:10])).to_pandas()
+    assert len(small) == 10
+
+
+def test_explode_positions_and_null_lists():
+    from e_commerce_batch_etl_pipeline_ray.stages import maps as M
+
+    t = pa.table({"id": [1, 2, 3],
+                  "xs": [["a", "b"], None, ["c"]]})
+    out = M.explode("xs", out="x", pos_col="pos") \
+        .apply(ray.data.from_arrow(t)).to_pandas().sort_values(["id", "pos"])
+    assert list(out.id) == [1, 1, 3]          # null list emits nothing
+    assert list(out.pos) == [1, 2, 1]
+    assert list(out.x) == ["a", "b", "c"]
