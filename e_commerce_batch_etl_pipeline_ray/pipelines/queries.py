@@ -2312,3 +2312,55 @@ FROM documents ORDER BY doc_id, pos
 
 QUERIES.update({"q64_explode": q64_explode})
 ORACLE.update({"q64_explode": Q64_SQL})
+
+
+# ---------------------------------------------------------------------------
+# q65 — grouped collect_set as deterministic sorted string_agg (one
+# group-key shuffle with a local-distinct combiner).
+
+def q65_grouped_collect(sf_dir: str):
+    ds = _read(sf_dir, "customer", ["c_mktsegment", "c_nationkey"])
+    out = aggregates.grouped_collect(["c_mktsegment"], "c_nationkey",
+                                     "nations", distinct=True,
+                                     num_partitions=4).apply(ds)
+    return out.sort("c_mktsegment")
+
+
+Q65_SQL = """
+SELECT c_mktsegment,
+       string_agg(DISTINCT c_nationkey, ',' ORDER BY c_nationkey) AS nations
+FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
+# q66 — vectorized scalar extraction from the flat-JSON props column
+# (one RE2 kernel per batch, no per-row json.loads) + grouped mean.
+
+def q66_json_extract(sf_dir: str):
+    ds = _read(sf_dir, "events", ["event_type", "props"])
+    ds = maps.json_extract("props", "k", out="k_val",
+                           value_type="int").apply(ds)
+    out = aggregates.grouped_aggregate(
+        ["event_type"],
+        [("mean", "k_val", "avg_k"), ("count", None, "n_events")],
+        final="driver").apply(ds)
+
+    def _round(t: pa.Table) -> pa.Table:
+        i = t.column_names.index("avg_k")
+        return t.set_column(i, "avg_k", F.round2(t["avg_k"], 2))
+
+    return out.map_batches(_round, batch_format="pyarrow").sort("event_type")
+
+
+Q66_SQL = """
+SELECT event_type,
+       ROUND(AVG(CAST(json_extract(props, '$.k') AS BIGINT)), 2) AS avg_k,
+       COUNT(*) AS n_events
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+QUERIES.update({"q65_grouped_collect": q65_grouped_collect,
+                "q66_json_extract": q66_json_extract})
+ORACLE.update({"q65_grouped_collect": Q65_SQL,
+               "q66_json_extract": Q66_SQL})

@@ -864,3 +864,58 @@ def grouped_quantiles(by: Sequence[str], col: str, qs: Sequence[float],
         return ds.groupby("__qpid").map_groups(_run, batch_format="pandas")
 
     return FnStep(f"grouped_quantiles[{col}]", _apply)
+
+
+def grouped_collect(by: Sequence[str], col: str, alias: str,
+                    distinct: bool = False, sep: str = ",",
+                    num_partitions: int = 32) -> FnStep:
+    """Spark ``collect_list``/``collect_set`` with DETERMINISTIC output:
+    per group, the (optionally distinct) values joined into one
+    ``sep``-separated string in sorted value order — the canonical form
+    (raw collect_list order is nondeterministic under parallelism, which
+    is why the engine's contract sorts; it also makes the result
+    SQL-mirrorable via ``string_agg(... ORDER BY ...)``).
+
+    Scale shape: prune to (by, col) at the source; with ``distinct`` a
+    per-batch local distinct acts as the combiner; ONE hash-partition
+    shuffle on the group key, then one vectorized pandas join per
+    partition. A group's collected string must fit in memory — this is a
+    small-fanin aggregate (tags, categories), not a corpus concatenator.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from e_commerce_batch_etl_pipeline_ray.stages.dedup import (
+        hash_partition_ids,
+    )
+
+    by = list(by)
+
+    def _local_distinct(t: pa.Table) -> pa.Table:
+        return t.select(by + [col]).group_by(by + [col]).aggregate([])
+
+    def _assign(t: pa.Table) -> pa.Table:
+        t = t.select(by + [col])
+        pid = hash_partition_ids(t, by, num_partitions)
+        return t.append_column("_gcid", pa.array(pid, pa.int32()))
+
+    def _per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["_gcid"]).dropna(subset=[col])
+        if distinct:
+            g = g.drop_duplicates(by + [col])
+        g = g.sort_values(by + [col], kind="mergesort")
+        vals = g[col].astype(str)
+        out = (vals.groupby([g[c] for c in by], sort=False)
+               .agg(sep.join).rename(alias).reset_index())
+        return out
+
+    def _apply(ds):
+        if distinct:
+            ds = ds.map_batches(_local_distinct, batch_format="pyarrow",
+                                zero_copy_batch=True)
+        ds = ds.map_batches(_assign, batch_format="pyarrow",
+                            zero_copy_batch=True)
+        return ds.groupby("_gcid").map_groups(_per_partition,
+                                              batch_format="pandas")
+
+    return FnStep(f"collect[{col}]", _apply)

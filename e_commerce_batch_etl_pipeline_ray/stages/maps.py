@@ -248,3 +248,32 @@ def explode(list_col: str, out: str | None = None,
         return base.append_column(name, flat)
 
     return batch_step(f"explode[{list_col}]", _fn)
+
+
+def json_extract(col: str, key: str, out: str, value_type: str = "int") -> FnStep:
+    """Vectorized scalar extraction from a FLAT JSON string column (the
+    events.props shape): one RE2 ``extract_regex`` kernel per batch — no
+    per-row json.loads. ``value_type``: 'int' | 'float' | 'string'
+    (string matches a quoted value). Returns NULL where the key is
+    absent or the value does not match the type — same as SQL
+    ``json_extract`` + CAST on flat objects. For nested/escaped JSON use
+    an actor-pool stage with a real parser instead."""
+    if value_type == "int":
+        pat = rf'"{key}"\s*:\s*(?P<v>-?\d+)'
+    elif value_type == "float":
+        pat = rf'"{key}"\s*:\s*(?P<v>-?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)'
+    elif value_type == "string":
+        pat = rf'"{key}"\s*:\s*"(?P<v>[^"\\]*)"'
+    else:
+        raise ValueError(f"unknown value_type {value_type!r}")
+    cast_to = {"int": pa.int64(), "float": pa.float64(),
+               "string": pa.string()}[value_type]
+
+    def _fn(t: pa.Table) -> pa.Table:
+        st = pc.extract_regex(t[col], pattern=pat)
+        vals = pc.struct_field(st, "v")
+        if value_type != "string":
+            vals = vals.cast(cast_to)
+        return _set_or_append(t, out, vals)
+
+    return batch_step(f"json_extract[{key}]", _fn)

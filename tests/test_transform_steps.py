@@ -688,3 +688,30 @@ def test_explode_positions_and_null_lists():
     assert list(out.id) == [1, 1, 3]          # null list emits nothing
     assert list(out.pos) == [1, 2, 1]
     assert list(out.x) == ["a", "b", "c"]
+
+
+def test_grouped_collect_deterministic_and_json_extract_types():
+    from e_commerce_batch_etl_pipeline_ray.stages import aggregates, maps as M
+
+    rows = [{"g": "a", "v": 3}, {"g": "a", "v": 1}, {"g": "a", "v": 3},
+            {"g": "b", "v": 2}, {"g": "b", "v": None}]
+    ds = _ds(rows)
+    col = aggregates.grouped_collect(["g"], "v", "vals", distinct=True,
+                                     num_partitions=2).apply(ds).to_pandas() \
+        .set_index("g").sort_index()
+    assert col.loc["a", "vals"] == "1,3"      # distinct + sorted
+    assert col.loc["b", "vals"] == "2"        # nulls dropped
+    dup = aggregates.grouped_collect(["g"], "v", "vals", distinct=False,
+                                     num_partitions=2).apply(ds).to_pandas() \
+        .set_index("g")
+    assert dup.loc["a", "vals"] == "1,3,3"    # list keeps duplicates
+
+    j = _ds([{"p": '{"k": 42, "s": "hi", "f": -1.5}'},
+             {"p": '{"other": 1}'}, {"p": None}])
+    out = M.json_extract("p", "k", out="k").apply(j)
+    out = M.json_extract("p", "f", out="f", value_type="float").apply(out)
+    out = M.json_extract("p", "s", out="s", value_type="string").apply(out)
+    df = out.to_pandas()
+    assert df.k.iloc[0] == 42 and df.f.iloc[0] == -1.5 and df.s.iloc[0] == "hi"
+    import pandas as pd
+    assert pd.isna(df.k.iloc[1]) and pd.isna(df.k.iloc[2])
