@@ -899,8 +899,12 @@ def grouped_collect(by: Sequence[str], col: str, alias: str,
         pid = hash_partition_ids(t, by, num_partitions)
         return t.append_column("_gcid", pa.array(pid, pa.int32()))
 
-    def _per_partition(g: pd.DataFrame) -> pd.DataFrame:
+    def _per_partition(g: pd.DataFrame, int_col: bool) -> pd.DataFrame:
         g = g.drop(columns=["_gcid"]).dropna(subset=[col])
+        if int_col:
+            # nulls promoted the int column to float in pandas — restore
+            # so str() renders '2', not '2.0' (string_agg parity)
+            g[col] = g[col].astype("int64")
         if distinct:
             g = g.drop_duplicates(by + [col])
         g = g.sort_values(by + [col], kind="mergesort")
@@ -910,12 +914,16 @@ def grouped_collect(by: Sequence[str], col: str, alias: str,
         return out
 
     def _apply(ds):
+        import functools
+        int_col = pa.types.is_integer(
+            ds.schema().base_schema.field(col).type)
         if distinct:
             ds = ds.map_batches(_local_distinct, batch_format="pyarrow",
                                 zero_copy_batch=True)
         ds = ds.map_batches(_assign, batch_format="pyarrow",
                             zero_copy_batch=True)
-        return ds.groupby("_gcid").map_groups(_per_partition,
-                                              batch_format="pandas")
+        return ds.groupby("_gcid").map_groups(
+            functools.partial(_per_partition, int_col=int_col),
+            batch_format="pandas")
 
     return FnStep(f"collect[{col}]", _apply)
