@@ -1827,10 +1827,17 @@ def q49_window_functions(sf_dir: str):
             {"kind": "lag", "col": "value", "offset": 1, "out": "prev_value"},
             {"kind": "lead", "col": "value", "offset": 1, "out": "next_value"},
             {"kind": "ntile", "n": 4, "out": "quartile"},
+            {"kind": "percent_rank", "out": "prk", "order": ["event_type"]},
+            {"kind": "cume_dist", "out": "cd", "order": ["event_type"]},
+            {"kind": "first_value", "col": "value", "out": "first_v"},
+            {"kind": "last_value", "col": "value", "out": "last_v"},
+            {"kind": "nth_value", "col": "value", "n": 2, "out": "second_v"},
         ],
         num_partitions=32).apply(ds)
     return out.select_columns(["user_id", "event_id", "rn", "rk", "drk",
-                               "prev_value", "next_value", "quartile"]) \
+                               "prev_value", "next_value", "quartile",
+                               "prk", "cd", "first_v", "last_v",
+                               "second_v"]) \
               .sort(["user_id", "event_id"])
 
 
@@ -1841,9 +1848,16 @@ SELECT user_id, event_id,
        DENSE_RANK() OVER (PARTITION BY user_id ORDER BY event_type) AS drk,
        LAG(value, 1) OVER w AS prev_value,
        LEAD(value, 1) OVER w AS next_value,
-       NTILE(4) OVER w AS quartile
+       NTILE(4) OVER w AS quartile,
+       PERCENT_RANK() OVER (PARTITION BY user_id ORDER BY event_type) AS prk,
+       CUME_DIST() OVER (PARTITION BY user_id ORDER BY event_type) AS cd,
+       FIRST_VALUE(value) OVER w AS first_v,
+       LAST_VALUE(value) OVER wf AS last_v,
+       NTH_VALUE(value, 2) OVER wf AS second_v
 FROM events
-WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+       wf AS (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
 ORDER BY user_id, event_id
 """
 

@@ -193,14 +193,17 @@ def window_functions(key_col: str, order_cols: list[str],
     """
     import numpy as np
 
-    kinds = {"row_number", "rank", "dense_rank", "lag", "lead", "ntile"}
+    kinds = {"row_number", "rank", "dense_rank", "lag", "lead", "ntile",
+             "percent_rank", "cume_dist", "first_value", "last_value",
+             "nth_value"}
     for s in specs:
         if s.get("kind") not in kinds:
             raise ValueError(f"unknown window kind: {s.get('kind')!r}")
-        if s["kind"] in ("lag", "lead") and "col" not in s:
+        if s["kind"] in ("lag", "lead", "first_value", "last_value",
+                         "nth_value") and "col" not in s:
             raise ValueError(f"{s['kind']} spec needs 'col'")
-        if s["kind"] == "ntile" and int(s.get("n", 0)) < 1:
-            raise ValueError("ntile spec needs n >= 1")
+        if s["kind"] in ("ntile", "nth_value") and int(s.get("n", 0)) < 1:
+            raise ValueError(f"{s['kind']} spec needs n >= 1")
         if "out" not in s:
             raise ValueError("every window spec needs 'out'")
 
@@ -237,6 +240,36 @@ def window_functions(key_col: str, order_cols: list[str],
             elif kind in ("lag", "lead"):
                 off = int(s.get("offset", 1))
                 g[out] = hgb[s["col"]].shift(off if kind == "lag" else -off)
+            elif kind in ("percent_rank", "cume_dist"):
+                # rank semantics over the spec's ORDER (ties allowed):
+                # percent_rank = (rank-1)/(cnt-1) (0 for singleton);
+                # cume_dist = rows-with-order<=current / cnt
+                ocols = list(s.get("order") or order_cols)
+                rn = hgb.cumcount() + 1
+                cnt = hgb[key_col].transform("size")
+                if kind == "percent_rank":
+                    firsts = ~h.duplicated([key_col] + ocols)
+                    rank = (rn.where(firsts)
+                            .groupby(h[key_col], sort=False).ffill())
+                    g[out] = ((rank - 1) / (cnt - 1).clip(lower=1)) \
+                        .where(cnt > 1, 0.0)
+                else:
+                    lasts = ~h.duplicated([key_col] + ocols, keep="last")
+                    hi = (rn.where(lasts)
+                          .groupby(h[key_col], sort=False).bfill())
+                    g[out] = hi / cnt
+            elif kind in ("first_value", "last_value"):
+                # over the FULL partition frame (the useful variant; SQL
+                # mirror needs ROWS BETWEEN UNBOUNDED PRECEDING AND
+                # UNBOUNDED FOLLOWING for last_value)
+                how = "first" if kind == "first_value" else "last"
+                g[out] = hgb[s["col"]].transform(how)
+            elif kind == "nth_value":
+                n = int(s["n"])
+                rn = hgb.cumcount() + 1
+                nth = h.loc[rn == n, [key_col, s["col"]]]
+                g[out] = g[key_col].map(
+                    nth.set_index(key_col)[s["col"]])
             else:  # ntile
                 n = int(s["n"])
                 rn = (hgb.cumcount() + 1).to_numpy()

@@ -409,7 +409,7 @@ def test_window_functions_rank_ntile_lag_edges():
         {"u": 1, "seq": 5, "g": "d", "v": 50.0},
         # user 2: 2 rows (cnt < n for ntile(4))
         {"u": 2, "seq": 1, "g": "x", "v": 1.0},
-        {"u": 2, "seq": 2, "g": "x", "v": 2.0},
+        {"u": 2, "seq": 2, "g": "y", "v": 2.0},
     ]
     ds = ray.data.from_arrow(pa.Table.from_pylist(rows)).repartition(3)
     out = streaming.window_functions(
@@ -421,6 +421,11 @@ def test_window_functions_rank_ntile_lag_edges():
             {"kind": "lag", "col": "v", "offset": 1, "out": "prev"},
             {"kind": "lead", "col": "v", "offset": 1, "out": "nxt"},
             {"kind": "ntile", "n": 4, "out": "q4"},
+            {"kind": "percent_rank", "out": "prk", "order": ["g"]},
+            {"kind": "cume_dist", "out": "cd", "order": ["g"]},
+            {"kind": "first_value", "col": "v", "out": "fv"},
+            {"kind": "last_value", "col": "v", "out": "lv"},
+            {"kind": "nth_value", "col": "v", "n": 3, "out": "nv3"},
         ],
         num_partitions=4).apply(ds)
     df = out.to_pandas().sort_values(["u", "seq"]).reset_index(drop=True)
@@ -433,10 +438,25 @@ def test_window_functions_rank_ntile_lag_edges():
     assert pd.isna(u1.nxt.iloc[-1]) and list(u1.nxt.iloc[:-1]) == [20.0, 30.0, 40.0, 50.0]
     # NTILE(4) over 5 rows: first bucket gets 2 rows, rest 1 each
     assert list(u1.q4) == [1, 1, 2, 3, 4]
+    # PERCENT_RANK = (rank-1)/(cnt-1): ties share, gap after (SQL semantics)
+    assert list(u1.prk) == [0.0, 0.25, 0.25, 0.75, 1.0]
+    # CUME_DIST = rows with order key <= current / cnt (ties share the high)
+    assert list(u1.cd) == [0.2, 0.6, 0.6, 0.8, 1.0]
+    # FIRST/LAST over the full-partition frame, NTH_VALUE(3) by row order
+    assert list(u1.fv) == [10.0] * 5
+    assert list(u1.lv) == [50.0] * 5
+    assert list(u1.nv3) == [30.0] * 5
     u2 = df[df.u == 2]
     # cnt=2 < n=4: one row per bucket
     assert list(u2.q4) == [1, 2]
     assert list(u2.rn) == [1, 2]
+    # singleton-safe percent_rank (cnt-1 == 0 -> 0.0 by SQL definition is
+    # for cnt==1; here cnt==2 with no ties)
+    assert list(u2.prk) == [0.0, 1.0]
+    assert list(u2.cd) == [0.5, 1.0]
+    # nth_value(3) with only 2 rows in the partition -> NULL
+    import numpy as np
+    assert np.isnan(u2.nv3).all()
 
 
 def test_grouping_sets_rollup_cube_match_per_set_aggregates():
