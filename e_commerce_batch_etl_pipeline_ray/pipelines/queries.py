@@ -2125,7 +2125,11 @@ def q58_tfidf_top_terms(sf_dir: str):
 
     def _round(t: pa.Table) -> pa.Table:
         i = t.column_names.index("score")
-        return t.set_column(i, "score", F.round2(t["score"], ndigits=6))
+        t = t.set_column(i, "score", F.round2(t["score"], ndigits=6))
+        # upstream blocks are pandas (map_groups); the pandas->arrow
+        # conversion re-attaches unhashable pandas metadata — strip before
+        # the sort unifies block schemas
+        return t.replace_schema_metadata(None)
 
     return out.map_batches(_round, batch_format="pyarrow",
                            zero_copy_batch=True).sort(["doc_id", "rk"])

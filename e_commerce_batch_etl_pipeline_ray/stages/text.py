@@ -351,22 +351,25 @@ def tfidf_top_terms(ds, text_col: str = "text", id_col: str = "doc_id",
 
     n_docs = ds.count()
 
-    def _term_counts(t: pa.Table) -> pd.DataFrame:
+    tf_schema = pa.schema([(id_col, pa.int64()), ("term", pa.string()),
+                           ("tf", pa.int64())])
+
+    def _term_counts(t: pa.Table) -> pa.Table:
         df = t.select([id_col, text_col]).to_pandas()
         toks = df[text_col].str.lower().str.findall(r"[a-z0-9]+")
         ex = df[[id_col]].assign(term=toks).explode("term")
         ex = ex.dropna(subset=["term"])
         if ex.empty:
-            return pd.DataFrame({id_col: pd.Series([], dtype="int64"),
-                                 "term": pd.Series([], dtype=str),
-                                 "tf": pd.Series([], dtype="int64")})
+            return tf_schema.empty_table()
         out = (ex.groupby([id_col, "term"], sort=False).size()
                .rename("tf").reset_index())
         out["tf"] = out["tf"].astype("int64")
-        return out
-
-    tf_schema = pa.schema([(id_col, pa.int64()), ("term", pa.string()),
-                           ("tf", pa.int64())])
+        # emit Arrow with an explicit metadata-free schema: a pandas return
+        # would re-attach pandas block metadata (unhashable dict) and break
+        # Ray's schema dedup in the downstream term shuffle
+        return pa.Table.from_pandas(
+            out, schema=tf_schema,
+            preserve_index=False).replace_schema_metadata(None)
     tf = ds.map_batches(_term_counts, batch_format="pyarrow",
                         batch_size=1024)
     tf = detach(tf, tf_schema)
