@@ -2382,3 +2382,224 @@ QUERIES.update({"q65_grouped_collect": q65_grouped_collect,
                 "q66_json_extract": q66_json_extract})
 ORACLE.update({"q65_grouped_collect": Q65_SQL,
                "q66_json_extract": Q66_SQL})
+
+
+# ---------------------------------------------------------------------------
+# q67 — frame (rolling) window aggregates: moving sum/avg over ROWS BETWEEN
+# 3 PRECEDING AND CURRENT ROW and running min/max/count over UNBOUNDED
+# PRECEDING — the Spark Window.rowsBetween surface. Same one-shuffle
+# partition-level kernel as q49 (grouped pandas rolling/expanding).
+
+def q67_frame_aggregates(sf_dir: str):
+    from e_commerce_batch_etl_pipeline_ray.stages import streaming
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+    out = streaming.window_functions(
+        "user_id", ["ts", "event_id"],
+        [
+            {"kind": "sum", "col": "value", "rows_preceding": 3,
+             "out": "mov_sum"},
+            {"kind": "avg", "col": "value", "rows_preceding": 3,
+             "out": "mov_avg"},
+            {"kind": "min", "col": "value", "out": "run_min"},
+            {"kind": "max", "col": "value", "out": "run_max"},
+            {"kind": "count", "col": "value", "out": "run_cnt"},
+        ],
+        num_partitions=32).apply(ds)
+
+    def _round(t: pa.Table) -> pa.Table:
+        for c in ("mov_sum", "mov_avg"):
+            i = t.column_names.index(c)
+            t = t.set_column(i, c, F.round2(t[c], 4))
+        return t.replace_schema_metadata(None)
+
+    return out.map_batches(_round, batch_format="pyarrow") \
+              .select_columns(["user_id", "event_id", "mov_sum", "mov_avg",
+                               "run_min", "run_max", "run_cnt"]) \
+              .sort(["user_id", "event_id"])
+
+
+Q67_SQL = """
+SELECT user_id, event_id,
+       ROUND(SUM(value) OVER w4, 4) AS mov_sum,
+       ROUND(AVG(value) OVER w4, 4) AS mov_avg,
+       MIN(value) OVER wu AS run_min,
+       MAX(value) OVER wu AS run_max,
+       COUNT(value) OVER wu AS run_cnt
+FROM events
+WINDOW w4 AS (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN 3 PRECEDING AND CURRENT ROW),
+       wu AS (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+ORDER BY user_id, event_id
+"""
+
+
+QUERIES.update({"q67_frame_aggregates": q67_frame_aggregates})
+ORACLE.update({"q67_frame_aggregates": Q67_SQL})
+
+
+# ---------------------------------------------------------------------------
+# q68 — grouped CONTINUOUS quantiles (median / percentile_cont): linear
+# interpolation at q*(n-1), DuckDB quantile_cont parity. Same one-shuffle
+# partition-level kernel as q56 (disc).
+
+def q68_grouped_median(sf_dir: str):
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+    out = aggregates.grouped_quantiles(
+        ["o_orderpriority"], "o_totalprice", [0.25, 0.5, 0.9],
+        aliases=["p25", "p50", "p90"], interpolation="linear",
+        num_partitions=8).apply(ds)
+
+    def _round(t: pa.Table) -> pa.Table:
+        for c in ("p25", "p50", "p90"):
+            i = t.column_names.index(c)
+            t = t.set_column(i, c, F.round2(t[c], 4))
+        return t.replace_schema_metadata(None)
+
+    return out.map_batches(_round, batch_format="pyarrow") \
+              .sort("o_orderpriority")
+
+
+Q68_SQL = """
+SELECT o_orderpriority,
+       ROUND(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+       ROUND(MEDIAN(o_totalprice), 4) AS p50,
+       ROUND(quantile_cont(o_totalprice, 0.90), 4) AS p90
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+QUERIES.update({"q68_grouped_median": q68_grouped_median})
+ORACLE.update({"q68_grouped_median": Q68_SQL})
+
+
+# ---------------------------------------------------------------------------
+# q69 — grouped arg-max (SQL max_by / arg_max, Spark max_by): per market
+# segment, the customer row with the highest account balance. LWW-dedup
+# combiner shape: the shuffle carries one candidate row per group per
+# block, deterministic tiebreak on c_custkey.
+
+def q69_arg_max(sf_dir: str):
+    ds = _read(sf_dir, "customer", ["c_mktsegment", "c_custkey", "c_name",
+                                    "c_acctbal"])
+    out = aggregates.grouped_arg_extremum(
+        ["c_mktsegment"], "c_acctbal", ["c_custkey", "c_name", "c_acctbal"],
+        kind="max", tiebreak=["c_custkey"], num_partitions=8).apply(ds)
+    return out.sort("c_mktsegment")
+
+
+Q69_SQL = """
+SELECT c_mktsegment, c_custkey, c_name, c_acctbal FROM (
+  SELECT c_mktsegment, c_custkey, c_name, c_acctbal,
+         ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                            ORDER BY c_acctbal DESC, c_custkey DESC) AS rn
+  FROM customer
+) WHERE rn = 1 ORDER BY c_mktsegment
+"""
+
+
+QUERIES.update({"q69_arg_max": q69_arg_max})
+ORACLE.update({"q69_arg_max": Q69_SQL})
+
+
+# ---------------------------------------------------------------------------
+# q70/q71 — OUTER joins (LEFT / FULL) on the shuffle hash-join path:
+# null-extended non-matching rows, same single all-to-all as q6's inner
+# join. Left side: nations; right side: per-nation customer counts over a
+# filtered subset, so some nations have no match (exercises the null fill).
+
+def _q70_sides(sf_dir: str):
+    from e_commerce_batch_etl_pipeline_ray.stages.blockutil import detach
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_name"])
+    # nation's key is int32 on disk; Arrow's hash join refuses mixed-width
+    # keys — widen to match customer's int64
+    nat = maps.with_columns(
+        {"n_nationkey": lambda t: pc.cast(t["n_nationkey"], pa.int64())}
+    ).apply(nat)
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey",
+                                      "c_acctbal"])
+    rich = maps.filter_expr(
+        lambda t: pc.greater(t["c_acctbal"], pa.scalar(9000.0)),
+        name="rich").apply(cust)
+    per_nation = aggregates.grouped_aggregate(
+        ["c_nationkey"], [("count", None, "n_rich")],
+        final="shuffle").apply(rich)
+    # Ray 2.49 Dataset.join chokes on the empty/zero-column blocks a
+    # groupby-aggregate can emit — drop them via block metadata first
+    per_nation = detach(per_nation, pa.schema([
+        ("c_nationkey", pa.int64()), ("n_rich", pa.int64())]))
+    return nat, per_nation
+
+
+def q70_left_outer_join(sf_dir: str):
+    nat, per_nation = _q70_sides(sf_dir)
+    out = joins.hash_join(per_nation, on="n_nationkey",
+                          right_on="c_nationkey", join_type="left_outer",
+                          num_partitions=8).apply(nat)
+    out = maps.with_columns(
+        {"n_rich": lambda t: pc.fill_null(
+            pc.cast(t["n_rich"], pa.int64()), pa.scalar(0, pa.int64()))}
+    ).apply(out)
+    return out.select_columns(["n_nationkey", "n_name", "n_rich"]) \
+              .sort("n_nationkey")
+
+
+Q70_SQL = """
+SELECT n.n_nationkey, n.n_name, COALESCE(r.n_rich, 0) AS n_rich
+FROM nation n LEFT JOIN (
+  SELECT c_nationkey, COUNT(*) AS n_rich FROM customer
+  WHERE c_acctbal > 9000 GROUP BY c_nationkey
+) r ON n.n_nationkey = r.c_nationkey
+ORDER BY n.n_nationkey
+"""
+
+
+def q71_full_outer_join(sf_dir: str):
+    # full outer: orders years vs a fixed year dimension that extends past
+    # the data range — unmatched rows surface from BOTH sides
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+    ds = maps.with_columns(
+        {"o_year": lambda t: pc.cast(pc.year(t["o_orderdate"]), pa.int64())}
+    ).apply(ds)
+    per_year = aggregates.grouped_aggregate(
+        ["o_year"], [("count", None, "n_orders")],
+        final="shuffle").apply(ds)
+    from e_commerce_batch_etl_pipeline_ray.stages.blockutil import detach
+    per_year = detach(per_year, pa.schema([
+        ("o_year", pa.int64()), ("n_orders", pa.int64())]))
+    years = ray.data.from_arrow(pa.table({
+        "dim_year": pa.array(list(range(1990, 2001)), pa.int64()),
+        "is_dim": pa.array([True] * 11, pa.bool_()),
+    }))
+    out = joins.hash_join(years, on="o_year", right_on="dim_year",
+                          join_type="full_outer",
+                          num_partitions=4).apply(per_year)
+
+    def _fill(t: pa.Table) -> pa.Table:
+        # Ray's outer join coalesces the key pair into the LEFT key name
+        n = pc.fill_null(pc.cast(t["n_orders"], pa.int64()),
+                         pa.scalar(0, pa.int64()))
+        return pa.table({"year": t["o_year"], "n_orders": n,
+                         "in_dim": pc.is_valid(t["is_dim"])})
+
+    return out.map_batches(_fill, batch_format="pyarrow").sort("year")
+
+
+Q71_SQL = """
+SELECT COALESCE(o.o_year, d.dim_year) AS year,
+       COALESCE(o.n_orders, 0) AS n_orders,
+       d.dim_year IS NOT NULL AS in_dim
+FROM (
+  SELECT YEAR(o_orderdate) AS o_year, COUNT(*) AS n_orders
+  FROM orders GROUP BY 1
+) o FULL OUTER JOIN (
+  SELECT UNNEST(RANGE(1990, 2001)) AS dim_year
+) d ON o.o_year = d.dim_year
+ORDER BY year
+"""
+
+
+QUERIES.update({"q70_left_outer_join": q70_left_outer_join,
+                "q71_full_outer_join": q71_full_outer_join})
+ORACLE.update({"q70_left_outer_join": Q70_SQL,
+               "q71_full_outer_join": Q71_SQL})

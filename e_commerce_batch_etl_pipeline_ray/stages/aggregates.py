@@ -793,11 +793,18 @@ def pivot(by: Sequence[str], pivot_col: str, values: Sequence[str] | None,
 
 def grouped_quantiles(by: Sequence[str], col: str, qs: Sequence[float],
                       aliases: Sequence[str] | None = None,
+                      interpolation: str = "disc",
                       num_partitions: int = 32) -> FnStep:
-    """Exact per-group discrete quantiles (DuckDB ``quantile_disc`` /
-    Spark ``percentile`` rank semantics: the element at 0-based rank
+    """Exact per-group quantiles.
+
+    ``interpolation="disc"`` (default): DuckDB ``quantile_disc`` /
+    Spark ``percentile`` rank semantics — the element at 0-based rank
     ``max(0, ceil(q*n) - 1)`` of the group's sorted non-null values; a
-    group whose values are all null yields NULL).
+    group whose values are all null yields NULL.
+
+    ``interpolation="linear"``: DuckDB ``quantile_cont`` / ``median`` /
+    Spark ``percentile_approx``-exact semantics — linear interpolation at
+    position ``q*(n-1)`` between the two nearest sorted values.
 
     Scale shape: hash-partition on the group key (each group lands whole
     on one partition), then ONE vectorized numpy pass per partition —
@@ -819,6 +826,9 @@ def grouped_quantiles(by: Sequence[str], col: str, qs: Sequence[float],
         f"q{str(q).replace('.', '_')}" for q in qs]
     if len(aliases) != len(qs):
         raise ValueError("aliases must match qs")
+    if interpolation not in ("disc", "linear"):
+        raise ValueError(
+            f"interpolation must be 'disc' or 'linear', got {interpolation!r}")
 
     def _per_partition(g: pd.DataFrame) -> pd.DataFrame:
         keys_all = g[by].drop_duplicates().reset_index(drop=True)
@@ -835,9 +845,19 @@ def grouped_quantiles(by: Sequence[str], col: str, qs: Sequence[float],
         vals = g[col].to_numpy()
         out = grp.head(1)[by].reset_index(drop=True)
         for q, a in zip(qs, aliases):
-            idx = off + np.minimum(cnt - 1,
-                                   np.maximum(0, np.ceil(q * cnt).astype(np.int64) - 1))
-            out[a] = vals[idx]
+            if interpolation == "disc":
+                idx = off + np.minimum(
+                    cnt - 1,
+                    np.maximum(0, np.ceil(q * cnt).astype(np.int64) - 1))
+                out[a] = vals[idx]
+            else:
+                pos = q * (cnt - 1).astype(np.float64)
+                lo = np.floor(pos).astype(np.int64)
+                frac = pos - lo
+                hi = np.minimum(lo + 1, cnt - 1)
+                v = vals.astype(np.float64)
+                out[a] = (v[off + lo] * (1.0 - frac)
+                          + v[off + hi] * frac)
         # groups whose values were ALL null dropped out above — restore
         # them with NULL quantiles (SQL GROUP BY emits the group)
         return keys_all.merge(out, on=by, how="left")
@@ -927,3 +947,41 @@ def grouped_collect(by: Sequence[str], col: str, alias: str,
             batch_format="pandas")
 
     return FnStep(f"collect[{col}]", _apply)
+
+
+def grouped_arg_extremum(by: Sequence[str], order_col: str,
+                         keep: Sequence[str], kind: str = "max",
+                         tiebreak: Sequence[str] | None = None,
+                         num_partitions: int = 32) -> FnStep:
+    """SQL ``max_by``/``min_by`` (``arg_max``/``arg_min``) generalized to
+    whole rows: per group, the ``keep`` columns of the row with the
+    extreme ``order_col``.
+
+    Determinism: ties on ``order_col`` are broken by ``tiebreak`` (same
+    sort direction as ``order_col``; include a unique column to make the
+    winner total). The SQL mirror is the ROW_NUMBER()=1 idiom:
+    ``ROW_NUMBER() OVER (PARTITION BY by ORDER BY order_col DESC,
+    tiebreak DESC) = 1`` for kind="max".
+
+    Scale shape: identical to keyed LWW dedup — a per-block combiner keeps
+    ONE candidate row per group per block, so the group-key shuffle carries
+    at most (#blocks x groups-per-block) rows, never the input; a second
+    per-partition reduce picks the global winner. Skew-immune: a hot group
+    contributes one row per block.
+    """
+    from e_commerce_batch_etl_pipeline_ray.stages.dedup import dedup_keyed
+
+    by = list(by)
+    keep = list(keep)
+    if kind not in ("max", "min"):
+        raise ValueError(f"kind must be 'max' or 'min', got {kind!r}")
+    order_by = [order_col] + list(tiebreak or [])
+
+    inner = dedup_keyed(by, order_by, descending=(kind == "max"),
+                        num_partitions=num_partitions)
+
+    def _apply(ds):
+        out = inner.apply(ds)
+        return out.select_columns(by + [c for c in keep if c not in by])
+
+    return FnStep(f"arg_{kind}[{order_col}]", _apply)

@@ -181,6 +181,12 @@ def window_functions(key_col: str, order_cols: list[str],
       {"kind": "lag" | "lead", "col": "value", "offset": 1, "out": "prev"}
       {"kind": "ntile", "n": 4, "out": "quartile"}   # SQL NTILE: first
            (cnt % n) buckets get the extra row
+      {"kind": "sum"|"avg"|"min"|"max"|"count", "col": "value",
+       "rows_preceding": 3, "out": "mov"}   # frame aggregate over
+           ROWS BETWEEN rows_preceding PRECEDING AND CURRENT ROW;
+           rows_preceding=None (default) = UNBOUNDED PRECEDING (running
+           aggregate). Forward frames are not supported — mirror is the
+           SQL trailing frame exactly (truncated at the partition head).
 
     Scale shape: ONE hash-partition shuffle on ``key_col``, then one
     vectorized pandas pass per partition covering all of its keys (grouped
@@ -195,13 +201,19 @@ def window_functions(key_col: str, order_cols: list[str],
 
     kinds = {"row_number", "rank", "dense_rank", "lag", "lead", "ntile",
              "percent_rank", "cume_dist", "first_value", "last_value",
-             "nth_value"}
+             "nth_value", "sum", "avg", "min", "max", "count"}
+    frame_kinds = {"sum", "avg", "min", "max", "count"}
     for s in specs:
         if s.get("kind") not in kinds:
             raise ValueError(f"unknown window kind: {s.get('kind')!r}")
         if s["kind"] in ("lag", "lead", "first_value", "last_value",
-                         "nth_value") and "col" not in s:
-            raise ValueError(f"{s['kind']} spec needs 'col'")
+                         "nth_value") or s["kind"] in frame_kinds:
+            if "col" not in s:
+                raise ValueError(f"{s['kind']} spec needs 'col'")
+        if s["kind"] in frame_kinds:
+            p = s.get("rows_preceding")
+            if p is not None and int(p) < 0:
+                raise ValueError("rows_preceding must be >= 0 or None")
         if s["kind"] in ("ntile", "nth_value") and int(s.get("n", 0)) < 1:
             raise ValueError(f"{s['kind']} spec needs n >= 1")
         if "out" not in s:
@@ -264,6 +276,19 @@ def window_functions(key_col: str, order_cols: list[str],
                 # UNBOUNDED FOLLOWING for last_value)
                 how = "first" if kind == "first_value" else "last"
                 g[out] = hgb[s["col"]].transform(how)
+            elif kind in frame_kinds:
+                # trailing ROWS frame: rows_preceding PRECEDING .. CURRENT
+                # ROW (None = UNBOUNDED PRECEDING). min_periods=1 matches
+                # SQL's truncated frame at the partition head.
+                p = s.get("rows_preceding")
+                grouped = hgb[s["col"]]
+                r = (grouped.expanding(min_periods=1) if p is None
+                     else grouped.rolling(window=int(p) + 1, min_periods=1))
+                fn = "mean" if kind == "avg" else kind
+                vals = getattr(r, fn)().droplevel(0)
+                if kind == "count":
+                    vals = vals.fillna(0).astype("int64")
+                g[out] = vals
             elif kind == "nth_value":
                 n = int(s["n"])
                 rn = hgb.cumcount() + 1

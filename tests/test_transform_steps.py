@@ -735,3 +735,97 @@ def test_grouped_collect_deterministic_and_json_extract_types():
     assert df.k.iloc[0] == 42 and df.f.iloc[0] == -1.5 and df.s.iloc[0] == "hi"
     import pandas as pd
     assert pd.isna(df.k.iloc[1]) and pd.isna(df.k.iloc[2])
+
+
+def test_frame_aggregates_nulls_and_truncation():
+    """Trailing ROWS frame aggregates: SQL semantics at the partition head
+    (truncated frame, not NULL), NULL values skipped inside the frame, an
+    all-null frame yields NULL sum/avg and count 0."""
+    import numpy as np
+    import pandas as pd
+    from e_commerce_batch_etl_pipeline_ray.stages import streaming
+
+    rows = [
+        {"u": 1, "seq": 1, "v": None},
+        {"u": 1, "seq": 2, "v": None},
+        {"u": 1, "seq": 3, "v": 10.0},
+        {"u": 1, "seq": 4, "v": 20.0},
+        {"u": 1, "seq": 5, "v": None},
+        {"u": 2, "seq": 1, "v": 5.0},
+    ]
+    ds = _ds(rows).repartition(2)
+    out = streaming.window_functions(
+        "u", ["seq"],
+        [
+            {"kind": "sum", "col": "v", "rows_preceding": 1, "out": "s2"},
+            {"kind": "avg", "col": "v", "rows_preceding": 1, "out": "a2"},
+            {"kind": "count", "col": "v", "rows_preceding": 1, "out": "c2"},
+            {"kind": "min", "col": "v", "out": "rmin"},
+            {"kind": "max", "col": "v", "out": "rmax"},
+        ],
+        num_partitions=2).apply(ds)
+    df = out.to_pandas().sort_values(["u", "seq"]).reset_index(drop=True)
+    u1 = df[df.u == 1]
+    # frame [i-1, i]: all-null -> NULL; nulls skipped otherwise
+    assert pd.isna(u1.s2.iloc[0]) and pd.isna(u1.s2.iloc[1])
+    assert list(u1.s2.iloc[2:]) == [10.0, 30.0, 20.0]
+    assert pd.isna(u1.a2.iloc[1]) and list(u1.a2.iloc[2:]) == [10.0, 15.0, 20.0]
+    assert list(u1.c2) == [0, 0, 1, 2, 1]
+    # running min/max over UNBOUNDED PRECEDING skip nulls; head is NULL
+    assert pd.isna(u1.rmin.iloc[0]) and list(u1.rmin.iloc[2:]) == [10.0, 10.0, 10.0]
+    assert list(u1.rmax.iloc[2:]) == [10.0, 20.0, 20.0]
+    u2 = df[df.u == 2]
+    assert list(u2.s2) == [5.0] and list(u2.c2) == [1]
+
+
+def test_grouped_quantiles_linear_matches_numpy():
+    """interpolation='linear' == numpy percentile(linear) == DuckDB
+    quantile_cont, including singleton groups and all-null groups."""
+    import numpy as np
+    from e_commerce_batch_etl_pipeline_ray.stages import aggregates
+
+    rng = np.random.default_rng(3)
+    gs, vs = [], []
+    expect = {}
+    for g, n in (("a", 7), ("b", 1), ("c", 20)):
+        x = np.round(rng.uniform(0, 100, n), 2)
+        gs += [g] * n
+        vs += list(x)
+        expect[g] = (np.percentile(x, 25), np.percentile(x, 50))
+    gs.append("d"); vs.append(None)      # all-null group -> NULL quantiles
+    ds = ray.data.from_arrow(pa.table({"g": pa.array(gs),
+                                       "v": pa.array(vs, pa.float64())}))
+    out = aggregates.grouped_quantiles(
+        ["g"], "v", [0.25, 0.5], aliases=["p25", "p50"],
+        interpolation="linear", num_partitions=3).apply(ds)
+    df = out.to_pandas().set_index("g").sort_index()
+    for g in ("a", "b", "c"):
+        assert abs(df.loc[g, "p25"] - expect[g][0]) < 1e-9
+        assert abs(df.loc[g, "p50"] - expect[g][1]) < 1e-9
+    import pandas as pd
+    assert pd.isna(df.loc["d", "p25"])
+
+
+def test_grouped_arg_extremum_deterministic():
+    """max_by/min_by: whole-row winner per group with deterministic
+    tiebreak; winner identical across partition counts."""
+    from e_commerce_batch_etl_pipeline_ray.stages import aggregates
+
+    rows = [
+        {"g": "x", "id": 1, "score": 5.0, "tag": "a"},
+        {"g": "x", "id": 2, "score": 9.0, "tag": "b"},
+        {"g": "x", "id": 3, "score": 9.0, "tag": "c"},   # tie on score
+        {"g": "y", "id": 4, "score": 1.0, "tag": "d"},
+    ]
+    for nparts in (1, 4):
+        ds = _ds(rows).repartition(nparts)
+        mx = aggregates.grouped_arg_extremum(
+            ["g"], "score", ["id", "tag", "score"], kind="max",
+            tiebreak=["id"], num_partitions=2).apply(ds).take_all()
+        got = {r["g"]: (r["id"], r["tag"]) for r in mx}
+        # tie broken by id DESC (same direction as the max sort)
+        assert got == {"x": (3, "c"), "y": (4, "d")}
+        mn = aggregates.grouped_arg_extremum(
+            ["g"], "score", ["id"], kind="min",
+            tiebreak=["id"], num_partitions=2).apply(ds).take_all()
+        assert {r["g"]: r["id"] for r in mn} == {"x": 1, "y": 4}
