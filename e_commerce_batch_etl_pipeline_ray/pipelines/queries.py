@@ -2603,3 +2603,52 @@ QUERIES.update({"q70_left_outer_join": q70_left_outer_join,
                 "q71_full_outer_join": q71_full_outer_join})
 ORACLE.update({"q70_left_outer_join": Q70_SQL,
                "q71_full_outer_join": Q71_SQL})
+
+
+# ---------------------------------------------------------------------------
+# q72 — heavy hitters (approximate top-k frequent values, mergeable
+# Misra-Gries combiner). At this capacity no batch exceeds the counter
+# budget, so the sketch degrades to EXACT counts — which is what the SQL
+# oracle pins; the error-bound regime is covered by the unit test.
+
+def q72_heavy_hitters(sf_dir: str):
+    ds = _read(sf_dir, "events", ["user_id"])
+    ds = maps.drop_null_rows(["user_id"]).apply(ds)
+    return aggregates.heavy_hitters("user_id", k=10,
+                                    capacity=200_000).apply(ds)
+
+
+Q72_SQL = """
+SELECT user_id, COUNT(*) AS est_count
+FROM events WHERE user_id IS NOT NULL
+GROUP BY user_id ORDER BY est_count DESC, user_id LIMIT 10
+"""
+
+
+# q73 — fixed-width histogram (per-batch bincount combiner; the shuffle
+# carries nbins rows per block), empty bins included.
+
+def q73_histogram(sf_dir: str):
+    ds = _read(sf_dir, "orders", ["o_totalprice"])
+    return aggregates.histogram("o_totalprice", 0.0, 600_000.0,
+                                nbins=12).apply(ds)
+
+
+Q73_SQL = """
+WITH b AS (
+  SELECT CAST(FLOOR(o_totalprice / 50000.0) AS BIGINT) AS bin
+  FROM orders WHERE o_totalprice >= 0 AND o_totalprice < 600000
+), bins AS (SELECT UNNEST(RANGE(0, 12)) AS bin)
+SELECT bins.bin,
+       bins.bin * 50000.0 AS bin_lo,
+       50000.0 + bins.bin * 50000.0 AS bin_hi,
+       COUNT(b.bin) AS n
+FROM bins LEFT JOIN b USING (bin)
+GROUP BY bins.bin ORDER BY bins.bin
+"""
+
+
+QUERIES.update({"q72_heavy_hitters": q72_heavy_hitters,
+                "q73_histogram": q73_histogram})
+ORACLE.update({"q72_heavy_hitters": Q72_SQL,
+               "q73_histogram": Q73_SQL})

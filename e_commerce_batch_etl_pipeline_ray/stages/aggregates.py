@@ -985,3 +985,96 @@ def grouped_arg_extremum(by: Sequence[str], order_col: str,
         return out.select_columns(by + [c for c in keep if c not in by])
 
     return FnStep(f"arg_{kind}[{order_col}]", _apply)
+
+
+def heavy_hitters(col: str, k: int, capacity: int = 4096,
+                  num_partitions: int = 16) -> FnStep:
+    """Approximate top-k most frequent values (heavy hitters) via
+    mergeable Misra-Gries summaries — the streaming-sketch alternative to
+    a full groupby-count when the value cardinality is unbounded.
+
+    Scale shape: each batch produces an EXACT value-count table, then
+    compresses it to ``capacity`` counters Misra-Gries style (keep the
+    top ``capacity`` counts, subtract the (capacity+1)-th — every kept
+    count becomes a lower bound, undercounted by at most the subtracted
+    threshold). The shuffle then carries at most (#batches x capacity)
+    partial rows — never one row per input value; a grouped sum merges
+    partials (MG summaries are mergeable under addition) and a tiny
+    top-k finishes. Estimate error is bounded by n/(capacity+1) overall;
+    with ``capacity`` >= the per-batch distinct count no compression
+    happens anywhere and the result is EXACT (how the SQL oracle pins it
+    at test scale).
+
+    Output: (col, est_count) rows, the k most frequent, ordered by
+    (est_count DESC, col ASC) — deterministic under ties.
+    """
+    from e_commerce_batch_etl_pipeline_ray.stages import sorts
+
+    if k < 1 or capacity < k:
+        raise ValueError("need k >= 1 and capacity >= k")
+
+    def _partial(t: pa.Table) -> pa.Table:
+        cnt = (t.select([col]).group_by([col])
+               .aggregate([(col, "count")])
+               .rename_columns([col, "est_count"]))
+        if cnt.num_rows <= capacity:
+            return cnt
+        idx = pc.sort_indices(cnt, sort_keys=[("est_count", "descending"),
+                                              (col, "ascending")])
+        cnt = cnt.take(idx)
+        thresh = cnt["est_count"][capacity].as_py()
+        kept = cnt.slice(0, capacity)
+        dec = pc.subtract(kept["est_count"], pa.scalar(thresh))
+        kept = kept.set_column(1, "est_count", dec)
+        return kept.filter(pc.greater(kept["est_count"], 0))
+
+    def _apply(ds):
+        from ray.data.aggregate import Sum as _Sum
+        partials = ds.map_batches(_partial, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+        merged = partials.groupby(col).aggregate(
+            _Sum("est_count", alias_name="est_count"))
+        return sorts.top_k([("est_count", "descending"),
+                            (col, "ascending")], k).apply(merged)
+
+    return FnStep(f"heavy_hitters[{col}]", _apply)
+
+
+def histogram(col: str, lo: float, hi: float, nbins: int) -> FnStep:
+    """Fixed-width histogram over ``[lo, hi)``: per-batch vectorized
+    bincount (the combiner — the shuffle carries nbins rows per block,
+    never the data), grouped sum, ALL bins emitted including empty ones.
+    Values outside [lo, hi) and nulls are dropped (mirror with a SQL
+    WHERE). Output: (bin, bin_lo, bin_hi, n) sorted by bin."""
+    import numpy as np
+
+    if not (hi > lo) or nbins < 1:
+        raise ValueError("need hi > lo and nbins >= 1")
+    width = (hi - lo) / nbins
+
+    def _partial(t: pa.Table) -> pa.Table:
+        v = t[col].cast(pa.float64()).to_numpy(zero_copy_only=False)
+        v = v[~np.isnan(v)]
+        v = v[(v >= lo) & (v < hi)]
+        ids = np.minimum((v - lo) / width, nbins - 1).astype(np.int64)
+        counts = np.bincount(ids, minlength=nbins)
+        return pa.table({"bin": pa.array(np.arange(nbins), pa.int64()),
+                         "n": pa.array(counts, pa.int64())})
+
+    def _finish(t: pa.Table) -> pa.Table:
+        b = t["bin"].cast(pa.float64())
+        t = t.append_column("bin_lo", pc.add(pa.scalar(lo),
+                                             pc.multiply(b, pa.scalar(width))))
+        t = t.append_column("bin_hi", pc.add(pa.scalar(lo + width),
+                                             pc.multiply(b, pa.scalar(width))))
+        return t.select(["bin", "bin_lo", "bin_hi", "n"])
+
+    def _apply(ds):
+        from ray.data.aggregate import Sum as _Sum
+        partials = ds.map_batches(_partial, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+        merged = partials.groupby("bin").aggregate(_Sum("n", alias_name="n"))
+        return merged.map_batches(_finish, batch_format="pyarrow",
+                                  zero_copy_batch=True).sort("bin")
+
+    return FnStep(f"histogram[{col}]", _apply)

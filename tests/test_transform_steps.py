@@ -829,3 +829,50 @@ def test_grouped_arg_extremum_deterministic():
             ["g"], "score", ["id"], kind="min",
             tiebreak=["id"], num_partitions=2).apply(ds).take_all()
         assert {r["g"]: r["id"] for r in mn} == {"x": 1, "y": 4}
+
+
+def test_heavy_hitters_exact_and_compressed_regimes():
+    """capacity >= per-batch distinct -> exact counts; small capacity ->
+    true heavy hitters still surface with undercount bounded by
+    n/(capacity+1) (Misra-Gries guarantee)."""
+    import numpy as np
+    from e_commerce_batch_etl_pipeline_ray.stages import aggregates
+
+    rng = np.random.default_rng(5)
+    # zipf-ish: a few hot values over a long uniform tail
+    hot = np.repeat(np.array([1, 2, 3]), [4000, 2500, 1500])
+    tail = rng.integers(100, 3000, 12_000)
+    v = np.concatenate([hot, tail])
+    rng.shuffle(v)
+    ds = ray.data.from_arrow(pa.table({"v": pa.array(v, pa.int64())})) \
+        .repartition(8)
+
+    # exact regime
+    got = aggregates.heavy_hitters("v", k=3, capacity=10_000).apply(ds) \
+        .take_all()
+    assert [r["v"] for r in got] == [1, 2, 3]
+    assert got[0]["est_count"] == 4000 + int((tail == 1).sum())
+    # compressed regime: err <= n/(cap+1) per summary merge
+    cap = 64
+    got2 = aggregates.heavy_hitters("v", k=3, capacity=cap).apply(ds) \
+        .take_all()
+    assert [r["v"] for r in got2] == [1, 2, 3]
+    n = len(v)
+    for r, exact in zip(got2, (got[0]["est_count"], got[1]["est_count"],
+                               got[2]["est_count"])):
+        assert r["est_count"] <= exact
+        assert exact - r["est_count"] <= n / (cap + 1) * 8  # 8 summaries merged
+
+
+def test_histogram_edges_and_empty_bins():
+    from e_commerce_batch_etl_pipeline_ray.stages import aggregates
+
+    vals = [0.0, 9.999, 10.0, 25.0, 39.999, 40.0, -1.0, None]
+    ds = ray.data.from_arrow(pa.table({"v": pa.array(vals, pa.float64())})) \
+        .repartition(3)
+    out = aggregates.histogram("v", 0.0, 40.0, nbins=4).apply(ds).take_all()
+    assert [r["bin"] for r in out] == [0, 1, 2, 3]
+    # [0,10): 0.0, 9.999; [10,20): 10.0; [20,30): 25.0; [30,40): 39.999
+    # 40.0, -1.0, None dropped
+    assert [r["n"] for r in out] == [2, 1, 1, 1]
+    assert out[0]["bin_lo"] == 0.0 and out[3]["bin_hi"] == 40.0
