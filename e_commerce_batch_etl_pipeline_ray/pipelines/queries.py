@@ -2652,3 +2652,70 @@ QUERIES.update({"q72_heavy_hitters": q72_heavy_hitters,
                 "q73_histogram": q73_histogram})
 ORACLE.update({"q72_heavy_hitters": Q72_SQL,
                "q73_histogram": Q73_SQL})
+
+
+# ---------------------------------------------------------------------------
+# q74 — union by name (Spark unionByName(allowMissingColumns=True) /
+# DuckDB UNION ALL BY NAME): differing column order AND presence,
+# missing columns null-filled. Row-local projection + block-list union —
+# zero shuffle.
+
+def q74_union_by_name(sf_dir: str):
+    clicks = _read(sf_dir, "events", ["event_id", "ts", "event_type"])
+    clicks = maps.filter_expr(
+        lambda t: pc.equal(t["event_type"], pa.scalar("click")),
+        name="clicks").apply(clicks)
+    views = _read(sf_dir, "events", ["event_id", "value", "event_type"])
+    views = maps.filter_expr(
+        lambda t: pc.equal(t["event_type"], pa.scalar("view")),
+        name="views").apply(views).select_columns(["event_id", "value"])
+    out = maps.union_by_name(clicks.select_columns(["event_id", "ts"]),
+                             views)
+    return out.sort("event_id")
+
+
+Q74_SQL = """
+SELECT event_id, ts, NULL::DOUBLE AS value FROM events
+WHERE event_type = 'click'
+UNION ALL BY NAME
+SELECT event_id, value FROM events WHERE event_type = 'view'
+ORDER BY event_id
+"""
+
+
+# q75 — CROSS JOIN against a broadcast dimension (vectorized cartesian
+# per batch, no shuffle): every (priority x band) cell with its order
+# count — a dense grid even where no orders fall.
+
+def q75_cross_join(sf_dir: str):
+    dim = pa.table({"band": pa.array(["lo", "mid", "hi"]),
+                    "band_lo": pa.array([0.0, 100_000.0, 300_000.0]),
+                    "band_hi": pa.array([100_000.0, 300_000.0, 1e12])})
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+    ds = joins.cross_join(dim).apply(ds)
+    ds = maps.with_columns({
+        "in_band": lambda t: pc.and_(
+            pc.greater_equal(t["o_totalprice"], t["band_lo"]),
+            pc.less(t["o_totalprice"], t["band_hi"]))}).apply(ds)
+    out = aggregates.grouped_aggregate(
+        ["o_orderpriority", "band"],
+        [("sum_bool", "in_band", "n_orders")], final="driver").apply(ds)
+    return out.sort(["o_orderpriority", "band"])
+
+
+Q75_SQL = """
+SELECT o_orderpriority, band,
+       CAST(SUM(CASE WHEN o_totalprice >= band_lo AND o_totalprice < band_hi
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_orders
+FROM orders CROSS JOIN (
+  VALUES ('lo', 0.0, 100000.0), ('mid', 100000.0, 300000.0),
+         ('hi', 300000.0, 1e12)
+) AS d(band, band_lo, band_hi)
+GROUP BY o_orderpriority, band ORDER BY o_orderpriority, band
+"""
+
+
+QUERIES.update({"q74_union_by_name": q74_union_by_name,
+                "q75_cross_join": q75_cross_join})
+ORACLE.update({"q74_union_by_name": Q74_SQL,
+               "q75_cross_join": Q75_SQL})

@@ -390,3 +390,43 @@ def salted_join(right, on: Sequence[str] | str, salt: int = 8,
         return joined.drop_columns(["_salt"])
 
     return FnStep(f"salted_join[{salt}x]", _apply)
+
+
+def cross_join(small: pa.Table, num_cpus: float | None = None) -> FnStep:
+    """CROSS JOIN against a SMALL broadcast side: the small table is
+    ``ray.put`` once and every batch emits the vectorized cartesian
+    product (left rows repeated, small side tiled — two take kernels, no
+    shuffle). Output size is |left| x |small|: guard against accidental
+    blow-ups by keeping ``small`` a dimension table (<= a few thousand
+    rows). Name collisions raise."""
+    import numpy as np
+
+    if not isinstance(small, pa.Table):
+        raise TypeError("cross_join small side must be a pyarrow Table")
+    small = small.combine_chunks()
+
+    def _apply(ds):
+        small_ref = ray.put(small)  # put at apply time (Ray session owned
+        # by the caller), read once per task from the object store
+
+        def _fn(t: pa.Table) -> pa.Table:
+            s = ray.get(small_ref)
+            dup = set(t.column_names) & set(s.column_names)
+            if dup:
+                raise ValueError(f"cross_join: colliding columns {sorted(dup)}")
+            n, m = t.num_rows, s.num_rows
+            if n == 0 or m == 0:
+                return pa.Table.from_arrays(
+                    [pa.nulls(0, f.type) for f in t.schema] +
+                    [pa.nulls(0, f.type) for f in s.schema],
+                    names=list(t.column_names) + list(s.column_names))
+            left = t.take(np.repeat(np.arange(n, dtype=np.int64), m))
+            right = s.take(np.tile(np.arange(m, dtype=np.int64), n))
+            for name in right.column_names:
+                left = left.append_column(name, right[name])
+            return left
+        kwargs = {"num_cpus": num_cpus} if num_cpus else {}
+        return ds.map_batches(_fn, batch_format="pyarrow",
+                              zero_copy_batch=True, **kwargs)
+
+    return FnStep("cross_join", _apply)

@@ -277,3 +277,54 @@ def json_extract(col: str, key: str, out: str, value_type: str = "int") -> FnSte
         return _set_or_append(t, out, vals)
 
     return batch_step(f"json_extract[{key}]", _fn)
+
+
+def union_by_name(*datasets, strict: bool = False):
+    """Spark ``unionByName(allowMissingColumns=True)`` / DuckDB ``UNION ALL
+    BY NAME``: union datasets whose schemas differ in column ORDER and (with
+    strict=False) in column PRESENCE — missing columns null-filled, the
+    output schema is the name-ordered union of all input schemas.
+
+    Row-local (one projection per block, no shuffle): each dataset is
+    mapped onto the unified schema, then block lists are concatenated by
+    ``Dataset.union`` (zero data movement). Column types must agree where
+    names collide; a mismatch raises rather than silently casting.
+    """
+    import ray.data
+
+    if len(datasets) < 2:
+        raise ValueError("union_by_name needs at least two datasets")
+    schemas = [ds.schema() for ds in datasets]
+    fields: dict[str, pa.DataType] = {}
+    for s in schemas:
+        for name, typ in zip(s.names, s.types):
+            if name in fields:
+                if fields[name] != typ:
+                    raise TypeError(
+                        f"union_by_name: column {name!r} has conflicting "
+                        f"types {fields[name]} vs {typ}")
+            else:
+                fields[name] = typ
+    if strict:
+        for s in schemas:
+            missing = set(fields) - set(s.names)
+            if missing:
+                raise ValueError(
+                    f"union_by_name(strict): missing columns {sorted(missing)}")
+    unified = pa.schema(sorted(fields.items()))
+
+    def _project(t: pa.Table) -> pa.Table:
+        cols = []
+        for f in unified:
+            if f.name in t.column_names:
+                cols.append(t[f.name])
+            else:
+                cols.append(pa.nulls(t.num_rows, f.type))
+        return pa.Table.from_arrays(cols, schema=unified)
+
+    projected = [ds.map_batches(_project, batch_format="pyarrow",
+                                zero_copy_batch=True) for ds in datasets]
+    out = projected[0]
+    for p in projected[1:]:
+        out = out.union(p)
+    return out

@@ -876,3 +876,27 @@ def test_histogram_edges_and_empty_bins():
     # 40.0, -1.0, None dropped
     assert [r["n"] for r in out] == [2, 1, 1, 1]
     assert out[0]["bin_lo"] == 0.0 and out[3]["bin_hi"] == 40.0
+
+
+def test_union_by_name_missing_columns_and_type_conflict():
+    a = _ds([{"x": 1, "y": "a"}])
+    b = _ds([{"y": "b", "z": 2.5}])   # different order + presence
+    out = maps.union_by_name(a, b).to_pandas().sort_values("y")
+    assert list(out.columns) == ["x", "y", "z"]   # name-ordered union
+    import pandas as pd
+    assert out.y.tolist() == ["a", "b"]
+    assert out.x.tolist()[0] == 1 and pd.isna(out.x.tolist()[1])
+    assert pd.isna(out.z.tolist()[0]) and out.z.tolist()[1] == 2.5
+    c = _ds([{"x": "not-an-int"}])
+    with pytest.raises(TypeError):
+        maps.union_by_name(a, c)
+
+
+def test_cross_join_cartesian_and_collision():
+    left = _ds([{"a": 1}, {"a": 2}]).repartition(2)
+    dim = pa.table({"b": ["x", "y", "z"]})
+    out = joins.cross_join(dim).apply(left).take_all()
+    got = sorted((r["a"], r["b"]) for r in out)
+    assert got == [(i, c) for i in (1, 2) for c in ("x", "y", "z")]
+    with pytest.raises(Exception):
+        joins.cross_join(pa.table({"a": [9]})).apply(left).take_all()
