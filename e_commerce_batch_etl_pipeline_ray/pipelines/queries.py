@@ -2719,3 +2719,45 @@ QUERIES.update({"q74_union_by_name": q74_union_by_name,
                 "q75_cross_join": q75_cross_join})
 ORACLE.update({"q74_union_by_name": Q74_SQL,
                "q75_cross_join": Q75_SQL})
+
+
+# ---------------------------------------------------------------------------
+# q76 — CDC lake TIME TRAVEL: ingest both binlog epochs, then snapshot-read
+# the table AS OF epoch 0 (the pre-schema-evolution state — no `lang`
+# column yet). The oracle replays only epoch-0 events: every epoch's
+# manifest pins its files AND its schema, so the as-of read must equal the
+# LWW window over the epoch-0 log alone.
+
+def q76_cdc_time_travel(sf_dir: str):
+    import tempfile
+
+    from e_commerce_batch_etl_pipeline_ray.cdc import engine
+    from e_commerce_batch_etl_pipeline_ray.stages.blockutil import (
+        read_parquet_clean,
+    )
+    ensure_oracle_fixtures()
+    lake_dir = tempfile.mkdtemp(prefix="q76_lake_", dir="/tmp")
+    eng = engine.CDCEngine(engine.CDCConfig(lake_dir=lake_dir,
+                                            num_partitions=16,
+                                            merge_concurrency=2))
+    for ep in range(Q24_EPOCHS):
+        events = read_parquet_clean(
+            os.path.join(Q24_BINLOG_DIR, f"epoch-{ep}.parquet"),
+            override_num_blocks=8)
+        eng.ingest_epoch(events, ep)
+    return eng.read(epoch=0).sort(["repo", "path"])
+
+
+Q76_SQL = f"""
+SELECT lsn, repo, path, commit, content, content_sha256
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY repo, path ORDER BY lsn DESC) AS rn
+  FROM read_parquet('{Q24_BINLOG_DIR}/epoch-0.parquet')
+)
+WHERE rn = 1 AND op <> 'D'
+ORDER BY repo, path
+"""
+
+
+QUERIES.update({"q76_cdc_time_travel": q76_cdc_time_travel})
+ORACLE.update({"q76_cdc_time_travel": Q76_SQL})
