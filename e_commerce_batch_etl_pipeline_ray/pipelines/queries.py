@@ -2761,3 +2761,32 @@ ORDER BY repo, path
 
 QUERIES.update({"q76_cdc_time_travel": q76_cdc_time_travel})
 ORACLE.update({"q76_cdc_time_travel": Q76_SQL})
+
+
+# ---------------------------------------------------------------------------
+# q77 — per-GROUP heavy hitters (top-3 most frequent users per event type).
+# One group-key shuffle carrying Misra-Gries partials; merge + per-group
+# top-k in the same partition pass. Exact at this capacity (oracle regime).
+
+def q77_grouped_heavy_hitters(sf_dir: str):
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+    ds = maps.drop_null_rows(["event_type", "user_id"]).apply(ds)
+    out = aggregates.grouped_heavy_hitters(
+        ["event_type"], "user_id", k=3, capacity=200_000,
+        num_partitions=8).apply(ds)
+    return out.sort(["event_type", "est_count", "user_id"])
+
+
+Q77_SQL = """
+SELECT event_type, user_id, est_count FROM (
+  SELECT event_type, user_id, COUNT(*) AS est_count,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY COUNT(*) DESC, user_id) AS rn
+  FROM events WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+  GROUP BY event_type, user_id
+) WHERE rn <= 3 ORDER BY event_type, est_count, user_id
+"""
+
+
+QUERIES.update({"q77_grouped_heavy_hitters": q77_grouped_heavy_hitters})
+ORACLE.update({"q77_grouped_heavy_hitters": Q77_SQL})

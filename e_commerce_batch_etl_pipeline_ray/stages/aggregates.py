@@ -1078,3 +1078,78 @@ def histogram(col: str, lo: float, hi: float, nbins: int) -> FnStep:
                                   zero_copy_batch=True).sort("bin")
 
     return FnStep(f"histogram[{col}]", _apply)
+
+
+def grouped_heavy_hitters(by: Sequence[str], col: str, k: int,
+                          capacity: int = 4096,
+                          num_partitions: int = 32) -> FnStep:
+    """Per-GROUP approximate top-k frequent values (heavy hitters within
+    each group) — ``heavy_hitters`` with a group dimension.
+
+    Scale shape: per batch, EXACT (by, col) counts are compressed
+    Misra-Gries style to ``capacity`` counters PER GROUP (vectorized: one
+    sort + grouped cumcount, no per-group dispatch). ONE hash-partition
+    shuffle on the group key then does merge (grouped sum of partials —
+    every partial of a group lands in its partition) AND the per-group
+    top-k in the same partition pass. Counts are lower bounds with
+    per-group error <= group_n/(capacity+1) per summary; with
+    ``capacity`` >= per-batch distinct values per group the result is
+    EXACT (the SQL-oracle regime).
+
+    Output: (by..., col, est_count) with ties broken (est_count DESC,
+    col ASC) — deterministic.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from e_commerce_batch_etl_pipeline_ray.stages.dedup import (
+        hash_partition_ids,
+    )
+
+    by = list(by)
+    if k < 1 or capacity < k:
+        raise ValueError("need k >= 1 and capacity >= k")
+
+    def _partial(t: pa.Table) -> pa.Table:
+        cnt = (t.select(by + [col]).group_by(by + [col])
+               .aggregate([(col, "count")]))
+        cnt = cnt.rename_columns(by + [col, "est_count"])
+        df = cnt.to_pandas()
+        df = df.sort_values(by + ["est_count", col],
+                            ascending=[True] * len(by) + [False, True],
+                            kind="mergesort")
+        r = df.groupby(by, sort=False).cumcount()
+        # per-group MG compression: subtract the (capacity+1)-th count
+        over = df.loc[r == capacity, by + ["est_count"]] \
+                 .rename(columns={"est_count": "__thresh"})
+        if len(over):
+            df = df[r < capacity].merge(over, on=by, how="left")
+            df["est_count"] = df["est_count"] - df["__thresh"].fillna(0)
+            df = df[df["est_count"] > 0].drop(columns="__thresh")
+        out = pa.Table.from_pandas(df, preserve_index=False) \
+                      .replace_schema_metadata(None)
+        return out.set_column(out.column_names.index("est_count"),
+                              "est_count",
+                              out["est_count"].cast(pa.int64()))
+
+    def _assign(t: pa.Table) -> pa.Table:
+        pid = hash_partition_ids(t, by, num_partitions)
+        return t.append_column("_hhid", pa.array(pid, pa.int32()))
+
+    def _merge_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["_hhid"])
+        g = g.groupby(by + [col], sort=False, as_index=False)["est_count"].sum()
+        g = g.sort_values(by + ["est_count", col],
+                          ascending=[True] * len(by) + [False, True],
+                          kind="mergesort")
+        return g[g.groupby(by, sort=False).cumcount() < k]
+
+    def _apply(ds):
+        partials = ds.map_batches(_partial, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+        partials = partials.map_batches(_assign, batch_format="pyarrow",
+                                        zero_copy_batch=True)
+        return partials.groupby("_hhid").map_groups(_merge_topk,
+                                                    batch_format="pandas")
+
+    return FnStep(f"grouped_heavy_hitters[{col}]", _apply)

@@ -900,3 +900,40 @@ def test_cross_join_cartesian_and_collision():
     assert got == [(i, c) for i in (1, 2) for c in ("x", "y", "z")]
     with pytest.raises(Exception):
         joins.cross_join(pa.table({"a": [9]})).apply(left).take_all()
+
+
+def test_grouped_heavy_hitters_compression_keeps_hot_values():
+    """Per-group MG compression: hot values per group survive a small
+    capacity; counts are lower bounds; exact regime matches pandas."""
+    import numpy as np
+    import pandas as pd
+    from e_commerce_batch_etl_pipeline_ray.stages import aggregates
+
+    rng = np.random.default_rng(9)
+    rows = []
+    for g, hot, n_tail in (("a", 101, 3000), ("b", 202, 2000)):
+        rows += [{"g": g, "v": hot}] * 800
+        rows += [{"g": g, "v": int(x)} for x in rng.integers(0, 900, n_tail)]
+    rng.shuffle(rows)
+    ds = ray.data.from_arrow(pa.Table.from_pylist(rows)).repartition(6)
+
+    exact = aggregates.grouped_heavy_hitters(
+        ["g"], "v", k=2, capacity=10_000).apply(ds).to_pandas()
+    df = pd.DataFrame(rows)
+    pd_top = (df.groupby(["g", "v"]).size().rename("n").reset_index()
+              .sort_values(["g", "n", "v"], ascending=[True, False, True])
+              .groupby("g").head(2).reset_index(drop=True))
+    got = exact.sort_values(["g", "est_count", "v"],
+                            ascending=[True, False, True]).reset_index(drop=True)
+    assert got["v"].tolist() == pd_top["v"].tolist()
+    assert got["est_count"].tolist() == pd_top["n"].tolist()
+
+    small = aggregates.grouped_heavy_hitters(
+        ["g"], "v", k=2, capacity=32).apply(ds).to_pandas()
+    # the planted hot value is each group's #1 even under compression
+    top1 = small.sort_values(["g", "est_count"], ascending=[True, False]) \
+                .groupby("g").head(1)
+    assert dict(zip(top1.g, top1.v)) == {"a": 101, "b": 202}
+    # counts are lower bounds
+    m = small.merge(pd_top, on=["g", "v"], how="inner")
+    assert (m.est_count <= m.n).all()
