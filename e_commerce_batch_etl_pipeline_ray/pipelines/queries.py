@@ -2790,3 +2790,74 @@ SELECT event_type, user_id, est_count FROM (
 
 QUERIES.update({"q77_grouped_heavy_hitters": q77_grouped_heavy_hitters})
 ORACLE.update({"q77_grouped_heavy_hitters": Q77_SQL})
+
+
+# ---------------------------------------------------------------------------
+# q78 — label encoding (string -> dense contiguous int ids in value-sorted
+# order == DENSE_RANK - 1): vocab via hash-partitioned distinct + sort,
+# contiguous ids from per-block offsets (driver holds one row per vocab
+# block), broadcast join-back. q79 — shuffle-free feature scaling
+# (z-score + min-max from ONE combiner pass) and explicit-category
+# one-hot, the ML-prep trio.
+
+def q78_label_encode(sf_dir: str):
+    from e_commerce_batch_etl_pipeline_ray.stages import encode
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    ds = encode.label_encode("o_orderpriority", out="prio_id",
+                             num_partitions=8).apply(ds)
+    out = aggregates.grouped_aggregate(
+        ["o_orderpriority", "prio_id"], [("count", None, "n_orders")],
+        final="driver").apply(ds)
+    return out.sort("prio_id")
+
+
+Q78_SQL = """
+SELECT o_orderpriority,
+       DENSE_RANK() OVER (ORDER BY o_orderpriority) - 1 AS prio_id,
+       COUNT(*) AS n_orders
+FROM orders GROUP BY o_orderpriority ORDER BY prio_id
+"""
+
+
+def q79_feature_scaling(sf_dir: str):
+    from e_commerce_batch_etl_pipeline_ray.stages import encode
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice",
+                                  "o_orderstatus"])
+    ds = encode.standard_scale(["o_totalprice"], suffix="_z").apply(ds)
+    ds = encode.minmax_scale(["o_totalprice"], suffix="_mm").apply(ds)
+    ds = encode.one_hot("o_orderstatus", ["F", "O", "P"],
+                        prefix="st").apply(ds)
+
+    def _round(t: pa.Table) -> pa.Table:
+        for c in ("o_totalprice_z", "o_totalprice_mm"):
+            i = t.column_names.index(c)
+            t = t.set_column(i, c, F.round2(t[c], 6))
+        return t
+
+    return ds.map_batches(_round, batch_format="pyarrow") \
+             .select_columns(["o_orderkey", "o_totalprice_z",
+                              "o_totalprice_mm", "st_F", "st_O", "st_P"]) \
+             .sort("o_orderkey")
+
+
+Q79_SQL = """
+SELECT o_orderkey,
+       ROUND((o_totalprice - AVG(o_totalprice) OVER ())
+             / STDDEV_SAMP(o_totalprice) OVER (), 6) AS o_totalprice_z,
+       ROUND((o_totalprice - MIN(o_totalprice) OVER ())
+             / (MAX(o_totalprice) OVER () - MIN(o_totalprice) OVER ()),
+             6) AS o_totalprice_mm,
+       CASE WHEN o_orderstatus IS NULL THEN NULL
+            WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS st_F,
+       CASE WHEN o_orderstatus IS NULL THEN NULL
+            WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END AS st_O,
+       CASE WHEN o_orderstatus IS NULL THEN NULL
+            WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END AS st_P
+FROM orders ORDER BY o_orderkey
+"""
+
+
+QUERIES.update({"q78_label_encode": q78_label_encode,
+                "q79_feature_scaling": q79_feature_scaling})
+ORACLE.update({"q78_label_encode": Q78_SQL,
+               "q79_feature_scaling": Q79_SQL})

@@ -937,3 +937,46 @@ def test_grouped_heavy_hitters_compression_keeps_hot_values():
     # counts are lower bounds
     m = small.merge(pd_top, on=["g", "v"], how="inner")
     assert (m.est_count <= m.n).all()
+
+
+def test_label_encode_contiguous_both_join_paths():
+    """Dense contiguous ids in value-sorted order (== DENSE_RANK-1), null
+    stays null; broadcast and shuffle join-back paths agree."""
+    import pandas as pd
+    from e_commerce_batch_etl_pipeline_ray.stages import encode
+
+    vals = [f"v{i:03d}" for i in range(40)] * 3 + [None, None]
+    ds = ray.data.from_arrow(pa.table({"c": pa.array(vals)})).repartition(5)
+    a = encode.label_encode("c", out="id", num_partitions=4) \
+        .apply(ds).to_pandas()
+    b = encode.label_encode("c", out="id", num_partitions=4,
+                            broadcast_max=0).apply(ds).to_pandas()
+    for df in (a, b):
+        nn = df.dropna(subset=["c"]).drop_duplicates("c").sort_values("c")
+        assert nn["id"].tolist() == list(range(40))   # contiguous, sorted
+        assert df[df.c.isna()]["id"].isna().all()
+    assert a.sort_values(["c", "id"]).reset_index(drop=True)["id"] \
+        .equals(b.sort_values(["c", "id"]).reset_index(drop=True)["id"])
+
+
+def test_scalers_and_one_hot_edges():
+    import numpy as np
+    import pandas as pd
+    from e_commerce_batch_etl_pipeline_ray.stages import encode
+
+    ds = ray.data.from_arrow(pa.table({
+        "v": pa.array([1.0, 2.0, 3.0, 4.0], pa.float64()),
+        "const": pa.array([7.0] * 4, pa.float64()),
+        "cat": pa.array(["a", "b", "zz", None]),
+    })).repartition(2)
+    out = encode.standard_scale(["v", "const"]).apply(ds)
+    out = encode.minmax_scale(["v", "const"]).apply(out)
+    out = encode.one_hot("cat", ["a", "b"]).apply(out)
+    df = out.to_pandas().sort_values("v").reset_index(drop=True)
+    mean, std = 2.5, np.std([1, 2, 3, 4], ddof=1)
+    assert np.allclose(df["v_z"], (df["v"] - mean) / std)
+    assert np.allclose(df["v_mm"], (df["v"] - 1.0) / 3.0)
+    assert df["const_z"].isna().all() and df["const_mm"].isna().all()
+    assert df.loc[0, "cat_a"] == 1 and df.loc[0, "cat_b"] == 0
+    assert df.loc[2, "cat_a"] == 0 and df.loc[2, "cat_b"] == 0  # unknown cat
+    assert pd.isna(df.loc[3, "cat_a"])                          # null input
