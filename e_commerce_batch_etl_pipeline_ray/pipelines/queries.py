@@ -2861,3 +2861,44 @@ QUERIES.update({"q78_label_encode": q78_label_encode,
                 "q79_feature_scaling": q79_feature_scaling})
 ORACLE.update({"q78_label_encode": Q78_SQL,
                "q79_feature_scaling": Q79_SQL})
+
+
+# ---------------------------------------------------------------------------
+# q80/q81 — distributed linear algebra over the embeddings table
+# (rows-only: eigendecomposition / Lloyd's iterations are not
+# SQL-expressible; exactness vs single-machine numpy is pinned by
+# test_pca_fit_matches_numpy_exactly / test_kmeans_recovers_planted_clusters).
+
+def q80_pca(sf_dir: str):
+    from e_commerce_batch_etl_pipeline_ray.stages import embedding as E
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    model = E.pca_fit(ds, n_components=4)
+    out = E.pca_transform(model, out="pca").apply(ds)
+
+    def _explode(t: pa.Table) -> pa.Table:
+        import numpy as np
+        m = np.asarray([list(v) for v in t["pca"].to_pylist()],
+                       dtype=np.float64) if t.num_rows else \
+            np.zeros((0, 4))
+        cols = {"vec_id": t["vec_id"]}
+        for i in range(4):
+            cols[f"p{i}"] = pa.array(np.round(m[:, i], 4), pa.float64())
+        return pa.table(cols)
+
+    return out.map_batches(_explode, batch_format="pyarrow").sort("vec_id")
+
+
+def q81_kmeans(sf_dir: str):
+    from e_commerce_batch_etl_pipeline_ray.stages import embedding as E
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+    model = E.kmeans_fit(ds, k=8, max_iters=15, seed=3)
+    ds = E.kmeans_assign(model["centroids"]).apply(ds)
+    out = aggregates.grouped_aggregate(
+        ["cluster"], [("count", None, "n_vecs"),
+                      ("min", "label", "min_label"),
+                      ("max", "label", "max_label")],
+        final="driver").apply(ds)
+    return out.sort("cluster")
+
+
+QUERIES.update({"q80_pca": q80_pca, "q81_kmeans": q81_kmeans})

@@ -564,3 +564,91 @@ def test_tfidf_top_terms_ranks_distinctive_words():
     shared = out[out.term == "shared"]
     assert (shared.score == 0).all() if len(shared) else True
     assert (out.groupby("doc_id").rk.max() <= 2).all()
+
+
+def test_pca_fit_matches_numpy_exactly():
+    """Distributed (n, sum, Gram) partials give the SAME covariance as
+    single-machine numpy -> identical components (up to the pinned sign)
+    and projections, at any block count."""
+    import numpy as np
+    from e_commerce_batch_etl_pipeline_ray.stages import embedding as E
+
+    rng = np.random.default_rng(12)
+    base = rng.normal(size=(400, 8))
+    base[:, 0] *= 10.0   # dominant direction
+    base[:, 1] *= 3.0
+    tbl = pa.table({"embedding": pa.array([list(r) for r in
+                                           base.astype(np.float32)],
+                                          pa.list_(pa.float32()))})
+    m64 = np.asarray(base.astype(np.float32), dtype=np.float64)
+    cov = np.cov(m64, rowvar=False, ddof=1)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:3]
+    ref = evecs[:, order].T.copy()
+    for i in range(3):
+        j = np.argmax(np.abs(ref[i]))
+        if ref[i, j] < 0:
+            ref[i] = -ref[i]
+
+    for nblocks in (1, 7):
+        ds = ray.data.from_arrow(tbl).repartition(nblocks)
+        model = E.pca_fit(ds, n_components=3)
+        assert np.allclose(model["components"], ref, atol=1e-9)
+        assert np.allclose(model["explained_variance"], evals[order],
+                           atol=1e-9)
+        out = E.pca_transform(model, out="p").apply(ds).take_all()
+        got = np.asarray([r["p"] for r in out], dtype=np.float64)
+        exp = (m64 - m64.mean(axis=0)) @ ref.T
+        # row order is not guaranteed across blocks — compare as sets via
+        # lexicographic sort
+        gs = got[np.lexsort(got.T)]
+        es = exp.astype(np.float32)[np.lexsort(exp.astype(np.float32).T)]
+        assert np.allclose(gs, es, atol=1e-4)
+
+
+def test_kmeans_recovers_planted_clusters():
+    import numpy as np
+    from e_commerce_batch_etl_pipeline_ray.stages import embedding as E
+
+    rng = np.random.default_rng(4)
+    centers = np.array([[0.0] * 8, [20.0] * 8, [-20.0, 20.0] * 4])
+    pts = np.concatenate([c + rng.normal(scale=0.5, size=(150, 8))
+                          for c in centers])
+    labels = np.repeat([0, 1, 2], 150)
+    perm = rng.permutation(len(pts))
+    pts, labels = pts[perm], labels[perm]
+    ds = ray.data.from_arrow(pa.table({
+        "embedding": pa.array([list(r) for r in pts.astype(np.float32)],
+                              pa.list_(pa.float32())),
+        "true": pa.array(labels, pa.int64()),
+    })).repartition(5)
+
+    model = E.kmeans_fit(ds, k=3, max_iters=25, seed=3)
+    # each found centroid is within noise of one planted center, all matched
+    found = model["centroids"]
+    matched = set()
+    for c in centers:
+        dist = np.linalg.norm(found - c, axis=1)
+        j = int(np.argmin(dist))
+        assert dist[j] < 1.0 and j not in matched
+        matched.add(j)
+    # assignment purity: every true cluster maps to exactly one label
+    out = E.kmeans_assign(model["centroids"]).apply(ds).take_all()
+    import collections
+    by_true = collections.defaultdict(set)
+    for r in out:
+        by_true[r["true"]].add(r["cluster"])
+    assert all(len(v) == 1 for v in by_true.values())
+    assert len(set().union(*by_true.values())) == 3
+
+
+def test_l2_normalize_rows():
+    import numpy as np
+    from e_commerce_batch_etl_pipeline_ray.stages import embedding as E
+
+    ds = ray.data.from_arrow(pa.table({
+        "embedding": pa.array([[3.0, 4.0], [0.0, 0.0]],
+                              pa.list_(pa.float32()))}))
+    out = E.l2_normalize().apply(ds).take_all()
+    assert np.allclose(out[0]["embedding"], [0.6, 0.8])
+    assert np.allclose(out[1]["embedding"], [0.0, 0.0])   # zero stays zero
