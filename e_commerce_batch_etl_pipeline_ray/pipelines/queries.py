@@ -2902,3 +2902,52 @@ def q81_kmeans(sf_dir: str):
 
 
 QUERIES.update({"q80_pca": q80_pca, "q81_kmeans": q81_kmeans})
+
+
+# ---------------------------------------------------------------------------
+# q82 — time-RANGE frame aggregates: SUM/AVG/COUNT over RANGE BETWEEN
+# INTERVAL 1 HOUR PRECEDING AND CURRENT ROW per user (the time-based
+# moving window; duplicate-timestamp peers included per SQL RANGE
+# semantics). Same one-shuffle kernel; pandas time-rolling per partition.
+
+def q82_range_frame(sf_dir: str):
+    from e_commerce_batch_etl_pipeline_ray.stages import streaming
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+    out = streaming.window_functions(
+        "user_id", ["ts", "event_id"],
+        [
+            {"kind": "sum", "col": "value", "range_preceding": "1h",
+             "range_on": "ts", "out": "h_sum"},
+            {"kind": "avg", "col": "value", "range_preceding": "1h",
+             "range_on": "ts", "out": "h_avg"},
+            {"kind": "count", "col": "value", "range_preceding": "1h",
+             "range_on": "ts", "out": "h_cnt"},
+        ],
+        num_partitions=32).apply(ds)
+
+    def _round(t: pa.Table) -> pa.Table:
+        for c in ("h_sum", "h_avg"):
+            i = t.column_names.index(c)
+            t = t.set_column(i, c, F.round2(t[c], 4))
+        return t.replace_schema_metadata(None)
+
+    return out.map_batches(_round, batch_format="pyarrow") \
+              .select_columns(["user_id", "event_id", "h_sum", "h_avg",
+                               "h_cnt"]) \
+              .sort(["user_id", "event_id"])
+
+
+Q82_SQL = """
+SELECT user_id, event_id,
+       ROUND(SUM(value) OVER w, 4) AS h_sum,
+       ROUND(AVG(value) OVER w, 4) AS h_avg,
+       COUNT(value) OVER w AS h_cnt
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+ORDER BY user_id, event_id
+"""
+
+
+QUERIES.update({"q82_range_frame": q82_range_frame})
+ORACLE.update({"q82_range_frame": Q82_SQL})

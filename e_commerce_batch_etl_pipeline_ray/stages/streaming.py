@@ -187,6 +187,11 @@ def window_functions(key_col: str, order_cols: list[str],
            rows_preceding=None (default) = UNBOUNDED PRECEDING (running
            aggregate). Forward frames are not supported — mirror is the
            SQL trailing frame exactly (truncated at the partition head).
+      {"kind": "sum"|..., "col": "value", "range_preceding": "1h",
+       "range_on": "ts", "out": "mov"}      # RANGE BETWEEN INTERVAL x
+           PRECEDING AND CURRENT ROW over the (timestamp) order key —
+           closed both ends, duplicate-key peers included (SQL RANGE
+           semantics). range_preceding: pd.Timedelta / "1h" / seconds.
 
     Scale shape: ONE hash-partition shuffle on ``key_col``, then one
     vectorized pandas pass per partition covering all of its keys (grouped
@@ -211,6 +216,8 @@ def window_functions(key_col: str, order_cols: list[str],
             if "col" not in s:
                 raise ValueError(f"{s['kind']} spec needs 'col'")
         if s["kind"] in frame_kinds:
+            if "rows_preceding" in s and "range_preceding" in s:
+                raise ValueError("give rows_preceding OR range_preceding")
             p = s.get("rows_preceding")
             if p is not None and int(p) < 0:
                 raise ValueError("rows_preceding must be >= 0 or None")
@@ -277,15 +284,43 @@ def window_functions(key_col: str, order_cols: list[str],
                 how = "first" if kind == "first_value" else "last"
                 g[out] = hgb[s["col"]].transform(how)
             elif kind in frame_kinds:
-                # trailing ROWS frame: rows_preceding PRECEDING .. CURRENT
-                # ROW (None = UNBOUNDED PRECEDING). min_periods=1 matches
-                # SQL's truncated frame at the partition head.
-                p = s.get("rows_preceding")
-                grouped = hgb[s["col"]]
-                r = (grouped.expanding(min_periods=1) if p is None
-                     else grouped.rolling(window=int(p) + 1, min_periods=1))
                 fn = "mean" if kind == "avg" else kind
-                vals = getattr(r, fn)().droplevel(0)
+                if "range_preceding" in s:
+                    # time/value RANGE frame: rows whose order key falls in
+                    # [cur - range, cur] (closed both ends, SQL RANGE x
+                    # PRECEDING .. CURRENT ROW). pandas time-rolling is
+                    # row-position-bound, so peers (duplicate order keys)
+                    # AFTER the current row would be missed — the value at
+                    # the LAST peer covers the full peer set; broadcast it
+                    # back over the tie group (SQL peers-of-CURRENT-ROW
+                    # semantics).
+                    ts_col = s.get("range_on") or order_cols[0]
+                    w = s["range_preceding"]
+                    if isinstance(w, (int, float)):
+                        w = pd.Timedelta(seconds=w)
+                    elif isinstance(w, str):
+                        w = pd.Timedelta(w)
+                    r = h.groupby(key_col, sort=False) \
+                         .rolling(w, on=ts_col, min_periods=1,
+                                  closed="both")
+                    # rolling(on=ts) indexes its result by (key, ts), but
+                    # rows come back in h's row order (sort=False groupby
+                    # over a key-sorted frame) — realign positionally
+                    vals = pd.Series(getattr(r[s["col"]], fn)().to_numpy(),
+                                     index=h.index)
+                    vals = vals.groupby(
+                        [h[key_col], h[ts_col]], sort=False).transform("last")
+                else:
+                    # trailing ROWS frame: rows_preceding PRECEDING ..
+                    # CURRENT ROW (None = UNBOUNDED PRECEDING).
+                    # min_periods=1 matches SQL's truncated frame at the
+                    # partition head.
+                    p = s.get("rows_preceding")
+                    grouped = hgb[s["col"]]
+                    r = (grouped.expanding(min_periods=1) if p is None
+                         else grouped.rolling(window=int(p) + 1,
+                                              min_periods=1))
+                    vals = getattr(r, fn)().droplevel(0)
                 if kind == "count":
                     vals = vals.fillna(0).astype("int64")
                 g[out] = vals

@@ -980,3 +980,35 @@ def test_scalers_and_one_hot_edges():
     assert df.loc[0, "cat_a"] == 1 and df.loc[0, "cat_b"] == 0
     assert df.loc[2, "cat_a"] == 0 and df.loc[2, "cat_b"] == 0  # unknown cat
     assert pd.isna(df.loc[3, "cat_a"])                          # null input
+
+
+def test_range_frame_peers_and_window_bounds():
+    """RANGE x PRECEDING: closed both ends (row exactly x old IS in the
+    frame) and duplicate-ts peers all share the full peer-inclusive value
+    (SQL RANGE semantics, where pandas' row-bound rolling alone would
+    differ)."""
+    import pandas as pd
+    from e_commerce_batch_etl_pipeline_ray.stages import streaming
+
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+    rows = [
+        {"u": 1, "seq": 1, "ts": t0, "v": 1.0},
+        {"u": 1, "seq": 2, "ts": t0 + pd.Timedelta("30min"), "v": 2.0},
+        # two peers at the same ts — both must see BOTH peer values
+        {"u": 1, "seq": 3, "ts": t0 + pd.Timedelta("60min"), "v": 4.0},
+        {"u": 1, "seq": 4, "ts": t0 + pd.Timedelta("60min"), "v": 8.0},
+        {"u": 1, "seq": 5, "ts": t0 + pd.Timedelta("121min"), "v": 16.0},
+    ]
+    ds = ray.data.from_arrow(pa.Table.from_pylist(rows)).repartition(2)
+    out = streaming.window_functions(
+        "u", ["ts", "seq"],
+        [{"kind": "sum", "col": "v", "range_preceding": "1h",
+          "range_on": "ts", "out": "s"},
+         {"kind": "count", "col": "v", "range_preceding": "1h",
+          "range_on": "ts", "out": "c"}],
+        num_partitions=2).apply(ds)
+    df = out.to_pandas().sort_values("seq").reset_index(drop=True)
+    # seq3/seq4: frame = [t0, t0+60m] closed -> 1+2+4+8 (peers included
+    # for BOTH rows); seq5: frame = (t0+61m, t0+121m] -> only itself
+    assert list(df.s) == [1.0, 3.0, 15.0, 15.0, 16.0]
+    assert list(df.c) == [1, 2, 4, 4, 1]
