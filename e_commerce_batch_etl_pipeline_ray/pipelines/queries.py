@@ -2951,3 +2951,35 @@ ORDER BY user_id, event_id
 
 QUERIES.update({"q82_range_frame": q82_range_frame})
 ORACLE.update({"q82_range_frame": Q82_SQL})
+
+
+# ---------------------------------------------------------------------------
+# q83 — EXACT fuzzy self-join on edit distance (FastSS deletion
+# neighborhoods, Bocek et al. 2007): pairs of documents whose 16-char
+# lowercased title keys are within Levenshtein distance 2. Candidates via
+# a pure hash-join on deletion variants (no all-pairs), banded-DP verify;
+# the DuckDB oracle is the unconditional all-pairs levenshtein() truth.
+
+def q83_edit_distance_join(sf_dir: str):
+    from e_commerce_batch_etl_pipeline_ray.stages import neardup
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ds = maps.with_columns({
+        "key": lambda t: pc.utf8_slice_codeunits(
+            pc.utf8_lower(t["text"]), 0, 16)}).apply(ds)
+    out = neardup.edit_distance_join(ds, "key", id_col="doc_id",
+                                     max_dist=2, num_partitions=16)
+    return out.sort(["id_a", "id_b"])
+
+
+Q83_SQL = """
+WITH k AS (SELECT doc_id, lower(substr(text, 1, 16)) AS key FROM documents)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       levenshtein(a.key, b.key) AS dist
+FROM k a JOIN k b ON a.doc_id < b.doc_id
+WHERE levenshtein(a.key, b.key) <= 2
+ORDER BY id_a, id_b
+"""
+
+
+QUERIES.update({"q83_edit_distance_join": q83_edit_distance_join})
+ORACLE.update({"q83_edit_distance_join": Q83_SQL})

@@ -923,3 +923,128 @@ def embedding_neardup_pairs(ds: ray.data.Dataset, emb_col: str = "embedding",
                                               batch_format="pyarrow")
     return dedup_keyed(["id_a", "id_b"], ["cosine"], descending=True,
                        num_partitions=16).apply(pairs)
+
+
+# ---------------------------------------------------------------------------
+# Exact edit-distance self-join (FastSS deletion neighborhoods)
+
+
+def _levenshtein_banded(a: str, b: str, d: int) -> int:
+    """Banded Levenshtein: exact distance if <= d, else d+1. O(len * d)."""
+    if abs(len(a) - len(b)) > d:
+        return d + 1
+    if a == b:
+        return 0
+    la, lb = len(a), len(b)
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        cur = [i] + [d + 1] * lb
+        lo = max(1, i - d)
+        hi = min(lb, i + d)
+        ca = a[i - 1]
+        for j in range(lo, hi + 1):
+            cost = 0 if ca == b[j - 1] else 1
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + cost)
+        if min(cur[max(0, i - d):min(lb, i + d) + 1]) > d:
+            return d + 1
+        prev = cur
+    return prev[lb] if prev[lb] <= d else d + 1
+
+
+def _deletion_variants(s: str, d: int) -> set[str]:
+    """All strings reachable by deleting up to ``d`` characters (FastSS
+    neighborhood). |variants| <= 1 + n + n(n-1)/2 for d=2."""
+    out = {s}
+    frontier = {s}
+    for _ in range(d):
+        nxt = set()
+        for v in frontier:
+            for i in range(len(v)):
+                nxt.add(v[:i] + v[i + 1:])
+        out |= nxt
+        frontier = nxt
+    return out
+
+
+def edit_distance_join(ds: ray.data.Dataset, col: str,
+                       id_col: str = "doc_id", max_dist: int = 2,
+                       num_partitions: int = 32) -> ray.data.Dataset:
+    """EXACT self-join on Levenshtein distance <= ``max_dist`` (FastSS,
+    Bocek et al. 2007 — public): two strings are within edit distance d
+    iff their <=d-deletion neighborhoods intersect, so candidate
+    generation is a pure hash-join on deletion variants — no all-pairs
+    anywhere; banded-DP verification removes the neighborhood's false
+    positives. Returns (id_a, id_b, dist), id_a < id_b.
+
+    Scale shape: flat-map each string to its variants (bounded:
+    O(len^d) rows per string, so keep ``col`` SHORT — titles, names,
+    codes; this is not a long-text operator), hash-partition by variant,
+    emit in-bucket pairs, distinct pairs, verify. Skew guard: a variant
+    bucket is capped by the strings sharing a near-identical prefix —
+    planted duplicates, exactly what the join is for.
+    """
+    import pandas as pd
+
+    from e_commerce_batch_etl_pipeline_ray.stages.dedup import (
+        hash_partition_ids,
+    )
+
+    _check_int_id(ds.schema().base_schema.field(id_col), id_col,
+                  "edit_distance_join")
+
+    def _variants(t: pa.Table) -> pa.Table:
+        ids_out, var_out, s_out = [], [], []
+        ids = t[id_col].to_pylist()
+        vals = t[col].to_pylist()
+        for i, s in zip(ids, vals):
+            if s is None:
+                continue
+            for v in _deletion_variants(s, max_dist):
+                ids_out.append(i)
+                var_out.append(v)
+                s_out.append(s)
+        return pa.table({id_col: pa.array(ids_out, pa.int64()),
+                         "_var": pa.array(var_out, pa.string()),
+                         "_s": pa.array(s_out, pa.string())})
+
+    def _assign(t: pa.Table) -> pa.Table:
+        pid = hash_partition_ids(t, ["_var"], num_partitions)
+        return t.append_column("_vpid", pa.array(pid, pa.int32()))
+
+    def _pairs(g: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b, out_d = [], [], []
+        seen: set[tuple[int, int]] = set()
+        for _, grp in g.groupby("_var", sort=False):
+            if len(grp) < 2:
+                continue
+            ids = grp[id_col].to_numpy()
+            ss = grp["_s"].to_numpy()
+            # variant buckets are tiny (strings sharing a deletion form)
+            for x in range(len(ids)):
+                for y in range(x + 1, len(ids)):
+                    a, b = int(ids[x]), int(ids[y])
+                    if a == b:
+                        continue
+                    key = (a, b) if a < b else (b, a)
+                    if key in seen:
+                        continue
+                    seen.add(key)
+                    dist = _levenshtein_banded(ss[x], ss[y], max_dist)
+                    if dist <= max_dist:
+                        out_a.append(key[0] if a < b else key[0])
+                        out_b.append(key[1])
+                        out_d.append(dist)
+        return pd.DataFrame({"id_a": pd.Series(out_a, dtype="int64"),
+                             "id_b": pd.Series(out_b, dtype="int64"),
+                             "dist": pd.Series(out_d, dtype="int64")})
+
+    vds = ds.select_columns([id_col, col]).map_batches(
+        _variants, batch_format="pyarrow", zero_copy_batch=True)
+    vds = vds.map_batches(_assign, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    pairs = vds.groupby("_vpid").map_groups(_pairs, batch_format="pandas")
+    # the same true pair can surface from variant buckets in DIFFERENT
+    # partitions — one distinct pass global-dedupes (carries pairs only)
+    from e_commerce_batch_etl_pipeline_ray.stages.dedup import dedup_keyed
+    return dedup_keyed(["id_a", "id_b"], ["dist"], descending=False,
+                       num_partitions=16).apply(pairs)

@@ -652,3 +652,31 @@ def test_l2_normalize_rows():
     out = E.l2_normalize().apply(ds).take_all()
     assert np.allclose(out[0]["embedding"], [0.6, 0.8])
     assert np.allclose(out[1]["embedding"], [0.0, 0.0])   # zero stays zero
+
+
+def test_edit_distance_join_exact_vs_bruteforce():
+    """FastSS join == brute-force banded Levenshtein on a corpus with
+    substitutions, insertions, deletions, transpositions and far-apart
+    strings; invariant to block count."""
+    import itertools
+    from e_commerce_batch_etl_pipeline_ray.stages import neardup
+
+    strs = ["kitten", "sitten", "sitting", "mitten", "kitte",
+            "xyzzyplugh", "hello-world", "hello_world", "hellp-world",
+            "abcdefgh", "zbcdefgh", "abcdefghij", "completely-different"]
+    rows = [{"doc_id": i, "key": s} for i, s in enumerate(strs)]
+    expect = sorted(
+        (a["doc_id"], b["doc_id"],
+         neardup._levenshtein_banded(a["key"], b["key"], 2))
+        for a, b in itertools.combinations(rows, 2)
+        if neardup._levenshtein_banded(a["key"], b["key"], 2) <= 2)
+    for nblocks in (1, 4):
+        ds = ray.data.from_arrow(pa.Table.from_pylist(rows)) \
+            .repartition(nblocks)
+        got = neardup.edit_distance_join(ds, "key", id_col="doc_id",
+                                         max_dist=2).take_all()
+        got = sorted((r["id_a"], r["id_b"], r["dist"]) for r in got)
+        assert got == expect
+    # sanity on the reference itself: classic distances
+    assert neardup._levenshtein_banded("kitten", "sitting", 3) == 3
+    assert neardup._levenshtein_banded("kitten", "sitting", 2) == 3  # d+1 cap
