@@ -2983,3 +2983,48 @@ ORDER BY id_a, id_b
 
 QUERIES.update({"q83_edit_distance_join": q83_edit_distance_join})
 ORACLE.update({"q83_edit_distance_join": Q83_SQL})
+
+
+# ---------------------------------------------------------------------------
+# q84 — one-pass dataset profile (describe): per-column row/null counts +
+# numeric mean/std/min/max from ONE combiner scan, no shuffle.
+
+def q84_describe(sf_dir: str):
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "event_type",
+                                  "value"])
+    t = aggregates.describe(ds)
+
+    def _round(col):
+        return pc.round(col, 4)
+    for c in ("mean", "std", "min", "max"):
+        t = t.set_column(t.column_names.index(c), c, _round(t[c]))
+    return t.sort_by("column")
+
+
+Q84_SQL = """
+WITH n AS (SELECT COUNT(*) AS n_rows FROM events)
+SELECT col AS column, n.n_rows, s.n_nulls,
+       ROUND(s.mean, 4) AS mean, ROUND(s.std, 4) AS std,
+       ROUND(s.min, 4) AS min, ROUND(s.max, 4) AS max
+FROM (
+  SELECT 'event_id' AS col, COUNT(*) - COUNT(event_id) AS n_nulls,
+         AVG(event_id) AS mean, STDDEV_SAMP(event_id) AS std,
+         MIN(event_id)::DOUBLE AS min, MAX(event_id)::DOUBLE AS max
+  FROM events
+  UNION ALL
+  SELECT 'user_id', COUNT(*) - COUNT(user_id), AVG(user_id),
+         STDDEV_SAMP(user_id), MIN(user_id)::DOUBLE, MAX(user_id)::DOUBLE
+  FROM events
+  UNION ALL
+  SELECT 'event_type', COUNT(*) - COUNT(event_type), NULL, NULL, NULL, NULL
+  FROM events
+  UNION ALL
+  SELECT 'value', COUNT(*) - COUNT(value), AVG(value),
+         STDDEV_SAMP(value), MIN(value), MAX(value)
+  FROM events
+) s CROSS JOIN n ORDER BY col
+"""
+
+
+QUERIES.update({"q84_describe": q84_describe})
+ORACLE.update({"q84_describe": Q84_SQL})

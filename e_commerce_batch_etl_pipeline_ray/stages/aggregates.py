@@ -1153,3 +1153,70 @@ def grouped_heavy_hitters(by: Sequence[str], col: str, k: int,
                                                     batch_format="pandas")
 
     return FnStep(f"grouped_heavy_hitters[{col}]", _apply)
+
+
+def describe(ds: ray.data.Dataset,
+             columns: Sequence[str] | None = None) -> pa.Table:
+    """One-pass per-column profile (the `df.describe()` / data-audit op):
+    n_rows, n_nulls, and for numeric columns mean/std/min/max — every
+    metric from ONE combiner map_batches pass (per-block scalar partials,
+    driver merge); no shuffle, no second scan. Returns a tiny Arrow table
+    with one row per column, deterministic order.
+
+    Exact-SQL-parity definitions: std is sample stddev (NULL when n<=1),
+    mean/min/max ignore nulls, n_nulls counts SQL NULLs."""
+    schema = ds.schema().base_schema
+    cols = list(columns) if columns is not None else list(schema.names)
+    numeric = {c for c in cols
+               if pa.types.is_integer(schema.field(c).type)
+               or pa.types.is_floating(schema.field(c).type)}
+
+    def _partial(t: pa.Table) -> pa.Table:
+        arrays, names = [], []
+        arrays.append(pa.array([t.num_rows], pa.int64()))
+        names.append("__rows")
+        for c in cols:
+            col = t[c]
+            arrays.append(pa.array([col.null_count], pa.int64()))
+            names.append(f"{c}__nulls")
+            if c in numeric:
+                v = pc.cast(col, pa.float64())
+                arrays += [
+                    pa.array([pc.count(v).as_py()], pa.int64()),
+                    pa.array([pc.sum(v).as_py() or 0.0], pa.float64()),
+                    pa.array([pc.sum(pc.multiply(v, v)).as_py() or 0.0],
+                             pa.float64()),
+                    pa.array([pc.min(v).as_py()], pa.float64()),
+                    pa.array([pc.max(v).as_py()], pa.float64()),
+                ]
+                names += [f"{c}__n", f"{c}__s", f"{c}__sq", f"{c}__lo",
+                          f"{c}__hi"]
+        return pa.Table.from_arrays(arrays, names=names)
+
+    parts = ds.select_columns(cols).map_batches(
+        _partial, batch_format="pyarrow", zero_copy_batch=True).take_all()
+    n_rows = sum(p["__rows"] for p in parts)
+    rows = []
+    for c in cols:
+        rec = {"column": c, "n_rows": n_rows,
+               "n_nulls": sum(p[f"{c}__nulls"] for p in parts),
+               "mean": None, "std": None, "min": None, "max": None}
+        if c in numeric:
+            n = sum(p[f"{c}__n"] for p in parts)
+            s = sum(p[f"{c}__s"] for p in parts)
+            sq = sum(p[f"{c}__sq"] for p in parts)
+            los = [p[f"{c}__lo"] for p in parts if p[f"{c}__lo"] is not None]
+            his = [p[f"{c}__hi"] for p in parts if p[f"{c}__hi"] is not None]
+            if n > 0:
+                rec["mean"] = s / n
+                rec["min"] = min(los)
+                rec["max"] = max(his)
+            if n > 1:
+                var = max((sq - s * s / n) / (n - 1), 0.0)
+                rec["std"] = var ** 0.5
+        rows.append(rec)
+    return pa.Table.from_pylist(rows, schema=pa.schema([
+        ("column", pa.string()), ("n_rows", pa.int64()),
+        ("n_nulls", pa.int64()), ("mean", pa.float64()),
+        ("std", pa.float64()), ("min", pa.float64()),
+        ("max", pa.float64())]))

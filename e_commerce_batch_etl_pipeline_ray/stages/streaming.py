@@ -202,6 +202,16 @@ def window_functions(key_col: str, order_cols: list[str],
     total order within each key (e.g. include a unique id); rank/dense_rank
     with ties are deterministic by construction.
     """
+    return FnStep(f"window[{key_col}]", lambda ds: partitioned_apply(
+        key_col, window_pass(key_col, order_cols, specs),
+        f"window[{key_col}]", num_partitions
+    ).apply(ds))
+
+
+def window_pass(key_col: str, order_cols: list[str], specs: list[dict]):
+    """The validated single-partition pandas kernel behind
+    ``window_functions``, exposed for direct kernel/property tests —
+    input must contain WHOLE key groups (the shuffle's invariant)."""
     import numpy as np
 
     kinds = {"row_number", "rank", "dense_rank", "lag", "lead", "ntile",
@@ -343,9 +353,7 @@ def window_functions(key_col: str, order_cols: list[str],
                 ).astype("int64")
         return g
 
-    return FnStep(f"window[{key_col}]", lambda ds: partitioned_apply(
-        key_col, _per_partition, f"window[{key_col}]", num_partitions
-    ).apply(ds))
+    return _per_partition
 
 
 def running_aggregate(key_col: str, ts_col: str, value_col: str,

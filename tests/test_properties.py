@@ -179,3 +179,80 @@ def test_mixture_matches_duckdb_exactly(ids_a, ids_b, frac_a, frac_b, seed):
     """).fetchall()
     assert got_set == set(exp)
     assert len(got) == len(exp)          # no dup/loss through the union
+
+
+# --- window frame kernels vs a brute-force per-row reference ----------------
+
+frame_rows = st.lists(
+    st.tuples(st.integers(1, 3),                 # key
+              st.integers(0, 50),                # order/ts offset (minutes)
+              st.one_of(st.none(),
+                        st.floats(-100, 100, allow_nan=False))),  # value
+    min_size=1, max_size=80)
+
+
+@settings(max_examples=40, deadline=None)
+@given(frame_rows, st.integers(0, 4))
+def test_rows_frame_kernel_matches_bruteforce(rows, prec):
+    """sum/avg/min/max/count over ROWS BETWEEN p PRECEDING AND CURRENT ROW
+    == an O(n^2) per-row reference, including null skipping and all-null
+    frames."""
+    from e_commerce_batch_etl_pipeline_ray.stages.streaming import window_pass
+
+    df = pd.DataFrame({"k": [r[0] for r in rows],
+                       "o": range(len(rows)),
+                       "v": [r[2] for r in rows]})
+    fn = window_pass("k", ["o"], [
+        {"kind": "sum", "col": "v", "rows_preceding": prec, "out": "s"},
+        {"kind": "avg", "col": "v", "rows_preceding": prec, "out": "a"},
+        {"kind": "min", "col": "v", "rows_preceding": prec, "out": "lo"},
+        {"kind": "max", "col": "v", "rows_preceding": prec, "out": "hi"},
+        {"kind": "count", "col": "v", "rows_preceding": prec, "out": "c"},
+    ])
+    got = fn(df.copy()).sort_values(["k", "o"]).reset_index(drop=True)
+    ref = df.sort_values(["k", "o"]).reset_index(drop=True)
+    for i in range(len(ref)):
+        k = ref.loc[i, "k"]
+        # ROWS frame is POSITIONAL within the key: the last prec+1 rows
+        grp = ref[ref.k == k].reset_index()
+        pos = int(grp.index[grp["index"] == i][0])
+        w = grp.loc[max(0, pos - prec):pos, "v"].dropna()
+        assert int(got.loc[i, "c"]) == len(w)
+        if len(w) == 0:
+            assert pd.isna(got.loc[i, "s"]) and pd.isna(got.loc[i, "a"])
+            assert pd.isna(got.loc[i, "lo"]) and pd.isna(got.loc[i, "hi"])
+        else:
+            assert abs(got.loc[i, "s"] - w.sum()) < 1e-6
+            assert abs(got.loc[i, "a"] - w.mean()) < 1e-6
+            assert got.loc[i, "lo"] == w.min() and got.loc[i, "hi"] == w.max()
+
+
+@settings(max_examples=40, deadline=None)
+@given(frame_rows, st.integers(0, 20))
+def test_range_frame_kernel_matches_bruteforce(rows, win_minutes):
+    """RANGE INTERVAL x PRECEDING (closed, peer-inclusive) == the O(n^2)
+    per-row definition, with DUPLICATE timestamps allowed."""
+    from e_commerce_batch_etl_pipeline_ray.stages.streaming import window_pass
+
+    base = pd.Timestamp("2024-01-01")
+    df = pd.DataFrame({
+        "k": [r[0] for r in rows],
+        "ts": [base + pd.Timedelta(minutes=r[1]) for r in rows],
+        "seq": range(len(rows)),
+        "v": [r[2] for r in rows]})
+    w = pd.Timedelta(minutes=win_minutes)
+    fn = window_pass("k", ["ts", "seq"], [
+        {"kind": "sum", "col": "v", "range_preceding": w, "out": "s"},
+        {"kind": "count", "col": "v", "range_preceding": w, "out": "c"},
+    ])
+    got = fn(df.copy()).sort_values(["k", "seq"]).reset_index(drop=True)
+    ref = df.sort_values(["k", "seq"]).reset_index(drop=True)
+    for i in range(len(ref)):
+        k, ts = ref.loc[i, "k"], ref.loc[i, "ts"]
+        win = ref[(ref.k == k) & (ref.ts <= ts) & (ref.ts >= ts - w)]["v"] \
+            .dropna()
+        assert int(got.loc[i, "c"]) == len(win), (i, k, ts)
+        if len(win) == 0:
+            assert pd.isna(got.loc[i, "s"])
+        else:
+            assert abs(got.loc[i, "s"] - win.sum()) < 1e-6
