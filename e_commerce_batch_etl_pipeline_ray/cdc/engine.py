@@ -341,7 +341,8 @@ class CDCEngine:
     def ingest_epoch(self, events: ray.data.Dataset, epoch: int,
                      events_in: int | None = None,
                      _normalized: ray.data.Dataset | None = None,
-                     _schema: pa.Schema | None = None) -> EpochStats:
+                     _schema: pa.Schema | None = None,
+                     staged_commit: bool = False) -> EpochStats:
         import time
         t_start = time.perf_counter()
         cfg = self.cfg
@@ -444,8 +445,13 @@ class CDCEngine:
             "backend": cfg.backend,
             "elapsed_s": round(time.perf_counter() - t_start, 3),
         }
+        # staged_commit: prepare phase of a cross-table transaction — the
+        # manifest is written invisible (.staged); MultiTableCDC's txn
+        # record + promote_staged_manifest make it visible atomically
+        # across tables (cdc/multi.py:ingest_transaction)
         manifest = lake.commit_manifest(cfg.lake_dir, epoch, partitions,
-                                        schema, prev_manifest, metrics=metrics)
+                                        schema, prev_manifest, metrics=metrics,
+                                        staged=staged_commit)
         return EpochStats(
             epoch=epoch,
             events_in=events_in if events_in is not None else -1,

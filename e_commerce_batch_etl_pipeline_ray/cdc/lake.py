@@ -78,11 +78,17 @@ def schema_from_b64(s: str) -> pa.Schema:
 
 def commit_manifest(lake_dir: str, epoch: int, partitions: dict[int, dict],
                     schema: pa.Schema, prev: dict | None,
-                    metrics: dict | None = None) -> dict:
+                    metrics: dict | None = None,
+                    staged: bool = False) -> dict:
     """Build epoch manifest (carrying forward untouched partitions from
     ``prev``) and commit it atomically: tmp file + os.replace.
     ``metrics``: optional epoch-level observability record (events_in,
-    rows_applied, elapsed_s, ...) persisted alongside the lineage."""
+    rows_applied, elapsed_s, ...) persisted alongside the lineage.
+
+    ``staged=True`` writes to ``<manifest>.staged`` instead — INVISIBLE to
+    readers/resume (they only see ``.json``) until
+    ``promote_staged_manifest`` renames it. This is the prepare phase of
+    the cross-table transactional commit (cdc/multi.py)."""
     part_map: dict[str, dict] = dict(prev["partitions"]) if prev else {}
     for pid, rec in partitions.items():
         part_map[str(pid)] = rec
@@ -99,11 +105,40 @@ def commit_manifest(lake_dir: str, epoch: int, partitions: dict[int, dict],
         manifest["metrics"] = metrics
     os.makedirs(os.path.join(lake_dir, MANIFEST_DIR), exist_ok=True)
     path = _manifest_path(lake_dir, epoch)
+    if staged:
+        path += ".staged"
     tmp = path + ".tmp"
     with open(tmp, "w") as f:
         json.dump(manifest, f)
     os.replace(tmp, path)
     return manifest
+
+
+def promote_staged_manifest(lake_dir: str, epoch: int) -> None:
+    """Roll a staged manifest forward to final (idempotent: a second call
+    after the rename — e.g. crash-recovery replay — is a no-op when the
+    final manifest already exists)."""
+    path = _manifest_path(lake_dir, epoch)
+    staged = path + ".staged"
+    if os.path.exists(staged):
+        os.replace(staged, path)
+    elif not os.path.exists(path):
+        raise FileNotFoundError(
+            f"no staged or final manifest for epoch {epoch} in {lake_dir}")
+
+
+def clean_staged(lake_dir: str) -> int:
+    """Remove staged manifests (aborted transaction prepares). Call ONLY
+    after every committed transaction has been rolled forward
+    (MultiTableCDC.recover does this ordering)."""
+    d = os.path.join(lake_dir, MANIFEST_DIR)
+    n = 0
+    if os.path.isdir(d):
+        for f in os.listdir(d):
+            if f.endswith(".json.staged"):
+                os.remove(os.path.join(d, f))
+                n += 1
+    return n
 
 
 def promote_epoch_dir(lake_dir: str, epoch: int) -> None:

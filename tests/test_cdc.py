@@ -648,3 +648,93 @@ def test_schema_evolution_type_widening(tmp_path):
     df = eng.read().to_pandas().sort_values("path")
     assert eng.read().schema().base_schema.field("size").type == pa.int64()
     assert df["size"].tolist() == [10, 2**40]
+
+
+def _mt(tmp_path, sub="txlake"):
+    from e_commerce_batch_etl_pipeline_ray.cdc import multi
+    return multi.MultiTableCDC(str(tmp_path / sub), engine.CDCConfig(
+        lake_dir="ignored", num_partitions=4, merge_concurrency=1))
+
+
+def test_ingest_transaction_atomic_and_equals_independent(tmp_path):
+    """A cross-table transaction commits every table's epoch; final state
+    per table equals an independent (non-transactional) ingest of the
+    same events."""
+    spec_b = binlog.BinlogSpec(events_per_epoch=600, n_repos=4,
+                               paths_per_repo=20, evolution_epoch=1,
+                               content_chars_min=16, content_chars_max=64,
+                               seed=41)
+    mt = _mt(tmp_path)
+    stats = mt.ingest_transaction({
+        "repos_a": binlog.gen_epoch(SPEC, 0),
+        "repos_b": binlog.gen_epoch(spec_b, 0),
+    })
+    assert set(stats) == {"repos_a", "repos_b"}
+    assert mt.resume_points() == {"repos_a": 1, "repos_b": 1}
+    # second transaction advances both atomically
+    mt.ingest_transaction({
+        "repos_a": binlog.gen_epoch(SPEC, 1),
+        "repos_b": binlog.gen_epoch(spec_b, 1),
+    })
+    a = {(r.repo, r.path): r.lsn
+         for r in mt.read("repos_a").to_pandas().itertuples()}
+    assert a == {k: v[0] for k, v in _oracle_state(SPEC, 2).items()}
+    b = {(r.repo, r.path): r.lsn
+         for r in mt.read("repos_b").to_pandas().itertuples()}
+    assert b == {k: v[0] for k, v in _oracle_state(spec_b, 2).items()}
+    mt.shutdown()
+
+
+def test_transaction_crash_before_decide_aborts(tmp_path):
+    """Prepared (staged) manifests WITHOUT a txn record are aborted debris:
+    nothing becomes visible, recover() clears the staged files, and the
+    transaction can be re-run to the correct state."""
+    mt = _mt(tmp_path)
+    mt.ingest_transaction({"repos_a": binlog.gen_epoch(SPEC, 0)})
+    # simulate a crash mid-PREPARE of the next txn: staged manifest
+    # written, no txn record
+    eng = mt.table("repos_a")
+    eng.ingest_epoch(binlog.gen_epoch(SPEC, 1), 1, staged_commit=True)
+    assert mt.table("repos_a").last_committed_epoch() == 0  # invisible
+    rep = mt.recover()
+    assert rep["aborted_staged_cleaned"] == 1
+    assert mt.resume_points() == {"repos_a": 1}
+    # re-run cleanly
+    mt.ingest_transaction({"repos_a": binlog.gen_epoch(SPEC, 1)})
+    a = {(r.repo, r.path): r.lsn
+         for r in mt.read("repos_a").to_pandas().itertuples()}
+    assert a == {k: v[0] for k, v in _oracle_state(SPEC, 2).items()}
+    mt.shutdown()
+
+
+def test_transaction_crash_after_decide_rolls_forward(tmp_path):
+    """A txn record whose manifests are still staged (crash between
+    DECIDE and ROLL FORWARD) is rolled forward by recover(): both tables
+    become visible together, byte-identical to the uncrashed result."""
+    spec_b = binlog.BinlogSpec(events_per_epoch=600, n_repos=4,
+                               paths_per_repo=20, evolution_epoch=1,
+                               content_chars_min=16, content_chars_max=64,
+                               seed=41)
+    mt = _mt(tmp_path)
+    # PREPARE both tables staged + DECIDE record, then "crash" (no roll
+    # forward, no completed flag)
+    sa = mt.table("repos_a").ingest_epoch(binlog.gen_epoch(SPEC, 0), 0,
+                                          staged_commit=True)
+    sb = mt.table("repos_b").ingest_epoch(binlog.gen_epoch(spec_b, 0), 0,
+                                          staged_commit=True)
+    assert sa.rows_applied > 0 and sb.rows_applied > 0
+    mt._write_txn(0, {"txn": 0, "tables": {"repos_a": 0, "repos_b": 0},
+                      "completed": False})
+    assert mt.table("repos_a").last_committed_epoch() is None
+    # fresh coordinator (as after restart) recovers forward
+    mt2 = _mt(tmp_path)
+    rep = mt2.recover()
+    assert rep["manifests_rolled_forward"] == 2
+    assert mt2.table("repos_a").last_committed_epoch() == 0
+    assert mt2.table("repos_b").last_committed_epoch() == 0
+    a = {(r.repo, r.path): r.lsn
+         for r in mt2.read("repos_a").to_pandas().itertuples()}
+    assert a == {k: v[0] for k, v in _oracle_state(SPEC, 1).items()}
+    # recover is idempotent
+    assert mt2.recover()["manifests_rolled_forward"] == 0
+    mt.shutdown(); mt2.shutdown()
