@@ -3028,3 +3028,37 @@ FROM (
 
 QUERIES.update({"q84_describe": q84_describe})
 ORACLE.update({"q84_describe": Q84_SQL})
+
+
+# ---------------------------------------------------------------------------
+# q85 — document chunking with overlap (context-window prep): chunk j
+# covers [j*step, j*step+chunk) codepoints, step = chunk - overlap, tail
+# chunk kept. Vectorized by chunk ordinal (one Arrow slice kernel per
+# ordinal), zero shuffle; exact SQL mirror via generate_series + substr.
+
+def q85_chunk_documents(sf_dir: str):
+    from e_commerce_batch_etl_pipeline_ray.stages import text as T
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = T.chunk_documents(chunk_chars=512, overlap_chars=64).apply(ds)
+    return out.sort(["doc_id", "chunk_idx"])
+
+
+Q85_SQL = """
+WITH d AS (SELECT doc_id, text, length(text) AS len FROM documents),
+c AS (
+  SELECT doc_id, text,
+         CASE WHEN len <= 512 THEN 1
+              ELSE CAST(CEIL((len - 512) / 448.0) AS BIGINT) + 1 END AS nc
+  FROM d
+), e AS (
+  SELECT doc_id, text, UNNEST(RANGE(0, nc)) AS chunk_idx FROM c
+)
+SELECT doc_id, chunk_idx,
+       substr(text, chunk_idx * 448 + 1, 512) AS chunk_text,
+       length(substr(text, chunk_idx * 448 + 1, 512)) AS n_chars
+FROM e ORDER BY doc_id, chunk_idx
+"""
+
+
+QUERIES.update({"q85_chunk_documents": q85_chunk_documents})
+ORACLE.update({"q85_chunk_documents": Q85_SQL})

@@ -422,3 +422,66 @@ def tfidf_top_terms(ds, text_col: str = "text", id_col: str = "doc_id",
                                 zero_copy_batch=True)
     return scored.groupby("_tpid").map_groups(_top_per_doc,
                                               batch_format="pandas")
+
+
+def chunk_documents(text_col: str = "text", id_col: str = "doc_id",
+                    chunk_chars: int = 512, overlap_chars: int = 64) -> "FnStep":
+    """Split documents into fixed-size character chunks with overlap —
+    the context-window prep step of a training/RAG pipeline. Chunk j
+    covers ``[j*step, j*step + chunk_chars)`` codepoints with
+    ``step = chunk_chars - overlap_chars``; a doc of length <= chunk_chars
+    yields one chunk; the final chunk carries the tail (may be short).
+    Output: (id, chunk_idx, chunk_text, n_chars), one row per chunk.
+
+    Scale shape: row-local flat transform, VECTORIZED BY CHUNK ORDINAL —
+    for ordinal j every doc shares the same scalar start offset, so each
+    ordinal is ONE Arrow utf8_slice kernel over the still-needed docs
+    (no per-doc Python, no shuffle). Ordinal count is bounded by the
+    longest doc in the batch.
+    """
+    import numpy as np
+
+    from e_commerce_batch_etl_pipeline_ray.core import FnStep
+
+    if overlap_chars >= chunk_chars:
+        raise ValueError("overlap_chars must be < chunk_chars")
+    step = chunk_chars - overlap_chars
+
+    def _fn(t: pa.Table) -> pa.Table:
+        ids = t[id_col]
+        texts = pc.cast(t[text_col], pa.string())
+        lens = pc.utf8_length(texts).to_numpy(zero_copy_only=False)
+        lens = np.nan_to_num(lens.astype(np.float64), nan=0.0).astype(np.int64)
+        n_chunks = np.where(
+            lens <= chunk_chars, 1,
+            ((lens - chunk_chars + step - 1) // step) + 1)
+        out_parts = []
+        j = 0
+        remaining = np.arange(t.num_rows)
+        while remaining.size:
+            remaining = remaining[n_chunks[remaining] > j]
+            if not remaining.size:
+                break
+            sel_ids = ids.take(pa.array(remaining))
+            sel_tx = texts.take(pa.array(remaining))
+            chunk = pc.utf8_slice_codeunits(
+                sel_tx, start=j * step, stop=j * step + chunk_chars)
+            out_parts.append(pa.table({
+                id_col: sel_ids,
+                "chunk_idx": pa.array(
+                    np.full(remaining.size, j, dtype=np.int64)),
+                "chunk_text": chunk,
+                "n_chars": pc.utf8_length(chunk).cast(pa.int64()),
+            }))
+            j += 1
+        if not out_parts:
+            return pa.schema([(id_col, ids.type),
+                              ("chunk_idx", pa.int64()),
+                              ("chunk_text", pa.string()),
+                              ("n_chars", pa.int64())]).empty_table()
+        return pa.concat_tables(out_parts)
+
+    def _apply(ds):
+        return ds.map_batches(_fn, batch_format="pyarrow",
+                              zero_copy_batch=True, batch_size=256)
+    return FnStep(f"chunk[{text_col}]", _apply)

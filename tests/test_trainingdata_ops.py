@@ -680,3 +680,29 @@ def test_edit_distance_join_exact_vs_bruteforce():
     # sanity on the reference itself: classic distances
     assert neardup._levenshtein_banded("kitten", "sitting", 3) == 3
     assert neardup._levenshtein_banded("kitten", "sitting", 2) == 3  # d+1 cap
+
+
+def test_chunk_documents_edges():
+    """Chunk boundaries: short doc -> one chunk; exact-length doc -> one
+    chunk; one char over -> two with the configured overlap; empty text
+    stays one empty chunk."""
+    from e_commerce_batch_etl_pipeline_ray.stages import text as T
+
+    rows = [
+        {"doc_id": 1, "text": "a" * 10},
+        {"doc_id": 2, "text": "b" * 16},          # == chunk -> 1 chunk
+        {"doc_id": 3, "text": "c" * 17},          # chunk+1 -> 2 chunks
+        {"doc_id": 4, "text": ""},
+        {"doc_id": 5, "text": "x" * 40},          # 16,12-step -> 3 chunks
+    ]
+    ds = ray.data.from_arrow(pa.Table.from_pylist(rows)).repartition(2)
+    out = T.chunk_documents(chunk_chars=16, overlap_chars=4).apply(ds) \
+        .to_pandas().sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
+    got = out.groupby("doc_id").size().to_dict()
+    assert got == {1: 1, 2: 1, 3: 2, 4: 1, 5: 3}
+    d3 = out[out.doc_id == 3]
+    assert d3.chunk_text.tolist() == ["c" * 16, "c" * 5]   # 12-char step
+    d5 = out[out.doc_id == 5]
+    # starts at 0, 12, 24; overlap of 4 chars between consecutive chunks
+    assert d5.n_chars.tolist() == [16, 16, 16]
+    assert out[out.doc_id == 4].chunk_text.tolist() == [""]
