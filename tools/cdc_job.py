@@ -51,7 +51,25 @@ def main() -> int:
                     help="generate the synthetic binlog epochs first")
     ap.add_argument("--num-cpus", type=int,
                     default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
+    ap.add_argument("--read-epoch", type=int, default=None,
+                    help="time travel: print row count + lsn watermark of "
+                         "the committed snapshot AS OF this epoch and exit")
     args = ap.parse_args()
+
+    if args.read_epoch is not None:
+        import ray
+        if not ray.is_initialized():
+            ray.init(address="local", num_cpus=args.num_cpus,
+                     include_dashboard=False, logging_level="ERROR")
+        import ray.data
+        ray.data.DataContext.get_current().enable_progress_bars = False
+        from e_commerce_batch_etl_pipeline_ray.cdc import lake as _lake
+        m = _lake.read_manifest(args.lake_dir, args.read_epoch)
+        n = _lake.read_lake(args.lake_dir, epoch=args.read_epoch).count()
+        print(json.dumps({"epoch": args.read_epoch, "rows": n,
+                          "lsn_watermark": m.get("lsn_watermark")}))
+        ray.shutdown()
+        return 0
 
     if args.history:
         import os as _os
