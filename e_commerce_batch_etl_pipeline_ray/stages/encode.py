@@ -63,8 +63,12 @@ def label_encode(col: str, out: str = "label_id",
                                  "n": pa.array([], pa.int64())})
             return pa.table({"first": t[col].slice(0, 1),
                              "n": pa.array([t.num_rows], pa.int64())})
+        # batch_size=None -> one batch per BLOCK in both passes, so the
+        # (first_value -> offset) map built here aligns exactly with the
+        # batches _assign sees (same materialized blocks, no re-slicing)
         stats = vocab.map_batches(_block_stats, batch_format="pyarrow",
-                                  zero_copy_batch=True).take_all()
+                                  zero_copy_batch=True,
+                                  batch_size=None).take_all()
         stats.sort(key=lambda r: r["first"])
         offsets = {}
         acc = 0
@@ -83,7 +87,7 @@ def label_encode(col: str, out: str = "label_id",
             ids = pa.array(np.arange(off, off + t.num_rows, dtype=np.int64))
             return pa.table({col: t[col], out: ids})
         mapping = vocab.map_batches(_assign, batch_format="pyarrow",
-                                    zero_copy_batch=True)
+                                    zero_copy_batch=True, batch_size=None)
 
         if vocab_size <= broadcast_max:
             mtab = pa.concat_tables(
