@@ -3062,3 +3062,45 @@ FROM e ORDER BY doc_id, chunk_idx
 
 QUERIES.update({"q85_chunk_documents": q85_chunk_documents})
 ORACLE.update({"q85_chunk_documents": Q85_SQL})
+
+
+# ---------------------------------------------------------------------------
+# q86 — eval-set decontamination: per-doc fraction of distinct 16-char
+# shingles (first 512 chars, lowercased) present in the "benchmark" set
+# (docs 0-19 stand in for an eval set). Exact string shingles -> exact
+# SQL mirror; benchmark set broadcast once, corpus streams.
+
+def q86_contamination(sf_dir: str):
+    from e_commerce_batch_etl_pipeline_ray.stages import text as T
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    bench = maps.filter_expr(
+        lambda t: pc.less(t["doc_id"], pa.scalar(20)),
+        name="bench").apply(ds)
+    out = T.contamination(ds, bench.materialize(), k=16, cap=512)
+    return out.sort("doc_id")
+
+
+Q86_SQL = """
+WITH d AS (
+  SELECT doc_id, lower(substr(text, 1, 512)) AS t
+  FROM documents WHERE text IS NOT NULL
+), idx AS (
+  SELECT doc_id, t,
+         UNNEST(RANGE(1, GREATEST(length(t) - 15, 1) + 1)) AS i
+  FROM d
+), sh AS (
+  SELECT DISTINCT doc_id, substr(t, i, 16) AS sh FROM idx
+), bench AS (
+  SELECT DISTINCT sh FROM sh WHERE doc_id < 20
+)
+SELECT s.doc_id,
+       ROUND(AVG(CASE WHEN b.sh IS NOT NULL THEN 1.0 ELSE 0.0 END), 6)
+           AS contamination,
+       COUNT(*) AS n_shingles
+FROM sh s LEFT JOIN bench b USING (sh)
+GROUP BY s.doc_id ORDER BY s.doc_id
+"""
+
+
+QUERIES.update({"q86_contamination": q86_contamination})
+ORACLE.update({"q86_contamination": Q86_SQL})

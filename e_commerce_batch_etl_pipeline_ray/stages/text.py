@@ -485,3 +485,81 @@ def chunk_documents(text_col: str = "text", id_col: str = "doc_id",
         return ds.map_batches(_fn, batch_format="pyarrow",
                               zero_copy_batch=True, batch_size=256)
     return FnStep(f"chunk[{text_col}]", _apply)
+
+
+def contamination(ds, benchmark, text_col: str = "text",
+                  id_col: str = "doc_id", k: int = 16, cap: int = 512):
+    """Eval-set DECONTAMINATION check: per document, the fraction of its
+    distinct lowercased ``k``-char shingles (over the first ``cap``
+    chars) that appear in the benchmark corpus's shingle set — the
+    standard training-data contamination score (flag/drop above a
+    threshold upstream of training).
+
+    EXACT by construction (string shingles, no hashing/Bloom), so it
+    SQL-mirrors unconditionally. The benchmark side is an eval set —
+    SMALL by definition — so its distinct-shingle set is collected once
+    on the driver and broadcast via ``ray.put`` (read once per task,
+    never per batch); the corpus side streams. Docs shorter than ``k``
+    contribute their whole text as the single shingle (substr
+    semantics); null-text docs are excluded (mirror with WHERE text IS
+    NOT NULL).
+
+    Output: (id, contamination in [0,1] rounded 6dp, n_shingles).
+    Scale shape: shingling is vectorized BY OFFSET ORDINAL (one pandas
+    str.slice per ordinal over still-long-enough docs), per-doc distinct
+    + set membership + groupby-mean are C-level pandas ops.
+    """
+    import pandas as pd
+
+    import ray as _ray
+
+    from e_commerce_batch_etl_pipeline_ray.core import FnStep  # noqa: F401
+
+    def _doc_shingles(texts: "pd.Series") -> "pd.DataFrame":
+        txt = texts.str.slice(0, cap).str.lower()
+        n_sh = (txt.str.len() - (k - 1)).clip(lower=1)
+        max_i = int(n_sh.max()) if len(n_sh) else 0
+        parts = []
+        for i in range(max_i):
+            mask = n_sh > i
+            if not mask.any():
+                break
+            parts.append(pd.DataFrame({
+                "_ri": txt.index[mask],
+                "sh": txt[mask].str.slice(i, i + k)}))
+        if not parts:
+            return pd.DataFrame({"_ri": pd.Series([], dtype="int64"),
+                                 "sh": pd.Series([], dtype=str)})
+        return pd.concat(parts).drop_duplicates()
+
+    # benchmark shingle set (eval sets are small by definition)
+    if hasattr(benchmark, "to_pandas"):
+        bdf = benchmark.to_pandas()
+    else:
+        bdf = benchmark
+    btexts = bdf[text_col].dropna()
+    bench_set = frozenset(_doc_shingles(btexts.reset_index(drop=True))["sh"])
+    bench_ref = _ray.put(bench_set)
+
+    def _score(t: pa.Table) -> pa.Table:
+        bset = _ray.get(bench_ref)
+        df = t.select([id_col, text_col]).to_pandas()
+        df = df[df[text_col].notna()].reset_index(drop=True)
+        if df.empty:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "contamination": pa.array([], pa.float64()),
+                             "n_shingles": pa.array([], pa.int64())})
+        long = _doc_shingles(df[text_col])
+        long["hit"] = long["sh"].isin(bset)
+        agg = long.groupby("_ri").agg(
+            contamination=("hit", "mean"), n_shingles=("hit", "size"))
+        out = df[[id_col]].join(agg)
+        return pa.table({
+            id_col: pa.array(out[id_col], pa.int64()),
+            "contamination": pa.array(out["contamination"].round(6),
+                                      pa.float64()),
+            "n_shingles": pa.array(out["n_shingles"], pa.int64()),
+        })
+
+    return ds.map_batches(_score, batch_format="pyarrow",
+                          zero_copy_batch=True, batch_size=256)

@@ -706,3 +706,25 @@ def test_chunk_documents_edges():
     # starts at 0, 12, 24; overlap of 4 chars between consecutive chunks
     assert d5.n_chars.tolist() == [16, 16, 16]
     assert out[out.doc_id == 4].chunk_text.tolist() == [""]
+
+
+def test_contamination_planted_overlap():
+    from e_commerce_batch_etl_pipeline_ray.stages import text as T
+
+    bench_text = "the quick brown fox jumps over the lazy dog " * 3
+    rows = [
+        {"doc_id": 0, "text": bench_text},                    # the benchmark
+        {"doc_id": 1, "text": bench_text},                    # exact copy -> 1.0
+        {"doc_id": 2, "text": "zzz completely different qqq " * 5},  # -> 0.0
+        {"doc_id": 3, "text": bench_text[:40] + " unrelated tail " * 10},
+        {"doc_id": 4, "text": "short"},                       # < k chars
+    ]
+    ds = ray.data.from_arrow(pa.Table.from_pylist(rows)).repartition(2)
+    bench = pa.Table.from_pylist(rows[:1])
+    out = {r["doc_id"]: r for r in
+           T.contamination(ds, bench, k=16, cap=512).take_all()}
+    assert out[0]["contamination"] == 1.0      # benchmark vs itself
+    assert out[1]["contamination"] == 1.0
+    assert out[2]["contamination"] == 0.0
+    assert 0.0 < out[3]["contamination"] < 1.0
+    assert out[4]["n_shingles"] == 1           # whole short text = 1 shingle
