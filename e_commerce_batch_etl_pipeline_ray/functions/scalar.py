@@ -182,3 +182,173 @@ def conditional_count(mask) -> int:
     """``count(when(cond, 1))`` notebooks/02_transformations.py:53-55 — count of
     True in a boolean mask (nulls excluded)."""
     return pc.sum(pc.fill_null(mask, False)).as_py() or 0
+
+
+# --- extended Spark/ANSI scalar surface (round 3) ---------------------------
+# Thin pyarrow.compute wrappers so pipelines read like pyspark.sql.functions;
+# each mirrors the DuckDB/Spark function named in its docstring (conformance
+# pinned by the q87 gauntlet oracle).
+
+def upper(col):
+    """UPPER(col)."""
+    return pc.utf8_upper(col)
+
+
+def trim(col):
+    """TRIM(col) (whitespace both ends)."""
+    return pc.utf8_trim_whitespace(col)
+
+
+def ltrim(col):
+    """LTRIM(col)."""
+    return pc.utf8_ltrim_whitespace(col)
+
+
+def rtrim(col):
+    """RTRIM(col)."""
+    return pc.utf8_rtrim_whitespace(col)
+
+
+def length(col):
+    """LENGTH(col) — codepoints, matching DuckDB length()."""
+    return pc.cast(pc.utf8_length(col), pa.int64())
+
+
+def substring(col, start: int, length_: int):
+    """SUBSTR(col, start, length) — 1-based like SQL."""
+    return pc.utf8_slice_codeunits(col, start - 1, start - 1 + length_)
+
+
+def concat_ws(sep: str, *cols):
+    """CONCAT_WS(sep, ...). Null inputs propagate null (Spark concat
+    semantics; mirror with || in SQL, not CONCAT_WS which skips nulls)."""
+    return pc.binary_join_element_wise(*cols, sep)
+
+
+def lpad(col, width: int, fill: str = " "):
+    """LPAD(col, width, fill)."""
+    return pc.utf8_lpad(col, width, padding=fill)
+
+
+def rpad(col, width: int, fill: str = " "):
+    """RPAD(col, width, fill)."""
+    return pc.utf8_rpad(col, width, padding=fill)
+
+
+def replace(col, pattern: str, replacement: str):
+    """REPLACE(col, pattern, replacement) — literal, all occurrences."""
+    return pc.replace_substring(col, pattern=pattern,
+                                replacement=replacement)
+
+
+def regexp_extract(col, pattern: str, out_null_on_miss: bool = True):
+    """regexp_extract(col, pattern) — first match of the whole pattern
+    (RE2; null on no match, matching DuckDB regexp_extract's '' vs null
+    needs care: DuckDB returns '' on miss — mirror with NULLIF)."""
+    res = pc.extract_regex(col, pattern=f"(?P<m>{pattern})")
+    return pc.struct_field(res, "m")
+
+
+def regexp_contains(col, pattern: str):
+    """col ~ pattern (RE2)."""
+    return pc.match_substring_regex(col, pattern=pattern)
+
+
+def ends_with(col, suffix: str):
+    """ENDS_WITH / col LIKE '%suffix'."""
+    return pc.ends_with(col, pattern=suffix)
+
+
+def contains(col, needle: str):
+    """CONTAINS(col, needle) — literal."""
+    return pc.match_substring(col, pattern=needle)
+
+
+def strpos(col, needle: str):
+    """STRPOS / INSTR — 1-based index of first occurrence, 0 if absent."""
+    return pc.add(pc.cast(pc.find_substring(col, pattern=needle),
+                          pa.int64()), pa.scalar(1, pa.int64()))
+
+
+def reverse(col):
+    """REVERSE(col)."""
+    return pc.utf8_reverse(col)
+
+
+def abs_(col):
+    """ABS(col)."""
+    return pc.abs(col)
+
+
+def ceil(col):
+    """CEIL(col)."""
+    return pc.ceil(col)
+
+
+def floor(col):
+    """FLOOR(col)."""
+    return pc.floor(col)
+
+
+def sqrt(col):
+    """SQRT(col)."""
+    return pc.sqrt(col)
+
+
+def ln(col):
+    """LN(col)."""
+    return pc.ln(col)
+
+
+def log10(col):
+    """LOG10(col)."""
+    return pc.log10(col)
+
+
+def power(col, p):
+    """POWER(col, p)."""
+    return pc.power(col, p)
+
+
+def mod(a, b):
+    """MOD(a, b) — C-style sign (matches DuckDB % for positive b)."""
+    import numpy as np  # noqa: F401
+    return pc.subtract(a, pc.multiply(
+        pc.cast(pc.floor(pc.divide(pc.cast(a, pa.float64()),
+                                   pc.cast(b, pa.float64()))), pa.int64()),
+        b))
+
+
+def greatest(*cols):
+    """GREATEST(...) — null-skipping like SQL."""
+    return pc.max_element_wise(*cols)
+
+
+def least(*cols):
+    """LEAST(...)."""
+    return pc.min_element_wise(*cols)
+
+
+def coalesce(*cols):
+    """COALESCE(...)."""
+    return pc.coalesce(*cols)
+
+
+def sign(col):
+    """SIGN(col)."""
+    return pc.cast(pc.sign(col), pa.int64())
+
+
+def date_trunc_month(col):
+    """DATE_TRUNC('month', ts)."""
+    return pc.floor_temporal(col, unit="month")
+
+
+def date_trunc_week(col):
+    """DATE_TRUNC('week', ts) (ISO weeks, Monday start)."""
+    return pc.floor_temporal(col, unit="week", week_starts_monday=True)
+
+
+def date_add_days(col, days: int):
+    """col + INTERVAL days DAY."""
+    return pc.add(col, pa.scalar(days * 86400_000_000, pa.duration("us")))

@@ -3104,3 +3104,105 @@ GROUP BY s.doc_id ORDER BY s.doc_id
 
 QUERIES.update({"q86_contamination": q86_contamination})
 ORACLE.update({"q86_contamination": Q86_SQL})
+
+
+# ---------------------------------------------------------------------------
+# q87 — scalar-function conformance gauntlet: 23 string/math kernels from
+# functions/scalar (UPPER/TRIM/LPAD/SUBSTR/REPLACE/regexp/STRPOS/REVERSE/
+# ABS/CEIL/FLOOR/SQRT/LN/LOG10/POWER/MOD/GREATEST/LEAST/SIGN/...) computed
+# row-locally and mirrored 1:1 in SQL. q88 — temporal trio (date_trunc
+# month/week, date_add) over event timestamps.
+
+def q87_scalar_gauntlet(sf_dir: str):
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_mktsegment",
+                                    "c_acctbal"])
+    ds = maps.with_columns({
+        "u": lambda t: F.upper(t["c_mktsegment"]),
+        "tr": lambda t: F.trim(F.lpad(t["c_name"], 30)),
+        "ln_c": lambda t: F.length(t["c_name"]),
+        "sub": lambda t: F.substring(t["c_name"], 10, 8),
+        "cw": lambda t: F.concat_ws("|", t["c_name"], t["c_mktsegment"]),
+        "lp": lambda t: F.lpad(pc.cast(t["c_custkey"], pa.string()), 8, "0"),
+        "rp": lambda t: F.rpad(t["c_mktsegment"], 12, "."),
+        "rep": lambda t: F.replace(t["c_name"], "Customer#", "C-"),
+        "rex": lambda t: F.regexp_extract(t["c_name"], "[1-9][0-9]*"),
+        "rc": lambda t: F.regexp_contains(t["c_name"], "00[1-9]"),
+        "ew": lambda t: F.ends_with(t["c_name"], "5"),
+        "ct": lambda t: F.contains(t["c_name"], "007"),
+        "sp": lambda t: F.strpos(t["c_name"], "#"),
+        "rev": lambda t: F.reverse(t["c_mktsegment"]),
+        "ab": lambda t: F.abs_(t["c_acctbal"]),
+        "ce": lambda t: F.ceil(t["c_acctbal"]),
+        "fl": lambda t: F.floor(t["c_acctbal"]),
+        "sq": lambda t: F.round2(F.sqrt(F.abs_(t["c_acctbal"])), 6),
+        "l1": lambda t: F.round2(F.ln(pc.add(F.abs_(t["c_acctbal"]),
+                                             pa.scalar(1.0))), 6),
+        "lg": lambda t: F.round2(F.log10(pc.add(F.abs_(t["c_acctbal"]),
+                                                pa.scalar(1.0))), 6),
+        "pw": lambda t: F.round2(F.power(t["c_acctbal"], 2), 4),
+        "md": lambda t: F.mod(t["c_custkey"], pa.scalar(7, pa.int64())),
+        "gr": lambda t: F.greatest(t["c_acctbal"], pa.scalar(0.0)),
+        "ls": lambda t: F.least(t["c_acctbal"], pa.scalar(0.0)),
+        "sg": lambda t: F.sign(t["c_acctbal"]),
+    }).apply(ds)
+    return ds.select_columns(
+        ["c_custkey", "u", "tr", "ln_c", "sub", "cw", "lp", "rp", "rep",
+         "rex", "rc", "ew", "ct", "sp", "rev", "ab", "ce", "fl", "sq",
+         "l1", "lg", "pw", "md", "gr", "ls", "sg"]).sort("c_custkey")
+
+
+Q87_SQL = """
+SELECT c_custkey,
+       UPPER(c_mktsegment) AS u,
+       TRIM(LPAD(c_name, 30, ' ')) AS tr,
+       LENGTH(c_name) AS ln_c,
+       SUBSTR(c_name, 10, 8) AS sub,
+       c_name || '|' || c_mktsegment AS cw,
+       LPAD(CAST(c_custkey AS VARCHAR), 8, '0') AS lp,
+       RPAD(c_mktsegment, 12, '.') AS rp,
+       REPLACE(c_name, 'Customer#', 'C-') AS rep,
+       NULLIF(regexp_extract(c_name, '[1-9][0-9]*'), '') AS rex,
+       regexp_matches(c_name, '00[1-9]') AS rc,
+       c_name LIKE '%5' AS ew,
+       CONTAINS(c_name, '007') AS ct,
+       STRPOS(c_name, '#') AS sp,
+       REVERSE(c_mktsegment) AS rev,
+       ABS(c_acctbal) AS ab,
+       CEIL(c_acctbal) AS ce,
+       FLOOR(c_acctbal) AS fl,
+       ROUND(SQRT(ABS(c_acctbal)), 6) AS sq,
+       ROUND(LN(ABS(c_acctbal) + 1), 6) AS l1,
+       ROUND(LOG10(ABS(c_acctbal) + 1), 6) AS lg,
+       ROUND(POWER(c_acctbal, 2), 4) AS pw,
+       c_custkey % 7 AS md,
+       GREATEST(c_acctbal, 0.0) AS gr,
+       LEAST(c_acctbal, 0.0) AS ls,
+       CAST(SIGN(c_acctbal) AS BIGINT) AS sg
+FROM customer ORDER BY c_custkey
+"""
+
+
+def q88_temporal_trio(sf_dir: str):
+    ds = _read(sf_dir, "events", ["event_id", "ts"])
+    ds = maps.with_columns({
+        "mstart": lambda t: F.date_trunc_month(t["ts"]),
+        "wstart": lambda t: F.date_trunc_week(t["ts"]),
+        "plus7": lambda t: F.date_add_days(t["ts"], 7),
+    }).apply(ds)
+    return ds.select_columns(["event_id", "mstart", "wstart", "plus7"]) \
+             .sort("event_id")
+
+
+Q88_SQL = """
+SELECT event_id,
+       DATE_TRUNC('month', ts)::TIMESTAMP AS mstart,
+       DATE_TRUNC('week', ts)::TIMESTAMP AS wstart,
+       ts + INTERVAL 7 DAY AS plus7
+FROM events ORDER BY event_id
+"""
+
+
+QUERIES.update({"q87_scalar_gauntlet": q87_scalar_gauntlet,
+                "q88_temporal_trio": q88_temporal_trio})
+ORACLE.update({"q87_scalar_gauntlet": Q87_SQL,
+               "q88_temporal_trio": Q88_SQL})
