@@ -3206,3 +3206,54 @@ QUERIES.update({"q87_scalar_gauntlet": q87_scalar_gauntlet,
                 "q88_temporal_trio": q88_temporal_trio})
 ORACLE.update({"q87_scalar_gauntlet": Q87_SQL,
                "q88_temporal_trio": Q88_SQL})
+
+
+# ---------------------------------------------------------------------------
+# q89 — incrementally-maintained aggregate (materialized-view maintenance):
+# the orders-by-year cube folded in as THREE delta batches (partials are
+# the persistent state; each update scans only its delta). The oracle is
+# the full recompute over everything — incremental == batch, exactly.
+
+def q89_incremental_aggregate(sf_dir: str):
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate",
+                                  "o_orderstatus", "o_totalprice"])
+    ds = maps.with_columns(
+        {"o_year": lambda t: pc.cast(pc.year(t["o_orderdate"]), pa.int64())}
+    ).apply(ds)
+    inc = aggregates.IncrementalAggregate(
+        ["o_year", "o_orderstatus"],
+        [("count", None, "n_orders"), ("sum", "o_totalprice", "sum_price"),
+         ("mean", "o_totalprice", "avg_price"),
+         ("min", "o_totalprice", "min_price"),
+         ("max", "o_totalprice", "max_price"),
+         ("std", "o_totalprice", "std_price")])
+    # three deltas by key range (deterministic split of the same input)
+    for lo, hi in ((0, 5000), (5000, 10000), (10000, 1 << 60)):
+        delta = maps.filter_expr(
+            lambda t, lo=lo, hi=hi: pc.and_(
+                pc.greater_equal(t["o_orderkey"], pa.scalar(lo)),
+                pc.less(t["o_orderkey"], pa.scalar(hi))),
+            name=f"delta{lo}").apply(ds)
+        inc.update(delta)
+    out = inc.result()
+    for c in ("sum_price", "avg_price", "std_price"):
+        i = out.column_names.index(c)
+        out = out.set_column(i, c, F.round2(out[c], 4))
+    return out.sort_by([("o_year", "ascending"),
+                        ("o_orderstatus", "ascending")])
+
+
+Q89_SQL = """
+SELECT CAST(YEAR(o_orderdate) AS BIGINT) AS o_year, o_orderstatus,
+       COUNT(*) AS n_orders,
+       ROUND(SUM(o_totalprice), 4) AS sum_price,
+       ROUND(AVG(o_totalprice), 4) AS avg_price,
+       MIN(o_totalprice) AS min_price,
+       MAX(o_totalprice) AS max_price,
+       ROUND(STDDEV_SAMP(o_totalprice), 4) AS std_price
+FROM orders GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+QUERIES.update({"q89_incremental_aggregate": q89_incremental_aggregate})
+ORACLE.update({"q89_incremental_aggregate": Q89_SQL})

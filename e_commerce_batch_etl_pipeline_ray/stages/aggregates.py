@@ -1220,3 +1220,65 @@ def describe(ds: ray.data.Dataset,
         ("n_nulls", pa.int64()), ("mean", pa.float64()),
         ("std", pa.float64()), ("min", pa.float64()),
         ("max", pa.float64())]))
+
+
+class IncrementalAggregate:
+    """Incrementally-maintained grouped aggregate (materialized-view
+    maintenance): keep the MERGEABLE PARTIALS as the persistent state and
+    fold in delta batches without rescanning history — the incremental
+    companion to the CDC engine for append-only facts.
+
+    Works for every ``_PartialPlan`` agg kind (count/sum/mean/min/max/
+    sum_bool/std/corr/covar) because each is expressed as partials closed
+    under re-merge. ``update(delta)`` costs one combiner pass over the
+    DELTA plus a merge of two partial tables at the group-key grain;
+    ``result()`` finalizes without touching the data.
+
+    State lives as an Arrow table of partials (grain rows only). For
+    dashboard-grain keys that is tiny and driver-held; persist it with
+    ``state``/``load`` (parquet) between runs. Deletions/updates are out
+    of scope (min/max are not subtractable) — pair with the CDC engine
+    when facts mutate.
+    """
+
+    def __init__(self, by: Sequence[str],
+                 aggs: Sequence[tuple[str, str | None, str]]):
+        self.by = list(by)
+        self.plan = _PartialPlan(self.by, [tuple(a) for a in aggs])
+        self._state: pa.Table | None = None
+
+    def update(self, delta: "ray.data.Dataset") -> "IncrementalAggregate":
+        """Fold one delta batch into the state (combiner pass over the
+        delta only; shuffle carries per-block partials)."""
+        partials = delta.map_batches(self.plan.local, batch_format="pyarrow",
+                                     zero_copy_batch=True)
+        delta_t = self.plan.merge_arrow(collect_arrow(partials), self.by)
+        if self._state is None:
+            self._state = delta_t
+        else:
+            both = pa.concat_tables([self._state, delta_t],
+                                    promote_options="permissive")
+            self._state = self.plan.merge_arrow(both, self.by)
+        return self
+
+    def result(self) -> pa.Table:
+        """Finalized aggregate at the current state (no data scan)."""
+        if self._state is None:
+            raise ValueError("no deltas ingested yet")
+        return self.plan.finalize(self._state, self.by)
+
+    def state(self) -> pa.Table:
+        if self._state is None:
+            raise ValueError("no deltas ingested yet")
+        return self._state
+
+    def load(self, state: pa.Table) -> "IncrementalAggregate":
+        """Resume from a persisted partials table (column set must match
+        this plan's partials)."""
+        need = self.by + self.plan.partial_names + (
+            ["__rows_sum"] if self.plan.needs_rowcount else [])
+        missing = [c for c in need if c not in state.column_names]
+        if missing:
+            raise ValueError(f"state is missing partial columns {missing}")
+        self._state = state
+        return self

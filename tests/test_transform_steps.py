@@ -1012,3 +1012,38 @@ def test_range_frame_peers_and_window_bounds():
     # for BOTH rows); seq5: frame = (t0+61m, t0+121m] -> only itself
     assert list(df.s) == [1.0, 3.0, 15.0, 15.0, 16.0]
     assert list(df.c) == [1, 2, 4, 4, 1]
+
+
+def test_incremental_aggregate_equals_batch_and_resumes():
+    """Folding N deltas == one batch aggregate for every partial-plan agg
+    kind; state round-trips through save/load; singleton-group std NULL."""
+    import numpy as np
+    import pandas as pd
+    from e_commerce_batch_etl_pipeline_ray.stages import aggregates
+
+    rng = np.random.default_rng(6)
+    rows = [{"g": f"g{i % 4}", "v": float(np.round(rng.uniform(0, 100), 2))}
+            for i in range(300)]
+    rows.append({"g": "lonely", "v": 5.0})   # singleton -> std NULL
+    full = ray.data.from_arrow(pa.Table.from_pylist(rows))
+
+    aggs = [("count", None, "n"), ("sum", "v", "s"), ("mean", "v", "m"),
+            ("min", "v", "lo"), ("max", "v", "hi"), ("std", "v", "sd")]
+    batch = aggregates.grouped_aggregate(["g"], aggs, final="driver") \
+        .apply(full).to_pandas().sort_values("g").reset_index(drop=True)
+
+    inc = aggregates.IncrementalAggregate(["g"], aggs)
+    for i in range(3):
+        part = rows[i * 100:(i + 1) * 100] if i < 2 else rows[200:]
+        inc.update(ray.data.from_arrow(pa.Table.from_pylist(part)))
+    got = inc.result().to_pandas().sort_values("g").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[batch.columns], batch, check_exact=False, atol=1e-9)
+    assert pd.isna(got.loc[got.g == "lonely", "sd"]).all()
+
+    # resume from persisted partials
+    inc2 = aggregates.IncrementalAggregate(["g"], aggs).load(inc.state())
+    inc2.update(ray.data.from_arrow(pa.Table.from_pylist(
+        [{"g": "g0", "v": 50.0}])))
+    got2 = inc2.result().to_pandas().set_index("g")
+    assert got2.loc["g0", "n"] == batch.set_index("g").loc["g0", "n"] + 1
