@@ -3227,18 +3227,23 @@ def q89_incremental_aggregate(sf_dir: str):
          ("min", "o_totalprice", "min_price"),
          ("max", "o_totalprice", "max_price"),
          ("std", "o_totalprice", "std_price")])
-    # three deltas by key range (deterministic split of the same input)
-    for lo, hi in ((0, 5000), (5000, 10000), (10000, 1 << 60)):
+    # three deltas by key residue (deterministic, non-empty at every sf)
+    for r in (0, 1, 2):
         delta = maps.filter_expr(
-            lambda t, lo=lo, hi=hi: pc.and_(
-                pc.greater_equal(t["o_orderkey"], pa.scalar(lo)),
-                pc.less(t["o_orderkey"], pa.scalar(hi))),
-            name=f"delta{lo}").apply(ds)
+            lambda t, r=r: pc.equal(
+                pc.mod_checked(t["o_orderkey"], pa.scalar(3, pa.int64()))
+                if hasattr(pc, "mod_checked") else
+                pc.subtract(t["o_orderkey"],
+                            pc.multiply(pc.divide(t["o_orderkey"],
+                                                  pa.scalar(3, pa.int64())),
+                                        pa.scalar(3, pa.int64()))),
+                pa.scalar(r, pa.int64())),
+            name=f"delta{r}").apply(ds)
         inc.update(delta)
     out = inc.result()
     for c in ("sum_price", "avg_price", "std_price"):
         i = out.column_names.index(c)
-        out = out.set_column(i, c, F.round2(out[c], 4))
+        out = out.set_column(i, c, F.round2(out[c], 2))
     return out.sort_by([("o_year", "ascending"),
                         ("o_orderstatus", "ascending")])
 
@@ -3246,11 +3251,11 @@ def q89_incremental_aggregate(sf_dir: str):
 Q89_SQL = """
 SELECT CAST(YEAR(o_orderdate) AS BIGINT) AS o_year, o_orderstatus,
        COUNT(*) AS n_orders,
-       ROUND(SUM(o_totalprice), 4) AS sum_price,
-       ROUND(AVG(o_totalprice), 4) AS avg_price,
+       ROUND(SUM(o_totalprice), 2) AS sum_price,
+       ROUND(AVG(o_totalprice), 2) AS avg_price,
        MIN(o_totalprice) AS min_price,
        MAX(o_totalprice) AS max_price,
-       ROUND(STDDEV_SAMP(o_totalprice), 4) AS std_price
+       ROUND(STDDEV_SAMP(o_totalprice), 2) AS std_price
 FROM orders GROUP BY 1, 2 ORDER BY 1, 2
 """
 

@@ -1252,7 +1252,10 @@ class IncrementalAggregate:
         delta only; shuffle carries per-block partials)."""
         partials = delta.map_batches(self.plan.local, batch_format="pyarrow",
                                      zero_copy_batch=True)
-        delta_t = self.plan.merge_arrow(collect_arrow(partials), self.by)
+        raw = collect_arrow(partials)
+        if raw.num_rows == 0:
+            return self      # empty delta (also: zero-column Ray block)
+        delta_t = self.plan.merge_arrow(raw, self.by)
         if self._state is None:
             self._state = delta_t
         else:
