@@ -256,3 +256,59 @@ def test_range_frame_kernel_matches_bruteforce(rows, win_minutes):
             assert pd.isna(got.loc[i, "s"])
         else:
             assert abs(got.loc[i, "s"] - win.sum()) < 1e-6
+
+
+# --- incremental aggregate == batch under random splits ---------------------
+
+inc_rows = st.lists(
+    st.tuples(st.sampled_from(["a", "b", "c"]),
+              st.floats(-1000, 1000, allow_nan=False)),
+    min_size=1, max_size=120)
+
+
+@settings(max_examples=25, deadline=None)
+@given(inc_rows, st.integers(1, 5), st.randoms(use_true_random=False))
+def test_incremental_aggregate_split_invariant(rows, n_splits, rnd):
+    """Folding ANY partition of the input as deltas (including empty
+    deltas) finalizes to the same result as one batch pass — the
+    mergeable-partials closure property behind IncrementalAggregate."""
+    import numpy as np
+    import ray.data
+
+    from e_commerce_batch_etl_pipeline_ray.stages import aggregates
+
+    aggs = [("count", None, "n"), ("sum", "v", "s"), ("mean", "v", "m"),
+            ("min", "v", "lo"), ("max", "v", "hi"), ("std", "v", "sd")]
+
+    def _tbl(rs):
+        return pa.table({"g": pa.array([r[0] for r in rs]),
+                         "v": pa.array([round(r[1], 3) for r in rs],
+                                       pa.float64())})
+
+    batch = aggregates.IncrementalAggregate(["g"], aggs) \
+        .update(ray.data.from_arrow(_tbl(rows))).result().to_pandas() \
+        .sort_values("g").reset_index(drop=True)
+
+    shuffled = list(rows)
+    rnd.shuffle(shuffled)
+    cuts = sorted(rnd.randrange(0, len(shuffled) + 1)
+                  for _ in range(n_splits - 1))
+    pieces, prev = [], 0
+    for c in cuts + [len(shuffled)]:
+        pieces.append(shuffled[prev:c])
+        prev = c
+    inc = aggregates.IncrementalAggregate(["g"], aggs)
+    for piece in pieces:
+        if piece:
+            inc.update(ray.data.from_arrow(_tbl(piece)))
+        else:
+            inc.update(ray.data.from_arrow(_tbl([]).slice(0, 0)))
+    got = inc.result().to_pandas().sort_values("g").reset_index(drop=True)
+    assert list(got.g) == list(batch.g)
+    for c in ("n", "lo", "hi"):
+        assert (got[c] == batch[c]).all()
+    for c in ("s", "m", "sd"):
+        a = got[c].to_numpy(dtype=float)
+        b = batch[c].to_numpy(dtype=float)
+        ok = np.isclose(a, b, atol=1e-6, equal_nan=True)
+        assert ok.all(), (c, a, b)
