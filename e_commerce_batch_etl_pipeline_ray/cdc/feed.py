@@ -1,0 +1,255 @@
+"""Change Data Feed — per-epoch row-level change stream from the lake.
+
+``change_feed(lake_dir, from_epoch, to_epoch)`` returns a Dataset of every
+row-level change each epoch committed, in the Delta-Lake CDF shape: data
+columns + ``_change_type`` in {insert, update_preimage, update_postimage,
+delete} + ``_commit_epoch``. Downstream incremental consumers (sync to a
+search index, maintain a materialized view, audit) read ONLY the changes —
+never a full snapshot diff.
+
+Scale design — this is shuffle-free end to end:
+  * The lake's partitioning is stable across epochs (same key hash, same
+    partition count), so epoch N's ``part-P`` file and epoch N-1's
+    ``part-P`` file hold the SAME key range: the diff is per-partition
+    file-vs-file, one task per (epoch, partition), no all-to-all exchange.
+  * Untouched partitions carry their file references forward in the
+    manifest unchanged — identical file lists mean zero changes, and the
+    partition is skipped WITHOUT reading data (manifest-only pruning). An
+    epoch that touched 3 of 10k partitions schedules 3 tasks.
+  * Inside a task the diff is Arrow-vectorized: one ``index_in`` hash
+    lookup per side on a fused key column, boolean masks, ``take`` — no
+    per-row Python.
+
+Change semantics at epoch grain (like Delta's per-commit CDF):
+  * insert           — key live in N, absent-or-tombstoned in N-1
+  * update_pre/post  — key live in both with a different winning LSN
+                       (two rows: the old image and the new image)
+  * delete           — key live in N-1, tombstoned in N (the emitted row
+                       is the PREIMAGE — the row as it was before delete)
+  * a key whose winner LSN is unchanged (duplicate / stale delivery only)
+    emits nothing; tombstone -> tombstone (re-delete) emits nothing.
+
+Applying a feed onto the epoch N-1 snapshot reproduces the epoch N
+snapshot exactly (tested: test_cdc_feed.py::test_feed_applies_to_snapshot).
+
+Reference lineage: the reference pipeline is full-rewrite batch (overwrite
+sink, src/load.py:36-41) with no change tracking; this generalizes its
+run-log delta counts (notebooks/07_pipeline_orchestrator.py:139-150) to
+row-level lineage, per the north-star's replayable change-event pipeline.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray.data
+
+from e_commerce_batch_etl_pipeline_ray.cdc import lake
+from e_commerce_batch_etl_pipeline_ray.stages.dedup import combine_keep_extreme
+
+KEY = ["repo", "path"]
+CHANGE_COL = "_change_type"
+EPOCH_COL = "_commit_epoch"
+# key fuse separator: paths/repos never contain NUL (binlog + POSIX contract)
+_SEP = "\x00"
+
+
+def _feed_schema(data_schema: pa.Schema) -> pa.Schema:
+    """Output schema: data columns (tombstone marker dropped) + change
+    metadata columns."""
+    fields = [pa.field(f.name, f.type) for f in data_schema
+              if f.name != "_deleted"]
+    return pa.schema(fields + [pa.field(CHANGE_COL, pa.string()),
+                               pa.field(EPOCH_COL, pa.int64())])
+
+
+def _part_files(rec: dict | None) -> list[str]:
+    if not rec:
+        return []
+    return ([rec["file"]] if rec.get("file") else []) + list(rec.get("deltas", []))
+
+
+def _load_state(files: list[str], schema: pa.Schema) -> pa.Table:
+    """One partition's compacted LWW state (tombstones kept), unified to
+    ``schema``. Base files are already compacted+sorted; delta files can
+    carry multiple rows per key, so re-combine (idempotent on bases)."""
+    if not files:
+        return schema.empty_table()
+    tables = [lake._unify_to(pq.read_table(f), schema) for f in files]
+    t = tables[0] if len(tables) == 1 else pa.concat_tables(tables)
+    return combine_keep_extreme(t, KEY, ["lsn"], descending=True)
+
+
+def _fused_key(t: pa.Table) -> pa.Array:
+    return pc.binary_join_element_wise(
+        t[KEY[0]].combine_chunks(), t[KEY[1]].combine_chunks(), _SEP)
+
+
+def _emit(t: pa.Table, idx, change_type: str, epoch: int,
+          out_schema: pa.Schema) -> pa.Table:
+    rows = t.take(idx)
+    if "_deleted" in rows.column_names:
+        rows = rows.drop_columns(["_deleted"])
+    n = rows.num_rows
+    rows = rows.append_column(
+        CHANGE_COL, pa.array([change_type] * n, pa.string()))
+    rows = rows.append_column(EPOCH_COL, pa.array([epoch] * n, pa.int64()))
+    return rows.select(out_schema.names).cast(out_schema)
+
+
+def _diff_states(prev: pa.Table, cur: pa.Table, epoch: int,
+                 out_schema: pa.Schema) -> pa.Table:
+    """Vectorized per-partition diff of two compacted states (one row per
+    key each, tombstones as ``_deleted`` rows)."""
+    import numpy as np
+
+    p_live = pc.invert(prev["_deleted"].combine_chunks()) if prev.num_rows \
+        else pa.array([], pa.bool_())
+    n_live = pc.invert(cur["_deleted"].combine_chunks()) if cur.num_rows \
+        else pa.array([], pa.bool_())
+
+    pk, nk = _fused_key(prev), _fused_key(cur)
+    # position of each current key in prev (null = brand-new key), and the
+    # reverse for delete detection
+    n_in_p = pc.index_in(nk, value_set=pk)
+    p_in_n = pc.index_in(pk, value_set=nk)
+
+    n_in_p_np = n_in_p.to_numpy(zero_copy_only=False)   # float w/ nan
+    p_in_n_np = p_in_n.to_numpy(zero_copy_only=False)
+    n_live_np = n_live.to_numpy(zero_copy_only=False).astype(bool)
+    p_live_np = p_live.to_numpy(zero_copy_only=False).astype(bool)
+    n_lsn = cur["lsn"].to_numpy(zero_copy_only=False) if cur.num_rows else \
+        np.array([], dtype=np.int64)
+    p_lsn = prev["lsn"].to_numpy(zero_copy_only=False) if prev.num_rows else \
+        np.array([], dtype=np.int64)
+
+    has_prev = ~np.isnan(n_in_p_np) if len(n_in_p_np) else \
+        np.array([], dtype=bool)
+    pidx = np.where(has_prev, n_in_p_np, 0).astype(np.int64)
+    prev_live_at = np.where(has_prev, p_live_np[pidx] if len(p_live_np)
+                            else False, False)
+    prev_lsn_at = np.where(has_prev, p_lsn[pidx] if len(p_lsn) else 0, -1)
+
+    insert_mask = n_live_np & ~prev_live_at
+    update_mask = n_live_np & prev_live_at & (n_lsn != prev_lsn_at)
+
+    has_cur = ~np.isnan(p_in_n_np) if len(p_in_n_np) else \
+        np.array([], dtype=bool)
+    nidx = np.where(has_cur, p_in_n_np, 0).astype(np.int64)
+    cur_dead_at = np.where(
+        has_cur, ~n_live_np[nidx] if len(n_live_np) else True, True)
+    # prior-live key now tombstoned (or GC-vanished) -> delete, preimage row
+    delete_mask = p_live_np & cur_dead_at
+
+    pieces = [
+        _emit(cur, np.flatnonzero(insert_mask), "insert", epoch, out_schema),
+        _emit(prev, pidx[update_mask], "update_preimage", epoch, out_schema),
+        _emit(cur, np.flatnonzero(update_mask), "update_postimage", epoch,
+              out_schema),
+        _emit(prev, np.flatnonzero(delete_mask), "delete", epoch, out_schema),
+    ]
+    return pa.concat_tables([p for p in pieces if p.num_rows] or
+                            [out_schema.empty_table()])
+
+
+def _plan(lake_dir: str, from_epoch: int,
+          to_epoch: int | None) -> tuple[list[dict], pa.Schema, int]:
+    """Manifest-only diff plan: one item per (epoch, partition) whose file
+    list changed vs the prior epoch. Untouched (carried-forward) partitions
+    never appear — the pruning is pure metadata, no data read."""
+    last = lake.last_committed_epoch(lake_dir)
+    if last is None:
+        raise FileNotFoundError(f"no committed epochs in {lake_dir}")
+    if to_epoch is None:
+        to_epoch = last
+    if not (0 <= from_epoch <= to_epoch <= last):
+        raise ValueError(
+            f"epoch range [{from_epoch}, {to_epoch}] outside committed [0, {last}]")
+
+    # newest schema in the range governs the whole feed's output layout
+    # (older epochs' columns null-backfill forward, additive evolution)
+    out_schema = _feed_schema(lake.schema_from_b64(
+        lake.read_manifest(lake_dir, to_epoch)["schema"]))
+
+    items = []
+    prev_manifest = (lake.read_manifest(lake_dir, from_epoch - 1)
+                     if from_epoch > 0 else None)
+    for e in range(from_epoch, to_epoch + 1):
+        cur_manifest = lake.read_manifest(lake_dir, e)
+        prev_parts = prev_manifest["partitions"] if prev_manifest else {}
+        for pid, rec in cur_manifest["partitions"].items():
+            cur_files = _part_files(rec)
+            prev_files = _part_files(prev_parts.get(pid))
+            if cur_files == prev_files:
+                continue                     # carried forward: no changes
+            items.append({
+                "partition": int(pid), "epoch": e,
+                "cur_files": json.dumps(cur_files),
+                "prev_files": json.dumps(prev_files),
+            })
+        prev_manifest = cur_manifest
+    return items, out_schema, to_epoch
+
+
+def change_feed(lake_dir: str, from_epoch: int = 0,
+                to_epoch: int | None = None) -> ray.data.Dataset:
+    """Row-level change stream for epochs ``from_epoch..to_epoch``
+    (inclusive; default: latest committed). One shuffle-free Ray task per
+    (epoch, touched partition); untouched partitions pruned from the
+    manifest without any data read."""
+    items, out_schema, _ = _plan(lake_dir, from_epoch, to_epoch)
+
+    if not items:
+        return ray.data.from_arrow(out_schema.empty_table())
+
+    schema_b64 = lake.schema_to_b64(
+        pa.schema([f for f in out_schema if f.name
+                   not in (CHANGE_COL, EPOCH_COL)]).append(
+            pa.field("_deleted", pa.bool_())))
+
+    def _diff_partition(batch: pa.Table) -> pa.Table:
+        state_schema = lake.schema_from_b64(schema_b64)
+        feed_schema = _feed_schema(state_schema)
+        out = []
+        for row in batch.to_pylist():
+            prev = _load_state(json.loads(row["prev_files"]), state_schema)
+            cur = _load_state(json.loads(row["cur_files"]), state_schema)
+            out.append(_diff_states(prev, cur, row["epoch"], feed_schema))
+        return pa.concat_tables(out) if len(out) > 1 else out[0]
+
+    return ray.data.from_items(items).map_batches(
+        _diff_partition, batch_format="pyarrow", batch_size=1)
+
+
+def apply_feed(snapshot: pa.Table, feed: pa.Table) -> pa.Table:
+    """Re-apply a change feed onto the snapshot it diffed FROM, producing
+    the snapshot it diffed TO (driver-side helper for tests / consumers):
+    drop deleted + pre-update keys, add inserts + postimages. Feed may span
+    multiple epochs; later epochs win per key."""
+    # a key has at most ONE non-preimage change per epoch, so the final
+    # change per key is the max-epoch row among {insert, update_postimage,
+    # delete}; only non-delete finals are (re)added
+    finals = combine_keep_extreme(
+        feed.filter(pc.not_equal(feed[CHANGE_COL], "update_preimage")),
+        KEY, [EPOCH_COL], descending=True)
+    adds = finals.filter(pc.not_equal(finals[CHANGE_COL], "delete"))
+    removed_keys = _fused_key(feed)          # ANY change removes the old row
+    if snapshot.num_rows:
+        mask = pc.invert(pc.is_in(_fused_key(snapshot),
+                                  value_set=pc.unique(removed_keys)))
+        snapshot = snapshot.filter(mask)
+    add_data = adds.drop_columns([CHANGE_COL, EPOCH_COL])
+    cols = snapshot.column_names
+    if set(cols) != set(add_data.column_names):
+        # additive schema evolution across the feed range: null-backfill
+        unified = pa.unify_schemas(
+            [snapshot.schema, add_data.schema], promote_options="permissive")
+        snapshot = lake._unify_to(snapshot, unified)
+        add_data = lake._unify_to(add_data, unified)
+        cols = snapshot.column_names
+    merged = pa.concat_tables([snapshot, add_data.select(cols)])
+    return merged.sort_by([(k, "ascending") for k in KEY])

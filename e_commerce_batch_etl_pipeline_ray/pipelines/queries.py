@@ -3262,3 +3262,81 @@ FROM orders GROUP BY 1, 2 ORDER BY 1, 2
 
 QUERIES.update({"q89_incremental_aggregate": q89_incremental_aggregate})
 ORACLE.update({"q89_incremental_aggregate": Q89_SQL})
+
+
+# ---------------------------------------------------------------------------
+# q90 — CDC CHANGE DATA FEED: ingest both binlog fixture epochs, then read
+# the row-level change stream (insert / update_preimage / update_postimage
+# / delete + _commit_epoch) for epochs 0..1. Shuffle-free per-partition
+# diff, untouched partitions pruned from the manifest alone. The oracle
+# recomputes the two LWW snapshots in SQL and diffs them with joins —
+# including the schema-evolution boundary (epoch-0 images have no `lang`,
+# so every epoch-0-derived row must carry lang NULL).
+
+def q90_cdc_change_feed(sf_dir: str):
+    import tempfile
+
+    from e_commerce_batch_etl_pipeline_ray.cdc import engine, feed
+    from e_commerce_batch_etl_pipeline_ray.stages.blockutil import (
+        read_parquet_clean,
+    )
+    ensure_oracle_fixtures()
+    lake_dir = tempfile.mkdtemp(prefix="q90_lake_", dir="/tmp")
+    eng = engine.CDCEngine(engine.CDCConfig(lake_dir=lake_dir,
+                                            num_partitions=16,
+                                            merge_concurrency=2))
+    for ep in range(Q24_EPOCHS):
+        events = read_parquet_clean(
+            os.path.join(Q24_BINLOG_DIR, f"epoch-{ep}.parquet"),
+            override_num_blocks=8)
+        eng.ingest_epoch(events, ep)
+    return feed.change_feed(lake_dir, 0, 1).sort(
+        ["repo", "path", "_commit_epoch", "_change_type", "lsn"])
+
+
+Q90_SQL = f"""
+WITH e0 AS (SELECT * FROM read_parquet('{Q24_BINLOG_DIR}/epoch-0.parquet')),
+s0 AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY repo, path ORDER BY lsn DESC) rn
+    FROM e0) WHERE rn = 1
+),
+s1 AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY repo, path ORDER BY lsn DESC) rn
+    FROM read_parquet(['{Q24_BINLOG_DIR}/epoch-0.parquet',
+                       '{Q24_BINLOG_DIR}/epoch-1.parquet'],
+                      union_by_name=true)) WHERE rn = 1
+),
+feed AS (
+  SELECT 'insert' AS _change_type, CAST(0 AS BIGINT) AS _commit_epoch,
+         lsn, repo, path, commit, CAST(NULL AS VARCHAR) AS lang,
+         content, content_sha256
+  FROM s0 WHERE op <> 'D'
+  UNION ALL
+  SELECT 'insert', 1, s1.lsn, s1.repo, s1.path, s1.commit, s1.lang,
+         s1.content, s1.content_sha256
+  FROM s1 LEFT JOIN s0 ON s1.repo = s0.repo AND s1.path = s0.path
+  WHERE s1.op <> 'D' AND (s0.repo IS NULL OR s0.op = 'D')
+  UNION ALL
+  SELECT 'update_preimage', 1, s0.lsn, s0.repo, s0.path, s0.commit,
+         CAST(NULL AS VARCHAR), s0.content, s0.content_sha256
+  FROM s1 JOIN s0 ON s1.repo = s0.repo AND s1.path = s0.path
+  WHERE s1.op <> 'D' AND s0.op <> 'D' AND s1.lsn <> s0.lsn
+  UNION ALL
+  SELECT 'update_postimage', 1, s1.lsn, s1.repo, s1.path, s1.commit,
+         s1.lang, s1.content, s1.content_sha256
+  FROM s1 JOIN s0 ON s1.repo = s0.repo AND s1.path = s0.path
+  WHERE s1.op <> 'D' AND s0.op <> 'D' AND s1.lsn <> s0.lsn
+  UNION ALL
+  SELECT 'delete', 1, s0.lsn, s0.repo, s0.path, s0.commit,
+         CAST(NULL AS VARCHAR), s0.content, s0.content_sha256
+  FROM s1 JOIN s0 ON s1.repo = s0.repo AND s1.path = s0.path
+  WHERE s1.op = 'D' AND s0.op <> 'D'
+)
+SELECT * FROM feed ORDER BY repo, path, _commit_epoch, _change_type, lsn
+"""
+
+
+QUERIES.update({"q90_cdc_change_feed": q90_cdc_change_feed})
+ORACLE.update({"q90_cdc_change_feed": Q90_SQL})

@@ -1,0 +1,192 @@
+"""Change Data Feed correctness: per-epoch row-level diffs vs the
+sequential replay oracle, feed->snapshot reconstruction, manifest-only
+pruning of untouched partitions, LSM-delta-mode compatibility."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+
+from e_commerce_batch_etl_pipeline_ray.cdc import binlog, engine, feed, lake, oracle
+
+SPEC = binlog.BinlogSpec(events_per_epoch=2000, n_repos=10, paths_per_repo=60,
+                         evolution_epoch=1, content_chars_min=16,
+                         content_chars_max=256, dup_lookback=3000)
+N_EPOCHS = 3
+
+
+def _ingest(tmp_path, **cfg_kw):
+    cfg = engine.CDCConfig(lake_dir=str(tmp_path / "lake"), num_partitions=8,
+                           merge_concurrency=2, **cfg_kw)
+    eng = engine.CDCEngine(cfg)
+    for ep in range(N_EPOCHS):
+        eng.ingest_epoch(binlog.gen_epoch(SPEC, ep), ep)
+    if eng._pool is not None:
+        eng._pool.shutdown()
+    return cfg.lake_dir
+
+
+def _replay_state(n_epochs: int) -> dict:
+    if n_epochs == 0:
+        return {}
+    evs = pa.concat_tables(
+        [binlog.gen_epoch_table(SPEC, e) for e in range(n_epochs)],
+        promote_options="permissive")
+    return oracle.replay(evs)
+
+
+def _expected_changes(epoch: int) -> set[tuple]:
+    """(change_type, repo, path, lsn) tuples the feed must emit for
+    ``epoch``, derived from the sequential replay oracle."""
+    prev, cur = _replay_state(epoch), _replay_state(epoch + 1)
+    out = set()
+    for key, row in cur.items():
+        p = prev.get(key)
+        p_live = p is not None and p["op"] != "D"
+        c_live = row["op"] != "D"
+        if c_live and not p_live:
+            out.add(("insert", *key, row["lsn"]))
+        elif c_live and p_live and row["lsn"] != p["lsn"]:
+            out.add(("update_preimage", *key, p["lsn"]))
+            out.add(("update_postimage", *key, row["lsn"]))
+        elif not c_live and p_live:
+            out.add(("delete", *key, p["lsn"]))
+    return out
+
+
+def _feed_tuples(t: pa.Table) -> set[tuple]:
+    return {(r["_change_type"], r["repo"], r["path"], r["lsn"])
+            for r in t.to_pylist()}
+
+
+@pytest.fixture(params=[1, 2], ids=["compact", "lsm"])
+def lake_dir(request, tmp_path):
+    return _ingest(tmp_path, compact_interval=request.param)
+
+
+def test_change_feed_matches_replay_diff(lake_dir):
+    """Every epoch's feed equals the replay-oracle state diff — across the
+    schema-evolution boundary (epoch-0 rows have no lang; the feed
+    null-backfills) and in both compaction modes."""
+    for ep in range(N_EPOCHS):
+        got = {(r["_change_type"], r["repo"], r["path"], r["lsn"])
+               for r in feed.change_feed(lake_dir, ep, ep).take_all()}
+        assert got == _expected_changes(ep), f"epoch {ep} feed mismatch"
+
+
+def test_feed_change_rows_carry_full_payload(lake_dir):
+    """Postimage/insert rows carry the winning event's full payload
+    (commit + content sha), not just the key."""
+    ds = feed.change_feed(lake_dir, 1, 1)
+    rows = ds.take_all()
+    cur = _replay_state(2)
+    for r in rows:
+        if r["_change_type"] in ("insert", "update_postimage"):
+            exp = cur[(r["repo"], r["path"])]
+            assert (r["commit"], r["content_sha256"], r["lsn"]) == \
+                (exp["commit"], exp["content_sha256"], exp["lsn"])
+            assert r["_commit_epoch"] == 1
+
+
+def test_feed_applies_to_snapshot(lake_dir):
+    """snapshot(N-1) + feed(N..M) == snapshot(M): the feed is a complete,
+    minimal delta. Spans the schema-evolution boundary (epoch 0 -> 2)."""
+    from e_commerce_batch_etl_pipeline_ray.stages.blockutil import collect_arrow
+
+    snap0 = collect_arrow(
+        lake.read_lake(lake_dir, epoch=0)).sort_by(
+            [("repo", "ascending"), ("path", "ascending")])
+    snap2 = collect_arrow(
+        lake.read_lake(lake_dir, epoch=2)).sort_by(
+            [("repo", "ascending"), ("path", "ascending")])
+    fd = collect_arrow(feed.change_feed(lake_dir, 1, 2))
+    rebuilt = feed.apply_feed(snap0, fd)
+    assert rebuilt.select(snap2.column_names).cast(snap2.schema).equals(snap2)
+
+
+def test_feed_delete_then_reinsert_across_epochs(tmp_path):
+    """apply_feed resolves multi-epoch chains per key: insert -> delete
+    leaves the key out; delete -> re-insert keeps the new row."""
+    schema = pa.schema([("lsn", pa.int64()), ("op", pa.string()),
+                        ("repo", pa.string()), ("path", pa.string()),
+                        ("commit", pa.string()), ("content", pa.string()),
+                        ("content_sha256", pa.string())])
+    import hashlib
+
+    def ev(lsn, op, path, content=""):
+        sha = hashlib.sha256(content.encode()).hexdigest() if op != "D" else None
+        return {"lsn": lsn, "op": op, "repo": "r", "path": path,
+                "commit": f"c{lsn}", "content": content if op != "D" else None,
+                "content_sha256": sha}
+
+    import ray.data
+    epochs = [
+        [ev(1, "I", "a", "xa"), ev(2, "I", "b", "xb"), ev(3, "I", "c", "xc")],
+        [ev(4, "D", "a"), ev(5, "U", "b", "xb2")],
+        [ev(6, "I", "a", "xa2"), ev(7, "D", "c")],
+    ]
+    cfg = engine.CDCConfig(lake_dir=str(tmp_path / "lake"), num_partitions=4,
+                           merge_concurrency=1)
+    eng = engine.CDCEngine(cfg)
+    for i, evs in enumerate(epochs):
+        eng.ingest_epoch(
+            ray.data.from_arrow(pa.Table.from_pylist(evs, schema=schema)), i)
+
+    from e_commerce_batch_etl_pipeline_ray.stages.blockutil import collect_arrow
+    fd = collect_arrow(feed.change_feed(cfg.lake_dir, 0, 2))
+    got = _feed_tuples(fd)
+    assert got == {
+        ("insert", "r", "a", 1), ("insert", "r", "b", 2),
+        ("insert", "r", "c", 3),
+        ("delete", "r", "a", 1),
+        ("update_preimage", "r", "b", 2), ("update_postimage", "r", "b", 5),
+        ("insert", "r", "a", 6), ("delete", "r", "c", 3),
+    }
+    empty = fd.schema.empty_table()
+    # drop feed metadata to get a bare snapshot shape
+    rebuilt = feed.apply_feed(
+        empty.drop_columns(["_change_type", "_commit_epoch"]), fd)
+    final = {(r["repo"], r["path"], r["lsn"]) for r in rebuilt.to_pylist()}
+    assert final == {("r", "a", 6), ("r", "b", 5)}
+
+
+def test_feed_prunes_untouched_partitions(tmp_path):
+    """An epoch that touches one key schedules diff tasks ONLY for that
+    key's partition — every carried-forward partition is pruned from the
+    plan without reading data."""
+    lake_dir = _ingest(tmp_path)
+    # epoch 3: a single new key
+    import hashlib
+
+    import ray.data
+    content = "solo"
+    row = {"lsn": 10_000_000, "op": "I", "repo": "solo_repo",
+           "path": "solo/path.py", "commit": "deadbeef",
+           "lang": "py", "content": content,
+           "content_sha256": hashlib.sha256(content.encode()).hexdigest()}
+    eng = engine.CDCEngine(engine.CDCConfig(lake_dir=lake_dir,
+                                            num_partitions=8,
+                                            merge_concurrency=2))
+    eng.ingest_epoch(ray.data.from_arrow(pa.Table.from_pylist([row])), 3)
+
+    items, _, _ = feed._plan(lake_dir, 3, 3)
+    assert len(items) == 1                        # 1 of 8 partitions touched
+    rows = feed.change_feed(lake_dir, 3, 3).take_all()
+    assert [(r["_change_type"], r["repo"]) for r in rows] == \
+        [("insert", "solo_repo")]
+
+
+def test_feed_epoch_zero_is_all_inserts(lake_dir):
+    t = feed.change_feed(lake_dir, 0, 0)
+    types = t.unique("_change_type")
+    assert types == ["insert"]
+    live0 = {k for k, v in _replay_state(1).items() if v["op"] != "D"}
+    assert t.count() == len(live0)
+
+
+def test_feed_rejects_bad_range(lake_dir):
+    with pytest.raises(ValueError):
+        feed.change_feed(lake_dir, 2, 1)
+    with pytest.raises(ValueError):
+        feed.change_feed(lake_dir, 0, 99)
