@@ -352,6 +352,13 @@ class CDCEngine:
             raise ValueError(f"epoch {epoch} out of order; expected {expected}")
 
         prev_manifest = lake.read_manifest(cfg.lake_dir, last) if last is not None else None
+        if prev_manifest and prev_manifest.get("num_partitions") not in (
+                None, cfg.num_partitions):
+            raise ValueError(
+                f"lake was written with num_partitions="
+                f"{prev_manifest['num_partitions']}; config says "
+                f"{cfg.num_partitions} — the key->partition routing (resume, "
+                f"carry-forward, point_read) requires a constant modulus")
         prev_schema = lake.schema_from_b64(prev_manifest["schema"]) if prev_manifest else None
         if _normalized is not None:
             # pipelined path: normalize ran ahead with a schema computed
@@ -451,7 +458,8 @@ class CDCEngine:
         # across tables (cdc/multi.py:ingest_transaction)
         manifest = lake.commit_manifest(cfg.lake_dir, epoch, partitions,
                                         schema, prev_manifest, metrics=metrics,
-                                        staged=staged_commit)
+                                        staged=staged_commit,
+                                        num_partitions=cfg.num_partitions)
         return EpochStats(
             epoch=epoch,
             events_in=events_in if events_in is not None else -1,

@@ -79,7 +79,8 @@ def schema_from_b64(s: str) -> pa.Schema:
 def commit_manifest(lake_dir: str, epoch: int, partitions: dict[int, dict],
                     schema: pa.Schema, prev: dict | None,
                     metrics: dict | None = None,
-                    staged: bool = False) -> dict:
+                    staged: bool = False,
+                    num_partitions: int | None = None) -> dict:
     """Build epoch manifest (carrying forward untouched partitions from
     ``prev``) and commit it atomically: tmp file + os.replace.
     ``metrics``: optional epoch-level observability record (events_in,
@@ -101,6 +102,13 @@ def commit_manifest(lake_dir: str, epoch: int, partitions: dict[int, dict],
         "partitions": part_map,
         "committed": True,
     }
+    # the key->partition hash modulus: readers need it to route point
+    # lookups straight to one partition (point_read). Must be constant for
+    # a lake's lifetime (resume + carry-forward both assume it).
+    if num_partitions is not None:
+        manifest["num_partitions"] = num_partitions
+    elif prev and "num_partitions" in prev:
+        manifest["num_partitions"] = prev["num_partitions"]
     if metrics:
         manifest["metrics"] = metrics
     os.makedirs(os.path.join(lake_dir, MANIFEST_DIR), exist_ok=True)
@@ -251,6 +259,106 @@ def read_lake(lake_dir: str, epoch: int | None = None,
 
     return ray.data.from_items(parts).map_batches(
         _merge_partition, batch_format="pyarrow", batch_size=1)
+
+
+def point_read(lake_dir: str, keys: list[tuple[str, str]],
+               epoch: int | None = None,
+               include_tombstones: bool = False) -> ray.data.Dataset:
+    """Pruned exact-key lookup: hash-route each ``(repo, path)`` key to its
+    partition and read ONLY those partitions' files — at 10k partitions a
+    single-key lookup touches 1/10k of the lake, metadata-decided on the
+    driver with zero data scan.
+
+    Two pruning levels:
+      1. partition: the lake's stable key hash (manifest ``num_partitions``)
+         maps each key to exactly one partition file set;
+      2. row group: partition files are key-sorted, so a parquet
+         ``repo IN (...) AND path IN (...)`` filter skips row groups by
+         min/max stats before decoding any content bytes.
+    The coarse (repo-set x path-set) superset is then cut to the exact key
+    pairs with one vectorized ``index_in``.
+    """
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from e_commerce_batch_etl_pipeline_ray.stages.dedup import (
+        hash_partition_ids,
+    )
+
+    if epoch is None:
+        epoch = last_committed_epoch(lake_dir)
+    if epoch is None:
+        raise FileNotFoundError(f"no committed epochs in {lake_dir}")
+    manifest = read_manifest(lake_dir, epoch)
+    schema = schema_from_b64(manifest["schema"])
+    schema_b64 = manifest["schema"]
+    num_partitions = manifest.get("num_partitions")
+    if num_partitions is None:
+        raise ValueError(
+            "manifest lacks num_partitions (lake written by a pre-point_read "
+            "engine version) — re-ingest or use read_lake + filter")
+
+    key_t = pa.table({"repo": pa.array([k[0] for k in keys], pa.string()),
+                      "path": pa.array([k[1] for k in keys], pa.string())})
+    pids = hash_partition_ids(key_t, ["repo", "path"], num_partitions)
+
+    per_pid: dict[int, list[int]] = {}
+    for i, pid in enumerate(pids):
+        per_pid.setdefault(int(pid), []).append(i)
+
+    items = []
+    for pid, idxs in sorted(per_pid.items()):
+        rec = manifest["partitions"].get(str(pid))
+        files = ([rec["file"]] if rec and rec.get("file") else []) + \
+            (list(rec.get("deltas", [])) if rec else [])
+        if not files:
+            continue                       # no key ever landed here
+        items.append({
+            "partition": pid,
+            "files": json.dumps(files),
+            "repos": json.dumps(sorted({keys[i][0] for i in idxs})),
+            "paths": json.dumps(sorted({keys[i][1] for i in idxs})),
+            "keys": json.dumps(sorted([list(keys[i]) for i in idxs])),
+        })
+
+    def _strip_internal(t: pa.Table) -> pa.Table:
+        if not include_tombstones:
+            t = t.filter(pc.equal(t["_deleted"], False))
+            t = t.drop_columns([c for c in INTERNAL_COLS
+                                if c in t.column_names])
+        return t
+
+    if not items:
+        empty = schema.empty_table()
+        return ray.data.from_arrow(_strip_internal(empty))
+
+    def _lookup(batch: pa.Table) -> pa.Table:
+        from e_commerce_batch_etl_pipeline_ray.stages.dedup import (
+            combine_keep_extreme,
+        )
+        sch = schema_from_b64(schema_b64)
+        out = []
+        for row in batch.to_pylist():
+            repos = json.loads(row["repos"])
+            paths = json.loads(row["paths"])
+            filt = [[("repo", "in", repos), ("path", "in", paths)]]
+            tables = []
+            for f in json.loads(row["files"]):
+                t = pq.read_table(f, filters=filt)
+                tables.append(_unify_to(t, sch))
+            t = tables[0] if len(tables) == 1 else pa.concat_tables(tables)
+            # coarse repo-set x path-set superset -> exact key pairs
+            want = pa.array([f"{r}\x00{p}" for r, p in json.loads(row["keys"])])
+            fused = pc.binary_join_element_wise(
+                t["repo"].combine_chunks(), t["path"].combine_chunks(), "\x00")
+            t = t.filter(pc.is_in(fused, value_set=want))
+            t = combine_keep_extreme(t, ["repo", "path"], ["lsn"],
+                                     descending=True)
+            out.append(_strip_internal(t))
+        return pa.concat_tables(out) if len(out) > 1 else out[0]
+
+    return ray.data.from_items(items).map_batches(
+        _lookup, batch_format="pyarrow", batch_size=1)
 
 
 def vacuum(lake_dir: str, keep_last: int = 1) -> dict:

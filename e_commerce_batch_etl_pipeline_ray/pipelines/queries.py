@@ -3340,3 +3340,53 @@ SELECT * FROM feed ORDER BY repo, path, _commit_epoch, _change_type, lsn
 
 QUERIES.update({"q90_cdc_change_feed": q90_cdc_change_feed})
 ORACLE.update({"q90_cdc_change_feed": Q90_SQL})
+
+
+# ---------------------------------------------------------------------------
+# q91 — PRUNED POINT READ: exact-key lookups hash-routed straight to their
+# partitions (manifest num_partitions), parquet row-group stats cutting
+# inside each file — the whole lake is never scanned. 60 keys (20 repos x
+# 3 paths, some never inserted / deleted) against the 2-epoch fixture
+# lake; the oracle is the LWW window filtered to the same key set.
+
+_Q91_PATHS = ("src/mod7/file7.py", "src/mod23/file23.py", "src/mod15/file55.py")
+
+
+def q91_cdc_point_read(sf_dir: str):
+    import tempfile
+
+    from e_commerce_batch_etl_pipeline_ray.cdc import engine, lake
+    from e_commerce_batch_etl_pipeline_ray.stages.blockutil import (
+        read_parquet_clean,
+    )
+    ensure_oracle_fixtures()
+    lake_dir = tempfile.mkdtemp(prefix="q91_lake_", dir="/tmp")
+    eng = engine.CDCEngine(engine.CDCConfig(lake_dir=lake_dir,
+                                            num_partitions=16,
+                                            merge_concurrency=2))
+    for ep in range(Q24_EPOCHS):
+        events = read_parquet_clean(
+            os.path.join(Q24_BINLOG_DIR, f"epoch-{ep}.parquet"),
+            override_num_blocks=8)
+        eng.ingest_epoch(events, ep)
+    keys = [(f"org{r:03d}/proj", p)
+            for r in range(_Q24_PARAMS["n_repos"]) for p in _Q91_PATHS]
+    return lake.point_read(lake_dir, keys).sort(["repo", "path"])
+
+
+_q91_inlist = ", ".join(f"'{p}'" for p in _Q91_PATHS)
+Q91_SQL = f"""
+SELECT lsn, repo, path, commit, lang, content, content_sha256
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY repo, path ORDER BY lsn DESC) AS rn
+  FROM read_parquet(['{Q24_BINLOG_DIR}/epoch-0.parquet',
+                     '{Q24_BINLOG_DIR}/epoch-1.parquet'],
+                    union_by_name=true)
+)
+WHERE rn = 1 AND op <> 'D' AND path IN ({_q91_inlist})
+ORDER BY repo, path
+"""
+
+
+QUERIES.update({"q91_cdc_point_read": q91_cdc_point_read})
+ORACLE.update({"q91_cdc_point_read": Q91_SQL})
