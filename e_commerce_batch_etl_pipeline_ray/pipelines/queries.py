@@ -3390,3 +3390,58 @@ ORDER BY repo, path
 
 QUERIES.update({"q91_cdc_point_read": q91_cdc_point_read})
 ORACLE.update({"q91_cdc_point_read": Q91_SQL})
+
+
+# ---------------------------------------------------------------------------
+# q92 — SCD TYPE 2 history over the binlog fixture: every key version with
+# its validity interval [valid_from_lsn, valid_to_lsn) and is_current flag;
+# delete events close chains but emit no version. One key-hash shuffle,
+# chain derivation vectorized per partition (cdc/scd2.py). The oracle is
+# the classic LEAD window over the deduped event log.
+
+def q92_scd2_history(sf_dir: str):
+    from e_commerce_batch_etl_pipeline_ray.cdc import binlog, scd2
+    from e_commerce_batch_etl_pipeline_ray.cdc.lake import _unify_to
+    from e_commerce_batch_etl_pipeline_ray.stages.blockutil import (
+        read_parquet_clean,
+    )
+    ensure_oracle_fixtures()
+
+    def _unify(t: pa.Table) -> pa.Table:
+        return _unify_to(t, binlog.EVENT_SCHEMA_V2)
+
+    parts = []
+    for ep in range(Q24_EPOCHS):
+        ds = read_parquet_clean(
+            os.path.join(Q24_BINLOG_DIR, f"epoch-{ep}.parquet"),
+            override_num_blocks=4)
+        parts.append(ds.map_batches(_unify, batch_format="pyarrow",
+                                    zero_copy_batch=True))
+    events = parts[0].union(*parts[1:])
+    hist = scd2.scd2_history(events, num_partitions=16)
+    return hist.select_columns(
+        ["repo", "path", "valid_from_lsn", "valid_to_lsn", "commit", "lang",
+         "content_sha256", "is_current"]).sort(
+        ["repo", "path", "valid_from_lsn"])
+
+
+Q92_SQL = f"""
+WITH ev AS (
+  SELECT DISTINCT repo, path, lsn, op, commit, lang, content_sha256
+  FROM read_parquet(['{Q24_BINLOG_DIR}/epoch-0.parquet',
+                     '{Q24_BINLOG_DIR}/epoch-1.parquet'],
+                    union_by_name=true)
+),
+v AS (
+  SELECT *, LEAD(lsn) OVER (PARTITION BY repo, path ORDER BY lsn) AS valid_to_lsn
+  FROM ev
+)
+SELECT repo, path, lsn AS valid_from_lsn, valid_to_lsn, commit, lang,
+       content_sha256, (valid_to_lsn IS NULL) AS is_current
+FROM v WHERE op <> 'D'
+ORDER BY repo, path, valid_from_lsn
+"""
+
+
+QUERIES.update({"q92_scd2_history": q92_scd2_history})
+ORACLE.update({"q92_scd2_history": Q92_SQL})
