@@ -3445,3 +3445,92 @@ ORDER BY repo, path, valid_from_lsn
 
 QUERIES.update({"q92_scd2_history": q92_scd2_history})
 ORACLE.update({"q92_scd2_history": Q92_SQL})
+
+
+# ---------------------------------------------------------------------------
+# q93 — incrementally-maintained MATERIALIZED JOIN VIEW over two CDC lakes
+# sharing the (repo, path) key space: live(A) INNER JOIN live(B). The
+# lakes are co-partitioned (same key hash, same modulus), so the view
+# refreshes with zero shuffle — one task per partition whose inputs
+# changed, everything else carried forward from the view manifest. Oracle:
+# SQL join of the two LWW window states.
+
+_Q93_PARAMS = dict(seed=7, events_per_epoch=4000, n_repos=20,
+                   paths_per_repo=100, evolution_epoch=1,
+                   content_chars_min=32, content_chars_max=256)
+Q93_EPOCHS = 2
+
+
+def _q93_dir() -> str:
+    from e_commerce_batch_etl_pipeline_ray.cdc import binlog
+    return os.path.join(
+        _FIXTURE_DIR,
+        "q93_binlog_" + _spec_tag(_Q93_PARAMS, Q93_EPOCHS,
+                                  binlog.gen_epoch_table))
+
+
+Q93_BINLOG_DIR = _q93_dir()
+
+
+def ensure_q93_fixture() -> None:
+    from e_commerce_batch_etl_pipeline_ray.cdc import binlog
+    spec = binlog.BinlogSpec(**_Q93_PARAMS)
+    for ep in range(Q93_EPOCHS):
+        p = os.path.join(Q93_BINLOG_DIR, f"epoch-{ep}.parquet")
+        if not os.path.exists(p):
+            _atomic_write_parquet(binlog.gen_epoch_table(spec, ep), p)
+
+
+def q93_cdc_join_view(sf_dir: str):
+    import tempfile
+
+    from e_commerce_batch_etl_pipeline_ray.cdc import engine, view
+    from e_commerce_batch_etl_pipeline_ray.stages.blockutil import (
+        read_parquet_clean,
+    )
+    ensure_oracle_fixtures()
+    ensure_q93_fixture()
+    root = tempfile.mkdtemp(prefix="q93_", dir="/tmp")
+    for name, src_dir, n_ep in (("a", Q24_BINLOG_DIR, Q24_EPOCHS),
+                                ("b", Q93_BINLOG_DIR, Q93_EPOCHS)):
+        eng = engine.CDCEngine(engine.CDCConfig(
+            lake_dir=os.path.join(root, name), num_partitions=16,
+            merge_concurrency=2))
+        for ep in range(n_ep):
+            events = read_parquet_clean(
+                os.path.join(src_dir, f"epoch-{ep}.parquet"),
+                override_num_blocks=8)
+            eng.ingest_epoch(events, ep)
+    v = view.JoinView(os.path.join(root, "v"), os.path.join(root, "a"),
+                      os.path.join(root, "b"))
+    v.refresh()
+    return v.read().sort(["repo", "path"])
+
+
+Q93_SQL = f"""
+WITH sa AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY repo, path ORDER BY lsn DESC) rn
+    FROM read_parquet(['{Q24_BINLOG_DIR}/epoch-0.parquet',
+                       '{Q24_BINLOG_DIR}/epoch-1.parquet'],
+                      union_by_name=true)) WHERE rn = 1 AND op <> 'D'
+),
+sb AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY repo, path ORDER BY lsn DESC) rn
+    FROM read_parquet(['{Q93_BINLOG_DIR}/epoch-0.parquet',
+                       '{Q93_BINLOG_DIR}/epoch-1.parquet'],
+                      union_by_name=true)) WHERE rn = 1 AND op <> 'D'
+)
+SELECT sa.repo, sa.path,
+       sa.lsn AS lsn_l, sa.commit AS commit_l, sa.lang AS lang_l,
+       sa.content AS content_l, sa.content_sha256 AS content_sha256_l,
+       sb.lsn AS lsn_r, sb.commit AS commit_r, sb.lang AS lang_r,
+       sb.content AS content_r, sb.content_sha256 AS content_sha256_r
+FROM sa JOIN sb ON sa.repo = sb.repo AND sa.path = sb.path
+ORDER BY sa.repo, sa.path
+"""
+
+
+QUERIES.update({"q93_cdc_join_view": q93_cdc_join_view})
+ORACLE.update({"q93_cdc_join_view": Q93_SQL})
