@@ -1,1 +1,11 @@
-from e_commerce_batch_etl_pipeline_ray.cdc import binlog, engine, lake, multi, oracle  # noqa: F401
+from e_commerce_batch_etl_pipeline_ray.cdc import (  # noqa: F401
+    binlog,
+    engine,
+    feed,
+    lake,
+    merge,
+    multi,
+    oracle,
+    scd2,
+    view,
+)

@@ -3534,3 +3534,93 @@ ORDER BY sa.repo, sa.path
 
 QUERIES.update({"q93_cdc_join_view": q93_cdc_join_view})
 ORACLE.update({"q93_cdc_join_view": Q93_SQL})
+
+
+# ---------------------------------------------------------------------------
+# q94 — MERGE INTO: conditional merge of one lake's live state into another
+# (update when content sha changed, delete matched markdown rows, insert
+# unmatched) committed through the standard epoch protocol. The oracle
+# replays the same clause algebra in SQL over the two LWW states. NULL
+# semantics pinned: clause predicates treat NULL as false (engine
+# fill_null(False) == SQL COALESCE).
+
+def q94_cdc_merge_into(sf_dir: str):
+    import tempfile
+
+    from e_commerce_batch_etl_pipeline_ray.cdc import engine, lake, merge
+    from e_commerce_batch_etl_pipeline_ray.stages.blockutil import (
+        read_parquet_clean,
+    )
+    ensure_oracle_fixtures()
+    ensure_q93_fixture()
+    root = tempfile.mkdtemp(prefix="q94_", dir="/tmp")
+    for name, src_dir, n_ep in (("a", Q24_BINLOG_DIR, Q24_EPOCHS),
+                                ("b", Q93_BINLOG_DIR, Q93_EPOCHS)):
+        eng = engine.CDCEngine(engine.CDCConfig(
+            lake_dir=os.path.join(root, name), num_partitions=16,
+            merge_concurrency=2))
+        for ep in range(n_ep):
+            events = read_parquet_clean(
+                os.path.join(src_dir, f"epoch-{ep}.parquet"),
+                override_num_blocks=8)
+            eng.ingest_epoch(events, ep)
+
+    def _bump(t: pa.Table) -> pa.Table:
+        i = t.column_names.index("lsn")
+        return t.set_column(i, "lsn", pc.add(t["lsn"], 10_000_000))
+
+    source = lake.read_lake(os.path.join(root, "b")).map_batches(
+        _bump, batch_format="pyarrow", zero_copy_batch=True)
+
+    def upd(s: pa.Table, t: pa.Table):
+        return pc.not_equal(s["content_sha256"], t["content_sha256"])
+
+    def dele(s: pa.Table, t: pa.Table):
+        return pc.equal(s["lang"], "md")
+
+    merge.merge_into(os.path.join(root, "a"), source,
+                     when_matched_update_if=upd,
+                     when_matched_delete_if=dele,
+                     when_not_matched_insert=True)
+    return lake.read_lake(os.path.join(root, "a")).sort(["repo", "path"])
+
+
+Q94_SQL = f"""
+WITH t AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY repo, path ORDER BY lsn DESC) rn
+    FROM read_parquet(['{Q24_BINLOG_DIR}/epoch-0.parquet',
+                       '{Q24_BINLOG_DIR}/epoch-1.parquet'],
+                      union_by_name=true)) WHERE rn = 1 AND op <> 'D'
+),
+s AS (
+  SELECT * REPLACE (lsn + 10000000 AS lsn) FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY repo, path ORDER BY lsn DESC) rn
+    FROM read_parquet(['{Q93_BINLOG_DIR}/epoch-0.parquet',
+                       '{Q93_BINLOG_DIR}/epoch-1.parquet'],
+                      union_by_name=true)) WHERE rn = 1 AND op <> 'D'
+),
+merged AS (
+  -- kept target rows: unmatched, or matched but hit by neither clause
+  SELECT t.lsn, t.repo, t.path, t.commit, t.lang, t.content, t.content_sha256
+  FROM t LEFT JOIN s ON t.repo = s.repo AND t.path = s.path
+  WHERE s.repo IS NULL
+     OR (COALESCE(s.lang, '') <> 'md'
+         AND s.content_sha256 = t.content_sha256)
+  UNION ALL
+  -- updates: matched, not deleted, sha changed
+  SELECT s.lsn, s.repo, s.path, s.commit, s.lang, s.content, s.content_sha256
+  FROM s JOIN t ON t.repo = s.repo AND t.path = s.path
+  WHERE COALESCE(s.lang, '') <> 'md' AND s.content_sha256 <> t.content_sha256
+  UNION ALL
+  -- inserts: source keys with no live target
+  SELECT s.lsn, s.repo, s.path, s.commit, s.lang, s.content, s.content_sha256
+  FROM s LEFT JOIN t ON t.repo = s.repo AND t.path = s.path
+  WHERE t.repo IS NULL
+)
+SELECT * FROM merged ORDER BY repo, path
+"""
+
+
+QUERIES.update({"q94_cdc_merge_into": q94_cdc_merge_into})
+ORACLE.update({"q94_cdc_merge_into": Q94_SQL})
