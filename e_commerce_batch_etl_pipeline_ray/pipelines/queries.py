@@ -3624,3 +3624,48 @@ SELECT * FROM merged ORDER BY repo, path
 
 QUERIES.update({"q94_cdc_merge_into": q94_cdc_merge_into})
 ORACLE.update({"q94_cdc_merge_into": Q94_SQL})
+
+
+# ---------------------------------------------------------------------------
+# q95 — char-bigram LM PERPLEXITY (CCNet/KenLM-style corpus quality
+# signal): train a Laplace-smoothed byte-bigram model on the documents
+# corpus in one mergeable streaming pass, then score every doc's
+# perplexity vectorized off the Arrow buffer. The oracle rebuilds the
+# identical model in SQL (unnest(generate_series) bigram expansion) —
+# byte == char on this ASCII corpus. 2dp rounding on both sides (double
+# summation-order tolerance).
+
+def q95_lm_perplexity(sf_dir: str):
+    import numpy as np
+
+    from e_commerce_batch_etl_pipeline_ray.stages import lm
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    model = lm.train_char_bigram(ds, "text")
+    scored = lm.perplexity(ds, model, "text", round_to=2)
+    return scored.select_columns(["doc_id", "perplexity"]).sort("doc_id")
+
+
+Q95_SQL = """
+WITH pos AS (
+  SELECT doc_id, text, UNNEST(generate_series(1, length(text) - 1)) AS i
+  FROM documents
+),
+bg AS (
+  SELECT doc_id, substring(text, i, 1) AS c1, substring(text, i, 2) AS b
+  FROM pos
+),
+cnt AS (SELECT b, COUNT(*)::DOUBLE AS n FROM bg GROUP BY b),
+rs AS (SELECT substring(b, 1, 1) AS c1, SUM(n) AS row_n FROM cnt GROUP BY 1),
+scored AS (
+  SELECT bg.doc_id, LN((cnt.n + 1) / (rs.row_n + 256)) AS lp
+  FROM bg JOIN cnt USING (b) JOIN rs ON rs.c1 = bg.c1
+)
+SELECT d.doc_id,
+       ROUND(EXP(-AVG(s.lp)), 2) AS perplexity
+FROM documents d LEFT JOIN scored s USING (doc_id)
+GROUP BY d.doc_id ORDER BY d.doc_id
+"""
+
+
+QUERIES.update({"q95_lm_perplexity": q95_lm_perplexity})
+ORACLE.update({"q95_lm_perplexity": Q95_SQL})
