@@ -3669,3 +3669,41 @@ GROUP BY d.doc_id ORDER BY d.doc_id
 
 QUERIES.update({"q95_lm_perplexity": q95_lm_perplexity})
 ORACLE.update({"q95_lm_perplexity": Q95_SQL})
+
+
+# ---------------------------------------------------------------------------
+# q96 — DUPLICATED-SUBSTRING detection (Lee et al. exact-substring dedup
+# signal): per document, how many of its 20-byte grams occur >1 time in
+# the WHOLE corpus. Gram extraction is one strided view over the Arrow
+# buffer; grams hash-partition by content so corpus counts are
+# partition-local; only per-(doc, partition) tallies leave the shuffle.
+# Oracle: full n-gram expansion + corpus counts in SQL (byte == char on
+# this ASCII corpus).
+
+def q96_duplicated_substrings(sf_dir: str):
+    from e_commerce_batch_etl_pipeline_ray.stages import substr
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = substr.duplicated_ngrams(ds, n=20, num_partitions=32)
+    return out.sort("doc_id")
+
+
+Q96_SQL = """
+WITH g AS (
+  SELECT doc_id, substring(text, i, 20) AS gram
+  FROM (SELECT doc_id, text,
+               UNNEST(generate_series(1, length(text) - 19)) AS i
+        FROM documents)
+),
+c AS (SELECT gram, COUNT(*) AS occ FROM g GROUP BY gram)
+SELECT g.doc_id,
+       COUNT(*) AS n_grams,
+       CAST(SUM(CASE WHEN c.occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+       ROUND(SUM(CASE WHEN c.occ > 1 THEN 1 ELSE 0 END)::DOUBLE / COUNT(*),
+             4) AS dup_frac
+FROM g JOIN c USING (gram)
+GROUP BY g.doc_id ORDER BY g.doc_id
+"""
+
+
+QUERIES.update({"q96_duplicated_substrings": q96_duplicated_substrings})
+ORACLE.update({"q96_duplicated_substrings": Q96_SQL})

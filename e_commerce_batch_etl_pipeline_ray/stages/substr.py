@@ -1,0 +1,116 @@
+"""Duplicated-substring detection — the exact-substring layer of training
+-data dedup (Lee et al., "Deduplicating Training Data Makes Language
+Models Better": repeated n-grams across a corpus mark boilerplate /
+near-copies that document-level dedup misses).
+
+For every document: how many of its byte n-grams occur MORE THAN ONCE in
+the whole corpus, and what fraction of the doc that is.
+
+Scale shape (exact, no sketches):
+  1. gram extraction is ONE strided view over the batch's Arrow buffer
+     (``sliding_window_view``) + a cross-doc validity mask — the only copy
+     is the surviving gram bytes, materialized as a FixedSizeBinary array
+     straight from the numpy buffer (no per-row Python);
+  2. grams hash-partition by content, so each partition holds every
+     occurrence of its grams: corpus-global counts are a partition-local
+     group_by (first shuffle, the unavoidable one — same traffic class as
+     the minhash bucket shuffle);
+  3. per-(partition, doc) partial tallies (grams seen, grams duplicated)
+     are the ONLY thing leaving that shuffle — bytes shrink from
+     O(corpus bytes) to O(docs x partitions touched);
+  4. a tiny doc_id groupby merges partials (second shuffle, partial-sized).
+
+ASCII corpora: byte n-gram == char n-gram, so the result is SQL-mirrorable
+(oracle q96). Non-ASCII is well-defined on UTF-8 bytes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from e_commerce_batch_etl_pipeline_ray.stages.dedup import hash_partition_ids
+from e_commerce_batch_etl_pipeline_ray.stages.lm import _buffer_view
+
+_PID = "_pid"
+
+
+def _extract_grams(t: pa.Table, id_col: str, text_col: str,
+                   n: int) -> pa.Table:
+    """(gram, doc_id) pairs for every within-doc byte n-gram — strided
+    view + mask, one copy of surviving gram bytes."""
+    seg, roff = _buffer_view(t[text_col])
+    ids = t[id_col].combine_chunks()
+    if len(seg) < n:
+        return pa.table({"gram": pa.array([], pa.binary(n)),
+                         "doc_id": pa.array([], ids.type)})
+    windows = np.lib.stride_tricks.sliding_window_view(seg, n)
+    starts = np.arange(len(windows), dtype=np.int64)
+    # doc of each start position; valid when the gram ends inside that doc
+    doc = np.searchsorted(roff, starts, side="right") - 1
+    valid = starts + n <= roff[doc + 1]
+    grams = np.ascontiguousarray(windows[valid])
+    doc_idx = doc[valid]
+    gram_arr = pa.Array.from_buffers(
+        pa.binary(n), len(grams), [None, pa.py_buffer(grams.tobytes())])
+    return pa.table({"gram": gram_arr,
+                     "doc_id": ids.take(pa.array(doc_idx))})
+
+
+def duplicated_ngrams(ds: ray.data.Dataset, *, n: int = 20,
+                      id_col: str = "doc_id", text_col: str = "text",
+                      num_partitions: int = 64) -> ray.data.Dataset:
+    """Per-document duplicated-n-gram stats: ``(id_col, n_grams, n_dup,
+    dup_frac)``. Docs shorter than ``n`` bytes emit nothing. Exact — a
+    gram counts as duplicated iff its CORPUS occurrence count > 1
+    (including >1 occurrence inside one doc)."""
+
+    def _pairs(t: pa.Table) -> pa.Table:
+        pairs = _extract_grams(t, id_col, text_col, n)
+        if pairs.num_rows == 0:
+            return pairs.append_column(_PID, pa.array([], pa.int32()))
+        # hash the gram BYTES for partitioning (cast to string only for
+        # the pandas hasher); grouping inside the partition stays binary
+        key = pairs.set_column(0, "gram", pc.cast(pairs["gram"], pa.binary()))
+        pid = hash_partition_ids(key, ["gram"], num_partitions)
+        return pairs.append_column(_PID, pa.array(pid, pa.int32()))
+
+    def _tally(g: pa.Table) -> pa.Table:
+        g = g.drop_columns([_PID])
+        counts = g.group_by(["gram"]).aggregate([("gram", "count")])
+        per_gram = pc.index_in(g["gram"].combine_chunks(),
+                               value_set=counts["gram"].combine_chunks())
+        occ = counts["gram_count"].take(per_gram)
+        dup = pc.greater(occ, 1)
+        tall = pa.table({
+            "doc_id": g["doc_id"],
+            "one": pa.array(np.ones(g.num_rows, np.int64)),
+            "dup": pc.cast(dup, pa.int64()),
+        })
+        out = tall.group_by(["doc_id"]).aggregate(
+            [("one", "sum"), ("dup", "sum")])
+        return out.rename_columns(["doc_id", "n_grams_p", "n_dup_p"])
+
+    pairs = ds.map_batches(_pairs, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    partials = pairs.groupby(_PID).map_groups(_tally, batch_format="pyarrow")
+
+    from e_commerce_batch_etl_pipeline_ray.stages import aggregates
+    merged = aggregates.grouped_aggregate(
+        ["doc_id"],
+        [("sum", "n_grams_p", "n_grams"), ("sum", "n_dup_p", "n_dup")],
+    ).apply(partials)
+
+    def _frac(t: pa.Table) -> pa.Table:
+        from e_commerce_batch_etl_pipeline_ray.functions.scalar import round2
+        # HALF_UP rounding: exact int ratios land on .xxxx5 (e.g. 1/32),
+        # where Arrow's default half_to_even diverges from SQL ROUND
+        frac = round2(pc.divide(pc.cast(t["n_dup"], pa.float64()),
+                                pc.cast(t["n_grams"], pa.float64())), 4)
+        return t.append_column("dup_frac", frac)
+
+    return merged.map_batches(_frac, batch_format="pyarrow",
+                              zero_copy_batch=True)
