@@ -361,6 +361,94 @@ def point_read(lake_dir: str, keys: list[tuple[str, str]],
         _lookup, batch_format="pyarrow", batch_size=1)
 
 
+def optimize(lake_dir: str) -> dict:
+    """Force-compact every delta-carrying partition (LSM mode,
+    ``compact_interval > 1``) into a fresh sorted base file, committed as
+    the lake's next epoch — the on-demand form of the engine's periodic
+    compaction, for when a read-heavy phase follows a write-heavy one.
+
+    One Ray task per delta-carrying partition; clean partitions carry
+    forward untouched (an all-clean lake commits a pure carry-forward
+    epoch with zero tasks). Same single-writer rule as ingest/vacuum.
+    """
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from e_commerce_batch_etl_pipeline_ray.stages.blockutil import (
+        collect_arrow,
+    )
+    from e_commerce_batch_etl_pipeline_ray.stages.dedup import (
+        combine_keep_extreme,
+    )
+
+    last = last_committed_epoch(lake_dir)
+    if last is None:
+        raise FileNotFoundError(f"no committed epochs in {lake_dir}")
+    manifest = read_manifest(lake_dir, last)
+    schema_b64 = manifest["schema"]
+    epoch = last + 1
+    tmp_dir = epoch_dir(lake_dir, epoch, tmp=True)
+
+    items = []
+    for pid, rec in manifest["partitions"].items():
+        if rec.get("deltas"):
+            files = ([rec["file"]] if rec.get("file") else []) + \
+                list(rec["deltas"])
+            items.append({"partition": int(pid), "files": json.dumps(files)})
+
+    if not items:
+        # nothing to compact: no epoch burned, manifest untouched
+        return {"epoch": last, "partitions_compacted": 0}
+
+    partitions: dict[int, dict] = {}
+    if items:
+        os.makedirs(tmp_dir, exist_ok=True)
+
+        def _compact(batch: pa.Table) -> pa.Table:
+            sch = schema_from_b64(schema_b64)
+            recs = []
+            for row in batch.to_pylist():
+                tables = [_unify_to(pq.read_table(f), sch)
+                          for f in json.loads(row["files"])]
+                t = tables[0] if len(tables) == 1 else pa.concat_tables(tables)
+                t = combine_keep_extreme(t, ["repo", "path"], ["lsn"],
+                                         descending=True)
+                pid = row["partition"]
+                fname = f"part-{pid:05d}.parquet"
+                tmp_path = os.path.join(tmp_dir, fname)
+                wip = f"{tmp_path}.wip.{os.getpid()}"
+                pq.write_table(t, wip)
+                os.replace(wip, tmp_path)
+                recs.append({
+                    "partition": pid,
+                    "file": os.path.join(epoch_dir(lake_dir, epoch), fname),
+                    "lsn_watermark": pc.max(t["lsn"]).as_py()
+                    if t.num_rows else -1,
+                    "rows_total": t.num_rows,
+                    "bytes_written": os.path.getsize(tmp_path),
+                })
+            return pa.Table.from_pylist(recs)
+
+        lineage = collect_arrow(
+            ray.data.from_items(items).map_batches(
+                _compact, batch_format="pyarrow", batch_size=1))
+        for rec in lineage.to_pylist():
+            partitions[rec["partition"]] = {
+                "file": rec["file"], "deltas": [],
+                "lsn_watermark": rec["lsn_watermark"],
+                "rows_applied": 0,
+                "rows_total": rec["rows_total"],
+                "bytes_written": rec["bytes_written"],
+            }
+    promote_epoch_dir(lake_dir, epoch)
+    commit_manifest(lake_dir, epoch, partitions,
+                    schema_from_b64(schema_b64), manifest,
+                    metrics={"op": "optimize",
+                             "partitions_compacted": len(items)},
+                    num_partitions=manifest.get("num_partitions"))
+    return {"epoch": epoch, "partitions_compacted": len(items)}
+
+
 def vacuum(lake_dir: str, keep_last: int = 1) -> dict:
     """Reclaim storage: delete data files and manifests not referenced by
     the newest ``keep_last`` committed manifests.

@@ -44,6 +44,9 @@ def main() -> int:
                     help="print per-epoch manifest metrics for the lake and exit")
     ap.add_argument("--vacuum-keep", type=int, default=None,
                     help="after ingest, vacuum the lake keeping the last N manifests")
+    ap.add_argument("--optimize", action="store_true",
+                    help="after ingest, force-compact delta partitions "
+                         "(LSM mode) into fresh sorted bases")
     ap.add_argument("--pipeline", action="store_true",
                     help="overlap epoch N+1 normalize with epoch N merge")
     ap.add_argument("--resume", action="store_true")
@@ -156,6 +159,9 @@ def main() -> int:
                               "partitions_touched": st.partitions_touched,
                               "bytes_written": st.bytes_written}))
     elapsed = time.perf_counter() - t0
+    if args.optimize:
+        from e_commerce_batch_etl_pipeline_ray.cdc import lake as _lake
+        print(json.dumps({"optimize": _lake.optimize(args.lake_dir)}))
     if args.vacuum_keep is not None:
         from e_commerce_batch_etl_pipeline_ray.cdc import lake as _lake
         print(json.dumps({"vacuum": _lake.vacuum(args.lake_dir,
