@@ -312,3 +312,61 @@ def test_incremental_aggregate_split_invariant(rows, n_splits, rnd):
         b = batch[c].to_numpy(dtype=float)
         ok = np.isclose(a, b, atol=1e-6, equal_nan=True)
         assert ok.all(), (c, a, b)
+
+
+# ---------------------------------------------------------------------------
+# Change-feed algebra: for ANY event log split at ANY point,
+# apply_feed(live(prefix-state), diff(prefix-state, full-state)) must
+# reproduce live(full-state) exactly — pure-kernel property, no engine.
+
+@settings(max_examples=60, deadline=None)
+@given(
+    ops=st.lists(st.tuples(st.integers(0, 5), st.sampled_from("IUD")),
+                 min_size=0, max_size=40),
+    split_frac=st.floats(0.0, 1.0),
+)
+def test_change_feed_diff_apply_roundtrip(ops, split_frac):
+    from e_commerce_batch_etl_pipeline_ray.cdc import feed as F
+
+    def replay(evs):
+        state = {}
+        for lsn, (k, op) in evs:
+            state[k] = (lsn, op)
+        return state
+
+    def to_table(state):
+        rows = [{"lsn": lsn, "repo": f"r{k}", "path": f"p{k}",
+                 "commit": f"c{lsn}", "_deleted": op == "D"}
+                for k, (lsn, op) in sorted(state.items())]
+        schema = pa.schema([("lsn", pa.int64()), ("repo", pa.string()),
+                            ("path", pa.string()), ("commit", pa.string()),
+                            ("_deleted", pa.bool_())])
+        return pa.Table.from_pylist(rows, schema=schema)
+
+    events = list(enumerate(ops))
+    cut = int(len(events) * split_frac)
+    prev_t = to_table(replay(events[:cut]))
+    cur_t = to_table(replay(events))
+    out_schema = F._feed_schema(prev_t.schema)
+    fd = F._diff_states(prev_t, cur_t, 1, out_schema)
+
+    def live(t):
+        import pyarrow.compute as pc
+        t = t.filter(pc.equal(t["_deleted"], False))
+        return t.drop_columns(["_deleted"])
+
+    rebuilt = F.apply_feed(live(prev_t), fd)
+    expect = live(cur_t)
+    got = {(r["repo"], r["path"]): (r["lsn"], r["commit"])
+           for r in rebuilt.to_pylist()}
+    exp = {(r["repo"], r["path"]): (r["lsn"], r["commit"])
+           for r in expect.to_pylist()}
+    assert got == exp
+    # each key appears with a coherent change set: insert xor delete xor
+    # (update_preimage + update_postimage), never mixed
+    by_key = {}
+    for r in fd.to_pylist():
+        by_key.setdefault((r["repo"], r["path"]), set()).add(r["_change_type"])
+    for types in by_key.values():
+        assert types in ({"insert"}, {"delete"},
+                         {"update_preimage", "update_postimage"})
