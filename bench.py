@@ -32,7 +32,8 @@ EPOCHS = int(os.environ.get("BENCH_EPOCHS", "3"))
 BENCH_QUERIES = ["q1_pricing_summary", "q3_dedup_lww", "q6_hash_join",
                  "q11_window_agg", "q14_exact_dedup", "q15_token_stats",
                  "q17_knn_brute", "q18_minhash_pairs", "q25_sessionize",
-                 "q33_analytics_cube"]
+                 "q33_analytics_cube", "q92_scd2_history",
+                 "q95_lm_perplexity", "q96_duplicated_substrings"]
 
 
 def _lineitem_rows(sf_dir: str) -> int:
@@ -151,6 +152,13 @@ def run_bench() -> dict:
         if eng._pool is not None:
             eng._pool.shutdown()
     total_events = events_per_epoch * EPOCHS
+
+    # change-data-feed read over the full ingest (3 epochs x 64 partitions
+    # of multi-100MB state): the per-partition diff kernel at bench scale
+    from e_commerce_batch_etl_pipeline_ray.cdc import feed as cdc_feed
+    tf = time.perf_counter()
+    feed_rows = cdc_feed.change_feed(lake_dir, 0, EPOCHS - 1).count()
+    feed_sec = round(time.perf_counter() - tf, 3)
     shutil.rmtree(lake_dir, ignore_errors=True)
 
     q_times: dict[str, float] = {}
@@ -170,6 +178,8 @@ def run_bench() -> dict:
         "total_events": total_events,
         "epochs": EPOCHS,
         "final_rows": final_rows,
+        "feed_sec": feed_sec,
+        "feed_rows": feed_rows,
         "queries": q_times,
         "sf": sf_tag,
         "num_cpus": NUM_CPUS,

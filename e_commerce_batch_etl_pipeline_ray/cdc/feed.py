@@ -253,3 +253,66 @@ def apply_feed(snapshot: pa.Table, feed: pa.Table) -> pa.Table:
         cols = snapshot.column_names
     merged = pa.concat_tables([snapshot, add_data.select(cols)])
     return merged.sort_by([(k, "ascending") for k in KEY])
+
+
+class FeedCursor:
+    """Committed-offset consumer over the change feed — the piece that
+    makes the CDF drivable by a downstream incremental job (index sync,
+    view maintenance, audit shipping) with EXACTLY-ONCE progress:
+
+        cur = FeedCursor(lake_dir, state_path)
+        while True:
+            batch = cur.poll()          # Dataset of unseen changes (or None)
+            if batch is not None:
+                consume(batch)          # ... user work ...
+                cur.commit()            # advance the durable offset
+
+    ``poll`` returns every change in epochs (offset, latest]; ``commit``
+    persists the new offset atomically (tmp + os.replace) ONLY after the
+    consumer finished — a crash between poll and commit re-delivers the
+    same epochs (at-least-once delivery + idempotent downstream = exactly
+    once, the same contract the engine's own manifests use). Offsets are
+    epoch-aligned: the feed is deterministic per epoch, so redelivery is
+    byte-identical.
+    """
+
+    def __init__(self, lake_dir: str, state_path: str):
+        import os
+        self.lake_dir = lake_dir
+        self.state_path = state_path
+        self._pending: int | None = None
+        os.makedirs(os.path.dirname(state_path) or ".", exist_ok=True)
+
+    def offset(self) -> int | None:
+        """Last consumed epoch (None = nothing consumed yet)."""
+        import json
+        import os
+        if not os.path.exists(self.state_path):
+            return None
+        with open(self.state_path) as f:
+            return json.load(f)["epoch"]
+
+    def poll(self) -> ray.data.Dataset | None:
+        """Changes committed since the cursor's offset, or None if caught
+        up. Leaves the offset untouched until ``commit``."""
+        last = lake.last_committed_epoch(self.lake_dir)
+        off = self.offset()
+        if last is None or (off is not None and off >= last):
+            self._pending = None
+            return None
+        start = 0 if off is None else off + 1
+        self._pending = last
+        return change_feed(self.lake_dir, start, last)
+
+    def commit(self) -> int:
+        """Durably advance the offset to the last polled epoch."""
+        import json
+        import os
+        if self._pending is None:
+            raise RuntimeError("nothing polled — call poll() first")
+        tmp = f"{self.state_path}.tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump({"epoch": self._pending}, f)
+        os.replace(tmp, self.state_path)
+        epoch, self._pending = self._pending, None
+        return epoch

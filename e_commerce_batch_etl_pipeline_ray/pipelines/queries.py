@@ -3707,3 +3707,31 @@ GROUP BY g.doc_id ORDER BY g.doc_id
 
 QUERIES.update({"q96_duplicated_substrings": q96_duplicated_substrings})
 ORACLE.update({"q96_duplicated_substrings": Q96_SQL})
+
+
+# ---------------------------------------------------------------------------
+# q97 — exact per-group MODE (most frequent value, largest-value tiebreak)
+# as the composition of two skew-immune reduces: pre-aggregated
+# (group, value) counts, then the arg-max winner shuffle. Oracle: the
+# ROW_NUMBER()=1 idiom over GROUP BY counts.
+
+def q97_grouped_mode(sf_dir: str):
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_orderstatus"])
+    out = aggregates.grouped_mode(["o_orderpriority"], "o_orderstatus",
+                                  num_partitions=8).apply(ds)
+    return out.sort("o_orderpriority")
+
+
+Q97_SQL = """
+SELECT o_orderpriority, o_orderstatus, mode_count FROM (
+  SELECT o_orderpriority, o_orderstatus, COUNT(*) AS mode_count,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                            ORDER BY COUNT(*) DESC, o_orderstatus DESC) AS rn
+  FROM orders WHERE o_orderstatus IS NOT NULL
+  GROUP BY o_orderpriority, o_orderstatus
+) WHERE rn = 1 ORDER BY o_orderpriority
+"""
+
+
+QUERIES.update({"q97_grouped_mode": q97_grouped_mode})
+ORACLE.update({"q97_grouped_mode": Q97_SQL})

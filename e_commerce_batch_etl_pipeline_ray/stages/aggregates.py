@@ -1285,3 +1285,36 @@ class IncrementalAggregate:
             raise ValueError(f"state is missing partial columns {missing}")
         self._state = state
         return self
+
+
+def grouped_mode(by: Sequence[str], value_col: str,
+                 num_partitions: int = 32) -> FnStep:
+    """Exact per-group MODE (most frequent non-null value, largest value
+    wins ties — deterministic). SQL mirror is the ROW_NUMBER()=1 idiom
+    over GROUP BY (by, value) counts.
+
+    Scale shape: composition of two skew-immune pieces — the pre-aggregated
+    count over (by, value) (combiner: one partial per distinct pair per
+    block) and the arg-max winner reduce (one candidate per group per
+    block). Output: by + [value_col (the mode), "mode_count"].
+    """
+    by = list(by)
+
+    count = grouped_aggregate(by + [value_col],
+                              [("count", None, "mode_count")])
+    winner = grouped_arg_extremum(by, "mode_count",
+                                  keep=[value_col, "mode_count"],
+                                  kind="max", tiebreak=[value_col],
+                                  num_partitions=num_partitions)
+
+    def _apply(ds):
+        import pyarrow.compute as pc_
+
+        def _drop_null(t: pa.Table) -> pa.Table:
+            return t.filter(pc_.is_valid(t[value_col]))
+
+        ds = ds.map_batches(_drop_null, batch_format="pyarrow",
+                            zero_copy_batch=True)
+        return winner.apply(count.apply(ds))
+
+    return FnStep(f"mode[{value_col}]", _apply)

@@ -190,3 +190,43 @@ def test_feed_rejects_bad_range(lake_dir):
         feed.change_feed(lake_dir, 2, 1)
     with pytest.raises(ValueError):
         feed.change_feed(lake_dir, 0, 99)
+
+
+def test_feed_cursor_exactly_once_progress(tmp_path):
+    """poll -> consume -> commit advances the durable offset; a crash
+    between poll and commit redelivers the identical epochs; caught-up
+    cursors poll None."""
+    lake_dir = _ingest(tmp_path)
+    state = str(tmp_path / "cursor.json")
+    cur = feed.FeedCursor(lake_dir, state)
+    assert cur.offset() is None
+
+    batch = cur.poll()
+    assert batch is not None
+    first = _feed_tuples(pa.Table.from_pylist(batch.take_all()))
+    assert cur.commit() == N_EPOCHS - 1
+    assert cur.offset() == N_EPOCHS - 1
+    assert cur.poll() is None                       # caught up
+
+    # crash-before-commit: a fresh cursor on the same state file re-polls
+    # the same epochs byte-identically
+    cur2 = feed.FeedCursor(lake_dir, str(tmp_path / "cursor2.json"))
+    b1 = _feed_tuples(pa.Table.from_pylist(cur2.poll().take_all()))
+    # (no commit — simulate crash)
+    cur3 = feed.FeedCursor(lake_dir, str(tmp_path / "cursor2.json"))
+    b2 = _feed_tuples(pa.Table.from_pylist(cur3.poll().take_all()))
+    assert b1 == b2 == first
+
+    # new epoch -> only the delta is delivered
+    import ray.data
+    eng = engine.CDCEngine(engine.CDCConfig(lake_dir=lake_dir,
+                                            num_partitions=8,
+                                            merge_concurrency=2))
+    eng.ingest_epoch(binlog.gen_epoch(SPEC, N_EPOCHS), N_EPOCHS)
+    nxt = cur.poll()
+    rows = nxt.take_all()
+    assert rows and all(r["_commit_epoch"] == N_EPOCHS for r in rows)
+    assert cur.commit() == N_EPOCHS
+
+    with pytest.raises(RuntimeError, match="poll"):
+        cur.commit()
