@@ -515,3 +515,94 @@ def vacuum(lake_dir: str, keep_last: int = 1) -> dict:
     return {"files_removed": files_removed,
             "bytes_reclaimed": bytes_reclaimed,
             "manifests_removed": manifests_removed}
+
+
+def rebucket(src_lake: str, dst_lake: str, num_partitions: int,
+             epoch: int | None = None) -> dict:
+    """Offline partition-count migration: rewrite the lake's state (at
+    ``epoch``, default latest — tombstones included) into a NEW lake with a
+    different key->partition modulus, committed as the destination's epoch
+    0. The answer to "the modulus is fixed for a lake's lifetime": when the
+    cluster outgrows P, rebucket to 4P offline and point ingest at the new
+    lake (its resume point continues from epoch 1).
+
+    One all-to-all shuffle — unavoidable, every row changes partition — as
+    a single Ray Data pipeline: read state files -> assign new pid
+    [map_batches] -> hash shuffle [groupby] -> per-partition sorted write.
+    LWW invariants, schema, and watermark carry over; lineage records note
+    the migration.
+    """
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from e_commerce_batch_etl_pipeline_ray.stages.blockutil import (
+        collect_arrow,
+    )
+    from e_commerce_batch_etl_pipeline_ray.stages.dedup import (
+        combine_keep_extreme,
+        hash_partition_ids,
+    )
+
+    if epoch is None:
+        epoch = last_committed_epoch(src_lake)
+    if epoch is None:
+        raise FileNotFoundError(f"no committed epochs in {src_lake}")
+    if last_committed_epoch(dst_lake) is not None:
+        raise ValueError(f"destination lake {dst_lake} is not empty")
+    manifest = read_manifest(src_lake, epoch)
+    schema_b64 = manifest["schema"]
+    schema = schema_from_b64(schema_b64)
+    os.makedirs(dst_lake, exist_ok=True)
+    tmp_dir = epoch_dir(dst_lake, 0, tmp=True)
+    os.makedirs(tmp_dir, exist_ok=True)
+
+    state = read_lake(src_lake, epoch=epoch, include_tombstones=True)
+
+    def _assign(t: pa.Table) -> pa.Table:
+        t = _unify_to(t, schema_from_b64(schema_b64))
+        pid = hash_partition_ids(t, ["repo", "path"], num_partitions)
+        return t.append_column("_pid", pa.array(pid, pa.int32()))
+
+    def _write(group: pa.Table) -> pa.Table:
+        pid = group["_pid"][0].as_py()
+        t = group.drop_columns(["_pid"])
+        # re-sort into the lake's canonical compacted layout
+        t = combine_keep_extreme(t, ["repo", "path"], ["lsn"],
+                                 descending=True)
+        fname = f"part-{pid:05d}.parquet"
+        tmp_path = os.path.join(tmp_dir, fname)
+        wip = f"{tmp_path}.wip.{os.getpid()}"
+        pq.write_table(t, wip)
+        os.replace(wip, tmp_path)
+        return pa.table({
+            "partition": pa.array([pid], pa.int32()),
+            "file": pa.array([os.path.join(epoch_dir(dst_lake, 0), fname)],
+                             pa.string()),
+            "lsn_watermark": pa.array(
+                [pc.max(t["lsn"]).as_py() if t.num_rows else -1], pa.int64()),
+            "rows_total": pa.array([t.num_rows], pa.int64()),
+            "bytes_written": pa.array([os.path.getsize(tmp_path)], pa.int64()),
+        })
+
+    lineage = collect_arrow(
+        state.map_batches(_assign, batch_format="pyarrow",
+                          zero_copy_batch=True)
+        .groupby("_pid").map_groups(_write, batch_format="pyarrow"))
+
+    promote_epoch_dir(dst_lake, 0)
+    partitions = {
+        rec["partition"]: {
+            "file": rec["file"], "deltas": [],
+            "lsn_watermark": rec["lsn_watermark"],
+            "rows_applied": rec["rows_total"],
+            "rows_total": rec["rows_total"],
+            "bytes_written": rec["bytes_written"],
+        } for rec in lineage.to_pylist()}
+    commit_manifest(dst_lake, 0, partitions, schema, None,
+                    metrics={"op": "rebucket", "src": src_lake,
+                             "src_epoch": epoch,
+                             "src_num_partitions":
+                                 manifest.get("num_partitions")},
+                    num_partitions=num_partitions)
+    return {"rows": sum(r["rows_total"] for r in partitions.values()),
+            "partitions": len(partitions)}

@@ -271,3 +271,19 @@ class SCD2Engine:
             return t.filter(t["is_current"])
         return self.history(epoch).map_batches(_cur, batch_format="pyarrow",
                                                zero_copy_batch=True)
+
+
+def as_of_lsn(history: ray.data.Dataset, lsn: int) -> ray.data.Dataset:
+    """Temporal snapshot BY LSN (finer grain than epoch time travel): the
+    rows whose validity interval covers ``lsn`` — i.e. the live table
+    exactly as of transaction ``lsn``, reconstructed from SCD2 history
+    with a row-local filter (no shuffle, no state read beyond the history
+    itself). Equivalent SQL: ``valid_from_lsn <= L AND (valid_to_lsn IS
+    NULL OR valid_to_lsn > L)``."""
+    def _filter(t: pa.Table) -> pa.Table:
+        lo = pc.less_equal(t["valid_from_lsn"], lsn)
+        hi = pc.or_kleene(pc.is_null(t["valid_to_lsn"]),
+                          pc.greater(t["valid_to_lsn"], lsn))
+        return t.filter(pc.and_(lo, hi))
+    return history.map_batches(_filter, batch_format="pyarrow",
+                               zero_copy_batch=True)

@@ -3735,3 +3735,55 @@ SELECT o_orderpriority, o_orderstatus, mode_count FROM (
 
 QUERIES.update({"q97_grouped_mode": q97_grouped_mode})
 ORACLE.update({"q97_grouped_mode": Q97_SQL})
+
+
+# ---------------------------------------------------------------------------
+# q98 — temporal snapshot AS OF AN LSN (finer grain than epoch time
+# travel): reconstruct the live table exactly as of transaction L from
+# SCD2 history with a row-local validity filter. Oracle: the LWW window
+# over only the events with lsn <= L.
+
+_Q98_LSN = 7000        # mid-epoch-1 of the 2x5000-event fixture binlog
+
+
+def q98_scd2_as_of_lsn(sf_dir: str):
+    from e_commerce_batch_etl_pipeline_ray.cdc import binlog, scd2
+    from e_commerce_batch_etl_pipeline_ray.cdc.lake import _unify_to
+    from e_commerce_batch_etl_pipeline_ray.stages.blockutil import (
+        read_parquet_clean,
+    )
+    ensure_oracle_fixtures()
+
+    def _unify(t: pa.Table) -> pa.Table:
+        return _unify_to(t, binlog.EVENT_SCHEMA_V2)
+
+    parts = []
+    for ep in range(Q24_EPOCHS):
+        ds = read_parquet_clean(
+            os.path.join(Q24_BINLOG_DIR, f"epoch-{ep}.parquet"),
+            override_num_blocks=4)
+        parts.append(ds.map_batches(_unify, batch_format="pyarrow",
+                                    zero_copy_batch=True))
+    hist = scd2.scd2_history(parts[0].union(*parts[1:]), num_partitions=16)
+    snap = scd2.as_of_lsn(hist, _Q98_LSN)
+    return snap.select_columns(
+        ["repo", "path", "valid_from_lsn", "commit", "lang",
+         "content_sha256"]).sort(["repo", "path"])
+
+
+Q98_SQL = f"""
+SELECT repo, path, lsn AS valid_from_lsn, commit, lang, content_sha256
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY repo, path ORDER BY lsn DESC) rn
+  FROM read_parquet(['{Q24_BINLOG_DIR}/epoch-0.parquet',
+                     '{Q24_BINLOG_DIR}/epoch-1.parquet'],
+                    union_by_name=true)
+  WHERE lsn <= {_Q98_LSN}
+)
+WHERE rn = 1 AND op <> 'D'
+ORDER BY repo, path
+"""
+
+
+QUERIES.update({"q98_scd2_as_of_lsn": q98_scd2_as_of_lsn})
+ORACLE.update({"q98_scd2_as_of_lsn": Q98_SQL})

@@ -79,3 +79,44 @@ def test_point_read_rejects_changed_modulus(tmp_path):
 
 def test_point_read_empty_key_list(lake_dir):
     assert lake.point_read(lake_dir, []).count() == 0
+
+
+def test_rebucket_migrates_modulus(tmp_path):
+    """Offline partition-count migration: state bit-identical (tombstones
+    included), point reads route with the NEW modulus, ingest continues on
+    the destination lake, non-empty destination rejected."""
+    src = _ingest(tmp_path)
+    stats = lake.rebucket(src, str(tmp_path / "wide"), num_partitions=16)
+    dst = str(tmp_path / "wide")
+
+    def _full(d):
+        rows = lake.read_lake(d, include_tombstones=True).take_all()
+        return {(r["repo"], r["path"]): (r["lsn"], r["_deleted"],
+                                         r["content_sha256"]) for r in rows}
+
+    assert _full(dst) == _full(src)
+    assert lake.read_manifest(dst, 0)["num_partitions"] == 16
+    assert stats["rows"] == len(_full(src))
+
+    # point read routes correctly under the new modulus
+    state = _replay()
+    key = sorted(k for k, v in state.items() if v["op"] != "D")[0]
+    got = lake.point_read(dst, [key]).take_all()
+    assert len(got) == 1 and got[0]["lsn"] == state[key]["lsn"]
+
+    # ingest continues on the destination (next epoch of the same binlog)
+    eng = engine.CDCEngine(engine.CDCConfig(lake_dir=dst, num_partitions=16,
+                                            merge_concurrency=2))
+    assert eng.resume_point() == 1
+    eng.ingest_epoch(binlog.gen_epoch(SPEC, N_EPOCHS), 1)
+    evs = pa.concat_tables(
+        [binlog.gen_epoch_table(SPEC, e) for e in range(N_EPOCHS + 1)],
+        promote_options="permissive")
+    live = oracle.live_rows(oracle.replay(evs))
+    rows = lake.read_lake(dst).take_all()
+    assert {(r["repo"], r["path"]): r["lsn"] for r in rows} == \
+        {k: v["lsn"] for k, v in live.items()}
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="not empty"):
+        lake.rebucket(src, dst, num_partitions=32)
