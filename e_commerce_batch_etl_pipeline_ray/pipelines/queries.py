@@ -3787,3 +3787,63 @@ ORDER BY repo, path
 
 QUERIES.update({"q98_scd2_as_of_lsn": q98_scd2_as_of_lsn})
 ORACLE.update({"q98_scd2_as_of_lsn": Q98_SQL})
+
+
+# ---------------------------------------------------------------------------
+# q99 — AGGREGATE VIEW MAINTAINED FROM THE CHANGE FEED: per-lang row count
+# + total content length over the live table, kept current by processing
+# only row-level changes (insert/post weigh +1, delete/pre weigh -1 — the
+# retraction algebra), refreshed EPOCH BY EPOCH. Oracle: plain SQL
+# aggregate over the final LWW live state.
+
+def q99_feed_aggregate_view(sf_dir: str):
+    import tempfile
+
+    from e_commerce_batch_etl_pipeline_ray.cdc import aggview, engine
+    from e_commerce_batch_etl_pipeline_ray.stages.blockutil import (
+        read_parquet_clean,
+    )
+    ensure_oracle_fixtures()
+    root = tempfile.mkdtemp(prefix="q99_", dir="/tmp")
+    lake_dir = os.path.join(root, "lake")
+    eng = engine.CDCEngine(engine.CDCConfig(lake_dir=lake_dir,
+                                            num_partitions=16,
+                                            merge_concurrency=2))
+
+    def _add_len(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "content_len",
+            pc.cast(pc.utf8_length(t["content"]), pa.float64()))
+
+    view = aggview.AggregateView(lake_dir, os.path.join(root, "view.parquet"),
+                                 by=["lang"], sums=[("content_len", "sum_len")],
+                                 value_fn=_add_len)
+    for ep in range(Q24_EPOCHS):
+        events = read_parquet_clean(
+            os.path.join(Q24_BINLOG_DIR, f"epoch-{ep}.parquet"),
+            override_num_blocks=8)
+        eng.ingest_epoch(events, ep)
+        view.refresh()                    # incremental, per epoch
+    out = view.read(with_avg=[("sum_len", "avg_len")])
+    i = out.column_names.index("avg_len")
+    out = out.set_column(i, "avg_len", F.round2(out["avg_len"], 2))
+    return out.sort_by([("lang", "ascending")])
+
+
+Q99_SQL = f"""
+WITH live AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY repo, path ORDER BY lsn DESC) rn
+    FROM read_parquet(['{Q24_BINLOG_DIR}/epoch-0.parquet',
+                       '{Q24_BINLOG_DIR}/epoch-1.parquet'],
+                      union_by_name=true)) WHERE rn = 1 AND op <> 'D'
+)
+SELECT lang, COUNT(*) AS n_rows,
+       SUM(LENGTH(content))::DOUBLE AS sum_len,
+       ROUND(SUM(LENGTH(content))::DOUBLE / COUNT(*), 2) AS avg_len
+FROM live GROUP BY lang ORDER BY lang NULLS LAST
+"""
+
+
+QUERIES.update({"q99_feed_aggregate_view": q99_feed_aggregate_view})
+ORACLE.update({"q99_feed_aggregate_view": Q99_SQL})
