@@ -135,3 +135,37 @@ def test_scd2_epoch_order_guard(tmp_path):
     with pytest.raises(ValueError, match="out of order"):
         eng.ingest_epoch(
             ray.data.from_arrow(pa.Table.from_pylist([_ev(2, "I", "b", "y")])), 2)
+
+
+def test_scd2_crash_resume(tmp_path):
+    """Crash debris (promoted-but-unmanifested epoch + tmp dir) is cleaned
+    by resume_point; re-running the epoch reproduces identical history."""
+    import os
+    import shutil
+
+    lake_dir = str(tmp_path / "scd2")
+    eng = scd2.SCD2Engine(scd2.SCD2Config(lake_dir=lake_dir,
+                                          num_partitions=4,
+                                          merge_concurrency=1))
+    eng.ingest_epoch(ray.data.from_arrow(binlog.gen_epoch_table(SPEC, 0)), 0)
+    before = _tuples(eng.history().take_all())
+
+    # simulate a crash AFTER data promote, BEFORE manifest commit
+    os.makedirs(os.path.join(lake_dir, "epoch=0001"))
+    with open(os.path.join(lake_dir, "epoch=0001", "part-00000.parquet"),
+              "w") as f:
+        f.write("partial garbage")
+    os.makedirs(os.path.join(lake_dir, ".tmp-epoch=0001"))
+
+    assert eng.resume_point() == 1            # debris cleaned
+    assert not os.path.exists(os.path.join(lake_dir, "epoch=0001"))
+    assert _tuples(eng.history().take_all()) == before
+
+    eng.ingest_epoch(ray.data.from_arrow(binlog.gen_epoch_table(SPEC, 1)), 1)
+    got = _tuples(eng.history().take_all())
+    batch = _tuples(scd2.scd2_history(
+        ray.data.from_arrow(pa.concat_tables(
+            [binlog.gen_epoch_table(SPEC, e) for e in range(2)],
+            promote_options="permissive")), num_partitions=4).take_all())
+    assert got == batch
+    shutil.rmtree(lake_dir)

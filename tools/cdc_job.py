@@ -57,7 +57,34 @@ def main() -> int:
     ap.add_argument("--read-epoch", type=int, default=None,
                     help="time travel: print row count + lsn watermark of "
                          "the committed snapshot AS OF this epoch and exit")
+    ap.add_argument("--get", nargs=2, metavar=("REPO", "PATH"), default=None,
+                    help="pruned point lookup of one key (reads ONE "
+                         "partition's files) and exit")
+    ap.add_argument("--rebucket", nargs=2, metavar=("DST", "P"), default=None,
+                    help="migrate the lake's partition count: rewrite state "
+                         "into DST with P partitions and exit")
     args = ap.parse_args()
+
+    if args.get is not None or args.rebucket is not None:
+        import ray
+        if not ray.is_initialized():
+            ray.init(address="local", num_cpus=args.num_cpus,
+                     include_dashboard=False, logging_level="ERROR")
+        import ray.data
+        ray.data.DataContext.get_current().enable_progress_bars = False
+        from e_commerce_batch_etl_pipeline_ray.cdc import lake as _lake
+        if args.get is not None:
+            rows = _lake.point_read(args.lake_dir,
+                                    [tuple(args.get)]).take_all()
+            print(json.dumps({"key": args.get, "found": bool(rows),
+                              **({k: v for k, v in rows[0].items()
+                                  if k != "content"} if rows else {})}))
+        else:
+            dst, p = args.rebucket
+            print(json.dumps({"rebucket": _lake.rebucket(
+                args.lake_dir, dst, num_partitions=int(p))}))
+        ray.shutdown()
+        return 0
 
     if args.read_epoch is not None:
         import ray
