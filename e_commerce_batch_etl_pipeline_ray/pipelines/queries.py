@@ -3847,3 +3847,44 @@ FROM live GROUP BY lang ORDER BY lang NULLS LAST
 
 QUERIES.update({"q99_feed_aggregate_view": q99_feed_aggregate_view})
 ORACLE.update({"q99_feed_aggregate_view": Q99_SQL})
+
+
+# ---------------------------------------------------------------------------
+# q100 — GROUP-AWARE (leakage-safe) train/val/test split: the split is a
+# pure function of the GROUP key (l_orderkey), so every row of a group
+# lands in the same split by construction — the contamination guarantee a
+# per-row split can't give. Output: per-split row and group counts.
+
+def q100_group_split(sf_dir: str):
+    from e_commerce_batch_etl_pipeline_ray.stages import sampling
+    ds = _read(sf_dir, "lineitem", ["l_orderkey"])
+    ds = sampling.hash_split("l_orderkey", [0.8, 0.1, 0.1],
+                             ["train", "val", "test"], seed=11).apply(ds)
+    ds = ds.materialize()
+    from e_commerce_batch_etl_pipeline_ray.stages.blockutil import collect_arrow
+    rows = collect_arrow(aggregates.grouped_aggregate(
+        ["split"], [("count", None, "n_rows")], final="driver").apply(ds))
+    orders = collect_arrow(aggregates.count_distinct(
+        ["split"], "l_orderkey", "n_orders", final="driver").apply(ds))
+    # 3-row driver-side join of the two tiny grouped outputs (q33 pattern)
+    pos = pc.index_in(rows["split"].combine_chunks(),
+                      value_set=orders["split"].combine_chunks())
+    out = rows.append_column("n_orders", orders["n_orders"].take(pos))
+    return out.sort_by([("split", "ascending")])
+
+
+def _q100_sql() -> str:
+    from e_commerce_batch_etl_pipeline_ray.stages.sampling import sql_unit_hash
+    u = sql_unit_hash("l_orderkey", seed=11)
+    return f"""
+SELECT CASE WHEN {u} < 0.8 THEN 'train'
+            WHEN {u} < 0.9 THEN 'val'
+            ELSE 'test' END AS split,
+       COUNT(*) AS n_rows,
+       COUNT(DISTINCT l_orderkey) AS n_orders
+FROM lineitem GROUP BY 1 ORDER BY 1
+"""
+
+
+QUERIES.update({"q100_group_split": q100_group_split})
+ORACLE.update({"q100_group_split": _q100_sql()})
