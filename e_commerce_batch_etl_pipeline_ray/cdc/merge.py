@@ -72,6 +72,85 @@ def _as_bool_np(mask, n: int):
     return np.asarray(mask, dtype=bool)
 
 
+def apply_merge(prior: pa.Table, src: pa.Table, schema: pa.Schema,
+                update_if: Cond2 | None, delete_if: Cond2 | None,
+                insert: bool | Cond1) -> tuple[pa.Table, int]:
+    """The pure MERGE kernel (one partition's state x source slice ->
+    new state, rows_applied) — extracted so it is property-testable
+    without files or Ray. ``prior`` must be LWW-compacted (one row per
+    key); ``src`` may carry duplicates (highest-lsn wins)."""
+    import numpy as np
+
+    src = combine_keep_extreme(src, KEY, ["lsn"], descending=True)
+
+    idx = pc.index_in(_fused(src), value_set=_fused(prior)) \
+        if prior.num_rows else pa.nulls(src.num_rows, pa.int32())
+    idx_np = idx.to_numpy(zero_copy_only=False)
+    has_tgt = ~np.isnan(idx_np) if len(idx_np) else np.array([], bool)
+    tgt_pos = np.where(has_tgt, idx_np, 0).astype(np.int64)
+    tgt_live = np.zeros(src.num_rows, dtype=bool)
+    if prior.num_rows:
+        live_np = pc.invert(prior["_deleted"].combine_chunks()) \
+            .to_numpy(zero_copy_only=False).astype(bool)
+        tgt_live = np.where(has_tgt, live_np[tgt_pos], False)
+    matched = tgt_live                      # tombstoned target == unmatched
+
+    # evaluate clauses on the ALIGNED matched rows only
+    m_idx = np.flatnonzero(matched)
+    src_m = src.take(m_idx)
+    tgt_m = prior.take(tgt_pos[m_idx]) if len(m_idx) else \
+        schema.empty_table()
+    del_m = _as_bool_np(
+        delete_if(src_m, tgt_m) if delete_if else None, len(m_idx))
+    upd_m = _as_bool_np(
+        update_if(src_m, tgt_m) if update_if is not None
+        else np.ones(len(m_idx), dtype=bool), len(m_idx))
+    upd_m &= ~del_m                         # delete clause wins
+
+    unmatched = np.flatnonzero(~matched)
+    src_u = src.take(unmatched)
+    if callable(insert):
+        ins_u = _as_bool_np(insert(src_u), len(unmatched))
+    else:
+        ins_u = np.full(len(unmatched), bool(insert))
+
+    # assemble: prior minus touched keys, + updates, + tombstones, + inserts
+    touched_pos = tgt_pos[m_idx[del_m | upd_m]]
+    keep = np.ones(prior.num_rows, dtype=bool)
+    keep[touched_pos] = False
+    # an explicit not-matched INSERT over a key that only has a (possibly
+    # higher-lsn) tombstone must clear that tombstone — MERGE semantics
+    # outrank the stale-event armor for rows the user explicitly revived
+    revived = unmatched[ins_u & has_tgt[unmatched]]
+    if len(revived):
+        keep[tgt_pos[revived]] = False
+    pieces = [prior.filter(pa.array(keep))] if prior.num_rows else []
+
+    updates = src_m.filter(pa.array(upd_m))
+    if updates.num_rows:
+        pieces.append(updates)
+    deletes = src_m.filter(pa.array(del_m))
+    if deletes.num_rows:
+        # tombstone: key + source lsn, payload nulled
+        cols = []
+        for fld in schema:
+            if fld.name in (*KEY, "lsn"):
+                cols.append(deletes[fld.name])
+            elif fld.name == "_deleted":
+                cols.append(pa.array([True] * deletes.num_rows))
+            else:
+                cols.append(pa.nulls(deletes.num_rows, fld.type))
+        pieces.append(pa.Table.from_arrays(cols, schema=schema))
+    inserts = src_u.filter(pa.array(ins_u))
+    if inserts.num_rows:
+        pieces.append(inserts)
+
+    merged = pa.concat_tables(pieces) if pieces else schema.empty_table()
+    merged = combine_keep_extreme(merged, KEY, ["lsn"], descending=True)
+    rows_applied = int(upd_m.sum() + del_m.sum() + ins_u.sum())
+    return merged, rows_applied
+
+
 class _MergeIntoApply:
     """Per-partition conditional merge (actor, same contract as
     engine.MergeApply): prior state + source slice -> new state file."""
@@ -102,86 +181,17 @@ class _MergeIntoApply:
         return combine_keep_extreme(t, KEY, ["lsn"], descending=True)
 
     def __call__(self, group: pa.Table) -> pa.Table:
-        import numpy as np
-
         pid = group[_PID][0].as_py()
         src = lake._unify_to(group.drop_columns([_PID]), self.schema)
-        # one source row per key: highest-lsn wins within the batch
-        src = combine_keep_extreme(src, KEY, ["lsn"], descending=True)
         prior = self._load_prior(pid)
-
-        idx = pc.index_in(_fused(src), value_set=_fused(prior)) \
-            if prior.num_rows else pa.nulls(src.num_rows, pa.int32())
-        idx_np = idx.to_numpy(zero_copy_only=False)
-        has_tgt = ~np.isnan(idx_np) if len(idx_np) else np.array([], bool)
-        tgt_pos = np.where(has_tgt, idx_np, 0).astype(np.int64)
-        tgt_live = np.zeros(src.num_rows, dtype=bool)
-        if prior.num_rows:
-            live_np = pc.invert(prior["_deleted"].combine_chunks()) \
-                .to_numpy(zero_copy_only=False).astype(bool)
-            tgt_live = np.where(has_tgt, live_np[tgt_pos], False)
-        matched = tgt_live                      # tombstoned target == unmatched
-
-        # evaluate clauses on the ALIGNED matched rows only
-        m_idx = np.flatnonzero(matched)
-        src_m = src.take(m_idx)
-        tgt_m = prior.take(tgt_pos[m_idx]) if len(m_idx) else \
-            self.schema.empty_table()
-        del_m = _as_bool_np(
-            self.delete_if(src_m, tgt_m) if self.delete_if else None,
-            len(m_idx))
-        upd_m = _as_bool_np(
-            self.update_if(src_m, tgt_m) if self.update_if is not None
-            else np.ones(len(m_idx), dtype=bool), len(m_idx))
-        upd_m &= ~del_m                         # delete clause wins
-
-        unmatched = np.flatnonzero(~matched)
-        src_u = src.take(unmatched)
-        if callable(self.insert):
-            ins_u = _as_bool_np(self.insert(src_u), len(unmatched))
-        else:
-            ins_u = np.full(len(unmatched), bool(self.insert))
-
-        # assemble: prior minus touched keys, + updates, + tombstones, + inserts
-        touched_pos = tgt_pos[m_idx[del_m | upd_m]]
-        keep = np.ones(prior.num_rows, dtype=bool)
-        keep[touched_pos] = False
-        # an explicit not-matched INSERT over a key that only has a (possibly
-        # higher-lsn) tombstone must clear that tombstone — MERGE semantics
-        # outrank the stale-event armor for rows the user explicitly revived
-        revived = unmatched[ins_u & has_tgt[unmatched]]
-        if len(revived):
-            keep[tgt_pos[revived]] = False
-        pieces = [prior.filter(pa.array(keep))] if prior.num_rows else []
-
-        updates = src_m.filter(pa.array(upd_m))
-        if updates.num_rows:
-            pieces.append(updates)
-        deletes = src_m.filter(pa.array(del_m))
-        if deletes.num_rows:
-            # tombstone: key + source lsn, payload nulled
-            cols = []
-            for fld in self.schema:
-                if fld.name in (*KEY, "lsn"):
-                    cols.append(deletes[fld.name])
-                elif fld.name == "_deleted":
-                    cols.append(pa.array([True] * deletes.num_rows))
-                else:
-                    cols.append(pa.nulls(deletes.num_rows, fld.type))
-            pieces.append(pa.Table.from_arrays(cols, schema=self.schema))
-        inserts = src_u.filter(pa.array(ins_u))
-        if inserts.num_rows:
-            pieces.append(inserts)
-
-        merged = pa.concat_tables(pieces) if pieces else self.schema.empty_table()
-        merged = combine_keep_extreme(merged, KEY, ["lsn"], descending=True)
-
+        merged, rows_applied = apply_merge(prior, src, self.schema,
+                                           self.update_if, self.delete_if,
+                                           self.insert)
         fname = f"part-{pid:05d}.parquet"
         tmp_path = os.path.join(self.tmp_dir, fname)
         wip = f"{tmp_path}.wip.{os.getpid()}"
         pq.write_table(merged, wip)
         os.replace(wip, tmp_path)
-        rows_applied = int(upd_m.sum() + del_m.sum() + ins_u.sum())
         return pa.table({
             "partition": pa.array([pid], pa.int32()),
             "file": pa.array([os.path.join(

@@ -370,3 +370,68 @@ def test_change_feed_diff_apply_roundtrip(ops, split_frac):
     for types in by_key.values():
         assert types in ({"insert"}, {"delete"},
                          {"update_preimage", "update_postimage"})
+
+
+# ---------------------------------------------------------------------------
+# MERGE kernel algebra: for ANY prior state (live/tombstoned keys) and ANY
+# source (with duplicate keys), the vectorized apply_merge equals a
+# row-by-row Python oracle under parameterized clause predicates.
+
+@settings(max_examples=80, deadline=None)
+@given(
+    prior_rows=st.lists(st.tuples(st.integers(0, 7), st.booleans()),
+                        min_size=0, max_size=8, unique_by=lambda r: r[0]),
+    src_rows=st.lists(st.tuples(st.integers(0, 7), st.integers(0, 99),
+                                st.integers(0, 3)),
+                      min_size=0, max_size=12),
+    insert_on=st.booleans(),
+    del_tag=st.integers(0, 3),
+)
+def test_merge_kernel_matches_row_oracle(prior_rows, src_rows, insert_on,
+                                         del_tag):
+    from e_commerce_batch_etl_pipeline_ray.cdc.merge import apply_merge
+
+    schema = pa.schema([("lsn", pa.int64()), ("repo", pa.string()),
+                        ("path", pa.string()), ("tag", pa.int64()),
+                        ("_deleted", pa.bool_())])
+    prior = pa.Table.from_pylist(
+        [{"lsn": 1000 + k, "repo": "r", "path": f"p{k}",
+          "tag": k % 4, "_deleted": dead}
+         for k, dead in sorted(prior_rows)], schema=schema)
+    src = pa.Table.from_pylist(
+        [{"lsn": lsn, "repo": "r", "path": f"p{k}", "tag": tag,
+          "_deleted": False}
+         for k, lsn, tag in src_rows], schema=schema)
+
+    def upd(s, t):            # update when the source tag differs
+        import pyarrow.compute as pc_
+        return pc_.not_equal(s["tag"], t["tag"])
+
+    def dele(s, t):           # delete when source tag == del_tag
+        import pyarrow.compute as pc_
+        return pc_.equal(s["tag"], del_tag)
+
+    merged, _ = apply_merge(prior, src, schema, upd, dele, insert_on)
+    got = {r["path"]: (r["lsn"], r["tag"], r["_deleted"])
+           for r in merged.to_pylist()}
+
+    # row-by-row oracle
+    state = {r["path"]: dict(r) for r in prior.to_pylist()}
+    # source dedupe: highest lsn per key
+    best: dict = {}
+    for r in src.to_pylist():
+        if r["path"] not in best or r["lsn"] > best[r["path"]]["lsn"]:
+            best[r["path"]] = r
+    for p, r in best.items():
+        cur = state.get(p)
+        live = cur is not None and not cur["_deleted"]
+        if live:
+            if r["tag"] == del_tag:
+                state[p] = {"lsn": r["lsn"], "repo": "r", "path": p,
+                            "tag": None, "_deleted": True}
+            elif r["tag"] != cur["tag"]:
+                state[p] = dict(r)
+        elif insert_on:
+            state[p] = dict(r)            # insert (revives tombstones)
+    exp = {p: (r["lsn"], r["tag"], r["_deleted"]) for p, r in state.items()}
+    assert got == exp
