@@ -316,3 +316,78 @@ class FeedCursor:
         os.replace(tmp, self.state_path)
         epoch, self._pending = self._pending, None
         return epoch
+
+
+def sync_feed_to_db(lake_dir: str, db_path: str, table: str,
+                    state_path: str, key_cols: list[str] = KEY,
+                    value_cols: list[str] | None = None,
+                    batch_rows: int = 5000) -> dict:
+    """End-to-end exactly-once CDC sink: drain the change feed into a
+    relational table (SQLite stand-in, same contract as sources/db_sink —
+    swap the connection factory for a real driver).
+
+    Idempotent apply + committed offset = exactly-once: inserts and
+    postimages become ``INSERT OR REPLACE`` on the key's primary key,
+    deletes become ``DELETE WHERE key``; re-applying the same epochs after
+    a crash-before-commit converges to the same table. Preimages are
+    skipped (the postimage carries the new row). Changes stream through
+    ``iter_batches`` — the driver never holds the feed.
+
+    Returns {epochs_applied, upserts, deletes}.
+    """
+    import sqlite3
+
+    cur = FeedCursor(lake_dir, state_path)
+    prev_off = cur.offset()
+    batch_ds = cur.poll()
+    if batch_ds is None:
+        return {"epochs_applied": 0, "upserts": 0, "deletes": 0}
+
+    first = lake.schema_from_b64(
+        lake.read_manifest(lake_dir,
+                           lake.last_committed_epoch(lake_dir))["schema"])
+    if value_cols is None:
+        value_cols = [f.name for f in first
+                      if f.name not in (*key_cols, "_deleted")]
+    cols = list(key_cols) + [c for c in value_cols if c not in key_cols]
+
+    con = sqlite3.connect(db_path)
+    con.execute("PRAGMA journal_mode=WAL")
+    col_defs = ", ".join(f'"{c}"' for c in cols)
+    pk = ", ".join(f'"{c}"' for c in key_cols)
+    con.execute(f'CREATE TABLE IF NOT EXISTS "{table}" '
+                f"({col_defs}, PRIMARY KEY ({pk}))")
+    placeholders = ", ".join("?" for _ in cols)
+    upsert_sql = (f'INSERT OR REPLACE INTO "{table}" ({col_defs}) '
+                  f"VALUES ({placeholders})")
+    where = " AND ".join(f'"{c}" = ?' for c in key_cols)
+    delete_sql = f'DELETE FROM "{table}" WHERE {where}'
+
+    upserts = deletes = 0
+    for batch in batch_ds.iter_batches(batch_format="pyarrow",
+                                       batch_size=batch_rows):
+        # a batch may span epochs: resolve each key to its FINAL change in
+        # the batch (max epoch among non-preimage rows) before applying, so
+        # delete@e0 + reinsert@e1 nets to the insert, never the delete
+        batch = batch.filter(pc.not_equal(batch[CHANGE_COL],
+                                          "update_preimage"))
+        batch = combine_keep_extreme(batch, key_cols, [EPOCH_COL],
+                                     descending=True)
+        ct = batch[CHANGE_COL]
+        ups = batch.filter(pc.is_in(
+            ct, value_set=pa.array(["insert", "update_postimage"])))
+        dels = batch.filter(pc.equal(ct, "delete"))
+        if ups.num_rows:
+            rows = list(zip(*(ups[c].to_pylist() for c in cols)))
+            con.executemany(upsert_sql, rows)
+            upserts += ups.num_rows
+        if dels.num_rows:
+            keys = list(zip(*(dels[c].to_pylist() for c in key_cols)))
+            con.executemany(delete_sql, keys)
+            deletes += dels.num_rows
+    con.commit()
+    con.close()
+    epoch = cur.commit()            # offset advances ONLY after the DB commit
+    start = 0 if prev_off is None else prev_off + 1
+    return {"epochs_applied": epoch - start + 1,
+            "upserts": upserts, "deletes": deletes}

@@ -230,3 +230,49 @@ def test_feed_cursor_exactly_once_progress(tmp_path):
 
     with pytest.raises(RuntimeError, match="poll"):
         cur.commit()
+
+
+def test_sync_feed_to_db_exactly_once(tmp_path):
+    """CDC -> relational sink: table equals the live lake state after every
+    sync; crash-before-commit redelivery is idempotent; deletes and
+    delete-then-reinsert chains net correctly."""
+    import sqlite3
+
+    lake_dir = _ingest(tmp_path)
+    db = str(tmp_path / "sink.db")
+    state = str(tmp_path / "sync_cursor.json")
+
+    def db_state():
+        con = sqlite3.connect(db)
+        rows = con.execute(
+            'SELECT repo, path, lsn, content_sha256 FROM "files"').fetchall()
+        con.close()
+        return {(r[0], r[1]): (r[2], r[3]) for r in rows}
+
+    def lake_state():
+        rows = lake.read_lake(lake_dir).take_all()
+        return {(r["repo"], r["path"]): (r["lsn"], r["content_sha256"])
+                for r in rows}
+
+    stats = feed.sync_feed_to_db(lake_dir, db, "files", state)
+    assert stats["epochs_applied"] == N_EPOCHS
+    assert db_state() == lake_state()
+
+    # caught up -> no-op
+    assert feed.sync_feed_to_db(lake_dir, db, "files", state) == \
+        {"epochs_applied": 0, "upserts": 0, "deletes": 0}
+
+    # crash-before-commit: replay the SAME epochs with a fresh cursor into
+    # the SAME table -> identical state (idempotent upserts/deletes)
+    feed.sync_feed_to_db(lake_dir, db, "files",
+                         str(tmp_path / "cursor2.json"))
+    assert db_state() == lake_state()
+
+    # next epoch syncs incrementally
+    eng = engine.CDCEngine(engine.CDCConfig(lake_dir=lake_dir,
+                                            num_partitions=8,
+                                            merge_concurrency=2))
+    eng.ingest_epoch(binlog.gen_epoch(SPEC, N_EPOCHS), N_EPOCHS)
+    stats = feed.sync_feed_to_db(lake_dir, db, "files", state)
+    assert stats["epochs_applied"] == 1
+    assert db_state() == lake_state()
