@@ -3888,3 +3888,24 @@ FROM lineitem GROUP BY 1 ORDER BY 1
 
 QUERIES.update({"q100_group_split": q100_group_split})
 ORACLE.update({"q100_group_split": _q100_sql()})
+
+
+# ---------------------------------------------------------------------------
+# q101 — distributed BPE tokenizer training + tokenization (rows-only:
+# iterative corpus passes are not SQL-expressible; the trainer is verified
+# by tests/test_bpe.py's merge-sequence parity with a reference
+# implementation and block-invariance). Output: per-doc token counts +
+# compression vs raw bytes under a 40-merge vocabulary.
+
+def q101_bpe_tokenize(sf_dir: str):
+    from e_commerce_batch_etl_pipeline_ray.stages import bpe
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    merges = bpe.bpe_train(ds, num_merges=40)
+    toks = bpe.bpe_tokenize(ds, merges)
+    out = toks.map_batches(
+        lambda t: t.select(["doc_id", "n_tokens"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return out.sort("doc_id")
+
+
+QUERIES.update({"q101_bpe_tokenize": q101_bpe_tokenize})
