@@ -3909,3 +3909,51 @@ def q101_bpe_tokenize(sf_dir: str):
 
 
 QUERIES.update({"q101_bpe_tokenize": q101_bpe_tokenize})
+
+
+# ---------------------------------------------------------------------------
+# q102 — BM25 top-k retrieval: corpus stats (df / avg length) in one
+# combiner pass, idf broadcast, vectorized tf scoring, per-block local
+# top-k + tiny reduce. Oracle: the full BM25 formula in SQL over
+# string_split tokens (list_filter lambdas), identical rounding and tie
+# order.
+
+_Q102_TERMS = ("hash", "window", "spark")
+
+
+def q102_bm25_topk(sf_dir: str):
+    from e_commerce_batch_etl_pipeline_ray.stages import retrieval
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return retrieval.bm25_topk(ds, list(_Q102_TERMS), k=10, round_to=4)
+
+
+def _q102_sql() -> str:
+    tf_cols = ",\n   ".join(
+        f"len(list_filter(toks, x -> x = '{t}'))::DOUBLE AS tf{i}"
+        for i, t in enumerate(_Q102_TERMS))
+    df_cols = ", ".join(
+        f"SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END)::DOUBLE AS df{i}"
+        for i in range(len(_Q102_TERMS)))
+    score = " + ".join(
+        f"LN((n - df{i} + 0.5)/(df{i} + 0.5) + 1) * tf{i} * 2.2"
+        f" / (tf{i} + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))"
+        for i in range(len(_Q102_TERMS)))
+    return f"""
+WITH l AS (
+  SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS toks,
+         len(string_split(COALESCE(text, ''), ' '))::DOUBLE AS dl
+  FROM documents
+),
+stats AS (SELECT COUNT(*)::DOUBLE AS n, AVG(dl) AS avgdl FROM l),
+tf AS (SELECT doc_id, dl,
+   {tf_cols}
+ FROM l),
+df AS (SELECT {df_cols} FROM tf)
+SELECT doc_id, ROUND({score}, 4) AS score
+FROM tf, stats, df
+ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+
+QUERIES.update({"q102_bm25_topk": q102_bm25_topk})
+ORACLE.update({"q102_bm25_topk": _q102_sql()})

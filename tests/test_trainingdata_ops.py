@@ -728,3 +728,45 @@ def test_contamination_planted_overlap():
     assert out[2]["contamination"] == 0.0
     assert 0.0 < out[3]["contamination"] < 1.0
     assert out[4]["n_shingles"] == 1           # whole short text = 1 shingle
+
+
+def test_bm25_topk_matches_bruteforce():
+    """BM25 engine vs a per-doc Python reference on a corpus with known
+    term distribution; deterministic tie order; block invariance."""
+    import math
+
+    import ray.data
+
+    from e_commerce_batch_etl_pipeline_ray.stages import retrieval
+
+    docs = ["hash join table", "hash hash hash", "window agg window",
+            "spark table scan", "totally unrelated words here",
+            "hash window spark", "", "table table table table"]
+    terms = ["hash", "window"]
+    t = pa.table({"doc_id": pa.array(range(len(docs)), pa.int64()),
+                  "text": pa.array(docs, pa.string())})
+
+    def brute():
+        toks = [d.split(" ") for d in docs]
+        n = len(toks)
+        avg = sum(len(x) for x in toks) / n
+        out = []
+        for i, tk in enumerate(toks):
+            s = 0.0
+            for term in terms:
+                df = sum(1 for x in toks if term in x)
+                idf = math.log((n - df + 0.5) / (df + 0.5) + 1)
+                tf = tk.count(term)
+                s += idf * tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * len(tk) / avg))
+            out.append((i, s))
+        out.sort(key=lambda r: (-r[1], r[0]))
+        return out[:4]
+
+    exp = brute()
+    for blocks in (1, 3):
+        ds = ray.data.from_arrow(t).repartition(blocks)
+        got = [(r["doc_id"], r["score"])
+               for r in retrieval.bm25_topk(ds, terms, k=4).take_all()]
+        assert [g[0] for g in got] == [e[0] for e in exp]
+        for g, e in zip(got, exp):
+            assert abs(g[1] - e[1]) < 1e-9
