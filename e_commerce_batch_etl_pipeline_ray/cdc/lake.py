@@ -361,16 +361,22 @@ def point_read(lake_dir: str, keys: list[tuple[str, str]],
         _lookup, batch_format="pyarrow", batch_size=1)
 
 
-def optimize(lake_dir: str) -> dict:
+def optimize(lake_dir: str, mode: str = "lww") -> dict:
     """Force-compact every delta-carrying partition (LSM mode,
     ``compact_interval > 1``) into a fresh sorted base file, committed as
     the lake's next epoch — the on-demand form of the engine's periodic
     compaction, for when a read-heavy phase follows a write-heavy one.
 
+    ``mode``: "lww" (CDC table — one winner per key, the default) or
+    "log" (SCD2 event-log lake — keep EVERY (key, lsn) version, dedupe
+    duplicate deliveries only).
+
     One Ray task per delta-carrying partition; clean partitions carry
     forward untouched (an all-clean lake commits a pure carry-forward
     epoch with zero tasks). Same single-writer rule as ingest/vacuum.
     """
+    if mode not in ("lww", "log"):
+        raise ValueError(f"mode must be 'lww' or 'log', got {mode!r}")
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
@@ -411,8 +417,15 @@ def optimize(lake_dir: str) -> dict:
                 tables = [_unify_to(pq.read_table(f), sch)
                           for f in json.loads(row["files"])]
                 t = tables[0] if len(tables) == 1 else pa.concat_tables(tables)
-                t = combine_keep_extreme(t, ["repo", "path"], ["lsn"],
-                                         descending=True)
+                if mode == "lww":
+                    t = combine_keep_extreme(t, ["repo", "path"], ["lsn"],
+                                             descending=True)
+                else:            # event log: every version survives
+                    t = combine_keep_extreme(t, ["repo", "path", "lsn"],
+                                             ["lsn"], descending=True)
+                    t = t.sort_by([("repo", "ascending"),
+                                   ("path", "ascending"),
+                                   ("lsn", "ascending")])
                 pid = row["partition"]
                 fname = f"part-{pid:05d}.parquet"
                 tmp_path = os.path.join(tmp_dir, fname)

@@ -119,6 +119,13 @@ class SCD2Config:
     lake_dir: str
     num_partitions: int = 32
     merge_concurrency: int = 4
+    # LSM write-amplification control, same contract as CDCConfig: with
+    # compact_interval=K, K-1 of every K epochs append only a per-partition
+    # DELTA event-log file (no prior read, O(epoch) I/O); every K-th epoch
+    # compacts base+deltas into a fresh deduped key-sorted log. history()
+    # merges base+deltas per partition at read time, so snapshots stay
+    # correct at any epoch. K=1 (default) compacts every epoch.
+    compact_interval: int = 1
 
 
 def _event_schema(new: pa.Schema, prev: pa.Schema | None) -> pa.Schema:
@@ -136,24 +143,35 @@ class _Scd2Apply:
     cdc.engine.MergeApply)."""
 
     def __init__(self, lake_dir: str, epoch: int, schema_b64: str,
-                 prev_partitions: dict[str, dict]):
+                 prev_partitions: dict[str, dict], mode: str = "compact"):
         self.lake_dir = lake_dir
         self.epoch = epoch
         self.schema = lake.schema_from_b64(schema_b64)
         self.prev_partitions = prev_partitions
+        self.mode = mode                       # "compact" | "delta"
         self.tmp_dir = lake.epoch_dir(lake_dir, epoch, tmp=True)
         os.makedirs(self.tmp_dir, exist_ok=True)
 
     def __call__(self, group: pa.Table) -> pa.Table:
         pid = group[_PID][0].as_py()
         delta = lake._unify_to(group.drop_columns([_PID]), self.schema)
-        rec = self.prev_partitions.get(str(pid))
-        if rec and rec.get("file"):
-            prior = lake._unify_to(pq.read_table(rec["file"]), self.schema)
-            delta = pa.concat_tables([prior, delta])
-        merged = _sort_events(_dedupe_events(delta))
+        if self.mode == "delta":
+            # no prior read, no state rewrite: the deduped, key-sorted
+            # epoch delta IS the output (history() re-merges at read time)
+            merged = _sort_events(_dedupe_events(delta))
+        else:
+            rec = self.prev_partitions.get(str(pid))
+            files = ([rec["file"]] if rec and rec.get("file") else []) + \
+                (list(rec.get("deltas", [])) if rec else [])
+            if files:
+                prior = pa.concat_tables(
+                    [lake._unify_to(pq.read_table(f), self.schema)
+                     for f in files])
+                delta = pa.concat_tables([prior, delta])
+            merged = _sort_events(_dedupe_events(delta))
 
-        fname = f"part-{pid:05d}.parquet"
+        suffix = "delta.parquet" if self.mode == "delta" else "parquet"
+        fname = f"part-{pid:05d}.{suffix}"
         tmp_path = os.path.join(self.tmp_dir, fname)
         in_progress = f"{tmp_path}.wip.{os.getpid()}"
         pq.write_table(merged, in_progress)
@@ -214,9 +232,12 @@ class SCD2Engine:
             conc = max(1, min(conc, avail - 2))
         except Exception:  # noqa: BLE001
             pass
+        mode = ("compact" if cfg.compact_interval <= 1
+                or (epoch + 1) % cfg.compact_interval == 0 else "delta")
         lineage_ds = normalized.groupby(_PID).map_groups(
             _Scd2Apply, batch_format="pyarrow",
-            fn_constructor_args=(cfg.lake_dir, epoch, schema_b64, prev_parts),
+            fn_constructor_args=(cfg.lake_dir, epoch, schema_b64, prev_parts,
+                                 mode),
             concurrency=conc, num_cpus=1)
         from e_commerce_batch_etl_pipeline_ray.stages.blockutil import (
             collect_arrow,
@@ -224,14 +245,28 @@ class SCD2Engine:
         lineage = collect_arrow(lineage_ds)
 
         lake.promote_epoch_dir(cfg.lake_dir, epoch)
-        partitions = {
-            rec["partition"]: {
-                "file": rec["file"], "deltas": [],
-                "lsn_watermark": rec["lsn_watermark"],
-                "rows_applied": rec["rows_applied"],
-                "rows_total": rec["rows_total"],
-                "bytes_written": rec["bytes_written"],
-            } for rec in lineage.to_pylist()}
+        partitions = {}
+        for rec in lineage.to_pylist():
+            pid = rec["partition"]
+            if mode == "delta":
+                prev = prev_parts.get(str(pid), {})
+                partitions[pid] = {
+                    "file": prev.get("file"),
+                    "deltas": list(prev.get("deltas", [])) + [rec["file"]],
+                    "lsn_watermark": max(prev.get("lsn_watermark", -1),
+                                         rec["lsn_watermark"]),
+                    "rows_applied": rec["rows_applied"],
+                    "rows_total": -1,          # unknown without a base read
+                    "bytes_written": rec["bytes_written"],
+                }
+            else:
+                partitions[pid] = {
+                    "file": rec["file"], "deltas": [],
+                    "lsn_watermark": rec["lsn_watermark"],
+                    "rows_applied": rec["rows_applied"],
+                    "rows_total": rec["rows_total"],
+                    "bytes_written": rec["bytes_written"],
+                }
         manifest = lake.commit_manifest(cfg.lake_dir, epoch, partitions,
                                         schema, prev_manifest,
                                         num_partitions=cfg.num_partitions)
@@ -247,19 +282,33 @@ class SCD2Engine:
             raise FileNotFoundError(f"no committed epochs in {cfg.lake_dir}")
         manifest = lake.read_manifest(cfg.lake_dir, epoch)
         schema_b64 = manifest["schema"]
-        files = lake.manifest_files(manifest)
-        if not files:
+        import json
+
+        items = []
+        for pid, rec in manifest["partitions"].items():
+            files = ([rec["file"]] if rec.get("file") else []) + \
+                list(rec.get("deltas", []))
+            if files:
+                items.append({"partition": int(pid),
+                              "files": json.dumps(files)})
+        if not items:
             empty = derive_history(
                 lake.schema_from_b64(schema_b64).empty_table())
             return ray.data.from_arrow(empty)
 
-        items = [{"file": f} for f in files]
-
         def _read_derive(batch: pa.Table) -> pa.Table:
             sch = lake.schema_from_b64(schema_b64)
-            # files are whole partitions, already deduped + key-sorted
-            out = [derive_history(lake._unify_to(pq.read_table(r["file"]), sch))
-                   for r in batch.to_pylist()]
+            out = []
+            for r in batch.to_pylist():
+                files = json.loads(r["files"])
+                tables = [lake._unify_to(pq.read_table(f), sch)
+                          for f in files]
+                t = tables[0] if len(tables) == 1 else pa.concat_tables(tables)
+                # base is already deduped+sorted; uncompacted deltas need
+                # the (idempotent) re-dedupe + sort before chain derivation
+                if len(tables) > 1:
+                    t = _sort_events(_dedupe_events(t))
+                out.append(derive_history(t))
             return pa.concat_tables(out) if len(out) > 1 else out[0]
 
         return ray.data.from_items(items).map_batches(

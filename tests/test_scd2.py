@@ -169,3 +169,39 @@ def test_scd2_crash_resume(tmp_path):
             promote_options="permissive")), num_partitions=4).take_all())
     assert got == batch
     shutil.rmtree(lake_dir)
+
+
+def test_scd2_lsm_delta_mode_parity(tmp_path):
+    """compact_interval=3: delta epochs append O(epoch) event-log files;
+    history equals the compact-every-epoch engine at every epoch; log-mode
+    optimize() compacts without losing versions."""
+    from e_commerce_batch_etl_pipeline_ray.cdc import lake
+
+    lsm = scd2.SCD2Engine(scd2.SCD2Config(lake_dir=str(tmp_path / "lsm"),
+                                          num_partitions=8,
+                                          merge_concurrency=2,
+                                          compact_interval=3))
+    ref = scd2.SCD2Engine(scd2.SCD2Config(lake_dir=str(tmp_path / "ref"),
+                                          num_partitions=8,
+                                          merge_concurrency=2))
+    for ep in range(N_EPOCHS):
+        t = binlog.gen_epoch_table(SPEC, ep)
+        lsm.ingest_epoch(ray.data.from_arrow(t), ep)
+        ref.ingest_epoch(ray.data.from_arrow(t), ep)
+        assert _tuples(lsm.history(epoch=ep).take_all()) == \
+            _tuples(ref.history(epoch=ep).take_all()), f"epoch {ep}"
+    # epochs 0,1 were deltas (compact at (e+1)%3==0 -> epoch 2)
+    man1 = lake.read_manifest(str(tmp_path / "lsm"), 1)
+    assert any(rec.get("deltas") for rec in man1["partitions"].values())
+
+    # ingest one more delta epoch, then optimize in log mode
+    t3 = binlog.gen_epoch_table(SPEC, 3)
+    lsm.ingest_epoch(ray.data.from_arrow(t3), 3)
+    ref.ingest_epoch(ray.data.from_arrow(t3), 3)
+    before = _tuples(lsm.history().take_all())
+    stats = lake.optimize(str(tmp_path / "lsm"), mode="log")
+    assert stats["partitions_compacted"] > 0
+    man = lake.read_manifest(str(tmp_path / "lsm"), stats["epoch"])
+    assert not any(rec.get("deltas") for rec in man["partitions"].values())
+    assert _tuples(lsm.history().take_all()) == before
+    assert before == _tuples(ref.history().take_all())
