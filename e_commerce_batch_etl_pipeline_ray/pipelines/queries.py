@@ -3957,3 +3957,116 @@ ORDER BY score DESC, doc_id LIMIT 10
 
 QUERIES.update({"q102_bm25_topk": q102_bm25_topk})
 ORACLE.update({"q102_bm25_topk": _q102_sql()})
+
+
+# ---------------------------------------------------------------------------
+# q103 — FUNNEL analysis as a pure composition of existing operators:
+# users whose first 'view' precedes their first 'purchase' (per-user
+# conditional-min via null-masked columns + one grouped_aggregate, then a
+# row-local compare). No new kernels — the operator algebra composes.
+
+def q103_funnel(sf_dir: str):
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
+    ds = maps.with_columns({
+        "ts_view": lambda t: pc.if_else(pc.equal(t["event_type"], "view"),
+                                        t["ts"], pa.nulls(t.num_rows,
+                                                          t["ts"].type)),
+        "ts_purchase": lambda t: pc.if_else(
+            pc.equal(t["event_type"], "purchase"), t["ts"],
+            pa.nulls(t.num_rows, t["ts"].type)),
+    }).apply(ds)
+    per_user = aggregates.grouped_aggregate(
+        ["user_id"], [("min", "ts_view", "first_view"),
+                      ("min", "ts_purchase", "first_purchase")]).apply(ds)
+
+    def _classify(t: pa.Table) -> pa.Table:
+        converted = pc.and_kleene(
+            pc.and_kleene(pc.is_valid(t["first_view"]),
+                          pc.is_valid(t["first_purchase"])),
+            pc.less(t["first_view"], t["first_purchase"]))
+        # one partial row per block: the driver folds blocks, never users
+        def _n(mask):
+            return pc.sum(pc.cast(pc.fill_null(mask, False),
+                                  pa.int64())).as_py() or 0
+        return pa.table({
+            "one": pa.array([t.num_rows], pa.int64()),
+            "viewed": pa.array([_n(pc.is_valid(t["first_view"]))], pa.int64()),
+            "purchased": pa.array([_n(pc.is_valid(t["first_purchase"]))],
+                                  pa.int64()),
+            "converted": pa.array([_n(converted)], pa.int64()),
+        })
+
+    flags = per_user.map_batches(_classify, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+    out = aggregates.sum_partials(flags)
+    return pa.table({
+        "n_users": pa.array([out["one"]], pa.int64()),
+        "n_viewed": pa.array([out["viewed"]], pa.int64()),
+        "n_purchased": pa.array([out["purchased"]], pa.int64()),
+        "n_converted": pa.array([out["converted"]], pa.int64()),
+    })
+
+
+Q103_SQL = """
+WITH per_user AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+  FROM events GROUP BY user_id
+)
+SELECT COUNT(*) AS n_users,
+       CAST(SUM(CASE WHEN first_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_viewed,
+       CAST(SUM(CASE WHEN first_purchase IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_purchased,
+       CAST(SUM(CASE WHEN first_view < first_purchase THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_converted
+FROM per_user
+"""
+
+
+# ---------------------------------------------------------------------------
+# q104 — COHORT RETENTION: users grouped by first-activity week; for each
+# (cohort week, weeks since cohort) the distinct active users. Pure
+# composition: per-user min-week, broadcast join back, distinct
+# (cohort, offset, user), pre-aggregated count.
+
+def q104_cohort_retention(sf_dir: str):
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    ds = maps.with_columns({
+        "week": lambda t: pc.cast(F.date_trunc_week(t["ts"]),
+                                  pa.timestamp("us")),
+    }).apply(ds)
+    cohort = aggregates.grouped_aggregate(
+        ["user_id"], [("min", "week", "cohort_week")]).apply(ds)
+    joined = joins.hash_join(cohort, on=["user_id"],
+                             num_partitions=8).apply(ds)
+    ds2 = maps.with_columns({
+        "weeks_since": lambda t: pc.cast(
+            pc.divide(pc.cast(pc.subtract(t["week"], t["cohort_week"]),
+                              pa.int64()),
+                      pa.scalar(7 * 24 * 3600 * 1_000_000, pa.int64())),
+            pa.int64()),
+    }).apply(joined)
+    out = aggregates.count_distinct(["cohort_week", "weeks_since"],
+                                    "user_id", "n_users")
+    return out.apply(ds2).sort(["cohort_week", "weeks_since"])
+
+
+Q104_SQL = """
+WITH w AS (
+  SELECT user_id, DATE_TRUNC('week', ts)::TIMESTAMP AS week FROM events
+),
+c AS (SELECT user_id, MIN(week) AS cohort_week FROM w GROUP BY user_id)
+SELECT c.cohort_week, CAST(DATEDIFF('week', c.cohort_week, w.week) AS BIGINT)
+         AS weeks_since,
+       COUNT(DISTINCT w.user_id) AS n_users
+FROM w JOIN c USING (user_id)
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+QUERIES.update({"q103_funnel": q103_funnel,
+                "q104_cohort_retention": q104_cohort_retention})
+ORACLE.update({"q103_funnel": Q103_SQL,
+               "q104_cohort_retention": Q104_SQL})
