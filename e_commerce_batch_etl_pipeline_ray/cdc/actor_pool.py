@@ -118,6 +118,11 @@ class MergeWorker:
             delta = self._unify(combine_keep_extreme(delta, KEY, ["lsn"],
                                                      descending=True))
             rows_applied = delta.num_rows
+            prev_wm = max([r.get("lsn_watermark", -1)
+                           for r in self.prev_partitions.values()] + [-1])
+            late_events = int(pc.sum(pc.cast(
+                pc.less_equal(delta["lsn"], prev_wm),
+                pa.int64())).as_py() or 0) if delta.num_rows else 0
             if self.mode == "delta":
                 merged = delta
             else:
@@ -144,6 +149,7 @@ class MergeWorker:
                 "rows_applied": rows_applied,
                 "rows_total": merged.num_rows,
                 "bytes_written": os.path.getsize(tmp_path),
+                "late_events": late_events,
             })
         self.deltas = {}
         return pa.Table.from_pylist(out_rows) if out_rows else pa.table({
@@ -153,6 +159,7 @@ class MergeWorker:
             "rows_applied": pa.array([], pa.int64()),
             "rows_total": pa.array([], pa.int64()),
             "bytes_written": pa.array([], pa.int64()),
+            "late_events": pa.array([], pa.int64()),
         })
 
 

@@ -230,6 +230,15 @@ class MergeApply:
         delta = combine_keep_extreme(delta, KEY, ["lsn"], descending=True)
         delta = self._unify(delta)
         rows_applied = delta.num_rows
+        # lateness observability: winners at-or-below the prior epoch's
+        # GLOBAL watermark are out-of-order/duplicate arrivals from earlier
+        # epochs (per-partition watermarks under-report: an untouched
+        # partition has none)
+        prev_wm = max([r.get("lsn_watermark", -1)
+                       for r in self.prev_partitions.values()] + [-1])
+        late_events = int(pc.sum(pc.cast(
+            pc.less_equal(delta["lsn"], prev_wm), pa.int64())).as_py() or 0) \
+            if delta.num_rows else 0
 
         if self.mode == "delta":
             # delta epoch: no prior read, no state rewrite — the combined,
@@ -267,6 +276,7 @@ class MergeApply:
             "rows_applied": pa.array([rows_applied], pa.int64()),
             "rows_total": pa.array([merged.num_rows], pa.int64()),
             "bytes_written": pa.array([bytes_written], pa.int64()),
+            "late_events": pa.array([late_events], pa.int64()),
         })
 
 
@@ -434,6 +444,7 @@ class CDCEngine:
                     "rows_applied": rec["rows_applied"],
                     "rows_total": -1,          # unknown without a base read
                     "bytes_written": rec["bytes_written"],
+                    "late_events": rec.get("late_events", 0),
                 }
             else:
                 partitions[pid] = {
@@ -442,12 +453,17 @@ class CDCEngine:
                     "rows_applied": rec["rows_applied"],
                     "rows_total": rec["rows_total"],
                     "bytes_written": rec["bytes_written"],
+                    "late_events": rec.get("late_events", 0),
                 }
         metrics = {
             "events_in": events_in if events_in is not None else -1,
             "rows_applied": sum(r["rows_applied"] for r in partitions.values()),
             "bytes_written": sum(r["bytes_written"] for r in partitions.values()),
             "partitions_touched": len(partitions),
+            # out-of-order/duplicate winners vs each partition's prior
+            # watermark — the lateness signal a real binlog consumer alarms on
+            "late_events": sum(r.get("late_events", 0)
+                               for r in partitions.values()),
             "mode": mode,
             "backend": cfg.backend,
             "elapsed_s": round(time.perf_counter() - t_start, 3),

@@ -738,3 +738,29 @@ def test_transaction_crash_after_decide_rolls_forward(tmp_path):
     # recover is idempotent
     assert mt2.recover()["manifests_rolled_forward"] == 0
     mt.shutdown(); mt2.shutdown()
+
+
+def test_late_event_lineage_metric(tmp_path, backend):
+    """Manifest metrics count out-of-order arrivals: winners at-or-below
+    their partition's prior watermark."""
+    import hashlib
+
+    import ray.data
+
+    def ev(lsn, path, content="x"):
+        return {"lsn": lsn, "op": "I", "repo": "r", "path": path,
+                "commit": f"c{lsn}", "content": content,
+                "content_sha256": hashlib.sha256(content.encode()).hexdigest()}
+
+    eng = _engine(tmp_path, backend=backend)
+    eng.ingest_epoch(ray.data.from_arrow(pa.Table.from_pylist(
+        [ev(100, "a"), ev(200, "b")])), 0)
+    m0 = lake.read_manifest(eng.cfg.lake_dir, 0)
+    assert m0["metrics"]["late_events"] == 0
+
+    # epoch 1: one fresh event + one LATE arrival (lsn 50 < watermark)
+    eng.ingest_epoch(ray.data.from_arrow(pa.Table.from_pylist(
+        [ev(300, "c"), ev(50, "d")])), 1)
+    m1 = lake.read_manifest(eng.cfg.lake_dir, 1)
+    assert m1["metrics"]["late_events"] == 1
+    _shutdown(eng)
