@@ -53,4 +53,5 @@ def oracle_sql() -> dict[str, str]:
     materialized here too so the driver may evaluate either side first."""
     from e_commerce_batch_etl_pipeline_ray.pipelines import queries as Q
     Q.ensure_oracle_fixtures()
+    Q.ensure_q93_fixture()
     return dict(Q.ORACLE)
