@@ -4070,3 +4070,57 @@ QUERIES.update({"q103_funnel": q103_funnel,
                 "q104_cohort_retention": q104_cohort_retention})
 ORACLE.update({"q103_funnel": Q103_SQL,
                "q104_cohort_retention": Q104_SQL})
+
+
+# ---------------------------------------------------------------------------
+# q105 — Z-ORDER clustered lake + stats-pruned RANGE SCAN: ingest the
+# binlog fixture, OPTIMIZE ZORDER BY (lang, lsn) (Morton-sorted files,
+# per-file min/max stats in the manifest), then range-scan a (lang, lsn)
+# box. Files whose stats are disjoint are never opened; row groups inside
+# surviving files are pruned by the pushed-down parquet filter. Oracle:
+# the LWW window query with a plain WHERE over the same fixture.
+
+_Q105_PRED = {"lang": ("go", "js"), "lsn": (2000, 9000)}
+
+
+def q105_zorder_scan(sf_dir: str):
+    import tempfile
+
+    from e_commerce_batch_etl_pipeline_ray.cdc import engine, zorder
+    from e_commerce_batch_etl_pipeline_ray.stages.blockutil import (
+        read_parquet_clean,
+    )
+    ensure_oracle_fixtures()
+    lake_dir = tempfile.mkdtemp(prefix="q105_lake_", dir="/tmp")
+    eng = engine.CDCEngine(engine.CDCConfig(lake_dir=lake_dir,
+                                            num_partitions=16,
+                                            merge_concurrency=2))
+    for ep in range(Q24_EPOCHS):
+        events = read_parquet_clean(
+            os.path.join(Q24_BINLOG_DIR, f"epoch-{ep}.parquet"),
+            override_num_blocks=8)
+        eng.ingest_epoch(events, ep)
+    zorder.optimize_zorder(lake_dir, by=["lang", "lsn"])
+    out = zorder.range_scan(
+        lake_dir, _Q105_PRED,
+        columns=["repo", "path", "lsn", "commit", "lang", "content_sha256"])
+    return out.sort(["repo", "path"])
+
+
+Q105_SQL = f"""
+SELECT repo, path, lsn, commit, lang, content_sha256
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY repo, path ORDER BY lsn DESC) rn
+  FROM read_parquet(['{Q24_BINLOG_DIR}/epoch-0.parquet',
+                     '{Q24_BINLOG_DIR}/epoch-1.parquet'],
+                    union_by_name=true)
+)
+WHERE rn = 1 AND op <> 'D'
+  AND lang BETWEEN '{_Q105_PRED["lang"][0]}' AND '{_Q105_PRED["lang"][1]}'
+  AND lsn BETWEEN {_Q105_PRED["lsn"][0]} AND {_Q105_PRED["lsn"][1]}
+ORDER BY repo, path
+"""
+
+
+QUERIES.update({"q105_zorder_scan": q105_zorder_scan})
+ORACLE.update({"q105_zorder_scan": Q105_SQL})
