@@ -153,10 +153,16 @@ def _verify_content_sha(t: pa.Table) -> None:
             raise ValueError("content sha256 mismatch in binlog")
 
 
-def _normalize_factory(schema: pa.Schema, num_partitions: int, verify_sha: bool):
+def _normalize_factory(schema: pa.Schema, num_partitions: int,
+                       verify_sha: bool, snapshot_lsn: int | None = None):
     """Batch fn: unify to evolved schema, verify sha, LWW-combine within the
-    batch, assign partition ids."""
+    batch, assign partition ids. ``snapshot_lsn``: bootstrap boundary —
+    events at or below it are already in the snapshot (which carries no
+    tombstones for pre-snapshot deletes), so they are dropped here before
+    they can resurrect a dead key."""
     def _fn(t: pa.Table) -> pa.Table:
+        if snapshot_lsn is not None:
+            t = t.filter(pc.greater(t["lsn"], snapshot_lsn))
         if verify_sha and "content" in t.column_names:
             _verify_content_sha(t)
         # build unified layout: all schema cols (null-backfilled) + _deleted from op
@@ -340,11 +346,11 @@ class CDCEngine:
                                   batch_format="pyarrow",
                                   zero_copy_batch=True)
 
-    def _normalize(self, events: ray.data.Dataset,
-                   schema: pa.Schema) -> ray.data.Dataset:
+    def _normalize(self, events: ray.data.Dataset, schema: pa.Schema,
+                   snapshot_lsn: int | None = None) -> ray.data.Dataset:
         return events.map_batches(
             _normalize_factory(schema, self.cfg.num_partitions,
-                               self.cfg.verify_sha),
+                               self.cfg.verify_sha, snapshot_lsn),
             batch_format="pyarrow", zero_copy_batch=True,
             batch_size=self.cfg.batch_size)
 
@@ -382,8 +388,9 @@ class CDCEngine:
         schema_b64 = lake.schema_to_b64(schema)
         prev_parts = prev_manifest["partitions"] if prev_manifest else {}
 
+        snap_lsn = prev_manifest.get("snapshot_lsn") if prev_manifest else None
         normalized = _normalized if _normalized is not None else \
-            self._normalize(events, schema)
+            self._normalize(events, schema, snapshot_lsn=snap_lsn)
 
         if cfg.two_phase_shuffle:
             normalized = self._winner_filter(normalized)
@@ -516,9 +523,13 @@ class CDCEngine:
         if not epochs:
             return []
         last = self.last_committed_epoch()
-        prev_schema = (lake.schema_from_b64(
-            lake.read_manifest(self.cfg.lake_dir, last)["schema"])
-            if last is not None else None)
+        prev_manifest = (lake.read_manifest(self.cfg.lake_dir, last)
+                         if last is not None else None)
+        prev_schema = (lake.schema_from_b64(prev_manifest["schema"])
+                       if prev_manifest is not None else None)
+        # chain-constant, safe to resolve once for the run-ahead normalize
+        snap_lsn = (prev_manifest.get("snapshot_lsn")
+                    if prev_manifest is not None else None)
 
         # deterministic schema chain, computed up front
         schemas = []
@@ -530,18 +541,115 @@ class CDCEngine:
         stats = []
         with ThreadPoolExecutor(max_workers=1) as ex:
             fut = ex.submit(lambda: self._normalize(
-                epochs[0][1], schemas[0]).materialize())
+                epochs[0][1], schemas[0],
+                snapshot_lsn=snap_lsn).materialize())
             for i, (epoch, events) in enumerate(epochs):
                 normalized = fut.result()
                 if i + 1 < len(epochs):
                     nxt_events, nxt_schema = epochs[i + 1][1], schemas[i + 1]
                     fut = ex.submit(lambda ev=nxt_events, sc=nxt_schema:
-                                    self._normalize(ev, sc).materialize())
+                                    self._normalize(
+                                        ev, sc,
+                                        snapshot_lsn=snap_lsn).materialize())
                 stats.append(self.ingest_epoch(events, epoch,
                                                events_in=events_in,
                                                _normalized=normalized,
                                                _schema=schemas[i]))
         return stats
+
+    def bootstrap(self, base: ray.data.Dataset, lsn0: int = 0) -> EpochStats:
+        """Debezium-style SNAPSHOT BOOTSTRAP: bulk-load a consistent base
+        table as the lake's epoch 0 WITHOUT the merge machinery — one hash
+        shuffle + per-partition sorted write, no prior-state reads, no LWW
+        combine (the snapshot is one row per key by contract).
+
+        ``lsn0`` is the binlog position the snapshot was captured at: every
+        snapshot row gets ``lsn = lsn0``, so catch-up ingest (epoch 1+) wins
+        on any key the stream has since changed (lsn > lsn0) and loses on
+        stale redeliveries already folded into the snapshot (lsn <= lsn0) —
+        LWW gives snapshot-then-stream exactly-once semantics for free.
+
+        ``base`` columns: the key (repo, path) plus payload; ``lsn``/``op``
+        MUST NOT be present (this is a state snapshot, not an event stream).
+        """
+        cfg = self.cfg
+        if self.last_committed_epoch() is not None:
+            raise ValueError(f"lake {cfg.lake_dir} is not empty — bootstrap "
+                             "writes epoch 0 of a fresh lake")
+        base_schema = base.schema().base_schema
+        for forbidden in ("op", "lsn", "_deleted", _PID):
+            if forbidden in base_schema.names:
+                raise ValueError(f"snapshot table must not carry {forbidden!r}")
+        for k in KEY:
+            if k not in base_schema.names:
+                raise ValueError(f"snapshot table lacks key column {k!r}")
+        schema = pa.schema(
+            [pa.field("lsn", pa.int64())]
+            + [pa.field(f.name, f.type) for f in base_schema]
+            + [pa.field("_deleted", pa.bool_())])
+        tmp_dir = lake.epoch_dir(cfg.lake_dir, 0, tmp=True)
+        os.makedirs(tmp_dir, exist_ok=True)
+        lake_dir = cfg.lake_dir
+
+        def _assign(t: pa.Table) -> pa.Table:
+            t = pa.table(
+                {"lsn": pa.array([lsn0] * t.num_rows, pa.int64()),
+                 **{c: t[c] for c in t.column_names},
+                 "_deleted": pa.array([False] * t.num_rows, pa.bool_())})
+            pid = hash_partition_ids(t, KEY, cfg.num_partitions)
+            return t.append_column(_PID, pa.array(pid, pa.int32()))
+
+        def _write(group: pa.Table) -> pa.Table:
+            pid = group[_PID][0].as_py()
+            t = group.drop_columns([_PID])
+            # canonical compacted layout; also guards against a dup key in
+            # the snapshot extract (keeps one deterministically)
+            t = combine_keep_extreme(t, KEY, ["lsn"], descending=True)
+            fname = f"part-{pid:05d}.parquet"
+            tmp_path = os.path.join(tmp_dir, fname)
+            wip = f"{tmp_path}.wip.{os.getpid()}"
+            pq.write_table(t, wip)
+            os.replace(wip, tmp_path)
+            return pa.table({
+                "partition": pa.array([pid], pa.int32()),
+                "file": pa.array(
+                    [os.path.join(lake.epoch_dir(lake_dir, 0), fname)],
+                    pa.string()),
+                "rows_total": pa.array([t.num_rows], pa.int64()),
+                "bytes_written": pa.array([os.path.getsize(tmp_path)],
+                                          pa.int64()),
+            })
+
+        from e_commerce_batch_etl_pipeline_ray.stages.blockutil import (
+            collect_arrow,
+        )
+        lineage = collect_arrow(
+            base.map_batches(_assign, batch_format="pyarrow",
+                             zero_copy_batch=True)
+            .groupby(_PID).map_groups(_write, batch_format="pyarrow"))
+        lake.promote_epoch_dir(cfg.lake_dir, 0)
+        partitions = {
+            rec["partition"]: {
+                "file": rec["file"], "deltas": [],
+                "lsn_watermark": lsn0,
+                "rows_applied": rec["rows_total"],
+                "rows_total": rec["rows_total"],
+                "bytes_written": rec["bytes_written"],
+            } for rec in lineage.to_pylist()}
+        lake.commit_manifest(
+            cfg.lake_dir, 0, partitions, schema, None,
+            metrics={"op": "bootstrap", "lsn0": lsn0,
+                     "rows": sum(r["rows_total"] for r in partitions.values())},
+            num_partitions=cfg.num_partitions, snapshot_lsn=lsn0)
+        return EpochStats(
+            epoch=0,
+            events_in=sum(r["rows_total"] for r in partitions.values()),
+            rows_applied=sum(r["rows_applied"] for r in partitions.values()),
+            lsn_watermark=lsn0,
+            bytes_written=sum(r["bytes_written"] for r in partitions.values()),
+            partitions_touched=len(partitions),
+            lineage=lineage.to_pylist(),
+        )
 
     def read(self, epoch: int | None = None, **kwargs) -> ray.data.Dataset:
         return lake.read_lake(self.cfg.lake_dir, epoch=epoch, **kwargs)

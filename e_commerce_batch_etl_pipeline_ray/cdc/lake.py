@@ -80,7 +80,8 @@ def commit_manifest(lake_dir: str, epoch: int, partitions: dict[int, dict],
                     schema: pa.Schema, prev: dict | None,
                     metrics: dict | None = None,
                     staged: bool = False,
-                    num_partitions: int | None = None) -> dict:
+                    num_partitions: int | None = None,
+                    snapshot_lsn: int | None = None) -> dict:
     """Build epoch manifest (carrying forward untouched partitions from
     ``prev``) and commit it atomically: tmp file + os.replace.
     ``metrics``: optional epoch-level observability record (events_in,
@@ -109,6 +110,14 @@ def commit_manifest(lake_dir: str, epoch: int, partitions: dict[int, dict],
         manifest["num_partitions"] = num_partitions
     elif prev and "num_partitions" in prev:
         manifest["num_partitions"] = prev["num_partitions"]
+    # snapshot-bootstrap boundary (engine.bootstrap): events at or below
+    # this LSN are already folded into the snapshot AND the snapshot holds
+    # no tombstones for keys deleted before it — every later epoch must
+    # drop them, so the marker rides the whole manifest chain
+    if snapshot_lsn is not None:
+        manifest["snapshot_lsn"] = snapshot_lsn
+    elif prev and "snapshot_lsn" in prev:
+        manifest["snapshot_lsn"] = prev["snapshot_lsn"]
     if metrics:
         manifest["metrics"] = metrics
     os.makedirs(os.path.join(lake_dir, MANIFEST_DIR), exist_ok=True)

@@ -4124,3 +4124,66 @@ ORDER BY repo, path
 
 QUERIES.update({"q105_zorder_scan": q105_zorder_scan})
 ORACLE.update({"q105_zorder_scan": Q105_SQL})
+
+
+# ---------------------------------------------------------------------------
+# q106 — SNAPSHOT BOOTSTRAP + binlog catch-up (Debezium-style initial
+# load): the consistent snapshot after epoch 0 (replay-derived, captured
+# at lsn0 = max epoch-0 lsn) bulk-loads as the lake's epoch 0 with NO
+# merge machinery, then epoch-1 events catch up through normal ingest —
+# redeliveries at or below lsn0 are dropped at the snapshot boundary (the
+# snapshot holds no tombstones for pre-snapshot deletes). Oracle: the LWW
+# window over BOTH fixture epochs (payload columns; snapshot rows carry
+# lsn0, so lsn itself is excluded from the contract).
+
+def q106_bootstrap_catchup(sf_dir: str):
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    import ray.data
+
+    from e_commerce_batch_etl_pipeline_ray.cdc import engine
+    from e_commerce_batch_etl_pipeline_ray.cdc import oracle as cdc_oracle
+    from e_commerce_batch_etl_pipeline_ray.stages.blockutil import (
+        read_parquet_clean,
+    )
+    ensure_oracle_fixtures()
+    ep0 = pq.read_table(os.path.join(Q24_BINLOG_DIR, "epoch-0.parquet"))
+    state = cdc_oracle.replay(ep0)
+    live = cdc_oracle.live_rows(state)
+    snap = pa.Table.from_pylist(
+        [{"repo": k[0], "path": k[1], "commit": v["commit"],
+          "lang": v["lang"], "content": v["content"],
+          "content_sha256": v["content_sha256"]}
+         for k, v in sorted(live.items())])
+    lsn0 = int(pc.max(ep0["lsn"]).as_py())
+
+    lake_dir = tempfile.mkdtemp(prefix="q106_lake_", dir="/tmp")
+    eng = engine.CDCEngine(engine.CDCConfig(lake_dir=lake_dir,
+                                            num_partitions=16,
+                                            merge_concurrency=2))
+    eng.bootstrap(ray.data.from_arrow(snap).repartition(4), lsn0=lsn0)
+    events = read_parquet_clean(
+        os.path.join(Q24_BINLOG_DIR, "epoch-1.parquet"),
+        override_num_blocks=8)
+    eng.ingest_epoch(events, 1)
+    return eng.read(columns=["repo", "path", "commit", "lang",
+                             "content_sha256"]).sort(["repo", "path"])
+
+
+Q106_SQL = f"""
+SELECT repo, path, commit, lang, content_sha256
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY repo, path ORDER BY lsn DESC) rn
+  FROM read_parquet(['{Q24_BINLOG_DIR}/epoch-0.parquet',
+                     '{Q24_BINLOG_DIR}/epoch-1.parquet'],
+                    union_by_name=true)
+)
+WHERE rn = 1 AND op <> 'D'
+ORDER BY repo, path
+"""
+
+
+QUERIES.update({"q106_bootstrap_catchup": q106_bootstrap_catchup})
+ORACLE.update({"q106_bootstrap_catchup": Q106_SQL})
