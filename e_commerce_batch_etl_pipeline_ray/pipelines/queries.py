@@ -4187,3 +4187,56 @@ ORDER BY repo, path
 
 QUERIES.update({"q106_bootstrap_catchup": q106_bootstrap_catchup})
 ORACLE.update({"q106_bootstrap_catchup": Q106_SQL})
+
+
+# ---------------------------------------------------------------------------
+# q107 — BM25 off the PERSISTED INVERTED INDEX: build the term-partitioned
+# postings index over the documents table, then answer q102's query
+# reading ONLY the query terms' partitions (partition prune by term hash,
+# row-group prune inside by term-sorted stats). Oracle: q102's full SQL
+# formula restricted to docs matching >= 1 term (an index never ranks
+# zero-score docs); identical rounding and tie order.
+
+def q107_bm25_indexed(sf_dir: str):
+    import tempfile
+
+    from e_commerce_batch_etl_pipeline_ray.stages import retrieval
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    index_dir = tempfile.mkdtemp(prefix="q107_idx_", dir="/tmp")
+    retrieval.build_inverted_index(ds, index_dir, num_partitions=16)
+    return retrieval.bm25_topk_indexed(index_dir, list(_Q102_TERMS), k=10,
+                                       round_to=4)
+
+
+def _q107_sql() -> str:
+    tf_cols = ",\n   ".join(
+        f"len(list_filter(toks, x -> x = '{t}'))::DOUBLE AS tf{i}"
+        for i, t in enumerate(_Q102_TERMS))
+    df_cols = ", ".join(
+        f"SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END)::DOUBLE AS df{i}"
+        for i in range(len(_Q102_TERMS)))
+    score = " + ".join(
+        f"LN((n - df{i} + 0.5)/(df{i} + 0.5) + 1) * tf{i} * 2.2"
+        f" / (tf{i} + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))"
+        for i in range(len(_Q102_TERMS)))
+    any_hit = " + ".join(f"tf{i}" for i in range(len(_Q102_TERMS)))
+    return f"""
+WITH l AS (
+  SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS toks,
+         len(string_split(COALESCE(text, ''), ' '))::DOUBLE AS dl
+  FROM documents
+),
+stats AS (SELECT COUNT(*)::DOUBLE AS n, AVG(dl) AS avgdl FROM l),
+tf AS (SELECT doc_id, dl,
+   {tf_cols}
+ FROM l),
+df AS (SELECT {df_cols} FROM tf)
+SELECT doc_id, ROUND({score}, 4) AS score
+FROM tf, stats, df
+WHERE {any_hit} > 0
+ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+
+QUERIES.update({"q107_bm25_indexed": q107_bm25_indexed})
+ORACLE.update({"q107_bm25_indexed": _q107_sql()})
