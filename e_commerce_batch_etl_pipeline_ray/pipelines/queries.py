@@ -4240,3 +4240,92 @@ ORDER BY score DESC, doc_id LIMIT 10
 
 QUERIES.update({"q107_bm25_indexed": q107_bm25_indexed})
 ORACLE.update({"q107_bm25_indexed": _q107_sql()})
+
+
+# ---------------------------------------------------------------------------
+# q108 — distributed PAGERANK over a link graph (the host-authority
+# quality signal of web-crawl pipelines). Fixed iteration count makes the
+# fixpoint SQL-expressible: the oracle replays the identical recurrence —
+# dangling mass included — as a chain of k CTEs in DuckDB.
+
+_Q108_ITERS = 3
+_Q108_DAMP = 0.85
+
+
+def _q108_edge_table() -> pa.Table:
+    """Deterministic host link graph: 150 hosts, 900 zipf-skewed edges,
+    3 dangling hosts (never a source)."""
+    import numpy as np
+    rng = np.random.default_rng(108)
+    n = 150
+    src, dst = [], []
+    for _ in range(900):
+        u = int(rng.integers(0, n - 3))
+        v = int(rng.zipf(1.5)) % n
+        if u == v:
+            v = (v + 1) % n
+        src.append(f"host{u:03d}")
+        dst.append(f"host{v:03d}")
+    src.append("host000")
+    dst.append(f"host{n - 1:03d}")      # reach a dangler
+    return pa.table({"src": pa.array(src, pa.string()),
+                     "dst": pa.array(dst, pa.string())})
+
+
+_Q108_EDGES_PATH = os.path.join(
+    _FIXTURE_DIR, "q108_edges_" + _spec_tag(_q108_edge_table, 108),
+    "edges.parquet")
+
+
+def ensure_q108_fixture() -> None:
+    if not os.path.exists(_Q108_EDGES_PATH):
+        _atomic_write_parquet(_q108_edge_table(), _Q108_EDGES_PATH)
+
+
+def q108_pagerank(sf_dir: str):
+    from e_commerce_batch_etl_pipeline_ray.stages import graph
+    from e_commerce_batch_etl_pipeline_ray.stages.blockutil import (
+        read_parquet_clean,
+    )
+    ensure_q108_fixture()
+    edges = read_parquet_clean(_Q108_EDGES_PATH, override_num_blocks=4)
+    out = graph.pagerank(edges, iterations=_Q108_ITERS, damping=_Q108_DAMP,
+                         num_partitions=8, round_to=9)
+    return out.sort("node")
+
+
+def _q108_sql() -> str:
+    d = _Q108_DAMP
+    its = []
+    for i in range(_Q108_ITERS):
+        prev = f"r{i}"
+        its.append(f"""
+r{i + 1} AS (
+  SELECT nd.node,
+         (1 - {d}) / (SELECT n FROM params)
+         + {d} * (SELECT COALESCE(SUM(pr), 0) FROM {prev}
+                  WHERE node NOT IN (SELECT node FROM od))
+               / (SELECT n FROM params)
+         + {d} * COALESCE(s.in_sum, 0) AS pr
+  FROM nodes nd LEFT JOIN (
+    SELECT e.dst AS node, SUM(r.pr / od.outdeg) AS in_sum
+    FROM edges e JOIN {prev} r ON e.src = r.node
+                 JOIN od ON od.node = e.src
+    GROUP BY e.dst) s USING (node)
+)""")
+    return f"""
+WITH edges AS (SELECT src, dst FROM read_parquet('{_Q108_EDGES_PATH}')),
+nodes AS (SELECT DISTINCT node FROM
+          (SELECT src AS node FROM edges
+           UNION SELECT dst AS node FROM edges)),
+params AS (SELECT COUNT(*)::DOUBLE AS n FROM nodes),
+od AS (SELECT src AS node, COUNT(*)::DOUBLE AS outdeg
+       FROM edges GROUP BY src),
+r0 AS (SELECT node, 1.0 / (SELECT n FROM params) AS pr FROM nodes),
+{",".join(its)}
+SELECT node, ROUND(pr, 9) AS pr FROM r{_Q108_ITERS} ORDER BY node
+"""
+
+
+QUERIES.update({"q108_pagerank": q108_pagerank})
+ORACLE.update({"q108_pagerank": _q108_sql()})

@@ -1,0 +1,184 @@
+"""Distributed graph operators over an edge table — PageRank, the
+host/domain authority signal web-crawl training pipelines (Common-Crawl
+style) use for quality weighting.
+
+The graph is a Dataset of ``(src, dst)`` edges. Iterations are the
+standard power method with explicit dangling-node mass:
+
+    pr'(v) = (1-d)/N + d * ( sum_{(u,v) in E} pr(u)/outdeg(u)
+                             + dangling_mass / N )
+
+Each iteration = one distributed hash join (rank onto edge source) + one
+grouped sum (contributions by destination) — the canonical scale shape;
+the edge table is never collected. The rank table (one row per node) and
+out-degrees are computed once. ``dangling_mass`` (total rank of nodes
+with no out-edges) is a tiny per-iteration aggregate.
+
+Iterative fixpoints are not SQL-expressible in general, but the FIXED
+iteration count is: the q108 oracle replays the identical recurrence as a
+chain of k CTEs in DuckDB.
+
+Related: transitive dedup's min-label propagation (stages/neardup.py)
+uses the same join-update-iterate pattern with a different monoid.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from e_commerce_batch_etl_pipeline_ray.stages import aggregates, joins
+from e_commerce_batch_etl_pipeline_ray.stages.blockutil import (
+    collect_arrow,
+    detach,
+)
+
+
+def _nodes(edges: ray.data.Dataset, src: str, dst: str,
+           num_partitions: int) -> ray.data.Dataset:
+    """Distinct node set (src union dst), distributed."""
+    s = edges.map_batches(
+        lambda t: pa.table({"node": pc.unique(t[src].combine_chunks())}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    d = edges.map_batches(
+        lambda t: pa.table({"node": pc.unique(t[dst].combine_chunks())}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    both = s.union(d)
+    uniq = both.groupby("node").map_groups(
+        lambda t: t.slice(0, 1), batch_format="pyarrow")
+    node_schema = pa.schema([("node", both.schema().base_schema.field(0).type)])
+    return detach(uniq, node_schema)
+
+
+def pagerank(edges: ray.data.Dataset, iterations: int = 5,
+             damping: float = 0.85, src: str = "src", dst: str = "dst",
+             num_partitions: int = 16,
+             round_to: int | None = None) -> ray.data.Dataset:
+    """``iterations`` synchronous power-method steps from the uniform
+    start; returns (node, pr). Deterministic given the edge multiset
+    (duplicate edges count as parallel links, matching the SQL replay)."""
+    nodes = _nodes(edges, src, dst, num_partitions).materialize()
+    n = nodes.count()
+    if n == 0:
+        return ray.data.from_arrow(pa.table({
+            "node": pa.array([], pa.string()),
+            "pr": pa.array([], pa.float64())}))
+
+    outdeg = aggregates.grouped_aggregate(
+        [src], [("count", None, "outdeg")]).apply(edges)
+    outdeg = outdeg.map_batches(
+        lambda t: pa.table({"node": t[src],
+                            "outdeg": pc.cast(t["outdeg"], pa.float64())}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    # rank state: node, pr, outdeg (0.0 for dangling)
+    state = joins.hash_join(outdeg, on=["node"], join_type="left_outer",
+                            num_partitions=num_partitions).apply(nodes)
+    state = state.map_batches(
+        lambda t: pa.table({
+            "node": t["node"],
+            "pr": pa.array([1.0 / n] * t.num_rows, pa.float64()),
+            "outdeg": pc.fill_null(t["outdeg"], 0.0)}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    state_schema = pa.schema([
+        ("node", nodes.schema().base_schema.field("node").type),
+        ("pr", pa.float64()), ("outdeg", pa.float64())])
+    state = detach(state.materialize(), state_schema)
+
+    base = (1.0 - damping) / n
+    for _ in range(iterations):
+        # tiny per-iteration scalar: total rank parked on dangling nodes
+        dang = state.map_batches(
+            lambda t: pa.table({"m": pa.array(
+                [pc.sum(pc.if_else(pc.equal(t["outdeg"], 0.0), t["pr"],
+                                   pa.scalar(0.0))).as_py() or 0.0],
+                pa.float64())}),
+            batch_format="pyarrow", zero_copy_batch=True)
+        dangling_mass = sum(r["m"] for r in dang.take_all())
+
+        contrib_in = joins.hash_join(
+            state.select_columns(["node", "pr", "outdeg"]), on=[src],
+            right_on=["node"], num_partitions=num_partitions).apply(edges)
+        contrib = contrib_in.map_batches(
+            lambda t: pa.table({
+                "node": t[dst],
+                "w": pc.divide(t["pr"], t["outdeg"])}),
+            batch_format="pyarrow", zero_copy_batch=True)
+        sums = aggregates.grouped_aggregate(
+            ["node"], [("sum", "w", "in_sum")]).apply(contrib)
+        # grouped outputs can carry empty blocks; Dataset.join chokes on
+        # them (verify-skill gotcha) — detach severs lineage + drops them
+        sums = detach(sums, pa.schema([
+            ("node", state_schema.field("node").type),
+            ("in_sum", pa.float64())]))
+        joined = joins.hash_join(sums, on=["node"], join_type="left_outer",
+                                 num_partitions=num_partitions).apply(
+            state.select_columns(["node", "outdeg"]))
+        add = base + damping * dangling_mass / n
+
+        def _update(t: pa.Table, add=add) -> pa.Table:
+            in_sum = pc.fill_null(t["in_sum"], 0.0)
+            pr = pc.add(pc.multiply(in_sum, pa.scalar(damping)),
+                        pa.scalar(add))
+            return pa.table({"node": t["node"], "pr": pr,
+                             "outdeg": t["outdeg"]})
+
+        state = detach(joined.map_batches(
+            _update, batch_format="pyarrow",
+            zero_copy_batch=True).materialize(), state_schema)
+
+    out = state.select_columns(["node", "pr"])
+    if round_to is not None:
+        from e_commerce_batch_etl_pipeline_ray.functions.scalar import round2
+
+        def _round(t: pa.Table) -> pa.Table:
+            return pa.table({"node": t["node"],
+                             "pr": round2(t["pr"], round_to)})
+        out = out.map_batches(_round, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    return out
+
+
+def degree_stats(edges: ray.data.Dataset, src: str = "src",
+                 dst: str = "dst") -> ray.data.Dataset:
+    """Per-node (out_degree, in_degree) in two grouped counts + one outer
+    join — the quick structural profile before heavier graph work."""
+    out_d = aggregates.grouped_aggregate(
+        [src], [("count", None, "out_degree")]).apply(edges)
+    out_d = out_d.map_batches(
+        lambda t: pa.table({"node": t[src], "out_degree": t["out_degree"]}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    in_d = aggregates.grouped_aggregate(
+        [dst], [("count", None, "in_degree")]).apply(edges)
+    in_d = in_d.map_batches(
+        lambda t: pa.table({"node": t[dst], "in_degree": t["in_degree"]}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    joined = out_d.join(in_d, join_type="full_outer", on=("node",),
+                        num_partitions=8)
+    return joined.map_batches(
+        lambda t: pa.table({
+            "node": t["node"],
+            "out_degree": pc.fill_null(t["out_degree"], 0),
+            "in_degree": pc.fill_null(t["in_degree"], 0)}),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+def pagerank_reference(edge_list: list[tuple], iterations: int = 5,
+                       damping: float = 0.85) -> dict:
+    """Single-process replay oracle (tests): identical recurrence in plain
+    Python floats."""
+    nodes = sorted({u for u, _ in edge_list} | {v for _, v in edge_list})
+    n = len(nodes)
+    outdeg: dict = {}
+    for u, _ in edge_list:
+        outdeg[u] = outdeg.get(u, 0) + 1
+    pr = {v: 1.0 / n for v in nodes}
+    for _ in range(iterations):
+        dangling = sum(p for v, p in pr.items() if outdeg.get(v, 0) == 0)
+        nxt = {v: (1.0 - damping) / n + damping * dangling / n
+               for v in nodes}
+        for u, v in edge_list:
+            nxt[v] += damping * pr[u] / outdeg[u]
+        pr = nxt
+    return pr
