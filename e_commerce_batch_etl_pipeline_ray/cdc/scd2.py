@@ -336,3 +336,112 @@ def as_of_lsn(history: ray.data.Dataset, lsn: int) -> ray.data.Dataset:
         return t.filter(pc.and_(lo, hi))
     return history.map_batches(_filter, batch_format="pyarrow",
                                zero_copy_batch=True)
+
+
+def temporal_join(facts: ray.data.Dataset, history: ray.data.Dataset,
+                  at_col: str = "lsn", payload: list[str] | None = None,
+                  num_partitions: int = 32) -> ray.data.Dataset:
+    """POINT-IN-TIME (temporal) join: attach to each fact row the
+    dimension version that was valid AT the fact's LSN — the leakage-safe
+    dimension lookup for training-data assembly (a fact must never see
+    attributes from its future).
+
+    ``facts``: any Dataset with the key columns + ``at_col``.
+    ``history``: SCD2 version rows (scd2_history / SCD2Engine.history).
+    Match rule per key: ``valid_from_lsn <= at < valid_to_lsn`` (open
+    ``valid_to_lsn`` = current). Facts in a deletion gap (or before the
+    first version) keep their row with null payload — left-outer.
+
+    Shape: ONE co-hash-shuffle of both sides on the key, then one
+    ``pd.merge_asof(by=key)`` per partition — no per-key Python, no
+    driver materialization. Payload columns colliding with fact columns
+    get a ``_dim`` suffix.
+    """
+    import pandas as pd
+
+    fact_schema = facts.schema().base_schema
+    hist_schema = history.schema().base_schema
+    if payload is None:
+        payload = [f.name for f in hist_schema
+                   if f.name not in KEY + ["valid_from_lsn", "valid_to_lsn",
+                                           "is_current"]]
+    out_names = {}
+    for p in payload:
+        out_names[p] = p + "_dim" if p in fact_schema.names else p
+
+    out_schema = pa.schema(
+        [pa.field(f.name, f.type) for f in fact_schema]
+        + [pa.field(out_names[p], hist_schema.field(p).type)
+           for p in payload]
+        + [pa.field("valid_from_lsn", pa.int64())])
+
+    fact_cols = [f.name for f in fact_schema]
+
+    def _tag(side: str):
+        def _fn(t: pa.Table) -> pa.Table:
+            pid = hash_partition_ids(t, KEY, num_partitions)
+            return t.append_column(_PID, pa.array(pid, pa.int32())) \
+                    .append_column("_side", pa.array([side] * t.num_rows))
+        return _fn
+
+    f_tagged = facts.map_batches(_tag("f"), batch_format="pyarrow",
+                                 zero_copy_batch=True)
+    h_tagged = history.map_batches(_tag("h"), batch_format="pyarrow",
+                                   zero_copy_batch=True)
+
+    def _unify(t: pa.Table, names: list[str], types: dict) -> pa.Table:
+        cols = []
+        for nm in names:
+            if nm in t.column_names:
+                c = t[nm]
+                cols.append(c.cast(types[nm]) if c.type != types[nm] else c)
+            else:
+                cols.append(pa.nulls(t.num_rows, type=types[nm]))
+        return pa.Table.from_arrays(cols, names=names)
+
+    union_names = [_PID, "_side"] + sorted(
+        {f.name for f in fact_schema}
+        | {f.name for f in hist_schema})
+    union_types = {_PID: pa.int32(), "_side": pa.string()}
+    for sch in (fact_schema, hist_schema):
+        for f in sch:
+            union_types.setdefault(f.name, f.type)
+
+    both = f_tagged.map_batches(
+        lambda t: _unify(t, union_names, union_types),
+        batch_format="pyarrow", zero_copy_batch=True).union(
+        h_tagged.map_batches(
+            lambda t: _unify(t, union_names, union_types),
+            batch_format="pyarrow", zero_copy_batch=True))
+
+    def _join_partition(g: pa.Table) -> pa.Table:
+        fused = pc.binary_join_element_wise(
+            g[KEY[0]].combine_chunks(), g[KEY[1]].combine_chunks(), "\x00")
+        g = g.append_column("_k", fused)
+        fmask = pc.equal(g["_side"], "f")
+        f_t = g.filter(fmask)
+        h_t = g.filter(pc.invert(fmask))
+        fdf = f_t.select(["_k"] + fact_cols).to_pandas()
+        hdf = h_t.select(["_k", "valid_from_lsn", "valid_to_lsn"]
+                         + payload).to_pandas()
+        hdf = hdf.rename(columns={p: out_names[p] + "__h" for p in payload})
+        fdf = fdf.sort_values(at_col, kind="stable")
+        hdf = hdf.sort_values("valid_from_lsn", kind="stable")
+        m = pd.merge_asof(fdf, hdf, left_on=at_col,
+                          right_on="valid_from_lsn", by="_k",
+                          direction="backward")
+        # expired version (fact falls in a deletion gap) -> null payload
+        expired = m["valid_to_lsn"].notna() & (m["valid_to_lsn"] <= m[at_col])
+        arrays = []
+        for f in fact_schema:
+            arrays.append(pa.Array.from_pandas(m[f.name], type=f.type))
+        for p in payload:
+            s = m[out_names[p] + "__h"].mask(expired)
+            arrays.append(pa.Array.from_pandas(
+                s, type=hist_schema.field(p).type))
+        vf = m["valid_from_lsn"].mask(expired).astype("Int64")
+        arrays.append(pa.Array.from_pandas(vf, type=pa.int64()))
+        return pa.Table.from_arrays(arrays, schema=out_schema)
+
+    return both.groupby(_PID).map_groups(_join_partition,
+                                         batch_format="pyarrow")

@@ -4329,3 +4329,73 @@ SELECT node, ROUND(pr, 9) AS pr FROM r{_Q108_ITERS} ORDER BY node
 
 QUERIES.update({"q108_pagerank": q108_pagerank})
 ORACLE.update({"q108_pagerank": _q108_sql()})
+
+
+# ---------------------------------------------------------------------------
+# q109 — TEMPORAL (point-in-time) JOIN: each change event joined against
+# the key's OWN SCD2 history AT lsn-1 — "what version did this change
+# replace" — the leakage-safe dimension-lookup primitive (a fact must
+# never see attributes from its future). Oracle: DuckDB ASOF LEFT JOIN
+# over the globally-deduped event log with the delete-gap rule inline.
+
+def q109_temporal_join(sf_dir: str):
+    from e_commerce_batch_etl_pipeline_ray.cdc import binlog, scd2
+    from e_commerce_batch_etl_pipeline_ray.cdc.lake import _unify_to
+    from e_commerce_batch_etl_pipeline_ray.stages import dedup
+    from e_commerce_batch_etl_pipeline_ray.stages.blockutil import (
+        read_parquet_clean,
+    )
+    ensure_oracle_fixtures()
+
+    def _unify(t: pa.Table) -> pa.Table:
+        return _unify_to(t, binlog.EVENT_SCHEMA_V2)
+
+    parts = []
+    for ep in range(Q24_EPOCHS):
+        ds = read_parquet_clean(
+            os.path.join(Q24_BINLOG_DIR, f"epoch-{ep}.parquet"),
+            override_num_blocks=4)
+        parts.append(ds.map_batches(_unify, batch_format="pyarrow",
+                                    zero_copy_batch=True))
+    events = parts[0].union(*parts[1:])
+    # duplicate deliveries are byte-identical; global dedupe on (key, lsn)
+    events = dedup.dedup_keyed(["repo", "path", "lsn"], ["lsn"],
+                               num_partitions=8).apply(events).materialize()
+
+    hist = scd2.scd2_history(events, num_partitions=16)
+    facts = events.map_batches(
+        lambda t: pa.table({"repo": t["repo"], "path": t["path"],
+                            "event_lsn": t["lsn"],
+                            "lsn": pc.subtract(t["lsn"], pa.scalar(
+                                1, pa.int64()))}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    joined = scd2.temporal_join(facts, hist, payload=["commit"],
+                                num_partitions=16)
+    out = joined.map_batches(
+        lambda t: pa.table({"repo": t["repo"], "path": t["path"],
+                            "event_lsn": t["event_lsn"],
+                            "prev_commit": t["commit"],
+                            "valid_from_lsn": t["valid_from_lsn"]}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return out.sort(["repo", "path", "event_lsn"])
+
+
+Q109_SQL = f"""
+WITH ev AS (
+  SELECT DISTINCT repo, path, lsn, op, commit
+  FROM read_parquet(['{Q24_BINLOG_DIR}/epoch-0.parquet',
+                     '{Q24_BINLOG_DIR}/epoch-1.parquet'],
+                    union_by_name=true)
+),
+f AS (SELECT repo, path, lsn AS event_lsn, lsn - 1 AS at FROM ev)
+SELECT f.repo, f.path, f.event_lsn,
+       CASE WHEN e.op = 'D' THEN NULL ELSE e.commit END AS prev_commit,
+       CASE WHEN e.op = 'D' THEN NULL ELSE e.lsn END AS valid_from_lsn
+FROM f ASOF LEFT JOIN ev e
+  ON f.repo = e.repo AND f.path = e.path AND f.at >= e.lsn
+ORDER BY f.repo, f.path, f.event_lsn
+"""
+
+
+QUERIES.update({"q109_temporal_join": q109_temporal_join})
+ORACLE.update({"q109_temporal_join": Q109_SQL})
