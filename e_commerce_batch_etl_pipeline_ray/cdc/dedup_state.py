@@ -1,0 +1,220 @@
+"""INCREMENTAL EXACT DEDUP with persistent state — the streaming-corpus
+form of ``stages/neardup.exact_dedup``: each new micro-batch of documents
+is checked against the hash-partitioned SEEN-CONTENT state on disk and
+only never-seen content survives, without ever rescanning the corpus.
+This is the dedup shape a 100-TB continuously-ingesting training-data
+pipeline needs: per-epoch cost is O(epoch + touched state partitions),
+not O(corpus).
+
+Protocol reuses the CDC lake's epoch/manifest machinery verbatim
+(tmp-dir write -> atomic dir promote -> atomic manifest commit; crash
+debris cleaned on resume), so ingest is exactly-once and replayable:
+
+    state_dir/epoch=000N/part-PPPPP.parquet   seen-hash state (sha, id)
+    state_dir/epoch=000N/novel-PPPPP.parquet  THIS epoch's surviving docs
+    state_dir/manifests/epoch-000N.json
+
+Within an epoch the winner for duplicated content is the lowest id
+(deterministic, retry-safe); across epochs the earlier epoch always wins
+(its sha is already in the state). Novel outputs are part of the commit:
+re-running a crashed epoch rewrites byte-identical novel files, and a
+downstream consumer reads them only through the committed manifest.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray.data
+
+from e_commerce_batch_etl_pipeline_ray.cdc import lake
+from e_commerce_batch_etl_pipeline_ray.stages.dedup import (
+    combine_keep_extreme,
+    hash_partition_ids,
+)
+from e_commerce_batch_etl_pipeline_ray.stages.neardup import content_hash
+
+_PID = "_pid"
+_SHA = "_sha"
+
+
+@dataclass
+class IncDedupConfig:
+    state_dir: str
+    num_partitions: int = 32
+    id_col: str = "doc_id"
+    text_col: str = "text"
+
+
+class _DedupApply:
+    """Per-partition worker: novel = shas absent from the prior state;
+    writes the updated state file AND the novel-docs file for its
+    partition into the epoch tmp dir, returns lineage."""
+
+    def __init__(self, state_dir: str, epoch: int,
+                 prev_partitions: dict[str, dict], id_col: str):
+        self.state_dir = state_dir
+        self.epoch = epoch
+        self.prev = prev_partitions
+        self.id_col = id_col
+        self.tmp_dir = lake.epoch_dir(state_dir, epoch, tmp=True)
+        os.makedirs(self.tmp_dir, exist_ok=True)
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        pid = group[_PID][0].as_py()
+        batch = group.drop_columns([_PID])
+        # within-epoch winner: lowest id per sha (blocks pre-combined)
+        batch = combine_keep_extreme(batch, [_SHA], [self.id_col],
+                                     descending=False)
+        rec = self.prev.get(str(pid))
+        if rec and rec.get("file"):
+            prior = pq.read_table(rec["file"])
+        else:
+            prior = pa.table({_SHA: pa.array([], pa.string()),
+                              self.id_col: pa.array(
+                                  [], batch[self.id_col].type)})
+        novel_mask = pc.invert(pc.is_in(
+            batch[_SHA].combine_chunks(),
+            value_set=prior[_SHA].combine_chunks()))
+        novel = batch.filter(novel_mask)
+
+        state = pa.concat_tables(
+            [prior, novel.select([_SHA, self.id_col])]).sort_by(
+            [(_SHA, "ascending")])
+        novel_out = novel.drop_columns([_SHA]).sort_by(
+            [(self.id_col, "ascending")])
+
+        sfname = f"part-{pid:05d}.parquet"
+        nfname = f"novel-{pid:05d}.parquet"
+        for t, fname in ((state, sfname), (novel_out, nfname)):
+            tmp_path = os.path.join(self.tmp_dir, fname)
+            wip = f"{tmp_path}.wip.{os.getpid()}"
+            pq.write_table(t, wip)
+            os.replace(wip, tmp_path)
+        final_dir = lake.epoch_dir(self.state_dir, self.epoch)
+        return pa.table({
+            "partition": pa.array([pid], pa.int32()),
+            "file": pa.array([os.path.join(final_dir, sfname)], pa.string()),
+            "novel_file": pa.array([os.path.join(final_dir, nfname)],
+                                   pa.string()),
+            "rows_total": pa.array([state.num_rows], pa.int64()),
+            "novel_rows": pa.array([novel_out.num_rows], pa.int64()),
+            "bytes_written": pa.array(
+                [sum(os.path.getsize(os.path.join(self.tmp_dir, f))
+                     for f in (sfname, nfname))], pa.int64()),
+        })
+
+
+class IncrementalDedup:
+    """Driver-side orchestrator: epoch loop + commit + novel reads."""
+
+    def __init__(self, config: IncDedupConfig):
+        self.cfg = config
+        os.makedirs(config.state_dir, exist_ok=True)
+
+    def last_committed_epoch(self) -> int | None:
+        return lake.last_committed_epoch(self.cfg.state_dir)
+
+    def resume_point(self) -> int:
+        lake.clean_uncommitted(self.cfg.state_dir)
+        last = self.last_committed_epoch()
+        return 0 if last is None else last + 1
+
+    def ingest(self, docs: ray.data.Dataset, epoch: int) -> dict:
+        cfg = self.cfg
+        last = self.last_committed_epoch()
+        expected = 0 if last is None else last + 1
+        if epoch != expected:
+            raise ValueError(f"epoch {epoch} out of order; expected {expected}")
+        prev_manifest = (lake.read_manifest(cfg.state_dir, last)
+                         if last is not None else None)
+        if prev_manifest and prev_manifest.get("num_partitions") not in (
+                None, cfg.num_partitions):
+            raise ValueError("state was written with num_partitions="
+                             f"{prev_manifest['num_partitions']}")
+        prev_parts = prev_manifest["partitions"] if prev_manifest else {}
+
+        rows_in = docs.count()
+        hashed = content_hash(cfg.text_col, out=_SHA).apply(docs)
+
+        def _combine(t: pa.Table) -> pa.Table:
+            # block-local winner caps per-sha shuffle traffic at one
+            # row per block (the ingest combiner pattern)
+            t = combine_keep_extreme(t, [_SHA], [cfg.id_col],
+                                     descending=False)
+            pid = hash_partition_ids(t, [_SHA], cfg.num_partitions)
+            return t.append_column(_PID, pa.array(pid, pa.int32()))
+
+        assigned = hashed.map_batches(_combine, batch_format="pyarrow",
+                                      zero_copy_batch=True)
+        from e_commerce_batch_etl_pipeline_ray.stages.blockutil import (
+            collect_arrow,
+        )
+        lineage = collect_arrow(assigned.groupby(_PID).map_groups(
+            _DedupApply, batch_format="pyarrow",
+            fn_constructor_args=(cfg.state_dir, epoch, prev_parts,
+                                 cfg.id_col),
+            concurrency=2, num_cpus=1))
+
+        lake.promote_epoch_dir(cfg.state_dir, epoch)
+        partitions = {}
+        for rec in lineage.to_pylist():
+            partitions[rec["partition"]] = {
+                "file": rec["file"], "deltas": [],
+                "novel_file": rec["novel_file"],
+                "lsn_watermark": epoch,
+                "rows_applied": rec["novel_rows"],
+                "rows_total": rec["rows_total"],
+                "bytes_written": rec["bytes_written"],
+            }
+        state_schema = pa.schema([
+            (_SHA, pa.string()),
+            (cfg.id_col, docs.schema().base_schema.field(cfg.id_col).type)])
+        novel_total = sum(r["rows_applied"] for r in partitions.values())
+        metrics = {
+            "op": "inc_dedup",
+            "rows_in": rows_in,
+            "novel_rows": novel_total,
+            # vs INPUT rows (the block-local combiner already folds
+            # within-block duplicates before the shuffle)
+            "dup_rows": rows_in - novel_total,
+            "seen_total": sum(r["rows_total"] for r in partitions.values()),
+        }
+        lake.commit_manifest(cfg.state_dir, epoch, partitions, state_schema,
+                             prev_manifest, metrics=metrics,
+                             num_partitions=cfg.num_partitions)
+        return metrics
+
+    def novel(self, epoch: int | None = None) -> ray.data.Dataset:
+        """THIS epoch's surviving (never-seen-before) documents, read via
+        the committed manifest. Partitions untouched in ``epoch`` carry
+        forward their STATE file but their novel file belongs to the epoch
+        it was written in — only novel files actually written at ``epoch``
+        are read (an epoch with no new content yields an empty Dataset)."""
+        if epoch is None:
+            epoch = self.last_committed_epoch()
+        if epoch is None:
+            raise FileNotFoundError(f"no committed epochs in "
+                                    f"{self.cfg.state_dir}")
+        manifest = lake.read_manifest(self.cfg.state_dir, epoch)
+        marker = f"epoch={epoch:04d}{os.sep}"
+        files = sorted({rec["novel_file"]
+                        for rec in manifest["partitions"].values()
+                        if rec.get("novel_file")
+                        and marker in rec["novel_file"]})
+        files = [f for f in files if os.path.exists(f)]
+        if not files:
+            return ray.data.from_items([])
+        return ray.data.read_parquet(files)
+
+    def seen_count(self) -> int:
+        last = self.last_committed_epoch()
+        if last is None:
+            return 0
+        m = lake.read_manifest(self.cfg.state_dir, last)
+        return sum(r.get("rows_total", 0) for r in m["partitions"].values())

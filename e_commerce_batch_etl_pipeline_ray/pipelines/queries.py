@@ -4399,3 +4399,56 @@ ORDER BY f.repo, f.path, f.event_lsn
 
 QUERIES.update({"q109_temporal_join": q109_temporal_join})
 ORACLE.update({"q109_temporal_join": Q109_SQL})
+
+
+# ---------------------------------------------------------------------------
+# q110 — INCREMENTAL EXACT DEDUP with persistent state: the documents
+# table arrives as two micro-batches (epoch 0 = doc_id < 300; epoch 1 =
+# doc_id >= 300 plus a replay of docs 50-99 under new ids — cross-epoch
+# duplicates). Epoch 1's survivors must be exactly the never-seen texts,
+# decided against the hash-partitioned on-disk state, not a corpus
+# rescan. Oracle: within-epoch lowest-id winner + NOT IN the earlier
+# epoch's text set, in SQL.
+
+def q110_incremental_dedup(sf_dir: str):
+    import tempfile
+
+    from e_commerce_batch_etl_pipeline_ray.cdc import dedup_state
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+    e1 = docs.filter(expr="doc_id < 300")
+    replay = docs.filter(expr="doc_id >= 50 and doc_id < 100").map_batches(
+        lambda t: t.set_column(t.column_names.index("doc_id"), "doc_id",
+                               pc.add(t["doc_id"], pa.scalar(10000,
+                                                             pa.int64()))),
+        batch_format="pyarrow", zero_copy_batch=True)
+    e2 = docs.filter(expr="doc_id >= 300").union(replay)
+
+    eng = dedup_state.IncrementalDedup(dedup_state.IncDedupConfig(
+        state_dir=tempfile.mkdtemp(prefix="q110_state_", dir="/tmp"),
+        num_partitions=16))
+    eng.ingest(e1, 0)
+    eng.ingest(e2, 1)
+    out = eng.novel(1).map_batches(
+        lambda t: t.select(["doc_id", "source"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return out.sort("doc_id")
+
+
+Q110_SQL = """
+WITH e1 AS (SELECT doc_id, text, source FROM documents WHERE doc_id < 300),
+e2 AS (
+  SELECT doc_id + 10000 AS doc_id, text, source FROM documents
+  WHERE doc_id BETWEEN 50 AND 99
+  UNION ALL
+  SELECT doc_id, text, source FROM documents WHERE doc_id >= 300
+),
+w2 AS (SELECT doc_id, text, source,
+       ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) rn FROM e2)
+SELECT doc_id, source FROM w2
+WHERE rn = 1 AND text NOT IN (SELECT text FROM e1)
+ORDER BY doc_id
+"""
+
+
+QUERIES.update({"q110_incremental_dedup": q110_incremental_dedup})
+ORACLE.update({"q110_incremental_dedup": Q110_SQL})

@@ -1,0 +1,84 @@
+"""Incremental exact dedup with persistent state: cross-epoch suppression,
+within-epoch lowest-id winner, crash/resume idempotency, novel() reads."""
+
+from __future__ import annotations
+
+import shutil
+
+import pyarrow as pa
+import pytest
+import ray.data
+
+from e_commerce_batch_etl_pipeline_ray.cdc import dedup_state, lake
+
+
+def _docs(rows):
+    return ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+    })).repartition(3)
+
+
+E1 = [(1, "alpha"), (2, "beta"), (3, "alpha"), (4, "gamma")]
+E2 = [(10, "beta"), (11, "delta"), (12, "delta"), (13, "alpha"),
+      (14, "epsilon")]
+
+
+def _eng(tmp_path):
+    return dedup_state.IncrementalDedup(dedup_state.IncDedupConfig(
+        state_dir=str(tmp_path / "state"), num_partitions=4))
+
+
+def test_incremental_matches_global_dedup(tmp_path):
+    eng = _eng(tmp_path)
+    m1 = eng.ingest(_docs(E1), 0)
+    assert m1["novel_rows"] == 3 and m1["dup_rows"] == 1
+    m2 = eng.ingest(_docs(E2), 1)
+    assert m2["novel_rows"] == 2          # delta, epsilon
+    assert m2["dup_rows"] == 3            # beta, alpha, second delta
+    got1 = {r["doc_id"] for r in eng.novel(0).take_all()}
+    got2 = {r["doc_id"] for r in eng.novel(1).take_all()}
+    assert got1 == {1, 2, 4}              # lowest id per text in epoch 0
+    assert got2 == {11, 14}               # 11 < 12 for delta
+    assert eng.seen_count() == 5          # distinct texts overall
+
+
+def test_crash_resume_rewrites_identically(tmp_path):
+    eng = _eng(tmp_path)
+    eng.ingest(_docs(E1), 0)
+    # simulate crash AFTER epoch-1 data write but BEFORE manifest commit:
+    # run epoch 1, then delete its manifest and stray dir, and re-run
+    eng.ingest(_docs(E2), 1)
+    before = sorted(r["doc_id"] for r in eng.novel(1).take_all())
+    import os
+    os.remove(lake._manifest_path(str(tmp_path / "state"), 1))
+    assert eng.resume_point() == 1        # cleans the orphan epoch dir
+    eng.ingest(_docs(E2), 1)
+    after = sorted(r["doc_id"] for r in eng.novel(1).take_all())
+    assert after == before == [11, 14]
+    assert eng.seen_count() == 5
+
+
+def test_epoch_order_guard_and_empty_epoch(tmp_path):
+    eng = _eng(tmp_path)
+    eng.ingest(_docs(E1), 0)
+    with pytest.raises(ValueError, match="out of order"):
+        eng.ingest(_docs(E2), 5)
+    # an all-duplicate epoch commits cleanly and yields no novel rows
+    eng.ingest(_docs([(99, "alpha"), (100, "beta")]), 1)
+    assert eng.novel(1).count() == 0
+    assert eng.seen_count() == 3
+
+
+def test_novel_untouched_partition_not_reread(tmp_path):
+    """novel(N) must only surface files written AT epoch N, even though
+    untouched partitions carry forward their state files."""
+    eng = _eng(tmp_path)
+    eng.ingest(_docs(E1), 0)
+    eng.ingest(_docs([(50, "zeta")]), 1)
+    got = {r["doc_id"] for r in eng.novel(1).take_all()}
+    assert got == {50}
+
+
+def teardown_module(module):
+    shutil.rmtree("/tmp/_incdedup_scratch", ignore_errors=True)
