@@ -4452,3 +4452,50 @@ ORDER BY doc_id
 
 QUERIES.update({"q110_incremental_dedup": q110_incremental_dedup})
 ORACLE.update({"q110_incremental_dedup": Q110_SQL})
+
+
+# ---------------------------------------------------------------------------
+# q111 — INCREMENTAL NEAR-DUP (MinHash bucket state) against the exact
+# ground truth: the documents table arrives as two micro-batches (doc_id
+# < 300, then >= 300); epoch 1's survivors must satisfy the engine's
+# greedy streaming rule — no exact-Jaccard >= 0.8 witness among (a) epoch
+# 0's KEPT docs or (b) ANY lower-id epoch-1 doc. At the recall-complete
+# smoke operating point (bands=64 x rows=4, see q44) every true pair is a
+# candidate and verification is exact, so the rule is replayed verbatim
+# in SQL over the q44 all-pairs-Jaccard CTE.
+
+def q111_incremental_neardup(sf_dir: str):
+    import tempfile
+
+    from e_commerce_batch_etl_pipeline_ray.cdc import neardup_state
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    eng = neardup_state.IncrementalMinHashDedup(
+        neardup_state.IncNearDupConfig(
+            state_dir=tempfile.mkdtemp(prefix="q111_state_", dir="/tmp"),
+            k=5, num_hashes=256, bands=64, threshold=0.8,
+            num_partitions=16))
+    eng.ingest(docs.filter(expr="doc_id < 300"), 0)
+    eng.ingest(docs.filter(expr="doc_id >= 300"), 1)
+    out = eng.novel(1).map_batches(
+        lambda t: t.select(["doc_id"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return out.sort("doc_id")
+
+
+Q111_SQL = _Q44_NEARDUP_GROUND_TRUTH_CTES + """
+, kept0 AS (
+  SELECT doc_id FROM docs WHERE doc_id < 300
+  AND NOT EXISTS (SELECT 1 FROM pairs p WHERE p.id_b = docs.doc_id)
+)
+SELECT d.doc_id FROM docs d
+WHERE d.doc_id >= 300
+  AND NOT EXISTS (
+    SELECT 1 FROM pairs p
+    WHERE p.id_b = d.doc_id
+      AND (p.id_a >= 300 OR p.id_a IN (SELECT doc_id FROM kept0)))
+ORDER BY d.doc_id
+"""
+
+
+QUERIES.update({"q111_incremental_neardup": q111_incremental_neardup})
+ORACLE.update({"q111_incremental_neardup": Q111_SQL})

@@ -1,0 +1,107 @@
+"""Incremental MinHash near-dup dedup with persistent bucket state:
+parity with a brute-force all-pairs replay of the same greedy rule,
+cross-epoch suppression, within-epoch winners, crash/resume."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from e_commerce_batch_etl_pipeline_ray.cdc import lake, neardup_state
+from e_commerce_batch_etl_pipeline_ray.stages.neardup import ngram_jaccard
+
+K = 5
+THRESH = 0.8
+
+
+def _text(rng, n_words=40):
+    words = ["".join(rng.choice(list("abcdefghijklmnop"), size=6))
+             for _ in range(n_words)]
+    return " ".join(words)
+
+
+def _mutate(rng, text, n_edits=2):
+    words = text.split(" ")
+    for _ in range(n_edits):
+        i = int(rng.integers(0, len(words)))
+        words[i] = "".join(rng.choice(list("qrstuv"), size=6))
+    return " ".join(words)
+
+
+def _corpus():
+    rng = np.random.default_rng(42)
+    e1 = [(i, _text(rng)) for i in range(20)]
+    e2 = []
+    e2.append((100, e1[3][1]))                 # exact cross-epoch dup
+    e2.append((101, _mutate(rng, e1[7][1])))   # near cross-epoch dup
+    fresh = _text(rng)
+    e2.append((102, fresh))                    # fresh
+    e2.append((103, _mutate(rng, fresh)))      # within-epoch near dup of 102
+    e2 += [(110 + i, _text(rng)) for i in range(10)]
+    return e1, e2
+
+
+def _brute_epoch2(e1, e2):
+    """Same greedy rule, exact all-pairs Jaccard."""
+    dups = set()
+    for i, (did, txt) in enumerate(sorted(e2)):
+        # greedy contract: lower-id epoch docs count even if dropped
+        wits = [t for _, t in e1] + [t for d, t in sorted(e2)[:i]]
+        if any(ngram_jaccard(txt, w, K) >= THRESH for w in wits):
+            dups.add(did)
+    return dups
+
+
+def _ds(rows):
+    return ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+    })).repartition(3)
+
+
+def _eng(tmp_path):
+    return neardup_state.IncrementalMinHashDedup(
+        neardup_state.IncNearDupConfig(
+            state_dir=str(tmp_path / "state"), k=K, num_hashes=64,
+            bands=16, threshold=THRESH, num_partitions=8))
+
+
+def test_incremental_neardup_matches_bruteforce(tmp_path):
+    e1, e2 = _corpus()
+    eng = _eng(tmp_path)
+    m1 = eng.ingest(_ds(e1), 0)
+    assert m1["novel_rows"] == len(e1)        # all distinct
+    m2 = eng.ingest(_ds(e2), 1)
+    exp_dups = _brute_epoch2(e1, e2)
+    assert exp_dups == {100, 101, 103}        # the planted cases
+    got_novel = {r["doc_id"] for r in eng.novel(1).take_all()}
+    assert got_novel == {d for d, _ in e2} - exp_dups
+    assert m2["dup_rows"] == len(exp_dups)
+    assert m2["novel_rows"] == len(e2) - len(exp_dups)
+
+
+def test_state_grows_only_with_novel(tmp_path):
+    e1, e2 = _corpus()
+    eng = _eng(tmp_path)
+    eng.ingest(_ds(e1), 0)
+    eng.ingest(_ds(e2), 1)
+    m = lake.read_manifest(str(tmp_path / "state"), 1)
+    total = sum(r["rows_total"] for r in m["partitions"].values())
+    # 16 band rows per kept doc, dups contribute nothing
+    exp_kept = len(e1) + len(e2) - 3
+    assert total == exp_kept * 16
+
+
+def test_crash_resume_idempotent(tmp_path):
+    import os
+    e1, e2 = _corpus()
+    eng = _eng(tmp_path)
+    eng.ingest(_ds(e1), 0)
+    eng.ingest(_ds(e2), 1)
+    before = sorted(r["doc_id"] for r in eng.novel(1).take_all())
+    os.remove(lake._manifest_path(str(tmp_path / "state"), 1))
+    assert eng.resume_point() == 1
+    eng.ingest(_ds(e2), 1)
+    after = sorted(r["doc_id"] for r in eng.novel(1).take_all())
+    assert after == before
