@@ -63,9 +63,24 @@ def main() -> int:
     ap.add_argument("--rebucket", nargs=2, metavar=("DST", "P"), default=None,
                     help="migrate the lake's partition count: rewrite state "
                          "into DST with P partitions and exit")
+    ap.add_argument("--zorder", default=None, metavar="COL[,COL...]",
+                    help="OPTIMIZE ZORDER BY: rewrite every partition "
+                         "Morton-sorted on these columns with per-file "
+                         "min/max stats, commit as the next epoch, exit")
+    ap.add_argument("--scan", nargs=3, metavar=("COL", "LO", "HI"),
+                    default=None,
+                    help="stats-pruned range scan (lsn bounds are ints); "
+                         "prints the prune plan + matching row count, exit")
+    ap.add_argument("--bootstrap", nargs=2, metavar=("SNAPSHOT", "LSN0"),
+                    default=None,
+                    help="Debezium-style initial load: bulk-load the "
+                         "snapshot parquet as epoch 0 at LSN0, exit "
+                         "(then tail the binlog with --resume)")
     args = ap.parse_args()
 
-    if args.get is not None or args.rebucket is not None:
+    if (args.get is not None or args.rebucket is not None
+            or args.zorder is not None or args.scan is not None
+            or args.bootstrap is not None):
         import ray
         if not ray.is_initialized():
             ray.init(address="local", num_cpus=args.num_cpus,
@@ -79,10 +94,39 @@ def main() -> int:
             print(json.dumps({"key": args.get, "found": bool(rows),
                               **({k: v for k, v in rows[0].items()
                                   if k != "content"} if rows else {})}))
-        else:
+        elif args.rebucket is not None:
             dst, p = args.rebucket
             print(json.dumps({"rebucket": _lake.rebucket(
                 args.lake_dir, dst, num_partitions=int(p))}))
+        elif args.zorder is not None:
+            from e_commerce_batch_etl_pipeline_ray.cdc import zorder as _z
+            print(json.dumps({"zorder": _z.optimize_zorder(
+                args.lake_dir, by=args.zorder.split(","))}))
+        elif args.scan is not None:
+            from e_commerce_batch_etl_pipeline_ray.cdc import zorder as _z
+            col, lo, hi = args.scan
+            if col == "lsn":
+                lo, hi = int(lo), int(hi)
+            plan = _z.plan_range_scan(args.lake_dir, {col: (lo, hi)})
+            n = _z.range_scan(args.lake_dir, {col: (lo, hi)}).count()
+            print(json.dumps({"col": col, "lo": lo, "hi": hi, "rows": n,
+                              "files_total": plan["files_total"],
+                              "files_pruned": plan["files_pruned"]}))
+        else:
+            snap_path, lsn0 = args.bootstrap
+            from e_commerce_batch_etl_pipeline_ray.cdc import engine as _eng
+            from e_commerce_batch_etl_pipeline_ray.stages.blockutil import (
+                read_parquet_clean,
+            )
+            eng = _eng.CDCEngine(_eng.CDCConfig(
+                lake_dir=args.lake_dir, num_partitions=args.partitions,
+                merge_concurrency=args.merge_concurrency))
+            st = eng.bootstrap(read_parquet_clean(snap_path),
+                               lsn0=int(lsn0))
+            print(json.dumps({"bootstrap": {"rows": st.rows_applied,
+                                            "lsn0": st.lsn_watermark,
+                                            "partitions":
+                                                st.partitions_touched}}))
         ray.shutdown()
         return 0
 
