@@ -82,3 +82,38 @@ def test_novel_untouched_partition_not_reread(tmp_path):
 
 def teardown_module(module):
     shutil.rmtree("/tmp/_incdedup_scratch", ignore_errors=True)
+
+
+# -- hypothesis: split-invariance of the epoch-aware dedup rule ------------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+docs_strategy = st.lists(
+    st.sampled_from(["t0", "t1", "t2", "t3", "t4"]),
+    min_size=1, max_size=12).map(
+    lambda texts: [(i, t) for i, t in enumerate(texts)])
+
+
+@settings(max_examples=8, deadline=None)
+@given(docs_strategy, st.integers(0, 12))
+def test_any_split_matches_epoch_aware_rule(tmp_path_factory, rows, k):
+    """For ANY split of the doc stream into two epochs, the union of the
+    per-epoch novel sets equals the epoch-aware global rule: per distinct
+    text, the min-id doc of the EARLIEST epoch containing it."""
+    k = min(k, len(rows))
+    e1, e2 = rows[:k], rows[k:]
+    eng = dedup_state.IncrementalDedup(dedup_state.IncDedupConfig(
+        state_dir=str(tmp_path_factory.mktemp("hyp")), num_partitions=2))
+    got = set()
+    for ep, batch in enumerate(b for b in (e1, e2) if b):
+        eng.ingest(_docs(batch), ep)
+        got |= {r["doc_id"] for r in eng.novel(ep).take_all()}
+    exp = set()
+    for text in {t for _, t in rows}:
+        for batch in (e1, e2):
+            ids = [i for i, t in batch if t == text]
+            if ids:
+                exp.add(min(ids))
+                break
+    assert got == exp
