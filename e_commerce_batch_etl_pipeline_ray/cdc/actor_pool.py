@@ -51,9 +51,11 @@ class MergeWorker:
 
     def begin_epoch(self, epoch: int, schema_b64: str,
                     prev_partitions: dict[str, dict], mode: str,
-                    gc_horizon_lsn: int | None = None) -> None:
+                    gc_horizon_lsn: int | None = None,
+                    stats_cols: tuple = ()) -> None:
         self.epoch = epoch
         self.gc_horizon_lsn = gc_horizon_lsn
+        self.stats_cols = tuple(stats_cols)
         self.schema = lake.schema_from_b64(schema_b64)
         self.prev_partitions = prev_partitions
         self.mode = mode
@@ -142,6 +144,7 @@ class MergeWorker:
             os.replace(wip, tmp_path)
             if self.mode == "compact":
                 self.cache[pid] = (self.epoch, merged)
+            import json as _json
             out_rows.append({
                 "partition": pid,
                 "file": os.path.join(lake.epoch_dir(self.lake_dir, self.epoch), fname),
@@ -150,6 +153,10 @@ class MergeWorker:
                 "rows_total": merged.num_rows,
                 "bytes_written": os.path.getsize(tmp_path),
                 "late_events": late_events,
+                "stats": (_json.dumps(lake.col_stats(merged,
+                                                     self.stats_cols))
+                          if self.mode == "compact" and self.stats_cols
+                          else ""),
             })
         self.deltas = {}
         return pa.Table.from_pylist(out_rows) if out_rows else pa.table({
@@ -160,6 +167,7 @@ class MergeWorker:
             "rows_total": pa.array([], pa.int64()),
             "bytes_written": pa.array([], pa.int64()),
             "late_events": pa.array([], pa.int64()),
+            "stats": pa.array([], pa.string()),
         })
 
 
@@ -211,9 +219,10 @@ class PersistentMergePool:
 
     def run_epoch(self, normalized, epoch: int, schema_b64: str,
                   prev_partitions: dict, mode: str,
-                  gc_horizon_lsn: int | None = None) -> pa.Table:
+                  gc_horizon_lsn: int | None = None,
+                  stats_cols: tuple = ()) -> pa.Table:
         ray.get([w.begin_epoch.remote(epoch, schema_b64, prev_partitions,
-                                      mode, gc_horizon_lsn)
+                                      mode, gc_horizon_lsn, stats_cols)
                  for w in self.workers])
         futures = []
         if self.fan_out == "split":

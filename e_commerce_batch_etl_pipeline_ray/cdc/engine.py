@@ -95,6 +95,10 @@ class CDCConfig:
     # than the horizon can no longer arrive, so its tombstone is dead weight.
     # None (default) keeps tombstones forever.
     gc_lateness_epochs: int | None = None
+    # per-file min/max column stats recorded in the manifest at every
+    # COMPACT write (delta files carry none) — lets zorder.plan_range_scan
+    # prune files on these columns without an OPTIMIZE ZORDER pass.
+    stats_cols: tuple = ("lsn",)
     # actor_pool fan-out: "auto" (default: split when >1 alive Ray node,
     # else broadcast) | "broadcast" (single-host optimal: every worker
     # reads every block zero-copy from plasma) | "split" (multi-node-
@@ -198,7 +202,8 @@ class MergeApply:
 
     def __init__(self, lake_dir: str, epoch: int, schema_b64: str,
                  prev_partitions: dict[str, dict], cache_partitions: bool,
-                 mode: str = "compact", gc_horizon_lsn: int | None = None):
+                 mode: str = "compact", gc_horizon_lsn: int | None = None,
+                 stats_cols: tuple = ()):
         self.lake_dir = lake_dir
         self.epoch = epoch
         self.schema = lake.schema_from_b64(schema_b64)
@@ -206,6 +211,7 @@ class MergeApply:
         del cache_partitions  # meaningful only for backend="actor_pool"
         self.mode = mode                      # "compact" | "delta"
         self.gc_horizon_lsn = gc_horizon_lsn
+        self.stats_cols = tuple(stats_cols)
         self.tmp_dir = lake.epoch_dir(lake_dir, epoch, tmp=True)
         os.makedirs(self.tmp_dir, exist_ok=True)
 
@@ -275,6 +281,9 @@ class MergeApply:
 
         final_path = os.path.join(lake.epoch_dir(self.lake_dir, self.epoch), fname)
         watermark = pc.max(merged["lsn"]).as_py()
+        import json as _json
+        stats = (_json.dumps(lake.col_stats(merged, self.stats_cols))
+                 if self.mode == "compact" and self.stats_cols else "")
         return pa.table({
             "partition": pa.array([pid], pa.int32()),
             "file": pa.array([final_path], pa.string()),
@@ -283,6 +292,7 @@ class MergeApply:
             "rows_total": pa.array([merged.num_rows], pa.int64()),
             "bytes_written": pa.array([bytes_written], pa.int64()),
             "late_events": pa.array([late_events], pa.int64()),
+            "stats": pa.array([stats], pa.string()),
         })
 
 
@@ -412,7 +422,8 @@ class CDCEngine:
                                                  cfg.merge_concurrency,
                                                  fan_out=cfg.fan_out)
             lineage = self._pool.run_epoch(normalized, epoch, schema_b64,
-                                           prev_parts, mode, gc_horizon)
+                                           prev_parts, mode, gc_horizon,
+                                           stats_cols=cfg.stats_cols)
         else:
             # cap the merge actor pool below the cluster CPU count: each
             # actor reserves 1 CPU, and if the pool takes EVERY CPU the
@@ -428,7 +439,7 @@ class CDCEngine:
                 MergeApply, batch_format="pyarrow",
                 fn_constructor_args=(cfg.lake_dir, epoch, schema_b64,
                                      prev_parts, cfg.cache_partitions, mode,
-                                     gc_horizon),
+                                     gc_horizon, cfg.stats_cols),
                 concurrency=conc,
                 num_cpus=1)
             from e_commerce_batch_etl_pipeline_ray.stages.blockutil import (
@@ -462,6 +473,9 @@ class CDCEngine:
                     "bytes_written": rec["bytes_written"],
                     "late_events": rec.get("late_events", 0),
                 }
+                if rec.get("stats"):
+                    import json as _json
+                    partitions[pid]["stats"] = _json.loads(rec["stats"])
         metrics = {
             "events_in": events_in if events_in is not None else -1,
             "rows_applied": sum(r["rows_applied"] for r in partitions.values()),

@@ -189,6 +189,26 @@ def manifest_files(manifest: dict) -> list[str]:
                    if rec.get("file")})
 
 
+def col_stats(t: pa.Table, cols) -> dict:
+    """Exact per-file min/max of ``cols`` (nulls ignored; an all-null or
+    absent column records no bound -> never prunable on it). JSON-scalar
+    values only. Written into manifest partition records by compacting
+    writers (ingest compact mode, zorder) and consumed by
+    zorder.plan_range_scan for driver-side file pruning."""
+    import pyarrow.compute as pc
+    stats = {}
+    for c in cols:
+        if c not in t.column_names:
+            continue
+        mm = pc.min_max(t[c])
+        lo, hi = mm["min"].as_py(), mm["max"].as_py()
+        if lo is not None:
+            if hasattr(lo, "isoformat"):
+                lo, hi = lo.isoformat(), hi.isoformat()
+            stats[c] = [lo, hi]
+    return stats
+
+
 def _unify_to(t: pa.Table, schema: pa.Schema) -> pa.Table:
     cols = []
     for fld in schema:

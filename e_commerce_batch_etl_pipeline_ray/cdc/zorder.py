@@ -86,18 +86,8 @@ def _morton_key(t: pa.Table, by: list[str]) -> np.ndarray:
 
 
 def _col_stats(t: pa.Table, by: list[str]) -> dict:
-    """Exact per-file min/max of each zorder column (nulls ignored; an
-    all-null column records no bound -> never prunable on it).
-    JSON-serializable scalars only."""
-    stats = {}
-    for c in by:
-        mm = pc.min_max(t[c])
-        lo, hi = mm["min"].as_py(), mm["max"].as_py()
-        if lo is not None:
-            if hasattr(lo, "isoformat"):
-                lo, hi = lo.isoformat(), hi.isoformat()
-            stats[c] = [lo, hi]
-    return stats
+    """Per-file min/max of the zorder columns plus lsn (lake.col_stats)."""
+    return lake.col_stats(t, list(dict.fromkeys(list(by) + ["lsn"])))
 
 
 def optimize_zorder(lake_dir: str, by: list[str],

@@ -98,15 +98,17 @@ def test_zorder_stats_survive_carry_forward_and_later_epochs(tmp_path):
     eng.ingest_epoch(binlog.gen_epoch(SPEC, 2), ep)
     assert _got(lake_dir) == _expected(n_epochs=3)
     m = lake.read_manifest(lake_dir, lake.last_committed_epoch(lake_dir))
-    with_stats = [r for r in m["partitions"].values() if "stats" in r]
-    without = [r for r in m["partitions"].values() if "stats" not in r]
-    # the 2k-event epoch touches all 8 partitions at this scale, so stats
-    # presence depends on rewrite; assert the invariant rather than counts:
-    # every stats-carrying record is delta-free and references a zorder file
-    for r in with_stats:
-        assert not r.get("deltas")
-        assert "epoch=0002" in r["file"]
-    assert len(with_stats) + len(without) == len(m["partitions"])
+    # invariant: every stats record is delta-free; records still carrying
+    # LANG stats are carried-forward zorder files (epoch 2), while
+    # partitions rewritten by the epoch-3 ingest carry fresh lsn-only
+    # stats (compact ingest records stats_cols by default)
+    for r in m["partitions"].values():
+        st = r.get("stats")
+        assert st is not None and not r.get("deltas")
+        if "lang" in st:
+            assert "epoch=0002" in r["file"]
+        else:
+            assert "epoch=0003" in r["file"] and "lsn" in st
 
 
 def test_zorder_on_lsm_folds_deltas(tmp_path):
@@ -126,3 +128,17 @@ def test_zorder_rejects_unknown_column(tmp_path):
     lake_dir = _ingest(tmp_path, n_epochs=1)
     with pytest.raises(ValueError, match="not in lake schema"):
         zorder.optimize_zorder(lake_dir, by=["nope"])
+
+
+def test_ingest_stats_prune_without_zorder(tmp_path):
+    """Compact ingest records per-file lsn stats by default, so an
+    out-of-range lsn scan prunes every file on a VANILLA lake."""
+    lake_dir = _ingest(tmp_path)
+    wm = lake.read_manifest(lake_dir,
+                            lake.last_committed_epoch(lake_dir))["lsn_watermark"]
+    plan = zorder.plan_range_scan(lake_dir, {"lsn": (wm + 1, None)})
+    assert plan["files_total"] > 0
+    assert plan["files_pruned"] == plan["files_total"]
+    assert zorder.range_scan(lake_dir, {"lsn": (wm + 1, None)}).count() == 0
+    # in-range scans still exact
+    assert _got(lake_dir) == _expected()
