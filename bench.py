@@ -33,7 +33,9 @@ BENCH_QUERIES = ["q1_pricing_summary", "q3_dedup_lww", "q6_hash_join",
                  "q11_window_agg", "q14_exact_dedup", "q15_token_stats",
                  "q17_knn_brute", "q18_minhash_pairs", "q25_sessionize",
                  "q33_analytics_cube", "q92_scd2_history",
-                 "q95_lm_perplexity", "q96_duplicated_substrings"]
+                 "q95_lm_perplexity", "q96_duplicated_substrings",
+                 "q107_bm25_indexed", "q108_pagerank",
+                 "q110_incremental_dedup", "q111_incremental_neardup"]
 
 
 def _lineitem_rows(sf_dir: str) -> int:
@@ -159,6 +161,19 @@ def run_bench() -> dict:
     tf = time.perf_counter()
     feed_rows = cdc_feed.change_feed(lake_dir, 0, EPOCHS - 1).count()
     feed_sec = round(time.perf_counter() - tf, 3)
+
+    # OPTIMIZE ZORDER + stats-pruned range scan over the full bench lake
+    # (64 partitions of multi-100MB state): rewrite cost and the pruned
+    # scan wall vs the unpruned snapshot filter
+    from e_commerce_batch_etl_pipeline_ray.cdc import zorder as cdc_zorder
+    tz = time.perf_counter()
+    cdc_zorder.optimize_zorder(lake_dir, by=["lang", "lsn"])
+    zorder_sec = round(time.perf_counter() - tz, 3)
+    scan_pred = {"lang": ("go", "go"),
+                 "lsn": (0, events_per_epoch // 4)}
+    ts = time.perf_counter()
+    scan_rows = cdc_zorder.range_scan(lake_dir, scan_pred).count()
+    scan_sec = round(time.perf_counter() - ts, 3)
     shutil.rmtree(lake_dir, ignore_errors=True)
 
     q_times: dict[str, float] = {}
@@ -180,6 +195,9 @@ def run_bench() -> dict:
         "final_rows": final_rows,
         "feed_sec": feed_sec,
         "feed_rows": feed_rows,
+        "zorder_sec": zorder_sec,
+        "scan_sec": scan_sec,
+        "scan_rows": scan_rows,
         "queries": q_times,
         "sf": sf_tag,
         "num_cpus": NUM_CPUS,
