@@ -95,6 +95,17 @@ class CDCConfig:
     # than the horizon can no longer arrive, so its tombstone is dead weight.
     # None (default) keeps tombstones forever.
     gc_lateness_epochs: int | None = None
+    # Data-quality gate on the incoming epoch (reference semantics: the
+    # notebook orchestrator ABORTS the pipeline when the DQ stage reports
+    # FAIL, notebooks/07_pipeline_orchestrator.py:250-252). When set, every
+    # epoch's raw events run the one-pass check framework BEFORE any merge
+    # work; the report persists next to the manifests
+    # (manifests/dq-epoch-NNNN.json). On FAIL: dq_gate=True (default)
+    # raises DataQualityError and the epoch is NOT committed (the lake is
+    # untouched — nothing was written yet); dq_gate=False records the
+    # failing report and continues.
+    dq: object | None = None            # quality.checks.DQConfig
+    dq_gate: bool = True
     # per-file min/max column stats recorded in the manifest at every
     # COMPACT write (delta files carry none) — lets zorder.plan_range_scan
     # prune files on these columns without an OPTIMIZE ZORDER pass.
@@ -385,6 +396,25 @@ class CDCEngine:
                 f"{prev_manifest['num_partitions']}; config says "
                 f"{cfg.num_partitions} — the key->partition routing (resume, "
                 f"carry-forward, point_read) requires a constant modulus")
+        if cfg.dq is not None:
+            import json as _json
+
+            from e_commerce_batch_etl_pipeline_ray.quality.checks import (
+                DataQualityError,
+                run_checks,
+            )
+            report, status = run_checks(events, cfg.dq, gate=False)
+            ddir = os.path.join(cfg.lake_dir, lake.MANIFEST_DIR)
+            os.makedirs(ddir, exist_ok=True)
+            dq_path = os.path.join(ddir, f"dq-epoch-{epoch:04d}.json")
+            tmp = dq_path + ".tmp"
+            with open(tmp, "w") as f:
+                _json.dump({"epoch": epoch, "status": status,
+                            "report": report.to_pylist()}, f)
+            os.replace(tmp, dq_path)
+            if status == "FAIL" and cfg.dq_gate:
+                raise DataQualityError(
+                    f"epoch {epoch} failed the DQ gate; report at {dq_path}")
         prev_schema = lake.schema_from_b64(prev_manifest["schema"]) if prev_manifest else None
         if _normalized is not None:
             # pipelined path: normalize ran ahead with a schema computed
