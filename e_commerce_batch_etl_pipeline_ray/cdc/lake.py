@@ -525,6 +525,11 @@ def vacuum(lake_dir: str, keep_last: int = 1) -> dict:
         for rec in m["partitions"].values():
             if rec.get("file"):
                 referenced.add(os.path.realpath(rec["file"]))
+            # incremental-dedup states (cdc/dedup_state, cdc/neardup_state)
+            # commit their per-epoch novel outputs through the same
+            # manifests — a kept manifest keeps its novel files too
+            if rec.get("novel_file"):
+                referenced.add(os.path.realpath(rec["novel_file"]))
             for d in rec.get("deltas", []):
                 referenced.add(os.path.realpath(d))
 

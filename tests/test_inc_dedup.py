@@ -117,3 +117,14 @@ def test_any_split_matches_epoch_aware_rule(tmp_path_factory, rows, k):
                 exp.add(min(ids))
                 break
     assert got == exp
+
+
+def test_vacuum_keeps_latest_novel_files(tmp_path):
+    """lake.vacuum on a dedup state keeps the kept manifests' novel files
+    (they are committed outputs), while reclaiming older epochs' files."""
+    eng = _eng(tmp_path)
+    eng.ingest(_docs(E1), 0)
+    eng.ingest(_docs(E2), 1)
+    res = lake.vacuum(str(tmp_path / "state"), keep_last=1)
+    assert res["files_removed"] > 0          # epoch-0 state superseded
+    assert sorted(r["doc_id"] for r in eng.novel(1).take_all()) == [11, 14]
