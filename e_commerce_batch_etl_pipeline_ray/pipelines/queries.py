@@ -4499,3 +4499,78 @@ ORDER BY d.doc_id
 
 QUERIES.update({"q111_incremental_neardup": q111_incremental_neardup})
 ORACLE.update({"q111_incremental_neardup": Q111_SQL})
+
+
+# ---------------------------------------------------------------------------
+# q112 — FEED-MAINTAINED INVERTED INDEX: the index over the CDC lake's
+# live content is refreshed from the change feed after EVERY epoch (only
+# changed docs tokenized, only their term partitions rewritten), then a
+# BM25 search reads only the query terms' partitions. Oracle: the full
+# BM25 formula in SQL over the LWW live state of the same fixture.
+
+_Q112_TERMS = ("return", "x")
+
+
+def q112_index_view(sf_dir: str):
+    import tempfile
+
+    from e_commerce_batch_etl_pipeline_ray.cdc import engine, index_view
+    from e_commerce_batch_etl_pipeline_ray.stages.blockutil import (
+        read_parquet_clean,
+    )
+    ensure_oracle_fixtures()
+    root = tempfile.mkdtemp(prefix="q112_", dir="/tmp")
+    lake_dir = os.path.join(root, "lake")
+    eng = engine.CDCEngine(engine.CDCConfig(lake_dir=lake_dir,
+                                            num_partitions=16,
+                                            merge_concurrency=2))
+    view = index_view.IndexView(lake_dir, os.path.join(root, "idx"),
+                                num_partitions=16)
+    for ep in range(Q24_EPOCHS):
+        events = read_parquet_clean(
+            os.path.join(Q24_BINLOG_DIR, f"epoch-{ep}.parquet"),
+            override_num_blocks=8)
+        eng.ingest_epoch(events, ep)
+        view.refresh()
+    return view.search(list(_Q112_TERMS), k=10, round_to=4)
+
+
+def _q112_sql() -> str:
+    tf_cols = ",\n   ".join(
+        f"len(list_filter(toks, t -> t = '{t}'))::DOUBLE AS tf{i}"
+        for i, t in enumerate(_Q112_TERMS))
+    df_cols = ", ".join(
+        f"SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END)::DOUBLE AS df{i}"
+        for i in range(len(_Q112_TERMS)))
+    score = " + ".join(
+        f"LN((n - df{i} + 0.5)/(df{i} + 0.5) + 1) * tf{i} * 2.2"
+        f" / (tf{i} + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))"
+        for i in range(len(_Q112_TERMS)))
+    any_hit = " + ".join(f"tf{i}" for i in range(len(_Q112_TERMS)))
+    return f"""
+WITH live AS (
+  SELECT repo, path, content FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY repo, path ORDER BY lsn DESC) rn
+    FROM read_parquet(['{Q24_BINLOG_DIR}/epoch-0.parquet',
+                       '{Q24_BINLOG_DIR}/epoch-1.parquet'],
+                      union_by_name=true)) WHERE rn = 1 AND op <> 'D'
+),
+l AS (
+  SELECT repo, path, string_split(COALESCE(content, ''), ' ') AS toks,
+         len(string_split(COALESCE(content, ''), ' '))::DOUBLE AS dl
+  FROM live
+),
+stats AS (SELECT COUNT(*)::DOUBLE AS n, AVG(dl) AS avgdl FROM l),
+tf AS (SELECT repo, path, dl,
+   {tf_cols}
+ FROM l),
+df AS (SELECT {df_cols} FROM tf)
+SELECT repo, path, ROUND({score}, 4) AS score
+FROM tf, stats, df
+WHERE {any_hit} > 0
+ORDER BY score DESC, repo, path LIMIT 10
+"""
+
+
+QUERIES.update({"q112_index_view": q112_index_view})
+ORACLE.update({"q112_index_view": _q112_sql()})

@@ -1,0 +1,108 @@
+"""Feed-maintained inverted index: incremental refresh == full rebuild,
+delete/update maintenance, stats deltas, pruned search parity."""
+
+from __future__ import annotations
+
+import math
+
+import pyarrow as pa
+import ray.data
+
+from e_commerce_batch_etl_pipeline_ray.cdc import (
+    binlog,
+    engine,
+    index_view,
+    lake,
+    oracle,
+)
+
+SPEC = binlog.BinlogSpec(events_per_epoch=1500, n_repos=8, paths_per_repo=40,
+                         evolution_epoch=1, content_chars_min=16,
+                         content_chars_max=128, dup_lookback=1000)
+N_EPOCHS = 3
+TERMS = ["return", "x"]
+
+
+def _brute_bm25(live: dict, terms, k=10, k1=1.2, b=0.75):
+    docs = {k2: (v["content"] or "").split(" ") for k2, v in live.items()}
+    n = len(docs)
+    dl = {k2: len(t) for k2, t in docs.items()}
+    avglen = sum(dl.values()) / n
+    df = {t: sum(1 for toks in docs.values() if t in toks) for t in terms}
+    idf = {t: math.log((n - df[t] + 0.5) / (df[t] + 0.5) + 1.0)
+           for t in terms}
+    scores = {}
+    for key, toks in docs.items():
+        s = 0.0
+        for t in terms:
+            tf = toks.count(t)
+            if tf:
+                s += idf[t] * tf * (k1 + 1.0) / (
+                    tf + k1 * (1 - b + b * dl[key] / avglen))
+        if s > 0:
+            scores[key] = round(s, 6)
+    fused = sorted(scores.items(),
+                   key=lambda kv: (-kv[1], kv[0][0] + "\x00" + kv[0][1]))
+    return fused[:k]
+
+
+def test_incremental_index_matches_rebuild_and_bruteforce(tmp_path):
+    lake_dir = str(tmp_path / "lake")
+    eng = engine.CDCEngine(engine.CDCConfig(lake_dir=lake_dir,
+                                            num_partitions=8,
+                                            merge_concurrency=2))
+    view = index_view.IndexView(lake_dir, str(tmp_path / "idx"),
+                                num_partitions=8)
+    for ep in range(N_EPOCHS):
+        eng.ingest_epoch(binlog.gen_epoch(SPEC, ep), ep)
+        res = view.refresh()              # incremental, EVERY epoch
+        assert res["refreshed"]
+
+    evs = pa.concat_tables(
+        [binlog.gen_epoch_table(SPEC, e) for e in range(N_EPOCHS)],
+        promote_options="permissive")
+    live = oracle.live_rows(oracle.replay(evs))
+    # stats parity
+    m = lake.read_manifest(str(tmp_path / "idx"),
+                           lake.last_committed_epoch(str(tmp_path / "idx")))
+    assert m["metrics"]["n_docs"] == len(live)
+    assert m["metrics"]["total_len"] == sum(
+        len((v["content"] or "").split(" ")) for v in live.values())
+
+    got = view.search(TERMS, k=10, round_to=6)
+    got_rows = [((r["repo"], r["path"]), r["score"])
+                for r in got.to_pylist()]
+    assert got_rows == _brute_bm25(live, TERMS, k=10)
+
+
+def test_refresh_noop_when_caught_up(tmp_path):
+    lake_dir = str(tmp_path / "lake")
+    eng = engine.CDCEngine(engine.CDCConfig(lake_dir=lake_dir,
+                                            num_partitions=8,
+                                            merge_concurrency=2))
+    eng.ingest_epoch(binlog.gen_epoch(SPEC, 0), 0)
+    view = index_view.IndexView(lake_dir, str(tmp_path / "idx"),
+                                num_partitions=8)
+    assert view.refresh()["refreshed"]
+    assert view.refresh()["refreshed"] is False
+
+
+def test_incremental_equals_one_shot_refresh(tmp_path):
+    """Refreshing per epoch equals one refresh over all epochs."""
+    lake_a, lake_b = str(tmp_path / "la"), str(tmp_path / "lb")
+    views = []
+    for lk, mode in ((lake_a, "per_epoch"), (lake_b, "once")):
+        eng = engine.CDCEngine(engine.CDCConfig(lake_dir=lk,
+                                                num_partitions=8,
+                                                merge_concurrency=2))
+        view = index_view.IndexView(lk, lk + ".idx", num_partitions=8)
+        for ep in range(N_EPOCHS):
+            eng.ingest_epoch(binlog.gen_epoch(SPEC, ep), ep)
+            if mode == "per_epoch":
+                view.refresh()
+        if mode == "once":
+            view.refresh()
+        views.append(view)
+    a = views[0].search(TERMS, k=20, round_to=6).to_pylist()
+    b = views[1].search(TERMS, k=20, round_to=6).to_pylist()
+    assert a == b
