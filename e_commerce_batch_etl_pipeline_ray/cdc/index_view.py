@@ -278,11 +278,13 @@ class IndexView:
     # -- query ---------------------------------------------------------------
 
     def search(self, terms: list[str], k: int = 10, k1: float = 1.2,
-               b: float = 0.75, round_to: int | None = None) -> pa.Table:
+               b: float = 0.75, round_to: int | None = None,
+               epoch: int | None = None) -> pa.Table:
         """BM25 top-k over the live table, reading ONLY the query terms'
-        partitions of the current view epoch. Returns (repo, path, score)
-        sorted score desc, key asc."""
-        last = self._last()
+        partitions of the chosen view epoch (default latest — pass
+        ``epoch`` for a time-travel search against a historical index
+        state). Returns (repo, path, score) sorted score desc, key asc."""
+        last = self._last() if epoch is None else epoch
         if last is None:
             raise FileNotFoundError(f"index view {self.view_dir} is empty")
         manifest = lake.read_manifest(self.view_dir, last)

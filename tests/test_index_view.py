@@ -106,3 +106,25 @@ def test_incremental_equals_one_shot_refresh(tmp_path):
     a = views[0].search(TERMS, k=20, round_to=6).to_pylist()
     b = views[1].search(TERMS, k=20, round_to=6).to_pylist()
     assert a == b
+
+
+def test_time_travel_search(tmp_path):
+    """search(epoch=0) answers from the index state after epoch 0 only."""
+    lake_dir = str(tmp_path / "lake")
+    eng = engine.CDCEngine(engine.CDCConfig(lake_dir=lake_dir,
+                                            num_partitions=8,
+                                            merge_concurrency=2))
+    view = index_view.IndexView(lake_dir, str(tmp_path / "idx"),
+                                num_partitions=8)
+    for ep in range(2):
+        eng.ingest_epoch(binlog.gen_epoch(SPEC, ep), ep)
+        view.refresh()
+    live0 = oracle.live_rows(oracle.replay(binlog.gen_epoch_table(SPEC, 0)))
+    got0 = [((r["repo"], r["path"]), r["score"])
+            for r in view.search(TERMS, k=10, round_to=6,
+                                 epoch=0).to_pylist()]
+    assert got0 == _brute_bm25(live0, TERMS, k=10)
+    # and the latest epoch differs from epoch 0 (updates changed the corpus)
+    got1 = [((r["repo"], r["path"]), r["score"])
+            for r in view.search(TERMS, k=10, round_to=6).to_pylist()]
+    assert got1 != got0
