@@ -4574,3 +4574,34 @@ ORDER BY score DESC, repo, path LIMIT 10
 
 QUERIES.update({"q112_index_view": q112_index_view})
 ORACLE.update({"q112_index_view": _q112_sql()})
+
+
+# ---------------------------------------------------------------------------
+# q113 — ONE-PASS approximate quantile sketch (mergeable weighted-sample
+# summary). At sketch_size >= block rows the summary is lossless and the
+# weighted inverted-CDF answer is EXACTLY quantile_disc — so the oracle
+# pins the sketch/merge/CDF machinery itself; the approximate regime's
+# <= 1/sketch_size rank bound is pytest-asserted (test_transform_steps).
+
+_Q113_QS = (0.1, 0.5, 0.9, 0.99)
+
+
+def q113_approx_quantiles(sf_dir: str):
+    ds = _read(sf_dir, "lineitem", ["l_extendedprice"])
+    got = aggregates.approx_quantiles(ds, "l_extendedprice",
+                                      list(_Q113_QS), sketch_size=10**9)
+    return pa.table({f"q{int(q * 100):02d}": pa.array([v], pa.float64())
+                     for q, v in zip(_Q113_QS, got)})
+
+
+Q113_SQL = """
+SELECT quantile_disc(l_extendedprice, 0.1)::DOUBLE AS q10,
+       quantile_disc(l_extendedprice, 0.5)::DOUBLE AS q50,
+       quantile_disc(l_extendedprice, 0.9)::DOUBLE AS q90,
+       quantile_disc(l_extendedprice, 0.99)::DOUBLE AS q99
+FROM lineitem
+"""
+
+
+QUERIES.update({"q113_approx_quantiles": q113_approx_quantiles})
+ORACLE.update({"q113_approx_quantiles": Q113_SQL})

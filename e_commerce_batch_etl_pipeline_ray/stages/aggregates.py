@@ -1318,3 +1318,57 @@ def grouped_mode(by: Sequence[str], value_col: str,
         return winner.apply(count.apply(ds))
 
     return FnStep(f"mode[{value_col}]", _apply)
+
+
+def approx_quantiles(ds: "ray.data.Dataset", col: str, qs: Sequence[float],
+                     sketch_size: int = 256) -> list[float]:
+    """ONE-PASS approximate quantiles via a mergeable weighted-sample
+    summary: each block contributes its ``sketch_size`` evenly-spaced
+    order statistics, each weighted block_rows/sketch_size; the driver
+    folds the (value, weight) summaries and answers any quantile from the
+    weighted CDF. Deterministic (no sampling), mergeable (summaries are
+    just weighted value lists), and single-scan — the streaming
+    complement of ``exact_quantiles`` (which is exact but needs O(log)
+    passes). Rank error is bounded by sum_blocks n_b/sketch_size =
+    n/sketch_size, i.e. <= 1/sketch_size of total rank regardless of
+    scale or skew (tests assert the bound).
+    """
+    import numpy as np
+
+    for q in qs:
+        if not 0.0 <= q <= 1.0:
+            raise ValueError(f"quantile {q} outside [0, 1]")
+
+    def _summary(t: pa.Table) -> pa.Table:
+        vals = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        vals = vals[~np.isnan(vals)]
+        n = vals.size
+        if n == 0:
+            return pa.table({"v": pa.array([], pa.float64()),
+                             "w": pa.array([], pa.float64())})
+        vals.sort()
+        k = min(sketch_size, n)
+        # evenly-spaced order statistics (inclusive of both extremes)
+        idx = np.unique(np.round(np.linspace(0, n - 1, k)).astype(np.int64))
+        return pa.table({"v": pa.array(vals[idx], pa.float64()),
+                         "w": pa.array(np.full(idx.size, n / idx.size),
+                                       pa.float64())})
+
+    parts = ds.map_batches(_summary, batch_format="pyarrow",
+                           zero_copy_batch=True).take_all()
+    if not parts:
+        return [float("nan")] * len(qs)
+    import numpy as np
+    v = np.array([r["v"] for r in parts], dtype=np.float64)
+    w = np.array([r["w"] for r in parts], dtype=np.float64)
+    if v.size == 0:
+        return [float("nan")] * len(qs)
+    order = np.argsort(v, kind="stable")
+    v, w = v[order], w[order]
+    cum = np.cumsum(w)
+    total = cum[-1]
+    out = []
+    for q in qs:
+        pos = np.searchsorted(cum, q * total, side="left")
+        out.append(float(v[min(pos, v.size - 1)]))
+    return out

@@ -1047,3 +1047,32 @@ def test_incremental_aggregate_equals_batch_and_resumes():
         [{"g": "g0", "v": 50.0}])))
     got2 = inc2.result().to_pandas().set_index("g")
     assert got2.loc["g0", "n"] == batch.set_index("g").loc["g0", "n"] + 1
+
+
+def test_approx_quantiles_error_bound():
+    """One-pass sketch: rank error <= ~1/sketch_size on skewed data,
+    block-count invariant, exact on tiny inputs."""
+    import numpy as np
+
+    from e_commerce_batch_etl_pipeline_ray.stages.aggregates import (
+        approx_quantiles,
+    )
+    rng = np.random.default_rng(7)
+    vals = np.concatenate([rng.normal(0, 1, 15000),
+                           rng.exponential(5, 15000),
+                           np.full(3000, 42.0)])          # heavy point mass
+    sv = np.sort(vals)
+    for blocks in (3, 17):
+        ds = ray.data.from_arrow(pa.table({"x": vals})).repartition(blocks)
+        got = approx_quantiles(ds, "x", [0.05, 0.5, 0.95], sketch_size=256)
+        for q, g in zip([0.05, 0.5, 0.95], got):
+            # a repeated value occupies a rank INTERVAL; error is the
+            # distance from q*n to that interval (0 when q falls inside)
+            lo = np.searchsorted(sv, g, side="left")
+            hi = np.searchsorted(sv, g, side="right")
+            target = q * sv.size
+            err = max(0.0, lo - target, target - hi) / sv.size
+            assert err <= 1.5 / 256, (blocks, q, err)
+    # tiny input: every value is a summary point -> exact inverted-CDF
+    small = ray.data.from_arrow(pa.table({"x": [1.0, 2.0, 3.0, 4.0]}))
+    assert approx_quantiles(small, "x", [0.5]) == [2.0]
