@@ -1,0 +1,327 @@
+"""WATERMARKED TUMBLING-WINDOW AGGREGATE over an event stream ingested in
+epochs — the Flink-style streaming-window contract (event time, bounded
+out-of-orderness, allowed lateness) on the engine's micro-batch spine:
+
+  * watermark after epoch e = max(event time seen through e) - lateness;
+  * a row arriving in epoch e joins its window iff the window has not
+    FINALIZED yet (window_end > watermark after epoch e-1) — otherwise it
+    is counted in ``late_dropped`` and discarded;
+  * at the end of each epoch every open window whose end <= the new
+    watermark finalizes: its aggregate row is emitted exactly once into
+    the epoch's finalized output and its state is freed.
+
+State (open-window partials, mergeable count/sum per (window, key)) and
+finalized outputs are committed through the lake epoch/manifest protocol
+— crash debris cleaned on resume, re-running an epoch rewrites the same
+bytes. Partials are hash-partitioned on (window_start, key): epoch cost
+is O(epoch rows + open-window state), never O(history), and finalization
+is a row-local filter inside each partition.
+
+Batch counterparts: stages/streaming.py tumbling_window (one-shot, no
+lateness semantics); the late-event observability metric in the CDC
+ingest (engine.py) counts but never drops. This operator is the one that
+DROPS by contract and emits exactly-once finalized windows.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray.data
+
+from e_commerce_batch_etl_pipeline_ray.cdc import lake
+from e_commerce_batch_etl_pipeline_ray.stages.dedup import (
+    hash_partition_ids,
+)
+
+_PID = "_wpid"
+_US_PER_MIN = 60 * 1_000_000
+
+
+@dataclass
+class WindowConfig:
+    state_dir: str
+    window_minutes: float
+    lateness_minutes: float
+    ts_col: str = "ts"
+    key_col: str | None = None       # None -> one global series
+    value_col: str | None = None     # None -> count only
+    num_partitions: int = 8
+
+
+class WindowedAggregate:
+    def __init__(self, config: WindowConfig):
+        self.cfg = config
+        os.makedirs(config.state_dir, exist_ok=True)
+
+    # -- state ---------------------------------------------------------------
+
+    def last_committed_epoch(self) -> int | None:
+        return lake.last_committed_epoch(self.cfg.state_dir)
+
+    def resume_point(self) -> int:
+        lake.clean_uncommitted(self.cfg.state_dir)
+        last = self.last_committed_epoch()
+        return 0 if last is None else last + 1
+
+    def watermark(self) -> int | None:
+        """Current watermark (microseconds since epoch), None before any
+        ingest."""
+        last = self.last_committed_epoch()
+        if last is None:
+            return None
+        return lake.read_manifest(self.cfg.state_dir,
+                                  last)["metrics"]["watermark_us"]
+
+    # -- ingest --------------------------------------------------------------
+
+    def _partials(self, events: ray.data.Dataset,
+                  prev_wm: int | None) -> ray.data.Dataset:
+        cfg = self.cfg
+        w_us = int(cfg.window_minutes * _US_PER_MIN)
+
+        def _fn(t: pa.Table) -> pa.Table:
+            ts = pc.cast(t[cfg.ts_col], pa.timestamp("us"))
+            ts_us = ts.cast(pa.int64())
+            win = pc.multiply(
+                pc.floor(pc.divide(pc.cast(ts_us, pa.float64()), w_us)),
+                pa.scalar(float(w_us)))
+            win = pc.cast(win, pa.int64())
+            keys = {"window_us": win}
+            if cfg.key_col is not None:
+                keys[cfg.key_col] = t[cfg.key_col].combine_chunks() \
+                    if isinstance(t[cfg.key_col], pa.ChunkedArray) \
+                    else t[cfg.key_col]
+            vals = {"n_rows": pa.array(np.ones(t.num_rows, np.int64))}
+            if cfg.value_col is not None:
+                vals["sum_val"] = pc.cast(
+                    pc.fill_null(t[cfg.value_col], 0.0), pa.float64())
+            rows = pa.table({**keys, **vals,
+                             "_late": pa.nulls(t.num_rows, pa.bool_())})
+            if prev_wm is not None:
+                win_end = pc.add(rows["window_us"], pa.scalar(w_us,
+                                                              pa.int64()))
+                late = pc.less_equal(win_end, pa.scalar(prev_wm, pa.int64()))
+                rows = rows.set_column(rows.column_names.index("_late"),
+                                       "_late", late)
+            else:
+                rows = rows.set_column(
+                    rows.column_names.index("_late"), "_late",
+                    pa.array(np.zeros(t.num_rows, bool)))
+            # combiner: one partial row per (window, key) per block
+            group_cols = list(keys) + ["_late"]
+            aggs = [("n_rows", "sum")]
+            if cfg.value_col is not None:
+                aggs.append(("sum_val", "sum"))
+            g = rows.group_by(group_cols).aggregate(aggs)
+            out = pa.table({
+                **{c: g[c] for c in group_cols},
+                "n_rows": g["n_rows_sum"],
+                **({"sum_val": g["sum_val_sum"]}
+                   if cfg.value_col is not None else {}),
+            })
+            pid = hash_partition_ids(out, list(keys), cfg.num_partitions)
+            return out.append_column(_PID, pa.array(pid, pa.int32()))
+
+        return events.map_batches(_fn, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+
+    def ingest(self, events: ray.data.Dataset, epoch: int) -> dict:
+        cfg = self.cfg
+        last = self.last_committed_epoch()
+        expected = 0 if last is None else last + 1
+        if epoch != expected:
+            raise ValueError(f"epoch {epoch} out of order; expected {expected}")
+        prev_manifest = (lake.read_manifest(cfg.state_dir, last)
+                         if last is not None else None)
+        prev_parts = prev_manifest["partitions"] if prev_manifest else {}
+        prev_wm = (prev_manifest["metrics"]["watermark_us"]
+                   if prev_manifest else None)
+        w_us = int(cfg.window_minutes * _US_PER_MIN)
+        late_us = int(cfg.lateness_minutes * _US_PER_MIN)
+
+        # epoch max event time (tiny aggregate) -> new watermark
+        mx = events.map_batches(
+            lambda t: pa.table({"mx": pa.array(
+                [pc.max(pc.cast(t[cfg.ts_col],
+                                pa.timestamp("us")).cast(pa.int64())).as_py()],
+                pa.int64())}),
+            batch_format="pyarrow", zero_copy_batch=True).take_all()
+        epoch_max = max((r["mx"] for r in mx if r["mx"] is not None),
+                        default=None)
+        new_wm = prev_wm if prev_wm is not None else -(1 << 62)
+        if epoch_max is not None:
+            new_wm = max(new_wm, epoch_max - late_us)
+
+        partials = self._partials(events, prev_wm).materialize()
+        late_dropped = sum(
+            r["n"] for r in partials.map_batches(
+                lambda t: pa.table({"n": pa.array(
+                    [pc.sum(pc.if_else(t["_late"], t["n_rows"],
+                                       pa.scalar(0, pa.int64()))).as_py()
+                     or 0], pa.int64())}),
+                batch_format="pyarrow", zero_copy_batch=True).take_all())
+
+        key_cols = (["window_us"]
+                    + ([cfg.key_col] if cfg.key_col is not None else []))
+        has_val = cfg.value_col is not None
+        tmp_dir = lake.epoch_dir(cfg.state_dir, epoch, tmp=True)
+        os.makedirs(tmp_dir, exist_ok=True)
+        state_dir = cfg.state_dir
+
+        class _Apply:
+            """Per-partition: fold accepted partials into prior open
+            state, finalize windows past the new watermark."""
+
+            def __init__(self, prev_parts, epoch, new_wm):
+                self.prev = prev_parts
+                self.epoch = epoch
+                self.new_wm = new_wm
+
+            def __call__(self, group: pa.Table) -> pa.Table:
+                pid = group[_PID][0].as_py()
+                t = group.filter(pc.invert(pc.fill_null(group["_late"],
+                                                        False)))
+                t = t.drop_columns([_PID, "_late"])
+                rec = self.prev.get(str(pid))
+                if rec and rec.get("file"):
+                    prior = pq.read_table(rec["file"])
+                    t = pa.concat_tables([prior, t],
+                                         promote_options="permissive")
+                aggs = [("n_rows", "sum")] + ([("sum_val", "sum")]
+                                              if has_val else [])
+                g = t.group_by(key_cols).aggregate(aggs)
+                merged = pa.table({
+                    **{c: g[c] for c in key_cols},
+                    "n_rows": g["n_rows_sum"],
+                    **({"sum_val": g["sum_val_sum"]} if has_val else {}),
+                })
+                win_end = pc.add(merged["window_us"],
+                                 pa.scalar(w_us, pa.int64()))
+                fin_mask = pc.less_equal(win_end,
+                                         pa.scalar(self.new_wm, pa.int64()))
+                finalized = merged.filter(fin_mask).sort_by(
+                    [(c, "ascending") for c in key_cols])
+                open_t = merged.filter(pc.invert(fin_mask)).sort_by(
+                    [(c, "ascending") for c in key_cols])
+                sfname = f"part-{pid:05d}.parquet"
+                ffname = f"final-{pid:05d}.parquet"
+                for tab, fname in ((open_t, sfname), (finalized, ffname)):
+                    tmp_path = os.path.join(tmp_dir, fname)
+                    wip = f"{tmp_path}.wip.{os.getpid()}"
+                    pq.write_table(tab, wip)
+                    os.replace(wip, tmp_path)
+                final_dir = lake.epoch_dir(state_dir, self.epoch)
+                return pa.table({
+                    "partition": pa.array([pid], pa.int32()),
+                    "file": pa.array([os.path.join(final_dir, sfname)],
+                                     pa.string()),
+                    "final_file": pa.array([os.path.join(final_dir, ffname)],
+                                           pa.string()),
+                    "rows_total": pa.array([open_t.num_rows], pa.int64()),
+                    "finalized_windows": pa.array([finalized.num_rows],
+                                                  pa.int64()),
+                    "bytes_written": pa.array(
+                        [sum(os.path.getsize(os.path.join(tmp_dir, f))
+                             for f in (sfname, ffname))], pa.int64()),
+                })
+
+        from e_commerce_batch_etl_pipeline_ray.stages.blockutil import (
+            collect_arrow,
+        )
+        # every partition with prior state must run (finalization applies
+        # even with no new rows) — union new partials with prior-partition
+        # placeholder rows so groupby covers them
+        placeholders = []
+        for pid, rec in prev_parts.items():
+            if rec.get("file"):
+                placeholders.append(int(pid))
+        if placeholders:
+            # column order must match the partials schema exactly
+            ph = pa.table({
+                "window_us": pa.array([0] * len(placeholders), pa.int64()),
+                **({cfg.key_col: pa.array([""] * len(placeholders))}
+                   if cfg.key_col is not None else {}),
+                "_late": pa.array([True] * len(placeholders)),
+                "n_rows": pa.array([0] * len(placeholders), pa.int64()),
+                **({"sum_val": pa.array([0.0] * len(placeholders),
+                                        pa.float64())} if has_val else {}),
+                _PID: pa.array(placeholders, pa.int32()),
+            })
+            partials = partials.union(ray.data.from_arrow(ph))
+
+        lineage = collect_arrow(partials.groupby(_PID).map_groups(
+            _Apply, batch_format="pyarrow",
+            fn_constructor_args=(prev_parts, epoch, new_wm),
+            concurrency=2, num_cpus=1))
+
+        lake.promote_epoch_dir(cfg.state_dir, epoch)
+        partitions = {}
+        for rec in lineage.to_pylist():
+            partitions[rec["partition"]] = {
+                "file": rec["file"], "deltas": [],
+                "novel_file": rec["final_file"],   # vacuum keeps it
+                "lsn_watermark": epoch,
+                "rows_applied": rec["finalized_windows"],
+                "rows_total": rec["rows_total"],
+                "bytes_written": rec["bytes_written"],
+            }
+        schema = pa.schema(
+            [("window_us", pa.int64())]
+            + ([(cfg.key_col, pa.string())] if cfg.key_col else [])
+            + [("n_rows", pa.int64())]
+            + ([("sum_val", pa.float64())] if has_val else []))
+        metrics = {"op": "windowed_aggregate",
+                   "watermark_us": int(new_wm),
+                   "late_dropped": int(late_dropped),
+                   "finalized_windows": sum(r["rows_applied"]
+                                            for r in partitions.values())}
+        lake.commit_manifest(cfg.state_dir, epoch, partitions, schema,
+                             prev_manifest, metrics=metrics,
+                             num_partitions=cfg.num_partitions)
+        return metrics
+
+    # -- reads ---------------------------------------------------------------
+
+    def finalized(self, through_epoch: int | None = None) -> ray.data.Dataset:
+        """All finalized window rows emitted in epochs <= through_epoch
+        (default: latest). Each window appears EXACTLY once across all
+        epochs' outputs."""
+        last = self.last_committed_epoch()
+        if last is None:
+            raise FileNotFoundError(
+                f"no committed epochs in {self.cfg.state_dir}")
+        through = last if through_epoch is None else through_epoch
+        files = []
+        for ep in range(through + 1):
+            try:
+                m = lake.read_manifest(self.cfg.state_dir, ep)
+            except FileNotFoundError:
+                continue          # vacuumed
+            marker = f"epoch={ep:04d}{os.sep}"
+            for rec in m["partitions"].values():
+                f = rec.get("novel_file")
+                if f and marker in f and os.path.exists(f):
+                    files.append(f)
+        if not files:
+            return ray.data.from_items([])
+        return ray.data.read_parquet(sorted(set(files)))
+
+    def open_windows(self) -> ray.data.Dataset:
+        """Current open (unfinalized) window partials."""
+        last = self.last_committed_epoch()
+        if last is None:
+            raise FileNotFoundError(
+                f"no committed epochs in {self.cfg.state_dir}")
+        m = lake.read_manifest(self.cfg.state_dir, last)
+        files = [rec["file"] for rec in m["partitions"].values()
+                 if rec.get("file") and os.path.exists(rec["file"])]
+        if not files:
+            return ray.data.from_items([])
+        return ray.data.read_parquet(files)

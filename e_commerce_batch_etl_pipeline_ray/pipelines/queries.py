@@ -4605,3 +4605,99 @@ FROM lineitem
 
 QUERIES.update({"q113_approx_quantiles": q113_approx_quantiles})
 ORACLE.update({"q113_approx_quantiles": Q113_SQL})
+
+
+# ---------------------------------------------------------------------------
+# q114 — WATERMARKED TUMBLING-WINDOW AGGREGATE (event time, bounded
+# out-of-orderness, allowed lateness — the Flink windowing contract on the
+# engine's micro-batch spine): the events table arrives in 4 epochs
+# (time-ordered, with every 37th event shifted one epoch late), windows
+# finalize when the watermark (max event time - lateness) passes their
+# end, and too-late rows are DROPPED by contract. Oracle: the identical
+# accept/finalize recurrence in SQL (running-max watermarks over the
+# epoch tags, microsecond math both sides).
+
+_Q114_W_MIN = 360.0          # 6h tumbling windows
+_Q114_L_MIN = 1440.0         # 1 day allowed lateness
+_Q114_EPOCHS = 4
+
+
+def q114_windowed_watermark(sf_dir: str):
+    import tempfile
+
+    from e_commerce_batch_etl_pipeline_ray.cdc import window_view
+    ds = _read(sf_dir, "events", ["event_id", "ts", "event_type", "value"])
+    total = ds.count()
+    chunk = -(-total // _Q114_EPOCHS)
+
+    def _arrival_mask(ep):
+        def _fn(t: pa.Table) -> pa.Table:
+            eid = t["event_id"]
+            base = pc.divide(eid, pa.scalar(chunk, pa.int64()))
+            mod = pc.subtract(eid, pc.multiply(
+                pc.divide(eid, pa.scalar(37, pa.int64())),
+                pa.scalar(37, pa.int64())))
+            bump = pc.cast(pc.equal(mod, pa.scalar(0, pa.int64())),
+                           pa.int64())
+            arr = pc.min_element_wise(
+                pc.add(base, bump),
+                pa.scalar(_Q114_EPOCHS - 1, pa.int64()))
+            return t.filter(pc.equal(arr, pa.scalar(ep, pa.int64())))
+        return _fn
+
+    agg = window_view.WindowedAggregate(window_view.WindowConfig(
+        state_dir=tempfile.mkdtemp(prefix="q114_win_", dir="/tmp"),
+        window_minutes=_Q114_W_MIN, lateness_minutes=_Q114_L_MIN,
+        ts_col="ts", key_col="event_type", value_col="value",
+        num_partitions=8))
+    for ep in range(_Q114_EPOCHS):
+        sub = ds.map_batches(_arrival_mask(ep), batch_format="pyarrow",
+                             zero_copy_batch=True)
+        agg.ingest(sub, ep)
+    out = agg.finalized().map_batches(
+        lambda t: pa.table({"window_us": t["window_us"],
+                            "event_type": t["event_type"],
+                            "n_rows": t["n_rows"],
+                            "sum_val": F.round2(t["sum_val"], 2)}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return out.sort(["window_us", "event_type"])
+
+
+def _q114_sql() -> str:
+    w_us = int(_Q114_W_MIN * 60 * 1_000_000)
+    l_us = int(_Q114_L_MIN * 60 * 1_000_000)
+    k = _Q114_EPOCHS
+    return f"""
+WITH n AS (SELECT CAST(CEIL(COUNT(*) / {k}.0) AS BIGINT) AS chunk
+           FROM events),
+e AS (
+  SELECT event_type, epoch_us(ts) AS ts_us, value,
+         LEAST(CAST(FLOOR(event_id / chunk) AS BIGINT)
+               + CASE WHEN event_id % 37 = 0 THEN 1 ELSE 0 END,
+               {k - 1}) AS ep
+  FROM events, n),
+eps AS (SELECT ep, MAX(ts_us) AS mx FROM e GROUP BY ep),
+wms AS (
+  SELECT ep,
+         MAX(mx) OVER (ORDER BY ep
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           - {l_us} AS prev_wm
+  FROM eps),
+acc AS (
+  SELECT e.event_type, e.value,
+         CAST(FLOOR(e.ts_us / {w_us}) AS BIGINT) * {w_us} AS window_us
+  FROM e JOIN wms USING (ep)
+  WHERE wms.prev_wm IS NULL
+     OR CAST(FLOOR(e.ts_us / {w_us}) AS BIGINT) * {w_us} + {w_us}
+        > wms.prev_wm),
+final_wm AS (SELECT MAX(mx) - {l_us} AS wm FROM eps)
+SELECT window_us, event_type, COUNT(*) AS n_rows,
+       ROUND(SUM(value), 2) AS sum_val
+FROM acc, final_wm
+WHERE window_us + {w_us} <= final_wm.wm
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+QUERIES.update({"q114_windowed_watermark": q114_windowed_watermark})
+ORACLE.update({"q114_windowed_watermark": _q114_sql()})
