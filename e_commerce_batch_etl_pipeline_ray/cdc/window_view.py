@@ -53,11 +53,20 @@ class WindowConfig:
     key_col: str | None = None       # None -> one global series
     value_col: str | None = None     # None -> count only
     num_partitions: int = 8
+    # HOPPING (sliding) windows: window_minutes must be a multiple of
+    # slide_minutes; every row joins window_minutes/slide_minutes
+    # overlapping windows. None (default) = tumbling (slide == window).
+    slide_minutes: float | None = None
 
 
 class WindowedAggregate:
     def __init__(self, config: WindowConfig):
         self.cfg = config
+        if config.slide_minutes is not None:
+            k = config.window_minutes / config.slide_minutes
+            if abs(k - round(k)) > 1e-9 or k < 1:
+                raise ValueError("window_minutes must be a positive "
+                                 "multiple of slide_minutes")
         os.makedirs(config.state_dir, exist_ok=True)
 
     # -- state ---------------------------------------------------------------
@@ -85,14 +94,25 @@ class WindowedAggregate:
                   prev_wm: int | None) -> ray.data.Dataset:
         cfg = self.cfg
         w_us = int(cfg.window_minutes * _US_PER_MIN)
+        s_us = (int(cfg.slide_minutes * _US_PER_MIN)
+                if cfg.slide_minutes is not None else w_us)
+        n_copies = w_us // s_us
 
         def _fn(t: pa.Table) -> pa.Table:
+            if n_copies > 1:
+                # hopping: one copy of the batch per overlapping window
+                t = pa.concat_tables([t] * n_copies)
             ts = pc.cast(t[cfg.ts_col], pa.timestamp("us"))
             ts_us = ts.cast(pa.int64())
-            win = pc.multiply(
-                pc.floor(pc.divide(pc.cast(ts_us, pa.float64()), w_us)),
-                pa.scalar(float(w_us)))
-            win = pc.cast(win, pa.int64())
+            base = pc.multiply(
+                pc.floor(pc.divide(pc.cast(ts_us, pa.float64()), s_us)),
+                pa.scalar(float(s_us)))
+            win = pc.cast(base, pa.int64())
+            if n_copies > 1:
+                rows_per = t.num_rows // n_copies
+                shift = np.repeat(np.arange(n_copies, dtype=np.int64),
+                                  rows_per) * s_us
+                win = pc.subtract(win, pa.array(shift, pa.int64()))
             keys = {"window_us": win}
             if cfg.key_col is not None:
                 keys[cfg.key_col] = t[cfg.key_col].combine_chunks() \

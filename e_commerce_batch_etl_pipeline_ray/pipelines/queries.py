@@ -4701,3 +4701,97 @@ GROUP BY 1, 2 ORDER BY 1, 2
 
 QUERIES.update({"q114_windowed_watermark": q114_windowed_watermark})
 ORACLE.update({"q114_windowed_watermark": _q114_sql()})
+
+
+# ---------------------------------------------------------------------------
+# q115 — HOPPING (sliding) watermark windows: q114's contract with every
+# row joining window/slide overlapping windows. Oracle: the same SQL
+# recurrence with the window set expanded via UNNEST(range(k)).
+
+_Q115_W_MIN = 360.0
+_Q115_S_MIN = 120.0          # k = 3 overlapping windows per row
+_Q115_L_MIN = 1440.0
+
+
+def q115_hopping_windows(sf_dir: str):
+    import tempfile
+
+    from e_commerce_batch_etl_pipeline_ray.cdc import window_view
+    ds = _read(sf_dir, "events", ["event_id", "ts", "event_type", "value"])
+    total = ds.count()
+    chunk = -(-total // _Q114_EPOCHS)
+
+    def _arrival_mask(ep):
+        def _fn(t: pa.Table) -> pa.Table:
+            eid = t["event_id"]
+            base = pc.divide(eid, pa.scalar(chunk, pa.int64()))
+            mod = pc.subtract(eid, pc.multiply(
+                pc.divide(eid, pa.scalar(37, pa.int64())),
+                pa.scalar(37, pa.int64())))
+            bump = pc.cast(pc.equal(mod, pa.scalar(0, pa.int64())),
+                           pa.int64())
+            arr = pc.min_element_wise(
+                pc.add(base, bump),
+                pa.scalar(_Q114_EPOCHS - 1, pa.int64()))
+            return t.filter(pc.equal(arr, pa.scalar(ep, pa.int64())))
+        return _fn
+
+    agg = window_view.WindowedAggregate(window_view.WindowConfig(
+        state_dir=tempfile.mkdtemp(prefix="q115_win_", dir="/tmp"),
+        window_minutes=_Q115_W_MIN, lateness_minutes=_Q115_L_MIN,
+        ts_col="ts", key_col="event_type", value_col="value",
+        num_partitions=8, slide_minutes=_Q115_S_MIN))
+    for ep in range(_Q114_EPOCHS):
+        sub = ds.map_batches(_arrival_mask(ep), batch_format="pyarrow",
+                             zero_copy_batch=True)
+        agg.ingest(sub, ep)
+    out = agg.finalized().map_batches(
+        lambda t: pa.table({"window_us": t["window_us"],
+                            "event_type": t["event_type"],
+                            "n_rows": t["n_rows"],
+                            "sum_val": F.round2(t["sum_val"], 2)}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return out.sort(["window_us", "event_type"])
+
+
+def _q115_sql() -> str:
+    w_us = int(_Q115_W_MIN * 60 * 1_000_000)
+    s_us = int(_Q115_S_MIN * 60 * 1_000_000)
+    l_us = int(_Q115_L_MIN * 60 * 1_000_000)
+    k = _Q114_EPOCHS
+    n_copies = w_us // s_us
+    return f"""
+WITH n AS (SELECT CAST(CEIL(COUNT(*) / {k}.0) AS BIGINT) AS chunk
+           FROM events),
+e AS (
+  SELECT event_type, epoch_us(ts) AS ts_us, value,
+         LEAST(CAST(FLOOR(event_id / chunk) AS BIGINT)
+               + CASE WHEN event_id % 37 = 0 THEN 1 ELSE 0 END,
+               {k - 1}) AS ep
+  FROM events, n),
+eps AS (SELECT ep, MAX(ts_us) AS mx FROM e GROUP BY ep),
+wms AS (
+  SELECT ep,
+         MAX(mx) OVER (ORDER BY ep
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           - {l_us} AS prev_wm
+  FROM eps),
+ex AS (
+  SELECT e.*, CAST(FLOOR(e.ts_us / {s_us}) AS BIGINT) * {s_us}
+              - i * {s_us} AS window_us
+  FROM e CROSS JOIN UNNEST(range(0, {n_copies})) AS t(i)),
+acc AS (
+  SELECT ex.event_type, ex.value, ex.window_us
+  FROM ex JOIN wms USING (ep)
+  WHERE wms.prev_wm IS NULL OR ex.window_us + {w_us} > wms.prev_wm),
+final_wm AS (SELECT MAX(mx) - {l_us} AS wm FROM eps)
+SELECT window_us, event_type, COUNT(*) AS n_rows,
+       ROUND(SUM(value), 2) AS sum_val
+FROM acc, final_wm
+WHERE window_us + {w_us} <= final_wm.wm
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+QUERIES.update({"q115_hopping_windows": q115_hopping_windows})
+ORACLE.update({"q115_hopping_windows": _q115_sql()})

@@ -134,3 +134,48 @@ def test_watermark_monotone_and_epoch_guard(tmp_path):
     assert agg.watermark() >= wm0
     with pytest.raises(ValueError, match="out of order"):
         agg.ingest(ray.data.from_arrow(eps[1]), 5)
+
+
+def test_hopping_windows_match_bruteforce(tmp_path):
+    """Sliding (hopping) windows: every row joins w/s overlapping windows;
+    the same watermark accept/finalize rules apply per (row, window)."""
+    SLIDE = 20.0          # 60-min windows hopping every 20 min
+    eps = _epochs(seed=13, n_epochs=3, per_epoch=250)
+    agg = window_view.WindowedAggregate(window_view.WindowConfig(
+        state_dir=str(tmp_path / "hop"), window_minutes=W_MIN,
+        lateness_minutes=L_MIN, ts_col="ts", key_col="event_type",
+        value_col="value", num_partitions=4, slide_minutes=SLIDE))
+    for ep, t in enumerate(eps):
+        agg.ingest(ray.data.from_arrow(t).repartition(2), ep)
+
+    w_us = int(W_MIN * 60 * 1_000_000)
+    s_us = int(SLIDE * 60 * 1_000_000)
+    l_us = int(L_MIN * 60 * 1_000_000)
+    state, finalized, wm = {}, {}, None
+    for t in eps:
+        for ts, k, v in zip(t["ts"].to_pylist(), t["event_type"].to_pylist(),
+                            t["value"].to_pylist()):
+            us = int(ts.timestamp() * 1_000_000)
+            for i in range(w_us // s_us):
+                win = (us // s_us) * s_us - i * s_us
+                if wm is not None and win + w_us <= wm:
+                    continue
+                cur = state.setdefault((win, k), [0, 0.0])
+                cur[0] += 1
+                cur[1] += v
+        mx = max(int(x.timestamp() * 1_000_000) for x in t["ts"].to_pylist())
+        wm = mx - l_us if wm is None else max(wm, mx - l_us)
+        for key in [kk for kk in state if kk[0] + w_us <= wm]:
+            finalized[key] = tuple(state.pop(key))
+    got = {(r["window_us"], r["event_type"]): (r["n_rows"],
+                                               round(r["sum_val"], 6))
+           for r in agg.finalized().take_all()}
+    assert got == {k: (n, round(s, 6)) for k, (n, s) in finalized.items()}
+
+
+def test_slide_must_divide_window(tmp_path):
+    import pytest
+    with pytest.raises(ValueError, match="multiple of slide"):
+        window_view.WindowedAggregate(window_view.WindowConfig(
+            state_dir=str(tmp_path / "bad"), window_minutes=60,
+            lateness_minutes=10, slide_minutes=25))
