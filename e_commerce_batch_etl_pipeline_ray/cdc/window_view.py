@@ -345,3 +345,265 @@ class WindowedAggregate:
         if not files:
             return ray.data.from_items([])
         return ray.data.read_parquet(files)
+
+
+@dataclass
+class SessionConfig:
+    state_dir: str
+    gap_minutes: float
+    lateness_minutes: float
+    ts_col: str = "ts"
+    key_col: str = "user_id"
+    value_col: str | None = None
+    num_partitions: int = 8
+
+
+class SessionAggregate:
+    """WATERMARKED SESSION WINDOWS: gap-based sessions maintained
+    incrementally across epochs — the stateful form of
+    stages/streaming.sessionize. Per epoch and key:
+
+      * an event is LATE-DROPPED iff even its own would-be session is
+        already finalized (event_ts + gap <= watermark before the epoch);
+      * accepted events merge with any open session within ``gap`` —
+        interval union via one sorted sweep per partition (cummax chain +
+        reduceat partials, no per-session Python);
+      * sessions whose last event + gap <= the new watermark finalize
+        exactly once into the epoch's output.
+
+    Streaming sessionization is PATH-DEPENDENT (a dropped straggler can
+    no longer bridge two sessions), so the SQL oracle (q116) pins the
+    drop-free operating point where incremental == one-shot
+    sessionization; the drop path is pinned by the brute-force pytest.
+    State/output commits ride the lake epoch/manifest protocol.
+    """
+
+    def __init__(self, config: SessionConfig):
+        self.cfg = config
+        os.makedirs(config.state_dir, exist_ok=True)
+
+    def last_committed_epoch(self) -> int | None:
+        return lake.last_committed_epoch(self.cfg.state_dir)
+
+    def resume_point(self) -> int:
+        lake.clean_uncommitted(self.cfg.state_dir)
+        last = self.last_committed_epoch()
+        return 0 if last is None else last + 1
+
+    def watermark(self) -> int | None:
+        last = self.last_committed_epoch()
+        if last is None:
+            return None
+        return lake.read_manifest(self.cfg.state_dir,
+                                  last)["metrics"]["watermark_us"]
+
+    def ingest(self, events: ray.data.Dataset, epoch: int) -> dict:
+        cfg = self.cfg
+        last = self.last_committed_epoch()
+        expected = 0 if last is None else last + 1
+        if epoch != expected:
+            raise ValueError(f"epoch {epoch} out of order; expected {expected}")
+        prev_manifest = (lake.read_manifest(cfg.state_dir, last)
+                         if last is not None else None)
+        prev_parts = prev_manifest["partitions"] if prev_manifest else {}
+        prev_wm = (prev_manifest["metrics"]["watermark_us"]
+                   if prev_manifest else None)
+        gap_us = int(cfg.gap_minutes * _US_PER_MIN)
+        late_us = int(cfg.lateness_minutes * _US_PER_MIN)
+        has_val = cfg.value_col is not None
+
+        mx = events.map_batches(
+            lambda t: pa.table({"mx": pa.array(
+                [pc.max(pc.cast(t[cfg.ts_col],
+                                pa.timestamp("us")).cast(pa.int64())).as_py()],
+                pa.int64())}),
+            batch_format="pyarrow", zero_copy_batch=True).take_all()
+        epoch_max = max((r["mx"] for r in mx if r["mx"] is not None),
+                        default=None)
+        new_wm = prev_wm if prev_wm is not None else -(1 << 62)
+        if epoch_max is not None:
+            new_wm = max(new_wm, epoch_max - late_us)
+
+        # event rows as degenerate sessions (start=end=ts), late-marked
+        def _rows(t: pa.Table) -> pa.Table:
+            ts_us = pc.cast(t[cfg.ts_col], pa.timestamp("us")).cast(pa.int64())
+            out = pa.table({
+                cfg.key_col: t[cfg.key_col],
+                "start_us": ts_us,
+                "last_us": ts_us,
+                "n_rows": pa.array(np.ones(t.num_rows, np.int64)),
+                **({"sum_val": pc.cast(pc.fill_null(t[cfg.value_col], 0.0),
+                                       pa.float64())} if has_val else {}),
+            })
+            if prev_wm is not None:
+                late = pc.less_equal(pc.add(out["last_us"],
+                                            pa.scalar(gap_us, pa.int64())),
+                                     pa.scalar(prev_wm, pa.int64()))
+            else:
+                late = pa.array(np.zeros(t.num_rows, bool))
+            out = out.append_column("_late", late)
+            pid = hash_partition_ids(out, [cfg.key_col], cfg.num_partitions)
+            return out.append_column(_PID, pa.array(pid, pa.int32()))
+
+        partials = events.map_batches(_rows, batch_format="pyarrow",
+                                      zero_copy_batch=True).materialize()
+        late_dropped = sum(
+            r["n"] for r in partials.map_batches(
+                lambda t: pa.table({"n": pa.array(
+                    [int(pc.sum(pc.cast(t["_late"], pa.int64())).as_py()
+                         or 0)], pa.int64())}),
+                batch_format="pyarrow", zero_copy_batch=True).take_all())
+
+        key_col = cfg.key_col
+        tmp_dir = lake.epoch_dir(cfg.state_dir, epoch, tmp=True)
+        os.makedirs(tmp_dir, exist_ok=True)
+        state_dir = cfg.state_dir
+
+        class _Apply:
+            def __init__(self, prev_parts, epoch, new_wm):
+                self.prev = prev_parts
+                self.epoch = epoch
+                self.new_wm = new_wm
+
+            def __call__(self, group: pa.Table) -> pa.Table:
+                pid = group[_PID][0].as_py()
+                t = group.filter(pc.invert(pc.fill_null(group["_late"],
+                                                        False)))
+                t = t.drop_columns([_PID, "_late"])
+                rec = self.prev.get(str(pid))
+                if rec and rec.get("file"):
+                    prior = pq.read_table(rec["file"])
+                    t = pa.concat_tables([prior, t],
+                                         promote_options="permissive")
+                # one sorted sweep merges events + open sessions per key:
+                # chain-break where a session's start exceeds the running
+                # max end (+gap) of its predecessors within the key
+                t = t.sort_by([(key_col, "ascending"),
+                               ("start_us", "ascending"),
+                               ("last_us", "ascending")])
+                n = t.num_rows
+                if n == 0:
+                    merged = t
+                else:
+                    keys = t[key_col].to_numpy(zero_copy_only=False)
+                    start = t["start_us"].to_numpy()
+                    lastv = t["last_us"].to_numpy()
+                    new_key = np.empty(n, dtype=bool)
+                    new_key[0] = True
+                    new_key[1:] = keys[1:] != keys[:-1]
+                    # running max of (last + gap) within key, shifted by 1
+                    reach = lastv + gap_us
+                    run = np.empty(n, dtype=np.int64)
+                    cur = np.int64(-(1 << 62))
+                    # vectorized segmented cummax via np.maximum.accumulate
+                    # with resets: do it per contiguous key run using
+                    # boundaries (few runs per partition group)
+                    bounds = np.flatnonzero(new_key)
+                    ends = np.append(bounds[1:], n)
+                    brk = np.zeros(n, dtype=bool)
+                    for b, e in zip(bounds, ends):
+                        seg = np.maximum.accumulate(reach[b:e])
+                        brk[b] = True
+                        if e - b > 1:
+                            brk[b + 1:e] = start[b + 1:e] > seg[:-1]
+                    sess_id = np.cumsum(brk) - 1
+                    starts_idx = np.flatnonzero(brk)
+                    agg_start = start[starts_idx]
+                    agg_last = np.maximum.reduceat(lastv, starts_idx)
+                    agg_n = np.add.reduceat(
+                        t["n_rows"].to_numpy(), starts_idx)
+                    cols = {
+                        key_col: t[key_col].take(
+                            pa.array(starts_idx)),
+                        "start_us": pa.array(agg_start, pa.int64()),
+                        "last_us": pa.array(agg_last, pa.int64()),
+                        "n_rows": pa.array(agg_n, pa.int64()),
+                    }
+                    if has_val:
+                        cols["sum_val"] = pa.array(
+                            np.add.reduceat(t["sum_val"].to_numpy(),
+                                            starts_idx), pa.float64())
+                    merged = pa.table(cols)
+                    del sess_id, cur, run
+                fin_mask = pc.less_equal(
+                    pc.add(merged["last_us"], pa.scalar(gap_us, pa.int64())),
+                    pa.scalar(self.new_wm, pa.int64())) if merged.num_rows \
+                    else pa.array([], pa.bool_())
+                finalized = merged.filter(fin_mask)
+                open_t = merged.filter(pc.invert(fin_mask)) \
+                    if merged.num_rows else merged
+                sfname = f"part-{pid:05d}.parquet"
+                ffname = f"final-{pid:05d}.parquet"
+                for tab, fname in ((open_t, sfname), (finalized, ffname)):
+                    tmp_path = os.path.join(tmp_dir, fname)
+                    wip = f"{tmp_path}.wip.{os.getpid()}"
+                    pq.write_table(tab, wip)
+                    os.replace(wip, tmp_path)
+                final_dir = lake.epoch_dir(state_dir, self.epoch)
+                return pa.table({
+                    "partition": pa.array([pid], pa.int32()),
+                    "file": pa.array([os.path.join(final_dir, sfname)],
+                                     pa.string()),
+                    "final_file": pa.array(
+                        [os.path.join(final_dir, ffname)], pa.string()),
+                    "rows_total": pa.array([open_t.num_rows], pa.int64()),
+                    "finalized_windows": pa.array([finalized.num_rows],
+                                                  pa.int64()),
+                    "bytes_written": pa.array(
+                        [sum(os.path.getsize(os.path.join(tmp_dir, f))
+                             for f in (sfname, ffname))], pa.int64()),
+                })
+
+        from e_commerce_batch_etl_pipeline_ray.stages.blockutil import (
+            collect_arrow,
+        )
+        placeholders = [int(p) for p, rec in prev_parts.items()
+                        if rec.get("file")]
+        if placeholders:
+            ph = pa.table({
+                key_col: pa.array([None] * len(placeholders),
+                                  partials.schema().base_schema.field(
+                                      key_col).type),
+                "start_us": pa.array([0] * len(placeholders), pa.int64()),
+                "last_us": pa.array([0] * len(placeholders), pa.int64()),
+                "n_rows": pa.array([0] * len(placeholders), pa.int64()),
+                **({"sum_val": pa.array([0.0] * len(placeholders),
+                                        pa.float64())} if has_val else {}),
+                "_late": pa.array([True] * len(placeholders)),
+                _PID: pa.array(placeholders, pa.int32()),
+            })
+            partials = partials.union(ray.data.from_arrow(ph))
+
+        lineage = collect_arrow(partials.groupby(_PID).map_groups(
+            _Apply, batch_format="pyarrow",
+            fn_constructor_args=(prev_parts, epoch, new_wm),
+            concurrency=2, num_cpus=1))
+
+        lake.promote_epoch_dir(cfg.state_dir, epoch)
+        partitions = {}
+        for rec in lineage.to_pylist():
+            partitions[rec["partition"]] = {
+                "file": rec["file"], "deltas": [],
+                "novel_file": rec["final_file"],
+                "lsn_watermark": epoch,
+                "rows_applied": rec["finalized_windows"],
+                "rows_total": rec["rows_total"],
+                "bytes_written": rec["bytes_written"],
+            }
+        key_type = partials.schema().base_schema.field(cfg.key_col).type
+        schema = pa.schema(
+            [(cfg.key_col, key_type), ("start_us", pa.int64()),
+             ("last_us", pa.int64()), ("n_rows", pa.int64())]
+            + ([("sum_val", pa.float64())] if has_val else []))
+        metrics = {"op": "session_aggregate",
+                   "watermark_us": int(new_wm),
+                   "late_dropped": int(late_dropped),
+                   "finalized_sessions": sum(r["rows_applied"]
+                                             for r in partitions.values())}
+        lake.commit_manifest(cfg.state_dir, epoch, partitions, schema,
+                             prev_manifest, metrics=metrics,
+                             num_partitions=cfg.num_partitions)
+        return metrics
+
+    finalized = WindowedAggregate.finalized
+    open_windows = WindowedAggregate.open_windows

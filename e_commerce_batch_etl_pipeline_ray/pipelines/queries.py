@@ -4795,3 +4795,73 @@ GROUP BY 1, 2 ORDER BY 1, 2
 
 QUERIES.update({"q115_hopping_windows": q115_hopping_windows})
 ORACLE.update({"q115_hopping_windows": _q115_sql()})
+
+
+# ---------------------------------------------------------------------------
+# q116 — WATERMARKED SESSION WINDOWS (incremental gap-merge across
+# epochs): the events table arrives in 4 time-ordered micro-batches
+# (sessions straddling epoch boundaries must merge in state), sessions
+# finalize when last_event + gap <= watermark. Time-ordered arrival is
+# the DROP-FREE operating point, so the path-dependent drop rule can't
+# diverge and the one-shot SQL sessionization + finalize filter is an
+# exact oracle; the drop path is pinned by tests/test_window_view.py.
+
+_Q116_GAP_MIN = 30.0
+_Q116_L_MIN = 60.0
+
+
+def q116_session_windows(sf_dir: str):
+    import tempfile
+
+    from e_commerce_batch_etl_pipeline_ray.cdc import window_view
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+    total = ds.count()
+    chunk = -(-total // _Q114_EPOCHS)
+
+    agg = window_view.SessionAggregate(window_view.SessionConfig(
+        state_dir=tempfile.mkdtemp(prefix="q116_sess_", dir="/tmp"),
+        gap_minutes=_Q116_GAP_MIN, lateness_minutes=_Q116_L_MIN,
+        ts_col="ts", key_col="user_id", value_col="value",
+        num_partitions=8))
+    for ep in range(_Q114_EPOCHS):
+        lo, hi = ep * chunk, (ep + 1) * chunk
+        sub = ds.filter(expr=f"event_id >= {lo} and event_id < {hi}")
+        agg.ingest(sub, ep)
+    out = agg.finalized().map_batches(
+        lambda t: pa.table({"user_id": t["user_id"],
+                            "start_us": t["start_us"],
+                            "last_us": t["last_us"],
+                            "n_rows": t["n_rows"],
+                            "sum_val": F.round2(t["sum_val"], 2)}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return out.sort(["user_id", "start_us"])
+
+
+def _q116_sql() -> str:
+    gap_us = int(_Q116_GAP_MIN * 60 * 1_000_000)
+    l_us = int(_Q116_L_MIN * 60 * 1_000_000)
+    return f"""
+WITH o AS (
+  SELECT user_id, value, epoch_us(ts) AS us,
+         CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id)
+                   > {gap_us} THEN 1 ELSE 0 END AS new_s
+  FROM events),
+s AS (
+  SELECT user_id, value, us,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY us
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o),
+f AS (
+  SELECT user_id, MIN(us) AS start_us, MAX(us) AS last_us,
+         COUNT(*) AS n_rows, ROUND(SUM(value), 2) AS sum_val
+  FROM s GROUP BY user_id, sid),
+wm AS (SELECT MAX(epoch_us(ts)) - {l_us} AS w FROM events)
+SELECT user_id, start_us, last_us, n_rows, sum_val
+FROM f, wm WHERE last_us + {gap_us} <= wm.w
+ORDER BY user_id, start_us
+"""
+
+
+QUERIES.update({"q116_session_windows": q116_session_windows})
+ORACLE.update({"q116_session_windows": _q116_sql()})

@@ -179,3 +179,93 @@ def test_slide_must_divide_window(tmp_path):
         window_view.WindowedAggregate(window_view.WindowConfig(
             state_dir=str(tmp_path / "bad"), window_minutes=60,
             lateness_minutes=10, slide_minutes=25))
+
+
+# -- session windows --------------------------------------------------------
+
+GAP_MIN = 5.0          # sparse fixture: most inter-event gaps exceed this
+
+
+def _sess_brute(eps, gap_min=GAP_MIN, l_min=L_MIN):
+    gap_us = int(gap_min * 60 * 1_000_000)
+    l_us = int(l_min * 60 * 1_000_000)
+    open_s: dict = {}          # key -> list of [start, last, n, sum]
+    finalized = []
+    wm = None
+    dropped = 0
+    for t in eps:
+        for ts, k, v in zip(t["ts"].to_pylist(), t["event_type"].to_pylist(),
+                            t["value"].to_pylist()):
+            us = int(ts.timestamp() * 1_000_000)
+            if wm is not None and us + gap_us <= wm:
+                dropped += 1
+                continue
+            sess = open_s.setdefault(k, [])
+            sess.append([us, us, 1, v])
+            sess.sort()
+            merged = [sess[0]]
+            for s in sess[1:]:
+                if s[0] <= merged[-1][1] + gap_us:
+                    merged[-1][1] = max(merged[-1][1], s[1])
+                    merged[-1][2] += s[2]
+                    merged[-1][3] += s[3]
+                else:
+                    merged.append(s)
+            open_s[k] = merged
+        mx = max(int(x.timestamp() * 1_000_000) for x in t["ts"].to_pylist())
+        wm = mx - l_us if wm is None else max(wm, mx - l_us)
+        for k in list(open_s):
+            keep = []
+            for s in open_s[k]:
+                if s[1] + gap_us <= wm:
+                    finalized.append((k, s[0], s[1], s[2], round(s[3], 6)))
+                else:
+                    keep.append(s)
+            open_s[k] = keep
+    return sorted(finalized), dropped
+
+
+def test_session_windows_match_bruteforce(tmp_path):
+    eps = _epochs(seed=21, n_epochs=4, per_epoch=60)
+    agg = window_view.SessionAggregate(window_view.SessionConfig(
+        state_dir=str(tmp_path / "sess"), gap_minutes=GAP_MIN,
+        lateness_minutes=L_MIN, ts_col="ts", key_col="event_type",
+        value_col="value", num_partitions=4))
+    dropped = 0
+    for ep, t in enumerate(eps):
+        m = agg.ingest(ray.data.from_arrow(t).repartition(3), ep)
+        dropped += m["late_dropped"]
+    exp, exp_drop = _sess_brute(eps)
+    assert exp and exp_drop > 0, "fixture must finalize and drop"
+    got = sorted((r["event_type"], r["start_us"], r["last_us"], r["n_rows"],
+                  round(r["sum_val"], 6))
+                 for r in agg.finalized().take_all())
+    assert got == exp
+    assert dropped == exp_drop
+
+
+def test_session_merge_across_epochs(tmp_path):
+    """An epoch-2 event inside the gap of an epoch-1 open session must
+    extend that session, not start a new one."""
+    t0 = T0
+    gap_us = int(GAP_MIN * 60 * 1_000_000)
+    e0 = pa.table({"ts": pa.array([t0, t0 + gap_us // 2],
+                                  pa.timestamp("us")),
+                   "event_type": pa.array(["a", "a"]),
+                   "value": pa.array([1.0, 2.0], pa.float64())})
+    # epoch 1: one event continuing the session + a far-future event that
+    # pushes the watermark past the merged session's end
+    far = t0 + 100 * gap_us
+    e1 = pa.table({"ts": pa.array([t0 + gap_us, far], pa.timestamp("us")),
+                   "event_type": pa.array(["a", "b"]),
+                   "value": pa.array([4.0, 8.0], pa.float64())})
+    agg = window_view.SessionAggregate(window_view.SessionConfig(
+        state_dir=str(tmp_path / "sess"), gap_minutes=GAP_MIN,
+        lateness_minutes=1.0, ts_col="ts", key_col="event_type",
+        value_col="value", num_partitions=2))
+    agg.ingest(ray.data.from_arrow(e0), 0)
+    agg.ingest(ray.data.from_arrow(e1), 1)
+    fin = {r["event_type"]: (r["start_us"], r["last_us"], r["n_rows"],
+                             r["sum_val"])
+           for r in agg.finalized().take_all()}
+    assert fin["a"] == (t0, t0 + gap_us, 3, 7.0)     # ONE merged session
