@@ -145,12 +145,25 @@ def _diff_states(prev: pa.Table, cur: pa.Table, epoch: int,
     # prior-live key now tombstoned (or GC-vanished) -> delete, preimage row
     delete_mask = p_live_np & cur_dead_at
 
+    # delete rows carry the PREIMAGE payload but the DELETE's lsn (the
+    # tombstone's lsn in cur) — the Debezium contract, and what makes a
+    # feed-driven replica's tombstones win LWW against the rows they
+    # delete. A GC-vanished key (no cur row) keeps the preimage lsn.
+    del_idx = np.flatnonzero(delete_mask)
+    del_piece = _emit(prev, del_idx, "delete", epoch, out_schema)
+    if del_piece.num_rows:
+        has_c = has_cur[del_idx]
+        lsn_np = del_piece["lsn"].to_numpy(zero_copy_only=False).copy()
+        lsn_np[has_c] = n_lsn[nidx[del_idx][has_c]]
+        del_piece = del_piece.set_column(
+            del_piece.column_names.index("lsn"), "lsn",
+            pa.array(lsn_np, pa.int64()))
     pieces = [
         _emit(cur, np.flatnonzero(insert_mask), "insert", epoch, out_schema),
         _emit(prev, pidx[update_mask], "update_preimage", epoch, out_schema),
         _emit(cur, np.flatnonzero(update_mask), "update_postimage", epoch,
               out_schema),
-        _emit(prev, np.flatnonzero(delete_mask), "delete", epoch, out_schema),
+        del_piece,
     ]
     return pa.concat_tables([p for p in pieces if p.num_rows] or
                             [out_schema.empty_table()])
@@ -391,3 +404,52 @@ def sync_feed_to_db(lake_dir: str, db_path: str, table: str,
     start = 0 if prev_off is None else prev_off + 1
     return {"epochs_applied": epoch - start + 1,
             "upserts": upserts, "deletes": deletes}
+
+
+def replicate(src_lake: str, dst_lake: str, state_path: str,
+              num_partitions: int | None = None,
+              merge_concurrency: int = 2) -> dict:
+    """GEO-REPLICA from the change feed: drain unseen source epochs
+    through a FeedCursor, convert the row-level changes back into upsert/
+    delete EVENTS (insert/update_postimage -> 'U', delete -> 'D', each
+    keeping its original lsn; preimages skipped — the postimage carries
+    the row), and ingest them into the destination lake through the
+    normal epoch protocol. LWW on the preserved lsn makes redelivery
+    idempotent, so crash-between-poll-and-commit is exactly-once — the
+    same contract as sync_feed_to_db, with a LAKE as the sink.
+
+    The replica is a full CDC lake: point reads, time travel (its own
+    epoch grain), feeds and views all work on it. One call replicates one
+    batch of epochs; run it per source commit (or in a poll loop)."""
+    from e_commerce_batch_etl_pipeline_ray.cdc import engine as _engine
+
+    src_manifest = lake.read_manifest(src_lake,
+                                      lake.last_committed_epoch(src_lake))
+    if num_partitions is None:
+        num_partitions = src_manifest.get("num_partitions", 32)
+    cur = FeedCursor(src_lake, state_path)
+    batch = cur.poll()
+    if batch is None:
+        return {"epochs_applied": 0, "events": 0}
+
+    def _to_events(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.not_equal(t[CHANGE_COL], "update_preimage"))
+        op = pc.if_else(pc.equal(t[CHANGE_COL], "delete"),
+                        pa.scalar("D"), pa.scalar("U"))
+        cols = {"lsn": t["lsn"], "op": op}
+        for f in t.schema:
+            if f.name not in ("lsn", CHANGE_COL, EPOCH_COL):
+                cols[f.name] = t[f.name]
+        return pa.table(cols)
+
+    events = batch.map_batches(_to_events, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    eng = _engine.CDCEngine(_engine.CDCConfig(
+        lake_dir=dst_lake, num_partitions=num_partitions,
+        merge_concurrency=merge_concurrency))
+    epoch = eng.resume_point()
+    n = events.count()
+    eng.ingest_epoch(events, epoch, events_in=n)
+    applied_through = cur.commit()     # offset advances AFTER the commit
+    return {"epochs_applied": 1, "events": n,
+            "src_epoch_through": applied_through, "dst_epoch": epoch}

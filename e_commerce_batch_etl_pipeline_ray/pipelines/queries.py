@@ -3329,7 +3329,7 @@ feed AS (
   FROM s1 JOIN s0 ON s1.repo = s0.repo AND s1.path = s0.path
   WHERE s1.op <> 'D' AND s0.op <> 'D' AND s1.lsn <> s0.lsn
   UNION ALL
-  SELECT 'delete', 1, s0.lsn, s0.repo, s0.path, s0.commit,
+  SELECT 'delete', 1, s1.lsn, s0.repo, s0.path, s0.commit,
          CAST(NULL AS VARCHAR), s0.content, s0.content_sha256
   FROM s1 JOIN s0 ON s1.repo = s0.repo AND s1.path = s0.path
   WHERE s1.op = 'D' AND s0.op <> 'D'

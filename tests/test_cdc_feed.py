@@ -51,7 +51,8 @@ def _expected_changes(epoch: int) -> set[tuple]:
             out.add(("update_preimage", *key, p["lsn"]))
             out.add(("update_postimage", *key, row["lsn"]))
         elif not c_live and p_live:
-            out.add(("delete", *key, p["lsn"]))
+            # delete rows carry the DELETE's lsn (cur's tombstone)
+            out.add(("delete", *key, row["lsn"]))
     return out
 
 
@@ -139,9 +140,9 @@ def test_feed_delete_then_reinsert_across_epochs(tmp_path):
     assert got == {
         ("insert", "r", "a", 1), ("insert", "r", "b", 2),
         ("insert", "r", "c", 3),
-        ("delete", "r", "a", 1),
+        ("delete", "r", "a", 4),
         ("update_preimage", "r", "b", 2), ("update_postimage", "r", "b", 5),
-        ("insert", "r", "a", 6), ("delete", "r", "c", 3),
+        ("insert", "r", "a", 6), ("delete", "r", "c", 7),
     }
     empty = fd.schema.empty_table()
     # drop feed metadata to get a bare snapshot shape
@@ -276,3 +277,33 @@ def test_sync_feed_to_db_exactly_once(tmp_path):
     stats = feed.sync_feed_to_db(lake_dir, db, "files", state)
     assert stats["epochs_applied"] == 1
     assert db_state() == lake_state()
+
+
+def test_replicate_lake_matches_source(tmp_path):
+    """Feed-driven replica: after draining, replica live state == source
+    live state (payload parity incl. deletes); crash-between-poll-and-
+    commit redelivery is idempotent."""
+    from e_commerce_batch_etl_pipeline_ray.cdc import feed as F2
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    state = str(tmp_path / "cursor.json")
+    eng = engine.CDCEngine(engine.CDCConfig(lake_dir=src, num_partitions=8,
+                                            merge_concurrency=2))
+    for ep in range(N_EPOCHS):
+        eng.ingest_epoch(binlog.gen_epoch(SPEC, ep), ep)
+        F2.replicate(src, dst, state, merge_concurrency=2)
+
+    def _snap(lk):
+        return {(r["repo"], r["path"]): (r["lsn"], r["commit"],
+                                         r["content_sha256"])
+                for r in lake.read_lake(lk).take_all()}
+    assert _snap(dst) == _snap(src)
+
+    # crash redelivery: wipe the cursor back one epoch and re-replicate —
+    # LWW on preserved lsns makes the re-apply a no-op
+    import json as _json
+    with open(state, "w") as f:
+        _json.dump({"epoch": N_EPOCHS - 2}, f)
+    F2.replicate(src, dst, state, merge_concurrency=2)
+    assert _snap(dst) == _snap(src)
