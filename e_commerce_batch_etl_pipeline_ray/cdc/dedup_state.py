@@ -49,6 +49,14 @@ class IncDedupConfig:
     num_partitions: int = 32
     id_col: str = "doc_id"
     text_col: str = "text"
+    # LSM write-amplification control (the lake's compact_interval
+    # contract): K-1 of every K epochs append only a DELTA of this
+    # epoch's novel (sha, id) rows — no state read-back, no rewrite;
+    # every K-th epoch compacts base+deltas into a fresh sha-sorted base.
+    # Probes always read base+deltas PRUNED to the incoming shas (the
+    # files are sha-sorted, so parquet row-group stats skip untouched
+    # ranges) — probe cost is O(epoch), never O(state).
+    compact_interval: int = 8
 
 
 class _DedupApply:
@@ -57,11 +65,13 @@ class _DedupApply:
     partition into the epoch tmp dir, returns lineage."""
 
     def __init__(self, state_dir: str, epoch: int,
-                 prev_partitions: dict[str, dict], id_col: str):
+                 prev_partitions: dict[str, dict], id_col: str,
+                 mode: str = "compact"):
         self.state_dir = state_dir
         self.epoch = epoch
         self.prev = prev_partitions
         self.id_col = id_col
+        self.mode = mode                      # "compact" | "delta"
         self.tmp_dir = lake.epoch_dir(state_dir, epoch, tmp=True)
         os.makedirs(self.tmp_dir, exist_ok=True)
 
@@ -72,24 +82,39 @@ class _DedupApply:
         batch = combine_keep_extreme(batch, [_SHA], [self.id_col],
                                      descending=False)
         rec = self.prev.get(str(pid))
-        if rec and rec.get("file"):
-            prior = pq.read_table(rec["file"])
-        else:
-            prior = pa.table({_SHA: pa.array([], pa.string()),
-                              self.id_col: pa.array(
-                                  [], batch[self.id_col].type)})
+        files = (([rec["file"]] if rec.get("file") else [])
+                 + list(rec.get("deltas", []))) if rec else []
+        empty = pa.table({_SHA: pa.array([], pa.string()),
+                          self.id_col: pa.array(
+                              [], batch[self.id_col].type)})
+        # PROBE: read base+deltas pruned to the incoming shas (files are
+        # sha-sorted -> row-group stats skip untouched ranges): O(epoch)
+        probe = sorted(set(batch[_SHA].to_pylist()))
+        seen = pa.concat_tables(
+            [pq.read_table(f, columns=[_SHA],
+                           filters=[[(_SHA, "in", probe)]])
+             for f in files]) if files else empty.select([_SHA])
         novel_mask = pc.invert(pc.is_in(
             batch[_SHA].combine_chunks(),
-            value_set=prior[_SHA].combine_chunks()))
+            value_set=seen[_SHA].combine_chunks()))
         novel = batch.filter(novel_mask)
-
-        state = pa.concat_tables(
-            [prior, novel.select([_SHA, self.id_col])]).sort_by(
+        novel_state = novel.select([_SHA, self.id_col]).sort_by(
             [(_SHA, "ascending")])
+
+        if self.mode == "delta":
+            state, suffix = novel_state, "delta.parquet"
+        else:
+            # compaction: fold base+deltas (FULL read) + this epoch's
+            # novels into a fresh sha-sorted base
+            full = pa.concat_tables(
+                [pq.read_table(f) for f in files]) if files else empty
+            state = pa.concat_tables([full, novel_state]).sort_by(
+                [(_SHA, "ascending")])
+            suffix = "parquet"
         novel_out = novel.drop_columns([_SHA]).sort_by(
             [(self.id_col, "ascending")])
 
-        sfname = f"part-{pid:05d}.parquet"
+        sfname = f"part-{pid:05d}.{suffix}"
         nfname = f"novel-{pid:05d}.parquet"
         for t, fname in ((state, sfname), (novel_out, nfname)):
             tmp_path = os.path.join(self.tmp_dir, fname)
@@ -102,6 +127,7 @@ class _DedupApply:
             "file": pa.array([os.path.join(final_dir, sfname)], pa.string()),
             "novel_file": pa.array([os.path.join(final_dir, nfname)],
                                    pa.string()),
+            "is_delta": pa.array([self.mode == "delta"], pa.bool_()),
             "rows_total": pa.array([state.num_rows], pa.int64()),
             "novel_rows": pa.array([novel_out.num_rows], pa.int64()),
             "bytes_written": pa.array(
@@ -152,38 +178,57 @@ class IncrementalDedup:
 
         assigned = hashed.map_batches(_combine, batch_format="pyarrow",
                                       zero_copy_batch=True)
+        mode = ("compact" if cfg.compact_interval <= 1
+                or (epoch + 1) % cfg.compact_interval == 0 else "delta")
         from e_commerce_batch_etl_pipeline_ray.stages.blockutil import (
             collect_arrow,
         )
         lineage = collect_arrow(assigned.groupby(_PID).map_groups(
             _DedupApply, batch_format="pyarrow",
             fn_constructor_args=(cfg.state_dir, epoch, prev_parts,
-                                 cfg.id_col),
+                                 cfg.id_col, mode),
             concurrency=2, num_cpus=1))
 
         lake.promote_epoch_dir(cfg.state_dir, epoch)
         partitions = {}
         for rec in lineage.to_pylist():
-            partitions[rec["partition"]] = {
-                "file": rec["file"], "deltas": [],
-                "novel_file": rec["novel_file"],
-                "lsn_watermark": epoch,
-                "rows_applied": rec["novel_rows"],
-                "rows_total": rec["rows_total"],
-                "bytes_written": rec["bytes_written"],
-            }
+            if rec["is_delta"]:
+                prev = prev_parts.get(str(rec["partition"]), {})
+                partitions[rec["partition"]] = {
+                    "file": prev.get("file"),
+                    "deltas": list(prev.get("deltas", [])) + [rec["file"]],
+                    "novel_file": rec["novel_file"],
+                    "lsn_watermark": epoch,
+                    "rows_applied": rec["novel_rows"],
+                    "rows_total": -1,        # unknown without a base read
+                    "bytes_written": rec["bytes_written"],
+                }
+            else:
+                partitions[rec["partition"]] = {
+                    "file": rec["file"], "deltas": [],
+                    "novel_file": rec["novel_file"],
+                    "lsn_watermark": epoch,
+                    "rows_applied": rec["novel_rows"],
+                    "rows_total": rec["rows_total"],
+                    "bytes_written": rec["bytes_written"],
+                }
         state_schema = pa.schema([
             (_SHA, pa.string()),
             (cfg.id_col, docs.schema().base_schema.field(cfg.id_col).type)])
         novel_total = sum(r["rows_applied"] for r in partitions.values())
+        prev_seen = (prev_manifest["metrics"].get("seen_total", 0)
+                     if prev_manifest else 0)
         metrics = {
             "op": "inc_dedup",
+            "mode": mode,
             "rows_in": rows_in,
             "novel_rows": novel_total,
             # vs INPUT rows (the block-local combiner already folds
             # within-block duplicates before the shuffle)
             "dup_rows": rows_in - novel_total,
-            "seen_total": sum(r["rows_total"] for r in partitions.values()),
+            # cumulative distinct contents: novels are globally distinct,
+            # so the running sum is exact in both compact and delta epochs
+            "seen_total": prev_seen + novel_total,
         }
         lake.commit_manifest(cfg.state_dir, epoch, partitions, state_schema,
                              prev_manifest, metrics=metrics,
@@ -217,4 +262,4 @@ class IncrementalDedup:
         if last is None:
             return 0
         m = lake.read_manifest(self.cfg.state_dir, last)
-        return sum(r.get("rows_total", 0) for r in m["partitions"].values())
+        return m["metrics"]["seen_total"]

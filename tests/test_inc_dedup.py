@@ -128,3 +128,32 @@ def test_vacuum_keeps_latest_novel_files(tmp_path):
     res = lake.vacuum(str(tmp_path / "state"), keep_last=1)
     assert res["files_removed"] > 0          # epoch-0 state superseded
     assert sorted(r["doc_id"] for r in eng.novel(1).take_all()) == [11, 14]
+
+
+def test_lsm_deltas_and_compaction_boundary(tmp_path):
+    """compact_interval=3: epochs 0,1 append deltas (no base rewrite),
+    epoch 2 compacts; novel sets stay exact across the boundary and the
+    compacted manifest has no deltas."""
+    eng = dedup_state.IncrementalDedup(dedup_state.IncDedupConfig(
+        state_dir=str(tmp_path / "state"), num_partitions=4,
+        compact_interval=3))
+    batches = [
+        [(1, "a"), (2, "b")],
+        [(10, "a"), (11, "c")],           # a dup, c novel (delta epoch)
+        [(20, "c"), (21, "d"), (22, "b")],  # compact epoch: only d novel
+        [(30, "d"), (31, "e")],           # delta again after compaction
+    ]
+    exp_novel = [{1, 2}, {11}, {21}, {31}]
+    for ep, rows in enumerate(batches):
+        eng.ingest(_docs(rows), ep)
+        assert {r["doc_id"] for r in eng.novel(ep).take_all()} \
+            == exp_novel[ep], ep
+    m1 = lake.read_manifest(str(tmp_path / "state"), 1)
+    assert any(r.get("deltas") for r in m1["partitions"].values())
+    m2 = lake.read_manifest(str(tmp_path / "state"), 2)
+    # partitions TOUCHED by the compact epoch fold their deltas into a
+    # fresh base; untouched partitions carry forward (the lake contract)
+    touched = [r for r in m2["partitions"].values()
+               if r.get("file") and "epoch=0002" in r["file"]]
+    assert touched and all(not r.get("deltas") for r in touched)
+    assert eng.seen_count() == 5
