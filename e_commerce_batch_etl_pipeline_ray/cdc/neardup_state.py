@@ -59,6 +59,13 @@ class IncNearDupConfig:
     id_col: str = "doc_id"
     text_col: str = "text"
     seed: int = 7
+    # LSM write-amplification control: K-1 of every K epochs append only
+    # the novel docs' bucket rows as a DELTA (no state rewrite — the
+    # carried texts make rewrites expensive); every K-th epoch compacts.
+    # Probes read base+deltas PRUNED to the epoch's colliding band_hashes
+    # (files sorted by (band, band_hash) -> row-group stats skip the
+    # rest): probe cost tracks the epoch, not the corpus.
+    compact_interval: int = 8
 
 
 def _jacc(cache: dict, k: int, did, text):
@@ -83,9 +90,16 @@ class _Probe:
     def __call__(self, group: pa.Table) -> pa.Table:
         pid = group[_PID][0].as_py()
         rec = self.prev.get(str(pid))
+        files = (([rec["file"]] if rec.get("file") else [])
+                 + list(rec.get("deltas", []))) if rec else []
         seen: dict[tuple, list] = {}
-        if rec and rec.get("file"):
-            st = pq.read_table(rec["file"])
+        if files:
+            # pruned probe: only state rows whose band_hash collides with
+            # this epoch's buckets leave disk
+            probe = sorted(set(group["band_hash"].to_pylist()))
+            st = pa.concat_tables(
+                [pq.read_table(f, filters=[[("band_hash", "in", probe)]])
+                 for f in files])
             for b, h, did, txt in zip(st["band"].to_pylist(),
                                       st["band_hash"].to_pylist(),
                                       st[self.id_col].to_pylist(),
@@ -124,11 +138,13 @@ class _StateWrite:
     state file, write the partition's novel-docs file; returns lineage."""
 
     def __init__(self, state_dir: str, epoch: int,
-                 prev_partitions: dict[str, dict], id_col: str):
+                 prev_partitions: dict[str, dict], id_col: str,
+                 mode: str = "compact"):
         self.state_dir = state_dir
         self.epoch = epoch
         self.prev = prev_partitions
         self.id_col = id_col
+        self.mode = mode
         self.tmp_dir = lake.epoch_dir(state_dir, epoch, tmp=True)
         os.makedirs(self.tmp_dir, exist_ok=True)
 
@@ -136,8 +152,12 @@ class _StateWrite:
         pid = group[_PID][0].as_py()
         rows = group.drop_columns([_PID])
         rec = self.prev.get(str(pid))
-        if rec and rec.get("file"):
-            prior = pq.read_table(rec["file"])
+        files = (([rec["file"]] if rec.get("file") else [])
+                 + list(rec.get("deltas", []))) if rec else []
+        if self.mode == "delta":
+            state = rows
+        elif files:
+            prior = pa.concat_tables([pq.read_table(f) for f in files])
             state = pa.concat_tables([prior, rows])
         else:
             state = rows
@@ -150,7 +170,8 @@ class _StateWrite:
         nov = pa.table({self.id_col: nov[self.id_col],
                         "text": nov["_text"]}).sort_by(
             [(self.id_col, "ascending")])
-        sfname = f"part-{pid:05d}.parquet"
+        suffix = "delta.parquet" if self.mode == "delta" else "parquet"
+        sfname = f"part-{pid:05d}.{suffix}"
         nfname = f"novel-{pid:05d}.parquet"
         for t, fname in ((state, sfname), (nov, nfname)):
             tmp_path = os.path.join(self.tmp_dir, fname)
@@ -163,6 +184,7 @@ class _StateWrite:
             "file": pa.array([os.path.join(final_dir, sfname)], pa.string()),
             "novel_file": pa.array([os.path.join(final_dir, nfname)],
                                    pa.string()),
+            "is_delta": pa.array([self.mode == "delta"], pa.bool_()),
             "rows_total": pa.array([state.num_rows], pa.int64()),
             "novel_rows": pa.array([nov.num_rows], pa.int64()),
             "bytes_written": pa.array(
@@ -237,30 +259,44 @@ class IncrementalMinHashDedup:
                 value_set=pa.array(sorted(dup_ids), pa.int64())))
             return t.filter(mask)
 
+        mode = ("compact" if cfg.compact_interval <= 1
+                or (epoch + 1) % cfg.compact_interval == 0 else "delta")
         novel_sigs = sigs.map_batches(_filter_novel, batch_format="pyarrow",
                                       zero_copy_batch=True)
         lineage = collect_arrow(novel_sigs.groupby(_PID).map_groups(
             _StateWrite, batch_format="pyarrow",
             fn_constructor_args=(cfg.state_dir, epoch, prev_parts,
-                                 cfg.id_col),
+                                 cfg.id_col, mode),
             concurrency=2, num_cpus=1))
 
         lake.promote_epoch_dir(cfg.state_dir, epoch)
         partitions = {}
         for rec in lineage.to_pylist():
-            partitions[rec["partition"]] = {
-                "file": rec["file"], "deltas": [],
-                "novel_file": rec["novel_file"],
-                "lsn_watermark": epoch,
-                "rows_applied": rec["novel_rows"],
-                "rows_total": rec["rows_total"],
-                "bytes_written": rec["bytes_written"],
-            }
+            if rec["is_delta"]:
+                prev = prev_parts.get(str(rec["partition"]), {})
+                partitions[rec["partition"]] = {
+                    "file": prev.get("file"),
+                    "deltas": list(prev.get("deltas", [])) + [rec["file"]],
+                    "novel_file": rec["novel_file"],
+                    "lsn_watermark": epoch,
+                    "rows_applied": rec["novel_rows"],
+                    "rows_total": -1,
+                    "bytes_written": rec["bytes_written"],
+                }
+            else:
+                partitions[rec["partition"]] = {
+                    "file": rec["file"], "deltas": [],
+                    "novel_file": rec["novel_file"],
+                    "lsn_watermark": epoch,
+                    "rows_applied": rec["novel_rows"],
+                    "rows_total": rec["rows_total"],
+                    "bytes_written": rec["bytes_written"],
+                }
         state_schema = pa.schema([
             (cfg.id_col, pa.int64()), ("band", pa.int32()),
             ("band_hash", pa.int64()), ("_text", pa.string())])
         novel_total = sum(r["rows_applied"] for r in partitions.values())
-        metrics = {"op": "inc_neardup", "rows_in": rows_in,
+        metrics = {"op": "inc_neardup", "mode": mode, "rows_in": rows_in,
                    "novel_rows": novel_total,
                    "dup_rows": len(dup_ids)}
         lake.commit_manifest(cfg.state_dir, epoch, partitions, state_schema,

@@ -60,11 +60,11 @@ def _ds(rows):
     })).repartition(3)
 
 
-def _eng(tmp_path):
+def _eng(tmp_path, **kw):
     return neardup_state.IncrementalMinHashDedup(
         neardup_state.IncNearDupConfig(
             state_dir=str(tmp_path / "state"), k=K, num_hashes=64,
-            bands=16, threshold=THRESH, num_partitions=8))
+            bands=16, threshold=THRESH, num_partitions=8, **kw))
 
 
 def test_incremental_neardup_matches_bruteforce(tmp_path):
@@ -82,8 +82,9 @@ def test_incremental_neardup_matches_bruteforce(tmp_path):
 
 
 def test_state_grows_only_with_novel(tmp_path):
+    # compact every epoch so rows_total is exact in the manifest
     e1, e2 = _corpus()
-    eng = _eng(tmp_path)
+    eng = _eng(tmp_path, compact_interval=1)
     eng.ingest(_ds(e1), 0)
     eng.ingest(_ds(e2), 1)
     m = lake.read_manifest(str(tmp_path / "state"), 1)
@@ -91,6 +92,26 @@ def test_state_grows_only_with_novel(tmp_path):
     # 16 band rows per kept doc, dups contribute nothing
     exp_kept = len(e1) + len(e2) - 3
     assert total == exp_kept * 16
+
+
+def test_lsm_delta_epochs_equal_compacting(tmp_path):
+    """compact_interval=2 vs 1: identical novel sets per epoch; the
+    compaction epoch folds deltas away for touched partitions."""
+    e1, e2 = _corpus()
+    a = _eng(tmp_path / "a", compact_interval=2)   # ep0 delta, ep1 compact
+    b = _eng(tmp_path / "b", compact_interval=1)
+    for eng in (a, b):
+        eng.ingest(_ds(e1), 0)
+        eng.ingest(_ds(e2), 1)
+        got = {r["doc_id"] for r in eng.novel(1).take_all()}
+        assert got == {d for d, _ in e2} - {100, 101, 103}
+    m0 = lake.read_manifest(str(tmp_path / "a" / "state"), 0)
+    assert all(r.get("deltas") for r in m0["partitions"].values()
+               if r.get("file") is None or r.get("deltas"))
+    m1 = lake.read_manifest(str(tmp_path / "a" / "state"), 1)
+    touched = [r for r in m1["partitions"].values()
+               if r.get("file") and "epoch=0001" in r["file"]]
+    assert touched and all(not r.get("deltas") for r in touched)
 
 
 def test_crash_resume_idempotent(tmp_path):
