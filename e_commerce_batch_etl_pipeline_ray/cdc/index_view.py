@@ -60,11 +60,18 @@ def _fused(t: pa.Table) -> pa.Array:
 
 class IndexView:
     def __init__(self, lake_dir: str, view_dir: str,
-                 num_partitions: int = 16, text_col: str = "content"):
+                 num_partitions: int = 16, text_col: str = "content",
+                 compact_interval: int = 8):
         self.lake_dir = lake_dir
         self.view_dir = view_dir
         self.num_partitions = num_partitions
         self.text_col = text_col
+        # LSM refresh: K-1 of every K view epochs append only the changed
+        # docs' postings as generation-tagged DELTAS plus a tiny removal
+        # log (key, gen); every K-th epoch compacts — physically dropping
+        # removed generations and clearing the log. Refresh I/O therefore
+        # tracks the CHANGES, never the index size.
+        self.compact_interval = compact_interval
         os.makedirs(view_dir, exist_ok=True)
 
     # -- state ---------------------------------------------------------------
@@ -170,109 +177,196 @@ class IndexView:
         new_posts = fd.map_batches(_postings, batch_format="pyarrow",
                                    zero_copy_batch=True).materialize()
 
-        # rewrite: every partition with a prior file OR new postings
+        # commit: delta epochs append generation-tagged postings for the
+        # TOUCHED term partitions only plus a (key, gen) removal-log file;
+        # compaction epochs fold base+deltas, physically apply the log,
+        # and clear it. Refresh I/O = O(changed docs) on delta epochs.
         view_epoch = (self._last() + 1) if self._last() is not None else 0
-        prev_parts = (lake.read_manifest(self.view_dir, view_epoch - 1)
-                      ["partitions"] if view_epoch > 0 else {})
+        mode = ("compact" if self.compact_interval <= 1
+                or (view_epoch + 1) % self.compact_interval == 0
+                else "delta")
+        prev_manifest = (lake.read_manifest(self.view_dir, view_epoch - 1)
+                         if view_epoch > 0 else None)
+        prev_parts = prev_manifest["partitions"] if prev_manifest else {}
+        prev_log = list(prev_manifest.get("removal_log", [])) \
+            if prev_manifest else []
         tmp_dir = lake.epoch_dir(self.view_dir, view_epoch, tmp=True)
         os.makedirs(tmp_dir, exist_ok=True)
-
-        touched = {int(r["partition"]) for r in pa.Table.from_pylist(
-            [row for b in new_posts.map_batches(
-                lambda t: pa.table({"partition":
-                                    pc.unique(t[_PID].combine_chunks())}),
-                batch_format="pyarrow",
-                zero_copy_batch=True).iter_batches(
-                batch_format="pyarrow") for row in b.to_pylist()])
-            .to_pylist()} if new_posts.count() else set()
-        all_pids = sorted(touched | {int(p) for p in prev_parts})
-        removed_sorted = pa.array(sorted(removed), pa.string())
         view_dir = self.view_dir
+        final_dir = lake.epoch_dir(view_dir, view_epoch)
+
+        # generation tag on every new posting row
+        def _tag_gen(t: pa.Table) -> pa.Table:
+            return t.append_column("_gen", pa.array(
+                [view_epoch] * t.num_rows, pa.int64()))
+        new_posts = new_posts.map_batches(_tag_gen, batch_format="pyarrow",
+                                          zero_copy_batch=True).materialize()
 
         posts_by_pid: dict[int, list[pa.Table]] = {}
-        for b in new_posts.iter_batches(batch_format="pyarrow"):
-            for p in pc.unique(b[_PID].combine_chunks()).to_pylist():
+        for bt in new_posts.iter_batches(batch_format="pyarrow"):
+            for p in pc.unique(bt[_PID].combine_chunks()).to_pylist():
                 posts_by_pid.setdefault(int(p), []).append(
-                    b.filter(pc.equal(b[_PID], p)).drop_columns([_PID]))
-
-        items = []
-        for pid in all_pids:
-            rec = prev_parts.get(str(pid))
-            items.append({
-                "partition": pid,
-                "prior": rec["file"] if rec and rec.get("file") else "",
-            })
+                    bt.filter(pc.equal(bt[_PID], p)).drop_columns([_PID]))
         posts_refs = {pid: pa.concat_tables(tabs)
                       for pid, tabs in posts_by_pid.items()}
         posts_put = ray.put(posts_refs)
-        removed_put = ray.put(removed_sorted)
 
-        def _rewrite(batch: pa.Table) -> pa.Table:
-            posts_map = ray.get(posts_put)
-            rem = ray.get(removed_put)
-            recs = []
-            for row in batch.to_pylist():
-                pid = row["partition"]
-                parts = []
-                if row["prior"]:
-                    prior = pq.read_table(row["prior"])
-                    if len(rem):
-                        prior = prior.filter(pc.invert(pc.is_in(
-                            prior["key"].combine_chunks(), value_set=rem)))
-                    parts.append(prior)
-                if pid in posts_map:
-                    parts.append(posts_map[pid])
-                t = (pa.concat_tables(parts) if len(parts) > 1
-                     else parts[0]) if parts else pa.table(
-                    {"term": pa.array([], pa.string()),
-                     "key": pa.array([], pa.string()),
-                     "tf": pa.array([], pa.int64()),
-                     "dl": pa.array([], pa.int64())})
-                t = t.sort_by([("term", "ascending"), ("key", "ascending")])
-                fname = f"part-{pid:05d}.parquet"
-                tmp_path = os.path.join(tmp_dir, fname)
-                wip = f"{tmp_path}.wip.{os.getpid()}"
-                pq.write_table(t, wip, row_group_size=4096)
-                os.replace(wip, tmp_path)
-                recs.append({
-                    "partition": pid,
-                    "file": os.path.join(
-                        lake.epoch_dir(view_dir, view_epoch), fname),
-                    "rows_total": t.num_rows,
-                    "bytes_written": os.path.getsize(tmp_path),
-                })
-            return pa.Table.from_pylist(recs)
+        # removal map folded from the uncompacted log + this refresh
+        def _removal_map(files: list[str], this_removed, this_gen) -> dict:
+            rem: dict[str, int] = {}
+            for f in files:
+                rt = pq.read_table(f)
+                for kk, g in zip(rt["key"].to_pylist(),
+                                 rt["gen"].to_pylist()):
+                    rem[kk] = max(rem.get(kk, -1), g)
+            for kk in this_removed:
+                rem[kk] = max(rem.get(kk, -1), this_gen)
+            return rem
+
+        _empty = pa.table({"term": pa.array([], pa.string()),
+                           "key": pa.array([], pa.string()),
+                           "tf": pa.array([], pa.int64()),
+                           "dl": pa.array([], pa.int64()),
+                           "_gen": pa.array([], pa.int64())})
+
+        if mode == "delta":
+            items = [{"partition": pid} for pid in sorted(posts_refs)]
+
+            def _write_delta(batch: pa.Table) -> pa.Table:
+                posts_map = ray.get(posts_put)
+                recs = []
+                for row in batch.to_pylist():
+                    pid = row["partition"]
+                    t = posts_map[pid].sort_by(
+                        [("term", "ascending"), ("key", "ascending")])
+                    fname = f"part-{pid:05d}.delta.parquet"
+                    tmp_path = os.path.join(tmp_dir, fname)
+                    wip = f"{tmp_path}.wip.{os.getpid()}"
+                    pq.write_table(t, wip, row_group_size=4096)
+                    os.replace(wip, tmp_path)
+                    recs.append({"partition": pid,
+                                 "file": os.path.join(final_dir, fname),
+                                 "rows_total": t.num_rows,
+                                 "bytes_written":
+                                     os.path.getsize(tmp_path)})
+                return pa.Table.from_pylist(recs)
+
+            writer, is_delta = _write_delta, True
+        else:
+            rem_map = _removal_map(prev_log, removed, view_epoch)
+            rem_put = ray.put(rem_map)
+            touched = set(posts_refs)
+            all_pids = sorted(touched | {int(p) for p in prev_parts
+                                         if prev_parts[p].get("file")
+                                         or prev_parts[p].get("deltas")})
+            items = []
+            for pid in all_pids:
+                rec = prev_parts.get(str(pid))
+                files = (([rec["file"]] if rec and rec.get("file") else [])
+                         + (list(rec.get("deltas", [])) if rec else []))
+                items.append({"partition": pid,
+                              "files": json.dumps(files)})
+
+            def _write_compact(batch: pa.Table) -> pa.Table:
+                posts_map = ray.get(posts_put)
+                rem = ray.get(rem_put)
+                recs = []
+                for row in batch.to_pylist():
+                    pid = row["partition"]
+                    parts = [pq.read_table(f)
+                             for f in json.loads(row["files"])]
+                    if pid in posts_map:
+                        parts.append(posts_map[pid])
+                    t = pa.concat_tables(parts) if parts else _empty
+                    if rem and t.num_rows:
+                        keys = t["key"].to_pylist()
+                        gens = t["_gen"].to_numpy(zero_copy_only=False)
+                        keep = np.array(
+                            [g >= rem.get(kk, -1)
+                             for kk, g in zip(keys, gens)], dtype=bool)
+                        t = t.filter(pa.array(keep))
+                    t = t.sort_by([("term", "ascending"),
+                                   ("key", "ascending")])
+                    fname = f"part-{pid:05d}.parquet"
+                    tmp_path = os.path.join(tmp_dir, fname)
+                    wip = f"{tmp_path}.wip.{os.getpid()}"
+                    pq.write_table(t, wip, row_group_size=4096)
+                    os.replace(wip, tmp_path)
+                    recs.append({"partition": pid,
+                                 "file": os.path.join(final_dir, fname),
+                                 "rows_total": t.num_rows,
+                                 "bytes_written":
+                                     os.path.getsize(tmp_path)})
+                return pa.Table.from_pylist(recs)
+
+            writer, is_delta = _write_compact, False
 
         from e_commerce_batch_etl_pipeline_ray.stages.blockutil import (
             collect_arrow,
         )
         lineage = collect_arrow(
             ray.data.from_items(items).map_batches(
-                _rewrite, batch_format="pyarrow", batch_size=1)) \
+                writer, batch_format="pyarrow", batch_size=1)) \
             if items else pa.table({"partition": pa.array([], pa.int32()),
                                     "file": pa.array([], pa.string()),
                                     "rows_total": pa.array([], pa.int64()),
                                     "bytes_written": pa.array([],
                                                               pa.int64())})
+        # removal log for delta epochs (written BEFORE the dir promote so
+        # it rides the same atomic commit)
+        removal_log = []
+        if is_delta:
+            if removed:
+                rl = pa.table({"key": pa.array(sorted(removed), pa.string()),
+                               "gen": pa.array([view_epoch] * len(removed),
+                                               pa.int64())})
+                rl_name = "removals.parquet"
+                rl_tmp = os.path.join(tmp_dir, rl_name)
+                pq.write_table(rl, rl_tmp + ".wip")
+                os.replace(rl_tmp + ".wip", rl_tmp)
+                removal_log = prev_log + [os.path.join(final_dir, rl_name)]
+            else:
+                removal_log = prev_log
+
         lake.promote_epoch_dir(self.view_dir, view_epoch)
-        partitions = {
-            rec["partition"]: {
-                "file": rec["file"], "deltas": [],
-                "lsn_watermark": last_lake,
-                "rows_applied": 0,
-                "rows_total": rec["rows_total"],
-                "bytes_written": rec["bytes_written"],
-            } for rec in lineage.to_pylist()}
+        partitions = {}
+        for rec in lineage.to_pylist():
+            if is_delta:
+                prev = prev_parts.get(str(rec["partition"]), {})
+                partitions[rec["partition"]] = {
+                    "file": prev.get("file"),
+                    "deltas": list(prev.get("deltas", [])) + [rec["file"]],
+                    "lsn_watermark": last_lake,
+                    "rows_applied": rec["rows_total"],
+                    "rows_total": -1,
+                    "bytes_written": rec["bytes_written"],
+                }
+            else:
+                partitions[rec["partition"]] = {
+                    "file": rec["file"], "deltas": [],
+                    "lsn_watermark": last_lake,
+                    "rows_applied": 0,
+                    "rows_total": rec["rows_total"],
+                    "bytes_written": rec["bytes_written"],
+                }
         schema = pa.schema([("term", pa.string()), ("key", pa.string()),
-                            ("tf", pa.int64()), ("dl", pa.int64())])
-        metrics = {"op": "index_view", "lake_epoch": last_lake,
+                            ("tf", pa.int64()), ("dl", pa.int64()),
+                            ("_gen", pa.int64())])
+        metrics = {"op": "index_view", "mode": mode,
+                   "lake_epoch": last_lake,
                    "n_docs": n_docs, "total_len": total_len,
                    "changed_keys": len(removed)}
-        prev_manifest = (lake.read_manifest(self.view_dir, view_epoch - 1)
-                         if view_epoch > 0 else None)
-        lake.commit_manifest(self.view_dir, view_epoch, partitions, schema,
-                             prev_manifest, metrics=metrics,
-                             num_partitions=self.num_partitions)
+        manifest = lake.commit_manifest(
+            self.view_dir, view_epoch, partitions, schema,
+            prev_manifest, metrics=metrics,
+            num_partitions=self.num_partitions)
+        # removal_log is a top-level manifest key (vacuum tracks it)
+        manifest["removal_log"] = removal_log
+        mpath = lake._manifest_path(self.view_dir, view_epoch)
+        tmpm = mpath + ".tmp"
+        with open(tmpm, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmpm, mpath)
         return {"refreshed": True, "view_epoch": view_epoch, **metrics}
 
     # -- query ---------------------------------------------------------------
@@ -301,14 +395,30 @@ class IndexView:
         tabs = []
         for pid in pids:
             rec = manifest["partitions"].get(str(pid))
-            if rec and rec.get("file"):
+            files = (([rec["file"]] if rec and rec.get("file") else [])
+                     + (list(rec.get("deltas", [])) if rec else []))
+            for f in files:
                 tabs.append(pq.read_table(
-                    rec["file"], filters=[[("term", "in", list(terms))]]))
+                    f, filters=[[("term", "in", list(terms))]]))
         if not tabs:
             return pa.table({"repo": pa.array([], pa.string()),
                              "path": pa.array([], pa.string()),
                              "score": pa.array([], pa.float64())})
-        post = pa.concat_tables(tabs)
+        post = pa.concat_tables(tabs, promote_options="permissive")
+        # apply the uncompacted removal log: a posting survives iff its
+        # generation is >= the key's latest removal generation
+        rem: dict[str, int] = {}
+        for f in manifest.get("removal_log", []):
+            rt = pq.read_table(f)
+            for kk, g in zip(rt["key"].to_pylist(), rt["gen"].to_pylist()):
+                rem[kk] = max(rem.get(kk, -1), g)
+        if rem and post.num_rows:
+            gens = post["_gen"].to_numpy(zero_copy_only=False) \
+                if "_gen" in post.column_names else \
+                np.full(post.num_rows, 1 << 60)
+            keep = np.array([g >= rem.get(kk, -1) for kk, g in
+                             zip(post["key"].to_pylist(), gens)], dtype=bool)
+            post = post.filter(pa.array(keep))
         df: dict[str, int] = {}
         for trm in post["term"].to_pylist():
             df[trm] = df.get(trm, 0) + 1

@@ -522,6 +522,10 @@ def vacuum(lake_dir: str, keep_last: int = 1) -> dict:
     referenced: set[str] = set()
     for e in keep_epochs:
         m = read_manifest(lake_dir, e)
+        # index-view manifests track their uncompacted removal log at the
+        # top level — those files are part of the committed state too
+        for f in m.get("removal_log", []):
+            referenced.add(os.path.realpath(f))
         for rec in m["partitions"].values():
             if rec.get("file"):
                 referenced.add(os.path.realpath(rec["file"]))

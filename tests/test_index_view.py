@@ -128,3 +128,36 @@ def test_time_travel_search(tmp_path):
     got1 = [((r["repo"], r["path"]), r["score"])
             for r in view.search(TERMS, k=10, round_to=6).to_pylist()]
     assert got1 != got0
+
+
+def test_lsm_compaction_boundary_and_vacuum(tmp_path):
+    """compact_interval=2: refresh 0 appends deltas + removal log,
+    refresh 1 compacts (log cleared, deltas folded); searches identical
+    to a compact-every-time view at every step; vacuum keeps the live
+    state."""
+    lake_a, lake_b = str(tmp_path / "la"), str(tmp_path / "lb")
+    views = []
+    for lk, ci in ((lake_a, 2), (lake_b, 1)):
+        eng = engine.CDCEngine(engine.CDCConfig(lake_dir=lk,
+                                                num_partitions=8,
+                                                merge_concurrency=2))
+        view = index_view.IndexView(lk, lk + ".idx", num_partitions=8,
+                                    compact_interval=ci)
+        for ep in range(N_EPOCHS):
+            eng.ingest_epoch(binlog.gen_epoch(SPEC, ep), ep)
+            view.refresh()
+        views.append(view)
+    a, b = views
+    assert a.search(TERMS, k=15, round_to=6).to_pylist() == \
+        b.search(TERMS, k=15, round_to=6).to_pylist()
+    # epoch 1 (2nd refresh) compacted: no deltas, no removal log
+    m1 = lake.read_manifest(lake_a + ".idx", 1)
+    assert m1["metrics"]["mode"] == "compact"
+    assert not m1.get("removal_log")
+    assert all(not r.get("deltas") for r in m1["partitions"].values())
+    # epoch 2 delta again, with a log iff keys changed
+    m2 = lake.read_manifest(lake_a + ".idx", 2)
+    assert m2["metrics"]["mode"] == "delta"
+    before = a.search(TERMS, k=15, round_to=6).to_pylist()
+    lake.vacuum(lake_a + ".idx", keep_last=1)
+    assert a.search(TERMS, k=15, round_to=6).to_pylist() == before
