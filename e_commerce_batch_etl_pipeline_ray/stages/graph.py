@@ -8,11 +8,15 @@ standard power method with explicit dangling-node mass:
     pr'(v) = (1-d)/N + d * ( sum_{(u,v) in E} pr(u)/outdeg(u)
                              + dangling_mass / N )
 
-Each iteration = one distributed hash join (rank onto edge source) + one
-grouped sum (contributions by destination) — the canonical scale shape;
-the edge table is never collected. The rank table (one row per node) and
-out-degrees are computed once. ``dangling_mass`` (total rank of nodes
-with no out-edges) is a tiny per-iteration aggregate.
+Each iteration = TWO co-partitioned groupbys (the Pregel superstep
+shape): a SCATTER on src — state and edge rows meet in the source's hash
+partition, contributions pre-summed per destination before leaving — and
+a GATHER on dst folding contributions into the rank rows. Edges are
+tagged+partitioned once and re-shuffled per superstep; nothing is ever
+collected on the driver. ``dangling_mass`` (total rank of nodes with no
+out-edges) is a tiny per-iteration aggregate. (A Dataset.join-based
+variant measured ~3x slower at small scale — per-join fixed costs — with
+identical shuffle bytes at scale.)
 
 Iterative fixpoints are not SQL-expressible in general, but the FIXED
 iteration count is: the q108 oracle replays the identical recurrence as a
@@ -87,6 +91,80 @@ def pagerank(edges: ray.data.Dataset, iterations: int = 5,
     state = detach(state.materialize(), state_schema)
 
     base = (1.0 - damping) / n
+    node_type = state_schema.field("node").type
+    from e_commerce_batch_etl_pipeline_ray.stages.dedup import (
+        hash_partition_ids,
+    )
+
+    # Each iteration is TWO co-partitioned groupbys (scatter on src,
+    # gather on dst) over a tagged union of state and edge/contribution
+    # rows — the Pregel superstep shape. A Dataset.join-based variant
+    # measured ~3x slower at small scale (per-join fixed costs dominate;
+    # the q6 note) with identical shuffle bytes at large scale.
+    # tagged-union layout: _gpid, _kind, a (node|src|dst), b (edge dst),
+    # pr (rank | contribution mass), outdeg
+    def _tag(kind: str, a_col: str, b_col: str | None):
+        def _fn(t: pa.Table) -> pa.Table:
+            out = pa.table({
+                "_kind": pa.array([kind] * t.num_rows),
+                "a": t[a_col].combine_chunks().cast(node_type),
+                "b": (t[b_col].combine_chunks().cast(node_type)
+                      if b_col else pa.nulls(t.num_rows, node_type)),
+                "pr": (pc.cast(t["pr"], pa.float64())
+                       if "pr" in t.column_names
+                       else pa.nulls(t.num_rows, pa.float64())),
+                "outdeg": (t["outdeg"] if "outdeg" in t.column_names
+                           else pa.nulls(t.num_rows, pa.float64())),
+            })
+            pid = hash_partition_ids(out, ["a"], num_partitions)
+            return pa.table({"_gpid": pa.array(pid, pa.int32()),
+                             **{c: out[c] for c in out.column_names}})
+        return _fn
+
+    edges_tagged = edges.map_batches(
+        _tag("e", src, dst), batch_format="pyarrow",
+        zero_copy_batch=True).materialize()
+
+    def _scatter(g: pa.Table) -> pa.Table:
+        is_s = pc.equal(g["_kind"], "s")
+        st = g.filter(is_s)
+        ed = g.filter(pc.invert(is_s))
+        if ed.num_rows == 0 or st.num_rows == 0:
+            return pa.table({"node": pa.array([], node_type),
+                             "pr": pa.array([], pa.float64())})
+        pos = pc.index_in(ed["a"].combine_chunks(),
+                          value_set=st["a"].combine_chunks())
+        w = pc.divide(st["pr"].take(pos), st["outdeg"].take(pos))
+        out = pa.table({"node": ed["b"], "w": w})
+        # combiner: pre-sum per destination inside the partition; the
+        # contribution mass rides the "pr" slot of the tagged union
+        agg = out.group_by("node").aggregate([("w", "sum")])
+        return pa.table({"node": agg["node"], "pr": agg["w_sum"]})
+
+    def _gather_factory(add: float):
+        def _gather(g: pa.Table) -> pa.Table:
+            is_s = pc.equal(g["_kind"], "s")
+            st = g.filter(is_s)
+            co = g.filter(pc.invert(is_s))
+            if st.num_rows == 0:
+                return pa.table({"node": pa.array([], node_type),
+                                 "pr": pa.array([], pa.float64()),
+                                 "outdeg": pa.array([], pa.float64())})
+            sums = co.select(["a", "pr"]).group_by("a").aggregate(
+                [("pr", "sum")]) if co.num_rows else None
+            if sums is not None and sums.num_rows:
+                pos = pc.index_in(st["a"].combine_chunks(),
+                                  value_set=sums["a"].combine_chunks())
+                in_sum = pc.fill_null(sums["pr_sum"].combine_chunks()
+                                      .take(pos), 0.0)
+            else:
+                in_sum = pa.array([0.0] * st.num_rows, pa.float64())
+            pr = pc.add(pc.multiply(in_sum, pa.scalar(damping)),
+                        pa.scalar(add))
+            return pa.table({"node": st["a"], "pr": pr,
+                             "outdeg": st["outdeg"]})
+        return _gather
+
     for _ in range(iterations):
         # tiny per-iteration scalar: total rank parked on dangling nodes
         dang = state.map_batches(
@@ -96,37 +174,23 @@ def pagerank(edges: ray.data.Dataset, iterations: int = 5,
                 pa.float64())}),
             batch_format="pyarrow", zero_copy_batch=True)
         dangling_mass = sum(r["m"] for r in dang.take_all())
-
-        contrib_in = joins.hash_join(
-            state.select_columns(["node", "pr", "outdeg"]), on=[src],
-            right_on=["node"], num_partitions=num_partitions).apply(edges)
-        contrib = contrib_in.map_batches(
-            lambda t: pa.table({
-                "node": t[dst],
-                "w": pc.divide(t["pr"], t["outdeg"])}),
-            batch_format="pyarrow", zero_copy_batch=True)
-        sums = aggregates.grouped_aggregate(
-            ["node"], [("sum", "w", "in_sum")]).apply(contrib)
-        # grouped outputs can carry empty blocks; Dataset.join chokes on
-        # them (verify-skill gotcha) — detach severs lineage + drops them
-        sums = detach(sums, pa.schema([
-            ("node", state_schema.field("node").type),
-            ("in_sum", pa.float64())]))
-        joined = joins.hash_join(sums, on=["node"], join_type="left_outer",
-                                 num_partitions=num_partitions).apply(
-            state.select_columns(["node", "outdeg"]))
         add = base + damping * dangling_mass / n
 
-        def _update(t: pa.Table, add=add) -> pa.Table:
-            in_sum = pc.fill_null(t["in_sum"], 0.0)
-            pr = pc.add(pc.multiply(in_sum, pa.scalar(damping)),
-                        pa.scalar(add))
-            return pa.table({"node": t["node"], "pr": pr,
-                             "outdeg": t["outdeg"]})
-
-        state = detach(joined.map_batches(
-            _update, batch_format="pyarrow",
-            zero_copy_batch=True).materialize(), state_schema)
+        state_tagged = state.map_batches(
+            _tag("s", "node", None), batch_format="pyarrow",
+            zero_copy_batch=True)
+        contrib = state_tagged.union(edges_tagged).groupby(
+            "_gpid").map_groups(_scatter, batch_format="pyarrow")
+        contrib_tagged = contrib.map_batches(
+            _tag("c", "node", None), batch_format="pyarrow",
+            zero_copy_batch=True)
+        state = detach(
+            state.map_batches(_tag("s", "node", None),
+                              batch_format="pyarrow",
+                              zero_copy_batch=True)
+            .union(contrib_tagged).groupby("_gpid").map_groups(
+                _gather_factory(add), batch_format="pyarrow")
+            .materialize(), state_schema)
 
     out = state.select_columns(["node", "pr"])
     if round_to is not None:
