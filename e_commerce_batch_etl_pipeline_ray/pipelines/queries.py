@@ -4462,7 +4462,10 @@ ORACLE.update({"q110_incremental_dedup": Q110_SQL})
 # 0's KEPT docs or (b) ANY lower-id epoch-1 doc. At the recall-complete
 # smoke operating point (bands=64 x rows=4, see q44) every true pair is a
 # candidate and verification is exact, so the rule is replayed verbatim
-# in SQL over the q44 all-pairs-Jaccard CTE.
+# in SQL over the q44 all-pairs-Jaccard CTE. Operating point: bands=32 x
+# rows=4 — P(miss | j=0.8) = (1-0.8^4)^32 ~= 5e-8, recall-complete in
+# practice and deterministic, at half the carried-text shuffle of q44's
+# 64-band point.
 
 def q111_incremental_neardup(sf_dir: str):
     import tempfile
@@ -4472,7 +4475,7 @@ def q111_incremental_neardup(sf_dir: str):
     eng = neardup_state.IncrementalMinHashDedup(
         neardup_state.IncNearDupConfig(
             state_dir=tempfile.mkdtemp(prefix="q111_state_", dir="/tmp"),
-            k=5, num_hashes=256, bands=64, threshold=0.8,
+            k=5, num_hashes=128, bands=32, threshold=0.8,
             num_partitions=16))
     eng.ingest(docs.filter(expr="doc_id < 300"), 0)
     eng.ingest(docs.filter(expr="doc_id >= 300"), 1)
