@@ -161,3 +161,25 @@ def test_lsm_compaction_boundary_and_vacuum(tmp_path):
     before = a.search(TERMS, k=15, round_to=6).to_pylist()
     lake.vacuum(lake_a + ".idx", keep_last=1)
     assert a.search(TERMS, k=15, round_to=6).to_pylist() == before
+
+
+def test_index_view_crash_resume(tmp_path):
+    """Kill after the refresh commit, wipe the manifest (simulating a
+    crash between dir promote and manifest write on re-run), re-refresh:
+    search results byte-identical."""
+    import os
+    lake_dir = str(tmp_path / "lake")
+    eng = engine.CDCEngine(engine.CDCConfig(lake_dir=lake_dir,
+                                            num_partitions=8,
+                                            merge_concurrency=2))
+    view = index_view.IndexView(lake_dir, str(tmp_path / "idx"),
+                                num_partitions=8)
+    eng.ingest_epoch(binlog.gen_epoch(SPEC, 0), 0)
+    view.refresh()
+    eng.ingest_epoch(binlog.gen_epoch(SPEC, 1), 1)
+    view.refresh()
+    before = view.search(TERMS, k=12, round_to=6).to_pylist()
+    os.remove(lake._manifest_path(str(tmp_path / "idx"), 1))
+    res = view.refresh()                  # cleans debris, redoes epoch 1
+    assert res["refreshed"] and res["view_epoch"] == 1
+    assert view.search(TERMS, k=12, round_to=6).to_pylist() == before

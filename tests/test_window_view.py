@@ -269,3 +269,47 @@ def test_session_merge_across_epochs(tmp_path):
                              r["sum_val"])
            for r in agg.finalized().take_all()}
     assert fin["a"] == (t0, t0 + gap_us, 3, 7.0)     # ONE merged session
+
+
+# -- hypothesis: the tumbling accept/drop/finalize recurrence ---------------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_ev_strategy = st.lists(
+    st.tuples(st.integers(0, 2),                 # arrival epoch
+              st.integers(0, 72) ,               # event-time offset (x10min)
+              st.sampled_from(["a", "b"])),
+    min_size=1, max_size=25)
+
+
+@settings(max_examples=6, deadline=None)
+@given(_ev_strategy)
+def test_windowed_recurrence_property(tmp_path_factory, rows):
+    """Arbitrary (arrival epoch, event time, key) streams: engine ==
+    brute-force replay for finalized windows, open state, and drops."""
+    eps = []
+    for ep in range(3):
+        sub = [r for r in rows if r[0] == ep]
+        eps.append(pa.table({
+            "ts": pa.array([T0 + off * 10 * US for _, off, _ in sub],
+                           pa.timestamp("us")),
+            "event_type": pa.array([k for _, _, k in sub]),
+            "value": pa.array([1.0] * len(sub), pa.float64()),
+        }))
+    agg = window_view.WindowedAggregate(window_view.WindowConfig(
+        state_dir=str(tmp_path_factory.mktemp("hyp")), window_minutes=W_MIN,
+        lateness_minutes=L_MIN, ts_col="ts", key_col="event_type",
+        value_col="value", num_partitions=2))
+    dropped = 0
+    nonempty = [t for t in eps if t.num_rows]
+    for ep, t in enumerate(nonempty):
+        dropped += agg.ingest(ray.data.from_arrow(t), ep)["late_dropped"]
+    exp_fin, exp_open, exp_drop, _ = _brute(nonempty)
+    got_fin = {(r["window_us"], r["event_type"]): r["n_rows"]
+               for r in agg.finalized().take_all()}
+    got_open = {(r["window_us"], r["event_type"]): r["n_rows"]
+                for r in agg.open_windows().take_all()}
+    assert got_fin == {k: n for k, (n, _) in exp_fin.items()}
+    assert got_open == {k: n for k, (n, _) in exp_open.items()}
+    assert dropped == exp_drop
