@@ -76,11 +76,16 @@ def main() -> int:
                     help="Debezium-style initial load: bulk-load the "
                          "snapshot parquet as epoch 0 at LSN0, exit "
                          "(then tail the binlog with --resume)")
+    ap.add_argument("--replicate", nargs=2, metavar=("DST", "CURSOR"),
+                    default=None,
+                    help="drain this lake's change feed into the replica "
+                         "lake DST (exactly-once via the CURSOR offset "
+                         "file), exit")
     args = ap.parse_args()
 
     if (args.get is not None or args.rebucket is not None
             or args.zorder is not None or args.scan is not None
-            or args.bootstrap is not None):
+            or args.bootstrap is not None or args.replicate is not None):
         import ray
         if not ray.is_initialized():
             ray.init(address="local", num_cpus=args.num_cpus,
@@ -112,6 +117,12 @@ def main() -> int:
             print(json.dumps({"col": col, "lo": lo, "hi": hi, "rows": n,
                               "files_total": plan["files_total"],
                               "files_pruned": plan["files_pruned"]}))
+        elif args.replicate is not None:
+            from e_commerce_batch_etl_pipeline_ray.cdc import feed as _feed
+            dst, cursor = args.replicate
+            print(json.dumps({"replicate": _feed.replicate(
+                args.lake_dir, dst, cursor,
+                merge_concurrency=args.merge_concurrency)}))
         else:
             snap_path, lsn0 = args.bootstrap
             from e_commerce_batch_etl_pipeline_ray.cdc import engine as _eng
