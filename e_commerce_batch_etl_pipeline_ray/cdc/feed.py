@@ -423,8 +423,10 @@ def replicate(src_lake: str, dst_lake: str, state_path: str,
     batch of epochs; run it per source commit (or in a poll loop)."""
     from e_commerce_batch_etl_pipeline_ray.cdc import engine as _engine
 
-    src_manifest = lake.read_manifest(src_lake,
-                                      lake.last_committed_epoch(src_lake))
+    last_src = lake.last_committed_epoch(src_lake)
+    if last_src is None:
+        return {"epochs_applied": 0, "events": 0}
+    src_manifest = lake.read_manifest(src_lake, last_src)
     if num_partitions is None:
         num_partitions = src_manifest.get("num_partitions", 32)
     cur = FeedCursor(src_lake, state_path)

@@ -187,6 +187,13 @@ class IndexView:
                 else "delta")
         prev_manifest = (lake.read_manifest(self.view_dir, view_epoch - 1)
                          if view_epoch > 0 else None)
+        if prev_manifest and prev_manifest.get("num_partitions") not in (
+                None, self.num_partitions):
+            raise ValueError(
+                f"index was built with num_partitions="
+                f"{prev_manifest['num_partitions']}; this view says "
+                f"{self.num_partitions} — term->partition routing "
+                "requires a constant modulus")
         prev_parts = prev_manifest["partitions"] if prev_manifest else {}
         prev_log = list(prev_manifest.get("removal_log", [])) \
             if prev_manifest else []
@@ -356,17 +363,15 @@ class IndexView:
                    "lake_epoch": last_lake,
                    "n_docs": n_docs, "total_len": total_len,
                    "changed_keys": len(removed)}
-        manifest = lake.commit_manifest(
+        # removal_log is a top-level manifest key (vacuum tracks it);
+        # it MUST land in the same atomic manifest write — a second
+        # rewrite would leave a committed epoch with the log missing on
+        # crash, silently resurrecting removed postings
+        lake.commit_manifest(
             self.view_dir, view_epoch, partitions, schema,
             prev_manifest, metrics=metrics,
-            num_partitions=self.num_partitions)
-        # removal_log is a top-level manifest key (vacuum tracks it)
-        manifest["removal_log"] = removal_log
-        mpath = lake._manifest_path(self.view_dir, view_epoch)
-        tmpm = mpath + ".tmp"
-        with open(tmpm, "w") as f:
-            json.dump(manifest, f)
-        os.replace(tmpm, mpath)
+            num_partitions=self.num_partitions,
+            extra={"removal_log": removal_log})
         return {"refreshed": True, "view_epoch": view_epoch, **metrics}
 
     # -- query ---------------------------------------------------------------
@@ -382,6 +387,12 @@ class IndexView:
         if last is None:
             raise FileNotFoundError(f"index view {self.view_dir} is empty")
         manifest = lake.read_manifest(self.view_dir, last)
+        if manifest.get("num_partitions") not in (None,
+                                                  self.num_partitions):
+            raise ValueError(
+                f"index was built with num_partitions="
+                f"{manifest['num_partitions']}; this view says "
+                f"{self.num_partitions}")
         meta = manifest["metrics"]
         n_docs, total_len = meta["n_docs"], meta["total_len"]
         if n_docs == 0:

@@ -81,7 +81,8 @@ def commit_manifest(lake_dir: str, epoch: int, partitions: dict[int, dict],
                     metrics: dict | None = None,
                     staged: bool = False,
                     num_partitions: int | None = None,
-                    snapshot_lsn: int | None = None) -> dict:
+                    snapshot_lsn: int | None = None,
+                    extra: dict | None = None) -> dict:
     """Build epoch manifest (carrying forward untouched partitions from
     ``prev``) and commit it atomically: tmp file + os.replace.
     ``metrics``: optional epoch-level observability record (events_in,
@@ -120,6 +121,10 @@ def commit_manifest(lake_dir: str, epoch: int, partitions: dict[int, dict],
         manifest["snapshot_lsn"] = prev["snapshot_lsn"]
     if metrics:
         manifest["metrics"] = metrics
+    # extra top-level keys (e.g. the index view's removal_log) land in
+    # the SAME atomic write — a second rewrite would open a crash window
+    if extra:
+        manifest.update(extra)
     os.makedirs(os.path.join(lake_dir, MANIFEST_DIR), exist_ok=True)
     path = _manifest_path(lake_dir, epoch)
     if staged:
@@ -654,6 +659,10 @@ def rebucket(src_lake: str, dst_lake: str, num_partitions: int,
                              "src_epoch": epoch,
                              "src_num_partitions":
                                  manifest.get("num_partitions")},
-                    num_partitions=num_partitions)
+                    num_partitions=num_partitions,
+                    # a bootstrapped lake's boundary marker must survive
+                    # the migration or pre-snapshot redeliveries resurrect
+                    # deleted keys in the new lake
+                    snapshot_lsn=manifest.get("snapshot_lsn"))
     return {"rows": sum(r["rows_total"] for r in partitions.values()),
             "partitions": len(partitions)}

@@ -231,6 +231,13 @@ class IncrementalMinHashDedup:
             raise ValueError(f"epoch {epoch} out of order; expected {expected}")
         prev_manifest = (lake.read_manifest(cfg.state_dir, last)
                          if last is not None else None)
+        if prev_manifest and prev_manifest.get("num_partitions") not in (
+                None, cfg.num_partitions):
+            raise ValueError(
+                f"state was written with num_partitions="
+                f"{prev_manifest['num_partitions']}; config says "
+                f"{cfg.num_partitions} — bucket->partition routing "
+                "requires a constant modulus")
         prev_parts = prev_manifest["partitions"] if prev_manifest else {}
 
         from e_commerce_batch_etl_pipeline_ray.stages.blockutil import (

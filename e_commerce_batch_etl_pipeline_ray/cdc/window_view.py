@@ -160,6 +160,13 @@ class WindowedAggregate:
             raise ValueError(f"epoch {epoch} out of order; expected {expected}")
         prev_manifest = (lake.read_manifest(cfg.state_dir, last)
                          if last is not None else None)
+        if prev_manifest and prev_manifest.get("num_partitions") not in (
+                None, cfg.num_partitions):
+            raise ValueError(
+                f"state was written with num_partitions="
+                f"{prev_manifest['num_partitions']}; config says "
+                f"{cfg.num_partitions} — the (window, key)->partition "
+                "routing requires a constant modulus")
         prev_parts = prev_manifest["partitions"] if prev_manifest else {}
         prev_wm = (prev_manifest["metrics"]["watermark_us"]
                    if prev_manifest else None)
@@ -263,10 +270,12 @@ class WindowedAggregate:
             if rec.get("file"):
                 placeholders.append(int(pid))
         if placeholders:
-            # column order must match the partials schema exactly
+            # column order AND key type must match the partials schema
+            p_schema = partials.schema().base_schema
             ph = pa.table({
                 "window_us": pa.array([0] * len(placeholders), pa.int64()),
-                **({cfg.key_col: pa.array([""] * len(placeholders))}
+                **({cfg.key_col: pa.nulls(
+                    len(placeholders), p_schema.field(cfg.key_col).type)}
                    if cfg.key_col is not None else {}),
                 "_late": pa.array([True] * len(placeholders)),
                 "n_rows": pa.array([0] * len(placeholders), pa.int64()),
@@ -294,7 +303,9 @@ class WindowedAggregate:
             }
         schema = pa.schema(
             [("window_us", pa.int64())]
-            + ([(cfg.key_col, pa.string())] if cfg.key_col else [])
+            + ([(cfg.key_col,
+                 partials.schema().base_schema.field(cfg.key_col).type)]
+               if cfg.key_col else [])
             + [("n_rows", pa.int64())]
             + ([("sum_val", pa.float64())] if has_val else []))
         metrics = {"op": "windowed_aggregate",
@@ -405,6 +416,13 @@ class SessionAggregate:
             raise ValueError(f"epoch {epoch} out of order; expected {expected}")
         prev_manifest = (lake.read_manifest(cfg.state_dir, last)
                          if last is not None else None)
+        if prev_manifest and prev_manifest.get("num_partitions") not in (
+                None, cfg.num_partitions):
+            raise ValueError(
+                f"state was written with num_partitions="
+                f"{prev_manifest['num_partitions']}; config says "
+                f"{cfg.num_partitions} — the (window, key)->partition "
+                "routing requires a constant modulus")
         prev_parts = prev_manifest["partitions"] if prev_manifest else {}
         prev_wm = (prev_manifest["metrics"]["watermark_us"]
                    if prev_manifest else None)

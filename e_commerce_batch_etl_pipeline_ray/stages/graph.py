@@ -185,10 +185,7 @@ def pagerank(edges: ray.data.Dataset, iterations: int = 5,
             _tag("c", "node", None), batch_format="pyarrow",
             zero_copy_batch=True)
         state = detach(
-            state.map_batches(_tag("s", "node", None),
-                              batch_format="pyarrow",
-                              zero_copy_batch=True)
-            .union(contrib_tagged).groupby("_gpid").map_groups(
+            state_tagged.union(contrib_tagged).groupby("_gpid").map_groups(
                 _gather_factory(add), batch_format="pyarrow")
             .materialize(), state_schema)
 

@@ -167,20 +167,13 @@ def build_inverted_index(ds: ray.data.Dataset, index_dir: str,
             id_col: t[id_col].take(idxs),
             "tf": pc.cast(agg["count_all"], pa.int64()),
             "dl": pa.array(lens, pa.int64()).take(idxs),
-            "_n_docs": pa.array([t.num_rows] * agg.num_rows, pa.int64()),
-            "_block_len": pa.array([int(lens.sum())] * agg.num_rows,
-                                   pa.int64()),
         })
         pid = hash_partition_ids(out, ["term"], num_partitions)
         return out.append_column("_ipid", pa.array(pid, pa.int32()))
 
     def _write(group: pa.Table) -> pa.Table:
         pid = group["_ipid"][0].as_py()
-        # corpus stats: each input block contributed one (_n_docs,
-        # _block_len) pair per posting; dedupe per block is impossible here
-        # (blocks are merged), so stats are folded on the driver from the
-        # per-block stats table instead — strip the columns
-        t = group.drop_columns(["_ipid", "_n_docs", "_block_len"])
+        t = group.drop_columns(["_ipid"])
         t = t.sort_by([("term", "ascending"), (id_col, "ascending")])
         path = os.path.join(index_dir, f"part-{pid:05d}.parquet")
         wip = f"{path}.wip.{os.getpid()}"
