@@ -183,3 +183,31 @@ def test_index_view_crash_resume(tmp_path):
     res = view.refresh()                  # cleans debris, redoes epoch 1
     assert res["refreshed"] and res["view_epoch"] == 1
     assert view.search(TERMS, k=12, round_to=6).to_pylist() == before
+
+
+def test_removal_log_is_atomic_with_manifest(tmp_path):
+    """The removal log rides the SAME manifest write (review fix): a
+    delta-epoch manifest read back immediately contains removal_log, and
+    a re-read after process 'restart' (fresh view object) preserves it."""
+    lake_dir = str(tmp_path / "lake")
+    eng = engine.CDCEngine(engine.CDCConfig(lake_dir=lake_dir,
+                                            num_partitions=8,
+                                            merge_concurrency=2))
+    view = index_view.IndexView(lake_dir, str(tmp_path / "idx"),
+                                num_partitions=8, compact_interval=8)
+    for ep in range(2):
+        eng.ingest_epoch(binlog.gen_epoch(SPEC, ep), ep)
+        view.refresh()
+    m1 = lake.read_manifest(str(tmp_path / "idx"), 1)
+    assert m1["metrics"]["mode"] == "delta"
+    assert m1.get("removal_log"), "epoch 1 changed keys -> log must exist"
+    # a fresh view object (new process) sees the same chain and search
+    view2 = index_view.IndexView(lake_dir, str(tmp_path / "idx"),
+                                 num_partitions=8, compact_interval=8)
+    assert view2.search(TERMS, k=8, round_to=6).to_pylist() == \
+        view.search(TERMS, k=8, round_to=6).to_pylist()
+    import pytest
+    bad = index_view.IndexView(lake_dir, str(tmp_path / "idx"),
+                               num_partitions=16)
+    with pytest.raises(ValueError, match="constant modulus|num_partitions"):
+        bad.search(TERMS, k=5)

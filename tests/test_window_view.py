@@ -313,3 +313,30 @@ def test_windowed_recurrence_property(tmp_path_factory, rows):
     assert got_fin == {k: n for k, (n, _) in exp_fin.items()}
     assert got_open == {k: n for k, (n, _) in exp_open.items()}
     assert dropped == exp_drop
+
+
+def test_int_key_windows_and_modulus_guard(tmp_path):
+    """Integer key columns survive the placeholder/union path (review
+    fix), and a modulus change is rejected instead of splitting state."""
+    import pytest
+    t0 = pa.table({"ts": pa.array([T0, T0 + 10 * US], pa.timestamp("us")),
+                   "uid": pa.array([7, 8], pa.int64()),
+                   "value": pa.array([1.0, 2.0], pa.float64())})
+    t1 = pa.table({"ts": pa.array([T0 + 500 * US], pa.timestamp("us")),
+                   "uid": pa.array([7], pa.int64()),
+                   "value": pa.array([4.0], pa.float64())})
+    agg = window_view.WindowedAggregate(window_view.WindowConfig(
+        state_dir=str(tmp_path / "ik"), window_minutes=W_MIN,
+        lateness_minutes=L_MIN, ts_col="ts", key_col="uid",
+        value_col="value", num_partitions=4))
+    agg.ingest(ray.data.from_arrow(t0), 0)
+    agg.ingest(ray.data.from_arrow(t1), 1)      # placeholder path w/ priors
+    fin = {(r["window_us"], r["uid"]): r["n_rows"]
+           for r in agg.finalized().take_all()}
+    assert sum(fin.values()) == 2               # the two T0-hour events
+    bad = window_view.WindowedAggregate(window_view.WindowConfig(
+        state_dir=str(tmp_path / "ik"), window_minutes=W_MIN,
+        lateness_minutes=L_MIN, ts_col="ts", key_col="uid",
+        value_col="value", num_partitions=8))
+    with pytest.raises(ValueError, match="constant modulus"):
+        bad.ingest(ray.data.from_arrow(t1), 2)
