@@ -214,8 +214,14 @@ class PersistentMergePool:
                  fan_out: str = "auto"):
         self.n_workers = n_workers
         self.fan_out = resolve_fan_out(fan_out)
-        self.workers = [MergeWorker.remote(w, n_workers, lake_dir)
-                        for w in range(n_workers)]
+        # SPREAD the pool over the cluster: default actor scheduling packs
+        # 0-CPU actors onto one node, which on a real cluster concentrates
+        # every partition's merge CPU + lake I/O on a single host. On one
+        # node SPREAD is a no-op.
+        self.workers = [
+            MergeWorker.options(scheduling_strategy="SPREAD").remote(
+                w, n_workers, lake_dir)
+            for w in range(n_workers)]
 
     def run_epoch(self, normalized, epoch: int, schema_b64: str,
                   prev_partitions: dict, mode: str,

@@ -375,6 +375,36 @@ class CDCEngine:
             batch_format="pyarrow", zero_copy_batch=True,
             batch_size=self.cfg.batch_size)
 
+    def _run_dq(self, events: ray.data.Dataset, epoch: int,
+                label: str = "epoch") -> None:
+        """Run the configured one-pass DQ framework on an incoming dataset
+        BEFORE any write work, persist the report next to the manifests
+        (manifests/dq-{label}-NNNN.json), and — when ``dq_gate`` — abort on
+        FAIL with the lake untouched. Shared by every write path that
+        accepts raw rows: ingest_epoch, bootstrap (label="bootstrap") and,
+        via the plumbed-through config, feed.replicate."""
+        cfg = self.cfg
+        if cfg.dq is None:
+            return
+        import json as _json
+
+        from e_commerce_batch_etl_pipeline_ray.quality.checks import (
+            DataQualityError,
+            run_checks,
+        )
+        report, status = run_checks(events, cfg.dq, gate=False)
+        ddir = os.path.join(cfg.lake_dir, lake.MANIFEST_DIR)
+        os.makedirs(ddir, exist_ok=True)
+        dq_path = os.path.join(ddir, f"dq-{label}-{epoch:04d}.json")
+        tmp = dq_path + ".tmp"
+        with open(tmp, "w") as f:
+            _json.dump({"epoch": epoch, "status": status,
+                        "report": report.to_pylist()}, f)
+        os.replace(tmp, dq_path)
+        if status == "FAIL" and cfg.dq_gate:
+            raise DataQualityError(
+                f"{label} {epoch} failed the DQ gate; report at {dq_path}")
+
     def ingest_epoch(self, events: ray.data.Dataset, epoch: int,
                      events_in: int | None = None,
                      _normalized: ray.data.Dataset | None = None,
@@ -396,25 +426,7 @@ class CDCEngine:
                 f"{prev_manifest['num_partitions']}; config says "
                 f"{cfg.num_partitions} — the key->partition routing (resume, "
                 f"carry-forward, point_read) requires a constant modulus")
-        if cfg.dq is not None:
-            import json as _json
-
-            from e_commerce_batch_etl_pipeline_ray.quality.checks import (
-                DataQualityError,
-                run_checks,
-            )
-            report, status = run_checks(events, cfg.dq, gate=False)
-            ddir = os.path.join(cfg.lake_dir, lake.MANIFEST_DIR)
-            os.makedirs(ddir, exist_ok=True)
-            dq_path = os.path.join(ddir, f"dq-epoch-{epoch:04d}.json")
-            tmp = dq_path + ".tmp"
-            with open(tmp, "w") as f:
-                _json.dump({"epoch": epoch, "status": status,
-                            "report": report.to_pylist()}, f)
-            os.replace(tmp, dq_path)
-            if status == "FAIL" and cfg.dq_gate:
-                raise DataQualityError(
-                    f"epoch {epoch} failed the DQ gate; report at {dq_path}")
+        self._run_dq(events, epoch)
         prev_schema = lake.schema_from_b64(prev_manifest["schema"]) if prev_manifest else None
         if _normalized is not None:
             # pipelined path: normalize ran ahead with a schema computed
@@ -627,6 +639,8 @@ class CDCEngine:
         for k in KEY:
             if k not in base_schema.names:
                 raise ValueError(f"snapshot table lacks key column {k!r}")
+        # same DQ contract as ingest_epoch: gate BEFORE any write work
+        self._run_dq(base, 0, label="bootstrap")
         schema = pa.schema(
             [pa.field("lsn", pa.int64())]
             + [pa.field(f.name, f.type) for f in base_schema]

@@ -408,7 +408,8 @@ def sync_feed_to_db(lake_dir: str, db_path: str, table: str,
 
 def replicate(src_lake: str, dst_lake: str, state_path: str,
               num_partitions: int | None = None,
-              merge_concurrency: int = 2) -> dict:
+              merge_concurrency: int = 2,
+              dq=None, dq_gate: bool = True) -> dict:
     """GEO-REPLICA from the change feed: drain unseen source epochs
     through a FeedCursor, convert the row-level changes back into upsert/
     delete EVENTS (insert/update_postimage -> 'U', delete -> 'D', each
@@ -417,6 +418,13 @@ def replicate(src_lake: str, dst_lake: str, state_path: str,
     normal epoch protocol. LWW on the preserved lsn makes redelivery
     idempotent, so crash-between-poll-and-commit is exactly-once — the
     same contract as sync_feed_to_db, with a LAKE as the sink.
+
+    ``dq``/``dq_gate`` plumb the destination engine's data-quality gate
+    (quality.checks.DQConfig): the reconstructed events run the one-pass
+    check framework BEFORE any merge work, with the report persisted under
+    the destination's manifests; on FAIL with dq_gate=True the replica is
+    untouched and the feed cursor does NOT advance (the batch re-drains
+    after the source is fixed).
 
     The replica is a full CDC lake: point reads, time travel (its own
     epoch grain), feeds and views all work on it. One call replicates one
@@ -448,7 +456,7 @@ def replicate(src_lake: str, dst_lake: str, state_path: str,
                                zero_copy_batch=True)
     eng = _engine.CDCEngine(_engine.CDCConfig(
         lake_dir=dst_lake, num_partitions=num_partitions,
-        merge_concurrency=merge_concurrency))
+        merge_concurrency=merge_concurrency, dq=dq, dq_gate=dq_gate))
     epoch = eng.resume_point()
     n = events.count()
     eng.ingest_epoch(events, epoch, events_in=n)

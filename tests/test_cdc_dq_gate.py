@@ -80,3 +80,69 @@ def test_gate_off_records_fail_but_commits(tmp_path):
                                       lake.MANIFEST_DIR,
                                       "dq-epoch-0001.json")))
     assert rep["status"] == "FAIL"
+
+
+def test_bootstrap_runs_the_same_gate(tmp_path):
+    """bootstrap() accepts raw rows and must honor CDCConfig.dq exactly
+    like ingest_epoch: FAIL aborts with the lake EMPTY (no epoch 0), the
+    report persists as dq-bootstrap-0000.json, and a clean snapshot then
+    bootstraps normally (with its PASS report)."""
+    import ray.data
+
+    dq = DQConfig(min_rows=10, max_null_pct={"repo": 0.0, "path": 0.0})
+    eng = engine.CDCEngine(engine.CDCConfig(
+        lake_dir=str(tmp_path / "lake"), num_partitions=8,
+        merge_concurrency=2, dq=dq))
+    bad = ray.data.from_arrow(pa.table({
+        "repo": pa.array(["r0", None, "r2"] * 10, pa.string()),
+        "path": pa.array([f"p{i}" for i in range(30)], pa.string()),
+        "content_sha256": pa.array(["x" * 64] * 30, pa.string()),
+    }))
+    with pytest.raises(DataQualityError, match="bootstrap 0 failed"):
+        eng.bootstrap(bad, lsn0=100)
+    assert lake.last_committed_epoch(str(tmp_path / "lake")) is None
+    rep = json.load(open(os.path.join(str(tmp_path / "lake"),
+                                      lake.MANIFEST_DIR,
+                                      "dq-bootstrap-0000.json")))
+    assert rep["status"] == "FAIL"
+
+    good = ray.data.from_arrow(pa.table({
+        "repo": pa.array([f"r{i % 3}" for i in range(30)], pa.string()),
+        "path": pa.array([f"p{i}" for i in range(30)], pa.string()),
+        "content_sha256": pa.array(["x" * 64] * 30, pa.string()),
+    }))
+    st = eng.bootstrap(good, lsn0=100)
+    assert st.events_in == 30
+    assert lake.last_committed_epoch(str(tmp_path / "lake")) == 0
+    rep = json.load(open(os.path.join(str(tmp_path / "lake"),
+                                      lake.MANIFEST_DIR,
+                                      "dq-bootstrap-0000.json")))
+    assert rep["status"] in ("PASS", "WARN")
+
+
+def test_replicate_plumbs_the_gate_and_cursor_stays_put(tmp_path):
+    """replicate(dq=...) gates the reconstructed events on the DESTINATION
+    engine: on FAIL the replica is untouched AND the feed cursor does not
+    advance, so the same batch re-drains once the gate passes."""
+    from e_commerce_batch_etl_pipeline_ray.cdc import feed
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    state = str(tmp_path / "cursor.json")
+    src_eng = engine.CDCEngine(engine.CDCConfig(
+        lake_dir=src, num_partitions=8, merge_concurrency=2))
+    src_eng.ingest_epoch(binlog.gen_epoch(SPEC, 0), 0)
+
+    impossible = DQConfig(min_rows=10**9)
+    with pytest.raises(DataQualityError, match="failed the DQ gate"):
+        feed.replicate(src, dst, state, merge_concurrency=2, dq=impossible)
+    assert lake.last_committed_epoch(dst) is None
+    assert not os.path.exists(state)        # cursor did not advance
+
+    # same batch re-drains under a passing gate
+    out = feed.replicate(src, dst, state, merge_concurrency=2, dq=DQ)
+    assert out["epochs_applied"] == 1 and out["events"] > 0
+    assert lake.last_committed_epoch(dst) == 0
+    rep = json.load(open(os.path.join(dst, lake.MANIFEST_DIR,
+                                      "dq-epoch-0000.json")))
+    assert rep["status"] in ("PASS", "WARN")

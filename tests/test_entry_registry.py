@@ -1,0 +1,42 @@
+"""Driver-contract invariants for __ray_entry__: the correctness gate
+evaluates the FIRST 50 queries() entries, so the curated DRIVER_WINDOW must
+stay a valid cross-section — present, deduplicated, fully SQL-oracled, and
+actually first. Pure registry checks (no Ray execution)."""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __ray_entry__ as entrymod
+
+
+def test_driver_window_is_first_50_and_fully_oracled():
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    win = entrymod.DRIVER_WINDOW
+    assert len(win) == 50
+    assert len(set(win)) == 50
+    assert list(qs)[:50] == win
+    missing = [n for n in win if n not in oracles]
+    assert not missing, f"driver-window queries without SQL oracle: {missing}"
+    # the window must keep the flagships first
+    assert win[:3] == ["q1_pricing_summary", "q24_cdc_ingest",
+                       "q26_orders_pipeline"]
+    # representative cross-section of the round-3 surface (judge ask):
+    for must in ("q51_cube", "q76_cdc_time_travel", "q90_cdc_change_feed",
+                 "q92_scd2_history", "q94_cdc_merge_into", "q105_zorder_scan",
+                 "q108_pagerank", "q110_incremental_dedup",
+                 "q111_incremental_neardup", "q114_windowed_watermark",
+                 "q116_session_windows"):
+        assert must in win
+
+
+def test_registry_is_complete_and_reorder_loses_nothing():
+    from e_commerce_batch_etl_pipeline_ray.pipelines import queries as Q
+    qs = entrymod.queries()
+    assert set(qs) == set(Q.QUERIES)
+    assert len(qs) == len(Q.QUERIES)
+    # every oracle key refers to a registered query
+    dangling = [n for n in entrymod.oracle_sql() if n not in qs]
+    assert not dangling
