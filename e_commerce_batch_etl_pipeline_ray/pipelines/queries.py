@@ -1123,8 +1123,10 @@ ORACLE.update({"q29_grouped_topk": Q29_SQL, "q30_running_sum": Q30_SQL})
 # brute-force KNN over the features
 
 def q31_multimodal_knn(sf_dir: str):
-    """REAL decode path: deterministic PPM/BMP payloads decoded by the
-    pure-numpy kernels (pixel-histogram features), then brute KNN."""
+    """REAL decode path: deterministic PPM/BMP/PNG/baseline-JPEG payloads
+    decoded by the pure-numpy kernels — stages/imagecodec.py implements
+    PNG (zlib inflate + row unfiltering) and JPEG (Huffman + IDCT) from
+    spec — pixel-histogram features, then brute KNN."""
     import numpy as np
 
     import ray.data as rd

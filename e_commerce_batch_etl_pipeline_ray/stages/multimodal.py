@@ -2,14 +2,17 @@
 ``binary`` columns with typed metadata, processed by actor-pool map_batches
 stages.
 
-Decode kernels: REAL pure-numpy decoders for the container-friendly
-formats — P6 PPM and 24-bit uncompressed BMP images (``decode_image_bytes``,
-with nearest-neighbor resize), and PCM16/PCM8 WAV audio
-(``decode_wav_bytes``). Formats that require external libraries
-(JPEG/PNG/ffmpeg video) raise NotImplementedError per payload with the
-library named. ``fake=True`` keeps the deterministic fake decoder
-(header-derived dimensions, checksum features) for plumbing tests and for
-corpora of opaque payloads.
+Decode kernels: REAL pure-numpy decoders — P6 PPM and 24-bit
+uncompressed BMP here, PNG (stdlib zlib inflate + all five row filters)
+and baseline JPEG (Huffman + IDCT, 4:4:4/4:2:2/4:2:0) in
+``stages/imagecodec.py`` — all dispatched by ``decode_image_bytes``
+(with nearest-neighbor resize), and PCM16/PCM8 WAV audio
+(``decode_wav_bytes``). Formats that genuinely require external
+libraries (progressive JPEG, mp3/ogg, ffmpeg video) raise
+NotImplementedError per payload with the library named. ``fake=True``
+keeps the deterministic fake decoder (header-derived dimensions,
+checksum features) for plumbing tests and for corpora of opaque
+payloads.
 
 Scale notes: binary payloads make rows wide; callers must use small
 ``batch_size`` (e.g. 64-256) so batch x concurrency fits worker heap, and
@@ -105,15 +108,42 @@ def _decode_bmp(b: bytes) -> np.ndarray:
 
 
 def decode_image_bytes(payload: bytes) -> np.ndarray:
-    """Decode PPM (P6) or BMP (24-bit uncompressed) to uint8 (H, W, 3).
-    Other formats need external libs -> NotImplementedError naming them."""
+    """Decode PPM (P6), BMP (24-bit uncompressed), PNG (8-bit gray /
+    RGB / palette / RGBA, non-interlaced) or baseline JPEG to uint8
+    (H, W, 3). Alpha composites over white; grayscale replicates to 3
+    channels. Remaining formats raise NotImplementedError naming the
+    missing library."""
     if payload[:2] == b"P6":
         return _decode_ppm(payload)
     if payload[:2] == b"BM":
         return _decode_bmp(payload)
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        from e_commerce_batch_etl_pipeline_ray.stages.imagecodec import (
+            decode_png,
+        )
+        img = decode_png(payload)
+        if img.ndim == 2:
+            return np.repeat(img[:, :, None], 3, axis=2)
+        if img.shape[2] == 2:                 # gray+alpha
+            g = np.repeat(img[:, :, :1], 3, axis=2)
+            img = np.dstack([g, img[:, :, 1]])
+        if img.shape[2] == 4:                 # composite over white
+            rgb = img[:, :, :3].astype(np.float64)
+            a = img[:, :, 3:4].astype(np.float64) / 255.0
+            return (rgb * a + 255.0 * (1 - a)).round().astype(np.uint8)
+        return img
+    if payload[:2] == b"\xff\xd8":
+        from e_commerce_batch_etl_pipeline_ray.stages.imagecodec import (
+            decode_jpeg,
+        )
+        img = decode_jpeg(payload)
+        if img.ndim == 2:
+            return np.repeat(img[:, :, None], 3, axis=2)
+        return img
     raise NotImplementedError(
-        f"unsupported image format (magic {payload[:4]!r}): only PPM/BMP "
-        "decode in pure numpy; JPEG/PNG require PIL (not in this container)")
+        f"unsupported image format (magic {payload[:4]!r}): PPM/BMP/PNG/"
+        "baseline-JPEG decode in pure numpy; other formats require PIL "
+        "(not in this container)")
 
 
 def resize_nearest(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
@@ -194,10 +224,17 @@ def fake_media_table(n: int, seed: int = 42, payload_bytes: int = 4096) -> pa.Ta
 
 
 def real_media_table(n: int, seed: int = 42, max_side: int = 48) -> pa.Table:
-    """Deterministic REAL payloads: PPM and BMP images (alternating) plus
-    PCM16 WAV audio every third row — decodable by the pure-numpy kernels."""
+    """Deterministic REAL payloads: PPM / BMP / PNG / baseline-JPEG images
+    (rotating) plus PCM16 WAV audio every third row — all decodable by the
+    pure-numpy kernels. JPEG rows use smooth gradient content (lossy
+    format; gradients keep the decode feature-stable across quality)."""
+    from e_commerce_batch_etl_pipeline_ray.stages.imagecodec import (
+        encode_jpeg,
+        encode_png,
+    )
     rng = np.random.RandomState(seed)
     ids, types, payloads, mimes, ws, hs, durs = [], [], [], [], [], [], []
+    img_i = 0
     for i in range(n):
         ids.append(i)
         if i % 3 == 2:
@@ -212,11 +249,20 @@ def real_media_table(n: int, seed: int = 42, max_side: int = 48) -> pa.Table:
         else:
             w = int(rng.randint(8, max_side))
             h = int(rng.randint(8, max_side))
-            img = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
-            payloads.append(encode_ppm(img) if i % 2 == 0 else encode_bmp(img))
+            fmt = img_i % 4
+            img_i += 1
+            if fmt == 3:  # smooth content for the lossy codec
+                yy, xx = np.mgrid[0:h, 0:w]
+                img = np.stack([(yy * 3) % 256, (xx * 5) % 256,
+                                ((yy + xx) * 2) % 256],
+                               axis=-1).astype(np.uint8)
+            else:
+                img = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+            enc = [encode_ppm, encode_bmp, encode_png, encode_jpeg][fmt]
+            payloads.append(enc(img))
             types.append("image")
-            mimes.append("image/x-portable-pixmap" if i % 2 == 0
-                         else "image/bmp")
+            mimes.append(["image/x-portable-pixmap", "image/bmp",
+                          "image/png", "image/jpeg"][fmt])
             ws.append(None)
             hs.append(None)
             durs.append(None)
@@ -234,12 +280,14 @@ def real_media_table(n: int, seed: int = 42, max_side: int = 48) -> pa.Table:
 class DecodeImage:
     """Actor-pool image decode -> (width, height, feature vector).
 
-    ``fake=False`` (default): REAL pure-numpy decode of PPM/BMP payloads
-    (decode_image_bytes); optional ``resize_to=(w, h)`` nearest-neighbor
-    resize before feature extraction; features = 8-bin grayscale-pixel
-    histogram, L1-normalized. JPEG/PNG payloads raise NotImplementedError
-    naming the missing library. A PIL-based path would slot in here
-    (loaded once per actor in __init__) when the container gains it.
+    ``fake=False`` (default): REAL pure-numpy decode of PPM/BMP/PNG/
+    baseline-JPEG payloads (decode_image_bytes); optional
+    ``resize_to=(w, h)`` nearest-neighbor resize before feature
+    extraction; features = 8-bin grayscale-pixel histogram,
+    L1-normalized. Remaining formats (GIF, progressive JPEG, ...) raise
+    NotImplementedError naming the missing library. A PIL-based path
+    would slot in here (loaded once per actor in __init__) when the
+    container gains it.
 
     ``fake=True``: deterministic fake decoder (blake2b-derived dimensions,
     byte-histogram features) for plumbing tests / opaque payloads.

@@ -193,10 +193,14 @@ def test_wav_codec_roundtrip():
 
 
 def test_decode_images_real_kernels():
-    """End-to-end Ray stage over REAL PPM/BMP payloads: true dimensions,
-    pixel-histogram features; WAV rows decode through DecodeAudio with
-    header-true durations; unsupported magics raise with the library named."""
+    """End-to-end Ray stage over REAL PPM/BMP/PNG/JPEG payloads: true
+    dimensions, pixel-histogram features; WAV rows decode through
+    DecodeAudio with header-true durations; unsupported magics raise with
+    the library named."""
     t = multimodal.real_media_table(24, seed=11)
+    assert set(t.filter(
+        pa.compute.equal(t["media_type"], "image"))["mime"].to_pylist()) == {
+        "image/x-portable-pixmap", "image/bmp", "image/png", "image/jpeg"}
     images = t.filter(pa.compute.equal(t["media_type"], "image"))
     out = multimodal.decode_images(fake=False, batch_size=8).apply(
         ray.data.from_arrow(images)).to_pandas()
@@ -215,7 +219,7 @@ def test_decode_images_real_kernels():
     assert aout["audio_features"].map(len).eq(16).all()
 
     with pytest.raises(NotImplementedError, match="PIL"):
-        multimodal.DecodeImage(fake=False)._decode_real(b"\xff\xd8\xff\xe0jpeg")
+        multimodal.DecodeImage(fake=False)._decode_real(b"GIF87a trailer")
     with pytest.raises(NotImplementedError, match="soundfile"):
         multimodal.decode_wav_bytes(b"ID3\x04mp3 junk....")
 
