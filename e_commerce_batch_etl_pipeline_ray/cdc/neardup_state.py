@@ -47,7 +47,6 @@ from __future__ import annotations
 import os
 from dataclasses import dataclass
 
-import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
@@ -61,7 +60,6 @@ from e_commerce_batch_etl_pipeline_ray.stages.dedup import (
 )
 from e_commerce_batch_etl_pipeline_ray.stages.neardup import (
     _minhash_sig_batch,
-    _shingle_hashes,
 )
 
 _PID = "_pid"
@@ -87,12 +85,20 @@ class IncNearDupConfig:
     compact_interval: int = 8
 
 
-def _jacc(cache: dict, k: int, did, text):
-    sh = cache.get(did)
-    if sh is None:
-        sh = _shingle_hashes(text, k)
-        cache[did] = sh
-    return sh
+def _jacc_set(cache: dict, k: int, did, text) -> frozenset:
+    """Distinct k-char shingle set, mirroring the operator/oracle
+    normalization (stages/neardup.py::_shingle_hashes and the q44 SQL
+    CTEs): lowercase, right-pad short texts to k. Raw-string sets are
+    EXACT — no u64 collision caveat — and Python set intersection beats
+    np.intersect1d's sort at typical shingle counts. Per-worker cache."""
+    s = cache.get(did)
+    if s is None:
+        t = text.lower()
+        if len(t) < k:
+            t = t + " " * (k - len(t))
+        s = frozenset(t[i:i + k] for i in range(len(t) - k + 1))
+        cache[did] = s
+    return s
 
 
 def _bucket_files(rec: dict | None) -> list[str]:
@@ -164,10 +170,10 @@ class _Verify:
         out = []
         for did, odid in zip(t[self.id_col].to_pylist(),
                              t["cand_id"].to_pylist()):
-            sh = _jacc(self._cache, self.k, did, self.texts[did])
-            osh = _jacc(self._cache, self.k, odid, self.texts[odid])
-            inter = np.intersect1d(sh, osh, assume_unique=True).size
-            union = sh.size + osh.size - inter
+            sh = _jacc_set(self._cache, self.k, did, self.texts[did])
+            osh = _jacc_set(self._cache, self.k, odid, self.texts[odid])
+            inter = len(sh & osh)
+            union = len(sh) + len(osh) - inter
             j = inter / union if union else 1.0
             if j >= self.threshold:
                 out.append(did)
@@ -254,6 +260,51 @@ class _NovelWrite:
         })
 
 
+class _EpochWrite:
+    """Phase-3 worker for the MERGED write shuffle: partition ids <
+    num_partitions are bucket-state groups (family "P", handled by
+    _StateWrite), ids >= num_partitions are novel-text groups (family
+    "t", id rebased, handled by _NovelWrite). Emits one unified lineage
+    schema: (partition, family, file, is_delta, rows_total,
+    bytes_written) — for "t" rows, file is the novel file and
+    rows_total the novel row count."""
+
+    def __init__(self, state_dir: str, epoch: int,
+                 prev_partitions: dict[str, dict], id_col: str,
+                 text_col: str, mode: str, num_partitions: int):
+        self.num_partitions = num_partitions
+        self.id_col = id_col
+        self._sig = _StateWrite(state_dir, epoch, prev_partitions,
+                                id_col, mode)
+        # the merged shuffle normalizes the text column's name to "text"
+        # (_tag_docs), whatever cfg.text_col is
+        del text_col
+        self._nov = _NovelWrite(state_dir, epoch, id_col, "text")
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        pid = group[_PID][0].as_py()
+        if pid < self.num_partitions:
+            rec = self._sig(group.select(
+                [self.id_col, "band", "band_hash", _PID]))
+            return pa.table({
+                "partition": rec["partition"], "family": pa.array(
+                    ["P"], pa.string()),
+                "file": rec["file"], "is_delta": rec["is_delta"],
+                "rows_total": rec["rows_total"],
+                "bytes_written": rec["bytes_written"]})
+        rebased = pa.array([pid - self.num_partitions] * group.num_rows,
+                           pa.int32())
+        rec = self._nov(group.select([self.id_col, "text"])
+                        .append_column(_PID, rebased))
+        return pa.table({
+            "partition": rec["partition"], "family": pa.array(
+                ["t"], pa.string()),
+            "file": rec["novel_file"],
+            "is_delta": pa.array([True], pa.bool_()),
+            "rows_total": rec["novel_rows"],
+            "bytes_written": rec["bytes_written"]})
+
+
 class IncrementalMinHashDedup:
     def __init__(self, config: IncNearDupConfig):
         self.cfg = config
@@ -328,9 +379,26 @@ class IncrementalMinHashDedup:
             collect_arrow,
         )
 
-        rows_in = docs.count()
+        import time as _time
+        phase_sec: dict[str, float] = {}
+        _t0 = _time.perf_counter()
+
+        def _mark(name: str) -> None:
+            nonlocal _t0
+            now = _time.perf_counter()
+            phase_sec[name] = round(now - _t0, 3)
+            _t0 = now
+
         docs = docs.materialize()
+        rows_in = docs.count()          # metadata-only on a materialized ds
+        # upstream filters often leave ONE block — resplit so the
+        # signature stage (the CPU-heavy minhash pass) parallelizes;
+        # epoch-bounded, so the repartition is cheap by construction
+        nblocks = max(2, min(cfg.num_partitions, rows_in // 200 or 1))
+        if docs.num_blocks() < nblocks:
+            docs = docs.repartition(nblocks).materialize()
         sigs = self._signatures(docs).materialize()
+        _mark("signatures")
 
         # phase 1: bucket-collision candidate pairs (ids only; the pair
         # set is epoch-bounded — the same driver budget as one epoch)
@@ -338,11 +406,16 @@ class IncrementalMinHashDedup:
             _CandidatePairs, batch_format="pyarrow",
             fn_constructor_args=(prev_parts, cfg.id_col),
             concurrency=2, num_cpus=1))
+        _mark("probe")
         if pairs.num_rows:
             # a pair can collide in several bands routed to different
-            # partitions — dedup before verifying
+            # partitions — dedup before verifying; sort by new id so the
+            # block split hands each verify actor contiguous new_ids
+            # (fewer distinct docs to shingle per actor)
             pairs = pairs.group_by(
                 [cfg.id_col, "cand_id", "cand_is_new"]).aggregate([])
+            pairs = pairs.sort_by([(cfg.id_col, "ascending"),
+                                   ("cand_id", "ascending")])
 
         # phase 2: id-join verify — fetch each pair member's text once
         # (new ids from this epoch's docs, seen ids from the pruned novel
@@ -370,13 +443,23 @@ class IncrementalMinHashDedup:
                              new_t["text"].to_pylist()))
             texts.update(self._fetch_seen_texts(prev_parts, list(seen_ids)))
             texts_ref = ray.put(texts)
+            # pairs arrive as ONE arrow table — hand the verify pool
+            # zero-copy driver-side slices (from_arrow of a table list
+            # makes one block per slice; no repartition all-to-all).
+            # Slices are contiguous in new_id (sorted above), so each
+            # actor shingles few distinct docs.
+            vconc = min(8, max(2, pairs.num_rows // 500))
+            step = -(-pairs.num_rows // (vconc * 2))
+            slices = [pairs.slice(i, step)
+                      for i in range(0, pairs.num_rows, step)]
             verdicts = collect_arrow(
-                ray.data.from_arrow(pairs).map_batches(
+                ray.data.from_arrow(slices).map_batches(
                     _Verify, batch_format="pyarrow",
                     fn_constructor_args=(texts_ref, cfg.k, cfg.threshold,
                                          cfg.id_col),
-                    concurrency=2, num_cpus=1))
+                    concurrency=vconc, num_cpus=1))
             dup_ids = set(verdicts[cfg.id_col].to_pylist())
+        _mark("verify")
 
         # phase 3: append only NOVEL docs — bucket rows (ids) to the
         # band-hash partitions, texts once per doc to the id partitions
@@ -390,65 +473,84 @@ class IncrementalMinHashDedup:
 
         mode = ("compact" if cfg.compact_interval <= 1
                 or (epoch + 1) % cfg.compact_interval == 0 else "delta")
-        novel_sigs = sigs.map_batches(
-            lambda t: _filter_novel(t, cfg.id_col),
-            batch_format="pyarrow", zero_copy_batch=True)
-        lineage = collect_arrow(novel_sigs.groupby(_PID).map_groups(
-            _StateWrite, batch_format="pyarrow",
-            fn_constructor_args=(cfg.state_dir, epoch, prev_parts,
-                                 cfg.id_col, mode),
-            concurrency=2, num_cpus=1))
 
-        def _route_novel(t: pa.Table) -> pa.Table:
+        # both write families ride ONE shuffle: sig rows keep their
+        # band-hash pid, doc rows get pid + num_partitions (family tag
+        # folded into the partition id), null-padded to a common schema
+        # (null columns cost a validity bitmap, not data bytes). One Ray
+        # execution instead of two — halves the fixed all-to-all cost
+        # per epoch and sidesteps the concurrent-driver-thread deadlock
+        # documented in MIGRATION.md for dual fixed-size actor pools.
+        def _tag_sigs(t: pa.Table) -> pa.Table:
+            t = _filter_novel(t, cfg.id_col)
+            return pa.table({
+                cfg.id_col: t[cfg.id_col], "band": t["band"],
+                "band_hash": t["band_hash"],
+                "text": pa.nulls(t.num_rows, pa.string()),
+                _PID: t[_PID]})
+
+        def _tag_docs(t: pa.Table) -> pa.Table:
             t = _filter_novel(t, cfg.id_col)
             pid = hash_partition_ids(t, [cfg.id_col], cfg.num_partitions)
-            return t.append_column(_PID, pa.array(pid, pa.int32()))
+            return pa.table({
+                cfg.id_col: t[cfg.id_col],
+                "band": pa.nulls(t.num_rows, pa.int32()),
+                "band_hash": pa.nulls(t.num_rows, pa.int64()),
+                "text": t[cfg.text_col],
+                _PID: pa.array(pid + cfg.num_partitions, pa.int32())})
 
-        novel_docs = docs.map_batches(_route_novel, batch_format="pyarrow",
-                                      zero_copy_batch=True)
-        nov_lineage = collect_arrow(novel_docs.groupby(_PID).map_groups(
-            _NovelWrite, batch_format="pyarrow",
-            fn_constructor_args=(cfg.state_dir, epoch, cfg.id_col,
-                                 cfg.text_col),
+        combined = (sigs.map_batches(_tag_sigs, batch_format="pyarrow",
+                                     zero_copy_batch=True)
+                    .union(docs.map_batches(_tag_docs,
+                                            batch_format="pyarrow",
+                                            zero_copy_batch=True)))
+        lineage = collect_arrow(combined.groupby(_PID).map_groups(
+            _EpochWrite, batch_format="pyarrow",
+            fn_constructor_args=(cfg.state_dir, epoch, prev_parts,
+                                 cfg.id_col, cfg.text_col, mode,
+                                 cfg.num_partitions),
             concurrency=2, num_cpus=1))
+        _mark("writes")
 
         lake.promote_epoch_dir(cfg.state_dir, epoch)
         partitions = {}
-        for rec in lineage.to_pylist():
-            if rec["is_delta"]:
-                prev = prev_parts.get(str(rec["partition"]), {})
-                partitions[rec["partition"]] = {
-                    "file": prev.get("file"),
-                    "deltas": list(prev.get("deltas", [])) + [rec["file"]],
-                    "lsn_watermark": epoch,
-                    "rows_total": -1,
-                    "bytes_written": rec["bytes_written"],
-                }
-            else:
-                partitions[rec["partition"]] = {
-                    "file": rec["file"], "deltas": [],
-                    "lsn_watermark": epoch,
-                    "rows_total": rec["rows_total"],
-                    "bytes_written": rec["bytes_written"],
-                }
         novel_total = 0
-        for rec in nov_lineage.to_pylist():
-            prev = prev_parts.get(f"t{rec['partition']}", {})
-            partitions[f"t{rec['partition']}"] = {
-                "file": None,
-                "deltas": list(prev.get("deltas", [])) + [rec["novel_file"]],
-                "novel_file": rec["novel_file"],
-                "lsn_watermark": epoch,
-                "rows_applied": rec["novel_rows"],
-                "bytes_written": rec["bytes_written"],
-            }
-            novel_total += rec["novel_rows"]
+        for rec in lineage.to_pylist():
+            if rec["family"] == "P":
+                if rec["is_delta"]:
+                    prev = prev_parts.get(str(rec["partition"]), {})
+                    partitions[rec["partition"]] = {
+                        "file": prev.get("file"),
+                        "deltas": list(prev.get("deltas", []))
+                        + [rec["file"]],
+                        "lsn_watermark": epoch,
+                        "rows_total": -1,
+                        "bytes_written": rec["bytes_written"],
+                    }
+                else:
+                    partitions[rec["partition"]] = {
+                        "file": rec["file"], "deltas": [],
+                        "lsn_watermark": epoch,
+                        "rows_total": rec["rows_total"],
+                        "bytes_written": rec["bytes_written"],
+                    }
+            else:
+                prev = prev_parts.get(f"t{rec['partition']}", {})
+                partitions[f"t{rec['partition']}"] = {
+                    "file": None,
+                    "deltas": list(prev.get("deltas", [])) + [rec["file"]],
+                    "novel_file": rec["file"],
+                    "lsn_watermark": epoch,
+                    "rows_applied": rec["rows_total"],
+                    "bytes_written": rec["bytes_written"],
+                }
+                novel_total += rec["rows_total"]
         state_schema = pa.schema([
             (cfg.id_col, pa.int64()), ("band", pa.int32()),
             ("band_hash", pa.int64())])
         metrics = {"op": "inc_neardup", "mode": mode, "rows_in": rows_in,
                    "novel_rows": novel_total,
-                   "dup_rows": len(dup_ids)}
+                   "dup_rows": len(dup_ids), "phase_sec": phase_sec}
         lake.commit_manifest(cfg.state_dir, epoch, partitions, state_schema,
                              prev_manifest, metrics=metrics,
                              num_partitions=cfg.num_partitions)
