@@ -165,7 +165,14 @@ class IncrementalDedup:
                              f"{prev_manifest['num_partitions']}")
         prev_parts = prev_manifest["partitions"] if prev_manifest else {}
 
-        rows_in = docs.count()
+        # materialize once: count() on a lazy dataset would execute the
+        # whole read a second time, and upstream filters often leave ONE
+        # block — resplit so the sha pass parallelizes (epoch-bounded)
+        docs = docs.materialize()
+        rows_in = docs.count()          # metadata-only when materialized
+        nblocks = max(2, min(cfg.num_partitions, rows_in // 200 or 1))
+        if docs.num_blocks() < nblocks:
+            docs = docs.repartition(nblocks).materialize()
         hashed = content_hash(cfg.text_col, out=_SHA).apply(docs)
 
         def _combine(t: pa.Table) -> pa.Table:
