@@ -4870,3 +4870,34 @@ ORDER BY user_id, start_us
 
 QUERIES.update({"q116_session_windows": q116_session_windows})
 ORACLE.update({"q116_session_windows": _q116_sql()})
+
+
+# ---------------------------------------------------------------------------
+# q117 — HYPERLOGLOG distinct-count sketch (stages/sketch.py): the query
+# returns the merged REGISTER STATE per event_type — pure integers, so
+# the oracle is bit-exact (the splitmix64 hash is replayed in SQL over
+# HUGEINT intermediates and the rank via length(bin(rest))). The
+# approximation itself (hll_estimate / approx_ndv) is bounds-tested in
+# tests/test_sketch.py; checking the registers here proves the whole
+# distributed pipeline (per-block partials -> max-merge shuffle) exact.
+
+def q117_hll_registers(sf_dir: str):
+    from e_commerce_batch_etl_pipeline_ray.stages import sketch
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+    regs = sketch.hll_registers(ds, "user_id", by=["event_type"], p=14)
+    return regs.sort(["event_type", "idx"])
+
+
+def _q117_sql() -> str:
+    from e_commerce_batch_etl_pipeline_ray.stages import sketch
+    frag = sketch.hll_rank_sql("user_id", 14)
+    return f"""
+WITH h AS (SELECT event_type, {frag} FROM events)
+SELECT event_type, idx, MAX(reg) AS reg FROM h
+GROUP BY event_type, idx
+ORDER BY event_type, idx
+"""
+
+
+QUERIES.update({"q117_hll_registers": q117_hll_registers})
+ORACLE.update({"q117_hll_registers": _q117_sql()})

@@ -1,0 +1,185 @@
+"""HyperLogLog distinct-count sketch — the mergeable approximate-NDV
+operator a 100-TB pipeline uses where exact COUNT(DISTINCT) would shuffle
+every key: per-block register partials (a few KB each) replace the
+all-to-all of raw keys, and register max-merge is exact (associative,
+commutative, idempotent), so any block split / retry / epoch merge yields
+bit-identical registers.
+
+Reference parity note: the reference computes exact distinct counts
+(reference src/transform.py countDistinct); this module is the scale-path
+complement (SURVEY.md §2 A2/A5 family), not a replacement — exact
+aggregates stay in stages/aggregates.py.
+
+Design (Flajolet et al. 2007, with the standard linear-counting small-
+range correction):
+
+- hash: splitmix64 over the int64 key — chosen because its wrap-around
+  arithmetic is EXPRESSIBLE IN ANSI SQL over 128-bit intermediates
+  (see ``splitmix64_sql``), so the ORACLE can recompute the exact same
+  registers in DuckDB and the driver's value-hash check is bit-exact.
+  Approximation never hides a correctness bug: the oracle checks the
+  full register state, tests check the estimate's error bound.
+- per block: idx = h >> (64-p), rank = (64-p) + 1 - bit_length(rest);
+  partial rows (group..., idx, reg=max rank) via one vectorized numpy
+  pass (np.maximum.at over factorized group codes).
+- merge: groupby(group..., idx).max(reg) — the only shuffle, bounded by
+  groups x 2^p rows TOTAL (not by input rows).
+- estimate: alpha_m * m^2 / sum(2^-reg) with linear counting below
+  2.5m; the float sum uses math.fsum so the estimate is deterministic
+  under any register ordering.
+
+``p`` must be >= 11 so rest < 2^53 and the float64 bit-length trick
+(np.frexp / DuckDB log-free bin()) stays exact; default p=14 gives
+sigma ~= 1.04/sqrt(16384) ~= 0.81% with 16 KiB of registers per group.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+_M64 = 1 << 64
+_M32 = 1 << 32
+_C1 = 0x9E3779B97F4A7C15
+_C2 = 0xBF58476D1CE4E5B9
+_C3 = 0x94D049BB133111EB
+
+
+def splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer over uint64 (negatives wrap mod
+    2^64 — callers hash int64 key columns via .view/astype)."""
+    h = np.asarray(x, np.uint64) + np.uint64(_C1)
+    h = (h ^ (h >> np.uint64(30))) * np.uint64(_C2)
+    h = (h ^ (h >> np.uint64(27))) * np.uint64(_C3)
+    return h ^ (h >> np.uint64(31))
+
+
+def splitmix64_sql(expr: str) -> str:
+    """ANSI-SQL (DuckDB) expression computing splitmix64(expr) bit-exactly:
+    64x64 wrap-around multiplies are split hi32/lo32 so every intermediate
+    fits in a 128-bit HUGEINT — (a*B) % 2^64 =
+    (((a>>32)*B % 2^32) << 32 | shifted-add | + (a%2^32)*B) % 2^64."""
+    def mulmod(a: str, b: int) -> str:
+        return (f"(((({a}) >> 32) * {b} % {_M32}) * {_M32}"
+                f" + (({a}) % {_M32}) * {b}) % {_M64}")
+    h1 = f"((CAST(({expr}) AS HUGEINT) + {_C1}) % {_M64})"
+    h1 = f"CAST({h1} AS UBIGINT)"
+    h2 = f"CAST({mulmod(f'CAST(xor({h1}, {h1} >> 30) AS HUGEINT)', _C2)}" \
+         f" AS UBIGINT)"
+    h3 = f"CAST({mulmod(f'CAST(xor({h2}, {h2} >> 27) AS HUGEINT)', _C3)}" \
+         f" AS UBIGINT)"
+    return f"xor({h3}, {h3} >> 31)"
+
+
+def hll_rank_sql(key_expr: str, p: int) -> str:
+    """SQL SELECT-list fragment: ``idx`` and ``reg`` for one key. Rank
+    uses length(bin(rest)) — integer string ops, no float log2, so the
+    oracle is exact at every p."""
+    w = 64 - p
+    h = splitmix64_sql(key_expr)
+    rest = f"(({h}) & {(1 << w) - 1})"
+    return (f"CAST(({h}) >> {w} AS BIGINT) AS idx, "
+            f"CAST(CASE WHEN {rest} = 0 THEN {w + 1} "
+            f"ELSE {w + 1} - length(bin({rest})) END AS BIGINT) AS reg")
+
+
+def _rank(rest: np.ndarray, p: int) -> np.ndarray:
+    # bit_length via float64 exponent: exact while rest < 2^53 (p >= 11)
+    _, e = np.frexp(rest.astype(np.float64))
+    return (64 - p + 1 - e).astype(np.int64)
+
+
+def hll_partial(t: pa.Table, col: str, by: list[str] | None = None,
+                p: int = 14) -> pa.Table:
+    """One block's sparse register partial: rows (by..., idx, reg) with
+    reg = max rank observed in this block for that (group, idx)."""
+    if p < 11 or p > 18:
+        raise ValueError("p must be in [11, 18]")
+    x = t[col].combine_chunks().to_numpy(zero_copy_only=False)
+    h = splitmix64(x.astype(np.uint64))
+    idx = (h >> np.uint64(64 - p)).astype(np.int64)
+    rank = _rank(h & np.uint64((1 << (64 - p)) - 1), p)
+    if not by:
+        regs = np.zeros(1 << p, np.int64)
+        np.maximum.at(regs, idx, rank)
+        nz = np.nonzero(regs)[0]
+        return pa.table({"idx": pa.array(nz, pa.int64()),
+                         "reg": pa.array(regs[nz], pa.int64())})
+    import pandas as pd
+    gdf = t.select(by).to_pandas()
+    codes, uniques = pd.factorize(
+        pd.MultiIndex.from_frame(gdf) if len(by) > 1 else gdf[by[0]],
+        sort=False)
+    # dense (group, idx) key -> max rank in one scatter pass
+    key = codes.astype(np.int64) * (1 << p) + idx
+    order = np.lexsort((rank, key))
+    key_s, rank_s = key[order], rank[order]
+    last = np.r_[key_s[1:] != key_s[:-1], True]   # max rank = last in order
+    key_u, reg_u = key_s[last], rank_s[last]
+    g, i = key_u >> p, key_u & ((1 << p) - 1)
+    cols: dict = {}
+    if len(by) > 1:
+        for j, name in enumerate(by):
+            cols[name] = pa.array([uniques[k][j] for k in g])
+    else:
+        cols[by[0]] = pa.array(uniques.take(g))
+    cols["idx"] = pa.array(i, pa.int64())
+    cols["reg"] = pa.array(reg_u, pa.int64())
+    return pa.table(cols)
+
+
+def hll_registers(ds: ray.data.Dataset, col: str,
+                  by: list[str] | None = None,
+                  p: int = 14) -> ray.data.Dataset:
+    """Merged sparse registers: (by..., idx, reg). The shuffle moves only
+    per-block partials (<= blocks x groups x 2^p rows, each 24 bytes) —
+    never the keys themselves."""
+    by = list(by or [])
+    partials = ds.map_batches(
+        lambda t: hll_partial(t, col, by or None, p),
+        batch_format="pyarrow", zero_copy_batch=True)
+    merged = partials.groupby([*by, "idx"]).max("reg")
+    return merged.map_batches(
+        lambda t: t.rename_columns([*by, "idx", "reg"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+def hll_estimate(idx: np.ndarray, reg: np.ndarray, p: int) -> float:
+    """Deterministic HLL estimate from sparse registers (missing register
+    = 0). math.fsum keeps the harmonic sum ordering-invariant."""
+    m = 1 << p
+    v = m - len(idx)                         # registers still at zero
+    s = math.fsum(math.ldexp(1.0, -int(r)) for r in reg) + v
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    e = alpha * m * m / s
+    if e <= 2.5 * m and v > 0:
+        return m * math.log(m / v)           # linear counting
+    return e
+
+
+def approx_ndv(ds: ray.data.Dataset, col: str,
+               by: list[str] | None = None, p: int = 14) -> pa.Table:
+    """Approximate COUNT(DISTINCT col) [GROUP BY by]: returns a small
+    Arrow table (by..., ndv: double). Driver-side finalize is bounded by
+    groups x 2^p register rows (16 KiB/group at p=14) — the inputs never
+    leave the cluster un-sketched."""
+    from e_commerce_batch_etl_pipeline_ray.stages.blockutil import (
+        collect_arrow,
+    )
+    by = list(by or [])
+    regs = collect_arrow(hll_registers(ds, col, by or None, p))
+    if not by:
+        est = hll_estimate(regs["idx"].to_numpy(), regs["reg"].to_numpy(), p)
+        return pa.table({"ndv": pa.array([est], pa.float64())})
+    import pandas as pd
+    df = regs.to_pandas()
+    out = (df.groupby(by, sort=True)
+           .apply(lambda g: hll_estimate(g["idx"].to_numpy(),
+                                         g["reg"].to_numpy(), p),
+                  include_groups=False)
+           .rename("ndv").reset_index())
+    return pa.Table.from_pandas(out, preserve_index=False)

@@ -32,6 +32,7 @@ SMOKE = [
     "q67_frame_aggregates",  # window frames with float sums
     "q6_hash_join",
     "q20_lang_id",
+    "q117_hll_registers",    # sketch state must be bit-exact at every sf
 ]
 
 SCALES = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
