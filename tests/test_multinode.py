@@ -30,3 +30,8 @@ def test_two_node_cluster_parity_and_spread():
     assert out["actor_pool_split"]["node_spread"] == 2
     assert out["actor_pool_split"]["events_per_sec"] > 0
     assert out["map_groups_two_phase"]["events_per_sec"] > 0
+    # round-4 incremental near-dup (merged write shuffle): parity assert
+    # lives in the tool (greedy-rule brute-force oracle); pin it ran and
+    # actually dropped near-dups
+    assert out["inc_neardup"]["novel_epoch1"] < out["inc_neardup"][
+        "docs_total"] // 2

@@ -34,6 +34,7 @@ def main() -> None:
     ap.add_argument("--events", type=int, default=20000)
     ap.add_argument("--epochs", type=int, default=3)
     ap.add_argument("--cpus-per-node", type=int, default=4)
+    ap.add_argument("--neardup-docs", type=int, default=400)
     args = ap.parse_args()
 
     os.environ.pop("RAY_ADDRESS", None)  # Cluster owns the address
@@ -101,6 +102,70 @@ def main() -> None:
                 "events_per_sec": round(args.events * args.epochs / wall),
                 "node_spread": node_spread}
 
+    def neardup_run() -> dict:
+        """Path 3: the round-4 incremental near-dup (signature-only
+        state, merged bucket+text write shuffle) across both nodes,
+        parity-checked against a brute-force replay of the greedy
+        streaming rule (exact Jaccard, no LSH)."""
+        from e_commerce_batch_etl_pipeline_ray.cdc import neardup_state
+
+        k, thr, n = 5, 0.8, args.neardup_docs
+        words = ("alpha beta gamma delta epsilon zeta eta theta iota "
+                 "kappa lam mu nu xi omicron pi rho sigma tau").split()
+
+        def text(i: int) -> str:
+            if i % 4 == 3:          # near-dup of i-1: tiny suffix edit
+                return text(i - 1)[:-6] + f" end{i % 7}"
+            # per-doc unique tokens interleaved with shared vocabulary:
+            # dup pairs land j >= 0.87, unrelated docs j <= 0.29 — a
+            # clean margin around thr on both sides
+            uniq = [f"u{i}x{j}" for j in range(6)]
+            ws = [words[(i + j) % len(words)] for j in range(10)]
+            mix = [t for pair in zip(uniq + uniq[:4], ws) for t in pair]
+            return " ".join(mix) + f" doc{i}"
+
+        def sh(t: str) -> frozenset:
+            t = t.lower()
+            if len(t) < k:
+                t += " " * (k - len(t))
+            return frozenset(t[j:j + k] for j in range(len(t) - k + 1))
+
+        def jac(a: frozenset, b: frozenset) -> float:
+            inter = len(a & b)
+            union = len(a) + len(b) - inter
+            return inter / union if union else 1.0
+
+        texts = {i: text(i) for i in range(n)}
+        shs = {i: sh(t) for i, t in texts.items()}
+        half = n // 2
+        kept0 = [i for i in range(half)
+                 if not any(jac(shs[i], shs[j]) >= thr for j in range(i))]
+        expected = sorted(
+            i for i in range(half, n)
+            if not any(jac(shs[i], shs[j]) >= thr for j in range(half, i))
+            and not any(jac(shs[i], shs[j]) >= thr for j in kept0))
+
+        import pyarrow as pa
+        eng = neardup_state.IncrementalMinHashDedup(
+            neardup_state.IncNearDupConfig(
+                state_dir=tempfile.mkdtemp(prefix="mn_neardup_"),
+                k=k, num_hashes=128, bands=64, threshold=thr,
+                num_partitions=8))
+        t0 = time.perf_counter()
+        for ep, lo in enumerate((0, half)):
+            ids = list(range(lo, lo + half))
+            eng.ingest(ray.data.from_arrow(pa.table({
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": pa.array([texts[i] for i in ids]),
+            })).repartition(8), ep)
+        wall = time.perf_counter() - t0
+        got = sorted(eng.novel(1).to_pandas()["doc_id"].tolist())
+        assert got == expected, \
+            f"neardup: 2-node survivors != greedy-rule oracle " \
+            f"({len(got)} vs {len(expected)})"
+        return {"wall_sec": round(wall, 3),
+                "docs_total": n, "novel_epoch1": len(got)}
+
     out = {
         "nodes": alive,
         "cpus_per_node": args.cpus_per_node,
@@ -112,6 +177,8 @@ def main() -> None:
         # path 2: two-phase winner shuffle on the map_groups backend
         "map_groups_two_phase": run("map_groups", backend="map_groups",
                                     two_phase_shuffle=True),
+        # path 3: incremental near-dup, merged write shuffle, 2 nodes
+        "inc_neardup": neardup_run(),
     }
     assert out["actor_pool_split"]["node_spread"] == 2, \
         "merge workers all landed on one node — spread failed"
