@@ -35,7 +35,8 @@ BENCH_QUERIES = ["q1_pricing_summary", "q3_dedup_lww", "q6_hash_join",
                  "q33_analytics_cube", "q92_scd2_history",
                  "q95_lm_perplexity", "q96_duplicated_substrings",
                  "q107_bm25_indexed", "q108_pagerank",
-                 "q110_incremental_dedup", "q111_incremental_neardup"]
+                 "q110_incremental_dedup", "q111_incremental_neardup",
+                 "q117_hll_registers"]
 
 
 def _lineitem_rows(sf_dir: str) -> int:

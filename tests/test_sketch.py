@@ -103,3 +103,30 @@ def test_p_validation():
         sketch.hll_partial(_table(np.arange(4)), "user_id", p=10)
     with pytest.raises(ValueError):
         sketch.hll_partial(_table(np.arange(4)), "user_id", p=19)
+
+
+def test_merge_property_hypothesis():
+    """Hypothesis: for ANY int64 id list and ANY cut point, max-merging
+    the two partials equals the whole-input partial (register-state
+    confluence — the block-layout invariance the engine relies on)."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.lists(st.integers(min_value=-2**62, max_value=2**62),
+                    min_size=1, max_size=300),
+           st.integers(min_value=0, max_value=300))
+    def prop(ids, cut):
+        ids = np.asarray(ids, np.int64)
+        cut = min(cut, len(ids))
+        whole = _regs_dict(sketch.hll_partial(_table(ids), "user_id", p=P))
+        merged: dict = {}
+        for part in (ids[:cut], ids[cut:]):
+            if not len(part):
+                continue
+            for k, v in _regs_dict(
+                    sketch.hll_partial(_table(part), "user_id",
+                                       p=P)).items():
+                merged[k] = max(merged.get(k, 0), v)
+        assert merged == whole
+
+    prop()
