@@ -4901,3 +4901,45 @@ ORDER BY event_type, idx
 
 QUERIES.update({"q117_hll_registers": q117_hll_registers})
 ORACLE.update({"q117_hll_registers": _q117_sql()})
+
+
+# ---------------------------------------------------------------------------
+# q118 — INCREMENTAL DISTINCT-COUNT state (cdc/ndv_state.py): the events
+# table arrives as THREE micro-batches (event_id thirds); the persisted
+# HLL register state after the last epoch must equal the one-shot SQL
+# registers over the WHOLE table — register max-merge is confluent, so
+# the multi-epoch LSM state (2 deltas + 1 compaction at
+# compact_interval=2... epochs 0,1 delta, epoch 2 rides a fresh
+# interval) replays bit-exactly. Same oracle shape as q117.
+
+def q118_incremental_ndv(sf_dir: str):
+    import tempfile
+
+    from e_commerce_batch_etl_pipeline_ray.cdc import ndv_state
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "user_id"])
+    n = ds.count()
+    cut1, cut2 = n // 3, 2 * n // 3
+    eng = ndv_state.IncrementalNDV(ndv_state.IncNDVConfig(
+        state_dir=tempfile.mkdtemp(prefix="q118_state_", dir="/tmp"),
+        col="user_id", by=["event_type"], p=14, num_partitions=8,
+        compact_interval=2))
+    eng.ingest(ds.filter(expr=f"event_id < {cut1}"), 0)
+    eng.ingest(ds.filter(
+        expr=f"event_id >= {cut1} and event_id < {cut2}"), 1)
+    eng.ingest(ds.filter(expr=f"event_id >= {cut2}"), 2)
+    return eng.registers()
+
+
+def _q118_sql() -> str:
+    from e_commerce_batch_etl_pipeline_ray.stages import sketch
+    frag = sketch.hll_rank_sql("user_id", 14)
+    return f"""
+WITH h AS (SELECT event_type, {frag} FROM events)
+SELECT event_type, idx, MAX(reg) AS reg FROM h
+GROUP BY event_type, idx
+ORDER BY event_type, idx
+"""
+
+
+QUERIES.update({"q118_incremental_ndv": q118_incremental_ndv})
+ORACLE.update({"q118_incremental_ndv": _q118_sql()})
