@@ -4943,3 +4943,117 @@ ORDER BY event_type, idx
 
 QUERIES.update({"q118_incremental_ndv": q118_incremental_ndv})
 ORACLE.update({"q118_incremental_ndv": _q118_sql()})
+
+
+# ---------------------------------------------------------------------------
+# q119 — KMV (k-minimum-values) distinct synopsis (stages/sketch.py): the
+# set-algebra sketch — unlike HLL registers, two independently-built
+# synopses support union/intersection/Jaccard estimates. The query
+# returns the merged synopsis per event_type: pure uint64 hashes, and
+# the synopsis is exactly SQL-expressible (k smallest DISTINCT splitmix64
+# hashes), so the oracle is bit-exact. k=128 < per-group NDV at sf>=0.01
+# (truncation path) and > NDV at sf0.001 (exact path) — the smoke matrix
+# exercises both.
+
+_Q119_K = 128
+
+
+def q119_kmv_synopsis(sf_dir: str):
+    from e_commerce_batch_etl_pipeline_ray.stages import sketch
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+    return sketch.kmv_synopsis(ds, "user_id", by=["event_type"], k=_Q119_K)
+
+
+def _q119_sql() -> str:
+    from e_commerce_batch_etl_pipeline_ray.stages import sketch
+    sm = sketch.splitmix64_sql("user_id")
+    return f"""
+WITH d AS (SELECT DISTINCT event_type, {sm} AS h FROM events),
+r AS (SELECT event_type, h,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+      FROM d)
+SELECT event_type, h FROM r WHERE rn <= {_Q119_K}
+ORDER BY event_type, h
+"""
+
+
+QUERIES.update({"q119_kmv_synopsis": q119_kmv_synopsis})
+ORACLE.update({"q119_kmv_synopsis": _q119_sql()})
+
+
+# ---------------------------------------------------------------------------
+# q120 — CROSS-CORPUS OVERLAP from two KMV synopses (contamination-rate
+# shape): corpus A (doc_id % 3 <> 0) and corpus B (doc_id % 2 = 0) are
+# sketched INDEPENDENTLY — no join, no cross-corpus shuffle; each side
+# ships k uint64s — and the driver combines the two synopses into
+# Jaccard / |A u B| / |A n B| / per-side NDV estimates (Beyer et al.
+# 2007). The oracle replays the ENTIRE estimator in SQL (same synopsis,
+# same double arithmetic in the same operation order), so even the
+# approximation's float output is checked, not just the state. True
+# id-space overlap is (2,4) mod 6 over (0,1,2,4,5) mod 6 = 0.4 — the
+# estimate test in tests/test_sketch.py pins the error bound.
+
+_Q120_K = 128
+
+
+def q120_corpus_overlap(sf_dir: str):
+    import pyarrow as _pa
+
+    from e_commerce_batch_etl_pipeline_ray.stages import sketch
+    import numpy as _np
+
+    def _mod_filter(m: int, keep_zero: bool):
+        def f(t: _pa.Table) -> _pa.Table:
+            r = (t["doc_id"].combine_chunks().to_numpy() % m) == 0
+            return t.filter(_pa.array(r if keep_zero else ~r))
+        return f
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+    a = docs.map_batches(_mod_filter(3, False), batch_format="pyarrow",
+                         zero_copy_batch=True)
+    b = docs.map_batches(_mod_filter(2, True), batch_format="pyarrow",
+                         zero_copy_batch=True)
+    out = sketch.corpus_overlap(a, b, "doc_id", k=_Q120_K)
+    names = {"jaccard": "jaccard", "union_ndv": "union",
+             "intersection_ndv": "intersection",
+             "ndv_a": "ndv_a", "ndv_b": "ndv_b"}
+    return _pa.table({n: _pa.array([out[src]], _pa.float64())
+                      for n, src in names.items()})
+
+
+def _q120_sql() -> str:
+    from e_commerce_batch_etl_pipeline_ray.stages import sketch
+    k = _Q120_K
+    sm = sketch.splitmix64_sql("doc_id")
+
+    def est(n: str, h: str) -> str:
+        # mirrors kmv_ndv: exact count below k, else (k-1) * 2^64 / h_k
+        return (f"CASE WHEN {n} < {k} THEN CAST({n} AS DOUBLE) "
+                f"ELSE CAST({k - 1} AS DOUBLE) * 18446744073709551616.0"
+                f" / CAST({h} AS DOUBLE) END")
+
+    return f"""
+WITH a AS (SELECT DISTINCT {sm} AS h FROM documents WHERE doc_id % 3 <> 0),
+b AS (SELECT DISTINCT {sm} AS h FROM documents WHERE doc_id % 2 = 0),
+sa AS (SELECT h FROM a ORDER BY h LIMIT {k}),
+sb AS (SELECT h FROM b ORDER BY h LIMIT {k}),
+u AS (SELECT h FROM (SELECT h FROM sa UNION SELECT h FROM sb) ORDER BY h
+      LIMIT {k}),
+c AS (SELECT
+  (SELECT COUNT(*) FROM u) AS nu,
+  (SELECT COUNT(*) FROM u
+     WHERE h IN (SELECT h FROM sa) AND h IN (SELECT h FROM sb)) AS nboth,
+  (SELECT MAX(h) FROM u) AS hu,
+  (SELECT COUNT(*) FROM sa) AS na, (SELECT MAX(h) FROM sa) AS ha,
+  (SELECT COUNT(*) FROM sb) AS nb, (SELECT MAX(h) FROM sb) AS hb),
+e AS (SELECT
+  CASE WHEN nu = 0 THEN 1.0 ELSE CAST(nboth AS DOUBLE) / nu END AS jac,
+  {est('nu', 'hu')} AS u_est, {est('na', 'ha')} AS ndv_a,
+  {est('nb', 'hb')} AS ndv_b FROM c)
+SELECT jac AS jaccard, u_est AS union_ndv, jac * u_est AS intersection_ndv,
+       ndv_a, ndv_b FROM e
+"""
+
+
+QUERIES.update({"q120_corpus_overlap": q120_corpus_overlap})
+ORACLE.update({"q120_corpus_overlap": _q120_sql()})

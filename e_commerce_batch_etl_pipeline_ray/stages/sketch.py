@@ -183,3 +183,107 @@ def approx_ndv(ds: ray.data.Dataset, col: str,
                   include_groups=False)
            .rename("ndv").reset_index())
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct sketch — the set-algebra complement of
+# HLL: a synopsis of the k SMALLEST distinct splitmix64 hash values.
+# Union of synopses is just "k smallest of the concatenation", so two
+# corpora sketched independently support |A u B|, |A n B| and Jaccard
+# estimates (Beyer et al. 2007) — e.g. eval-set contamination RATE
+# between two corpora with NO join and NO key shuffle: each side ships
+# k * 8 bytes. Unlike HLL, the synopsis is exactly SQL-replayable
+# (SELECT DISTINCT hash ORDER BY hash LIMIT k), so the q119 oracle
+# checks it bit-for-bit. When a set has < k distinct keys the synopsis
+# IS the full hashed key set and every estimate is exact.
+
+
+def kmv_partial(t: pa.Table, col: str, by: list[str] | None = None,
+                k: int = 256) -> pa.Table:
+    """One block's synopsis rows (by..., h): the k smallest DISTINCT
+    hash values per group within this block."""
+    x = t[col].combine_chunks().to_numpy(zero_copy_only=False)
+    h = splitmix64(x.astype(np.uint64))
+    if not by:
+        u = np.unique(h)[:k]
+        return pa.table({"h": pa.array(u, pa.uint64())})
+    import pandas as pd
+    gdf = t.select(by).to_pandas()
+    codes, uniques = pd.factorize(
+        pd.MultiIndex.from_frame(gdf) if len(by) > 1 else gdf[by[0]],
+        sort=False)
+    outs_g, outs_h = [], []
+    for c in range(len(uniques)):
+        u = np.unique(h[codes == c])[:k]
+        outs_g.append(np.full(len(u), c))
+        outs_h.append(u)
+    g = np.concatenate(outs_g) if outs_g else np.array([], np.int64)
+    hv = np.concatenate(outs_h) if outs_h else np.array([], np.uint64)
+    cols: dict = {}
+    if len(by) > 1:
+        for j, name in enumerate(by):
+            cols[name] = pa.array([uniques[int(i)][j] for i in g])
+    else:
+        cols[by[0]] = pa.array(uniques.take(g.astype(np.int64)))
+    cols["h"] = pa.array(hv, pa.uint64())
+    return pa.table(cols)
+
+
+def kmv_synopsis(ds: ray.data.Dataset, col: str,
+                 by: list[str] | None = None, k: int = 256) -> pa.Table:
+    """Merged synopsis (by..., h). Per-block partials (<= k rows each)
+    merge driver-side — bounded by blocks x k x 8 bytes, never by input;
+    raise k only with the 1/sqrt(k) error target, not with data size."""
+    from e_commerce_batch_etl_pipeline_ray.stages.blockutil import (
+        collect_arrow,
+    )
+    by = list(by or [])
+    parts = collect_arrow(ds.map_batches(
+        lambda t: kmv_partial(t, col, by or None, k),
+        batch_format="pyarrow", zero_copy_batch=True))
+    if not by:
+        u = np.unique(parts["h"].to_numpy())[:k]
+        return pa.table({"h": pa.array(u, pa.uint64())})
+    import pandas as pd
+    df = parts.to_pandas()
+    out = (df.drop_duplicates([*by, "h"])
+           .sort_values([*by, "h"])
+           .groupby(by, sort=True).head(k).reset_index(drop=True))
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def kmv_ndv(h: np.ndarray, k: int) -> float:
+    """NDV estimate from one synopsis: exact count when the set had
+    fewer than k distinct keys, else (k-1) * 2^64 / h_k."""
+    h = np.sort(np.asarray(h, np.uint64))
+    if len(h) < k:
+        return float(len(h))
+    return (k - 1) * (2.0 ** 64) / float(h[k - 1])
+
+
+def kmv_overlap(ha: np.ndarray, hb: np.ndarray, k: int) -> dict:
+    """Set-algebra estimates from two synopses: build the union synopsis
+    (k smallest of the concatenation), estimate rho = |union-synopsis
+    members present in BOTH sides| / |union synopsis|; then
+    jaccard ~= rho, |A u B| from the union synopsis, |A n B| = rho * |A u B|."""
+    ha = np.asarray(ha, np.uint64)
+    hb = np.asarray(hb, np.uint64)
+    union = np.unique(np.concatenate([ha, hb]))[:k]
+    both = np.intersect1d(union, ha, assume_unique=True)
+    both = np.intersect1d(both, hb, assume_unique=True)
+    rho = len(both) / len(union) if len(union) else 1.0
+    u_est = kmv_ndv(union, k)
+    return {"jaccard": rho, "union": u_est, "intersection": rho * u_est}
+
+
+def corpus_overlap(ds_a: ray.data.Dataset, ds_b: ray.data.Dataset,
+                   col: str, k: int = 1024) -> dict:
+    """Contamination-rate estimate between two corpora keyed by ``col``
+    (e.g. content sha): each side reduces to a k-value synopsis
+    independently — no join, no cross-corpus shuffle."""
+    ha = kmv_synopsis(ds_a, col, k=k)["h"].to_numpy()
+    hb = kmv_synopsis(ds_b, col, k=k)["h"].to_numpy()
+    out = kmv_overlap(ha, hb, k)
+    out["ndv_a"] = kmv_ndv(ha, k)
+    out["ndv_b"] = kmv_ndv(hb, k)
+    return out

@@ -33,6 +33,8 @@ SMOKE = [
     "q6_hash_join",
     "q20_lang_id",
     "q117_hll_registers",    # sketch state must be bit-exact at every sf
+    "q119_kmv_synopsis",     # k-truncation path at sf0.01, exact at sf0.001
+    "q120_corpus_overlap",   # float estimator replayed in SQL op-for-op
 ]
 
 SCALES = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]

@@ -130,3 +130,118 @@ def test_merge_property_hypothesis():
         assert merged == whole
 
     prop()
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) synopsis
+
+
+K = 64
+
+
+def _kmv(ids: np.ndarray, k: int = K) -> np.ndarray:
+    return sketch.kmv_partial(_table(ids), "user_id", k=k)["h"].to_numpy()
+
+
+def test_kmv_merge_equals_single_pass():
+    """Union-merging per-split synopses (k smallest of the concat) ==
+    one synopsis over the whole input, for every split point."""
+    rng = np.random.default_rng(17)
+    ids = rng.integers(0, 5_000, size=3_000)
+    whole = _kmv(ids)
+    for cut in (1, 500, 1_500, 2_999):
+        merged = np.unique(np.concatenate([_kmv(ids[:cut]),
+                                           _kmv(ids[cut:])]))[:K]
+        assert np.array_equal(merged, whole)
+
+
+def test_kmv_exact_below_k():
+    """With fewer than k distinct keys the synopsis IS the hashed key
+    set and kmv_ndv is exact."""
+    ids = np.arange(40, dtype=np.int64).repeat(5)
+    h = _kmv(ids)
+    assert len(h) == 40
+    assert sketch.kmv_ndv(h, K) == 40.0
+
+
+def test_kmv_ndv_error_bound():
+    """Relative NDV error within 4 / sqrt(k-2) across regimes above k."""
+    rng = np.random.default_rng(23)
+    for ndv in (500, 20_000):
+        ids = rng.choice(np.arange(ndv, dtype=np.int64) * 104729 + 7,
+                         size=ndv * 2)
+        exact = len(np.unique(ids))
+        est = sketch.kmv_ndv(_kmv(ids, 256), 256)
+        assert abs(est - exact) <= 4 / math.sqrt(256 - 2) * exact, \
+            (ndv, est, exact)
+
+
+def test_kmv_overlap_estimates():
+    """Jaccard/union/intersection from two independent synopses: exact
+    when both sides < k; within 4*sqrt(j(1-j)/k) + NDV-error slack when
+    truncated. Sets: A = [0, 3000), B = [1500, 4500) — true j = 1/3."""
+    a_ids = np.arange(0, 3_000, dtype=np.int64)
+    b_ids = np.arange(1_500, 4_500, dtype=np.int64)
+    # exact regime
+    out = sketch.kmv_overlap(_kmv(a_ids, 8192), _kmv(b_ids, 8192), 8192)
+    assert out["jaccard"] == pytest.approx(1 / 3, abs=1e-12)
+    assert out["union"] == 4_500.0 and out["intersection"] == 1_500.0
+    # truncated regime
+    k = 512
+    out = sketch.kmv_overlap(_kmv(a_ids, k), _kmv(b_ids, k), k)
+    j = 1 / 3
+    tol = 4 * math.sqrt(j * (1 - j) / k)
+    assert abs(out["jaccard"] - j) <= tol, out
+    assert abs(out["union"] - 4_500) <= 4 / math.sqrt(k - 2) * 4_500
+    assert abs(out["intersection"] - 1_500) <= (tol + 0.05) * 4_500
+
+
+def test_kmv_grouped_and_distributed():
+    """Grouped distributed synopsis == per-group single-pass synopsis,
+    regardless of block layout."""
+    rng = np.random.default_rng(29)
+    n = 4_000
+    ids = rng.integers(0, 1_000, size=n)
+    groups = [("xyz"[i % 3]) for i in range(n)]
+    ds = ray.data.from_arrow(_table(ids, groups)).repartition(7)
+    got = sketch.kmv_synopsis(ds, "user_id", by=["g"], k=K).to_pandas()
+    for g in ("x", "y", "z"):
+        mask = np.array(groups) == g
+        solo = _kmv(ids[mask])
+        sub = got[got.g == g]["h"].to_numpy()
+        assert np.array_equal(np.sort(sub), solo), g
+
+
+def test_kmv_sql_parity():
+    """Engine synopsis == DuckDB replay (the q119 oracle contract)."""
+    rng = np.random.default_rng(31)
+    ids = rng.integers(0, 2_000, size=1_000)
+    got = _kmv(ids)
+    con = duckdb.connect()
+    con.register("ev", _table(ids))
+    sm = sketch.splitmix64_sql("user_id")
+    ref = con.execute(
+        f"SELECT DISTINCT {sm} AS h FROM ev ORDER BY h LIMIT {K}"
+    ).df()["h"].to_numpy()
+    assert np.array_equal(got, ref.astype(np.uint64))
+
+
+def test_kmv_merge_property_hypothesis():
+    """Hypothesis: ANY id list, ANY cut — merged synopses == whole-input
+    synopsis (the confluence that makes block layout / retries safe)."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.lists(st.integers(min_value=-2**62, max_value=2**62),
+                    min_size=1, max_size=200),
+           st.integers(min_value=0, max_value=200),
+           st.integers(min_value=1, max_value=32))
+    def prop(ids, cut, k):
+        ids = np.asarray(ids, np.int64)
+        cut = min(cut, len(ids))
+        whole = _kmv(ids, k)
+        parts = [_kmv(p, k) for p in (ids[:cut], ids[cut:]) if len(p)]
+        merged = np.unique(np.concatenate(parts))[:k]
+        assert np.array_equal(merged, whole)
+
+    prop()
