@@ -5057,3 +5057,41 @@ SELECT jac AS jaccard, u_est AS union_ndv, jac * u_est AS intersection_ndv,
 
 QUERIES.update({"q120_corpus_overlap": q120_corpus_overlap})
 ORACLE.update({"q120_corpus_overlap": _q120_sql()})
+
+
+# ---------------------------------------------------------------------------
+# q121 — COUNT-MIN frequency sketch (stages/sketch.py): the frequency
+# complement of q117 (HLL/NDV) and q119 (KMV/set algebra). The query
+# returns the merged d x w COUNTER STATE per event_type — pure integer
+# sums, and each row's hash is splitmix64 with an additive per-row seed,
+# so the oracle replays the full state bit-exactly in SQL (UNION ALL of
+# d hash projections -> GROUP BY count). The estimator's e/w * N
+# overestimate bound is tested in tests/test_sketch.py.
+
+_Q121_D, _Q121_W = 4, 512
+
+
+def q121_cms_counters(sf_dir: str):
+    from e_commerce_batch_etl_pipeline_ray.stages import sketch
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+    c = sketch.cms_counters(ds, "user_id", by=["event_type"],
+                            d=_Q121_D, w=_Q121_W)
+    return c.sort(["event_type", "row", "idx"])
+
+
+def _q121_sql() -> str:
+    from e_commerce_batch_etl_pipeline_ray.stages import sketch
+    arms = "\nUNION ALL ".join(
+        f"SELECT event_type, {j} AS row, "
+        f"{sketch.cms_hash_sql('user_id', j, _Q121_W)} AS idx FROM events"
+        for j in range(_Q121_D))
+    return f"""
+WITH h AS ({arms})
+SELECT event_type, row, idx, COUNT(*) AS cnt FROM h
+GROUP BY event_type, row, idx
+ORDER BY event_type, row, idx
+"""
+
+
+QUERIES.update({"q121_cms_counters": q121_cms_counters})
+ORACLE.update({"q121_cms_counters": _q121_sql()})

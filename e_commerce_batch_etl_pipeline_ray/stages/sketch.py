@@ -287,3 +287,114 @@ def corpus_overlap(ds_a: ray.data.Dataset, ds_b: ray.data.Dataset,
     out["ndv_a"] = kmv_ndv(ha, k)
     out["ndv_b"] = kmv_ndv(hb, k)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch — the FREQUENCY complement of HLL (NDV) and KMV (set
+# algebra): per-key count estimates from a fixed d x w counter matrix
+# (Cormode & Muthukrishnan 2005). Counters are pure SUMS, so per-block
+# partials merge by addition and the shuffle moves <= blocks x d x w
+# 24-byte rows — never the keys; point query = min over the d rows of
+# counter[row, hash_row(key) % w]. Guarantees: est >= true always;
+# est <= true + (e/w) * N with prob 1 - e^-d. Row hashes reuse
+# splitmix64 with per-row additive seeds, so the FULL counter state is
+# SQL-replayable bit-exactly (the q121 oracle). NOTE: unlike HLL/KMV,
+# sum-merge is NOT idempotent — retries must be exactly-once (Ray task
+# retries are; cross-epoch use must ride the manifest protocol).
+
+# per-row seeds: splitmix64(1..8) — fixed constants, embedded in SQL
+_CMS_SEEDS = [int(splitmix64(np.array([j + 1], np.uint64))[0])
+              for j in range(8)]
+
+
+def _cms_check(d: int, w: int) -> None:
+    if not (1 <= d <= len(_CMS_SEEDS)):
+        raise ValueError(f"d must be in [1, {len(_CMS_SEEDS)}]")
+    if w < 2:
+        raise ValueError("w must be >= 2")
+
+
+def cms_hash(x: np.ndarray, row: int, w: int) -> np.ndarray:
+    """idx of key x in counter row ``row``: splitmix64(x + seed_row) % w
+    (uint64 wrap-around addition — mirrored exactly in cms_hash_sql)."""
+    h = splitmix64(np.asarray(x, np.uint64) + np.uint64(_CMS_SEEDS[row]))
+    return (h % np.uint64(w)).astype(np.int64)
+
+
+def cms_hash_sql(key_expr: str, row: int, w: int) -> str:
+    """SQL expression mirroring cms_hash bit-for-bit (the additive seed
+    rides splitmix64's own mod-2^64 HUGEINT arithmetic)."""
+    sm = splitmix64_sql(f"CAST(({key_expr}) AS HUGEINT) + {_CMS_SEEDS[row]}")
+    return f"CAST(({sm}) % {w} AS BIGINT)"
+
+
+def cms_partial(t: pa.Table, col: str, by: list[str] | None = None,
+                d: int = 4, w: int = 1024) -> pa.Table:
+    """One block's sparse counter partial: rows (by..., row, idx, cnt)."""
+    _cms_check(d, w)
+    x = t[col].combine_chunks().to_numpy(zero_copy_only=False)
+    n = len(x)
+    if not by:
+        codes = np.zeros(n, np.int64)
+        ngroups = 1 if n else 0
+        uniques = None
+    else:
+        import pandas as pd
+        gdf = t.select(by).to_pandas()
+        codes, uniques = pd.factorize(
+            pd.MultiIndex.from_frame(gdf) if len(by) > 1 else gdf[by[0]],
+            sort=False)
+        codes = codes.astype(np.int64)
+        ngroups = len(uniques)
+    # one flat bincount over (group, row, idx)
+    flat_parts = []
+    for j in range(d):
+        idx = cms_hash(x, j, w)
+        flat_parts.append((codes * d + j) * w + idx)
+    flat = np.concatenate(flat_parts) if flat_parts and n else \
+        np.array([], np.int64)
+    cnt = np.bincount(flat, minlength=ngroups * d * w)
+    nz = np.nonzero(cnt)[0]
+    g, rem = nz // (d * w), nz % (d * w)
+    cols: dict = {}
+    if by:
+        if len(by) > 1:
+            for jj, name in enumerate(by):
+                cols[name] = pa.array([uniques[int(i)][jj] for i in g])
+        else:
+            cols[by[0]] = pa.array(uniques.take(g))
+    cols["row"] = pa.array(rem // w, pa.int64())
+    cols["idx"] = pa.array(rem % w, pa.int64())
+    cols["cnt"] = pa.array(cnt[nz], pa.int64())
+    return pa.table(cols)
+
+
+def cms_counters(ds: ray.data.Dataset, col: str,
+                 by: list[str] | None = None,
+                 d: int = 4, w: int = 1024) -> ray.data.Dataset:
+    """Merged counter state (by..., row, idx, cnt) — the only shuffle is
+    the partial-sum groupby, bounded by groups x d x w rows total."""
+    _cms_check(d, w)
+    by = list(by or [])
+    partials = ds.map_batches(
+        lambda t: cms_partial(t, col, by or None, d, w),
+        batch_format="pyarrow", zero_copy_batch=True)
+    merged = partials.groupby([*by, "row", "idx"]).sum("cnt")
+    return merged.map_batches(
+        lambda t: t.rename_columns([*by, "row", "idx", "cnt"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+def cms_estimate(counters: pa.Table, keys: np.ndarray,
+                 d: int = 4, w: int = 1024) -> np.ndarray:
+    """Point-frequency estimates for ``keys`` from one group's counter
+    table: min over rows of cnt[row, hash_row(key)] (missing cell = 0)."""
+    _cms_check(d, w)
+    dense = np.zeros((d, w), np.int64)
+    dense[counters["row"].to_numpy(), counters["idx"].to_numpy()] = \
+        counters["cnt"].to_numpy()
+    keys = np.asarray(keys)
+    est = np.full(len(keys), np.iinfo(np.int64).max)
+    for j in range(d):
+        est = np.minimum(est, dense[j, cms_hash(keys, j, w)])
+    return est

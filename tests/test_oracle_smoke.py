@@ -35,6 +35,7 @@ SMOKE = [
     "q117_hll_registers",    # sketch state must be bit-exact at every sf
     "q119_kmv_synopsis",     # k-truncation path at sf0.01, exact at sf0.001
     "q120_corpus_overlap",   # float estimator replayed in SQL op-for-op
+    "q121_cms_counters",     # additive counter state bit-exact at every sf
 ]
 
 SCALES = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]

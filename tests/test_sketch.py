@@ -245,3 +245,80 @@ def test_kmv_merge_property_hypothesis():
         assert np.array_equal(merged, whole)
 
     prop()
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch
+
+
+def test_cms_merge_equals_single_pass():
+    """Sum-merging per-split partials == one partial over the whole
+    input (counter additivity — block layout invariance)."""
+    rng = np.random.default_rng(37)
+    ids = rng.zipf(1.3, size=5_000).astype(np.int64)
+
+    def dense(ids):
+        t = sketch.cms_partial(_table(ids), "user_id", d=3, w=128)
+        m = np.zeros((3, 128), np.int64)
+        m[t["row"].to_numpy(), t["idx"].to_numpy()] = t["cnt"].to_numpy()
+        return m
+
+    whole = dense(ids)
+    for cut in (1, 1_000, 4_999):
+        assert np.array_equal(dense(ids[:cut]) + dense(ids[cut:]), whole)
+
+
+def test_cms_overestimate_and_bound():
+    """est >= true for EVERY key; est <= true + (e/w) * N for all but a
+    delta = e^-d fraction (checked with generous slack on a zipf draw)."""
+    rng = np.random.default_rng(41)
+    ids = rng.zipf(1.2, size=20_000).astype(np.int64)
+    d, w = 4, 256
+    t = sketch.cms_partial(_table(ids), "user_id", d=d, w=w)
+    keys, true = np.unique(ids, return_counts=True)
+    est = sketch.cms_estimate(t, keys, d=d, w=w)
+    assert (est >= true).all()
+    eps_n = math.e / w * len(ids)
+    frac_bad = float(np.mean(est > true + eps_n))
+    assert frac_bad <= 2 * math.exp(-d), frac_bad
+
+
+def test_cms_grouped_distributed_and_sql_parity():
+    """Distributed grouped counters == per-group single pass == the
+    DuckDB replay (the q121 oracle contract)."""
+    rng = np.random.default_rng(43)
+    n = 4_000
+    ids = rng.integers(0, 500, size=n)
+    groups = [("ab"[i % 2]) for i in range(n)]
+    d, w = 3, 64
+    ds = ray.data.from_arrow(_table(ids, groups)).repartition(6)
+    got = sketch.cms_counters(ds, "user_id", by=["g"], d=d, w=w).to_pandas()
+    con = duckdb.connect()
+    con.register("ev", _table(ids, groups))
+    arms = " UNION ALL ".join(
+        f"SELECT g, {j} AS row, "
+        f"{sketch.cms_hash_sql('user_id', j, w)} AS idx FROM ev"
+        for j in range(d))
+    ref = con.execute(
+        f"WITH h AS ({arms}) SELECT g, row, idx, COUNT(*) AS cnt FROM h "
+        f"GROUP BY g, row, idx ORDER BY g, row, idx").df()
+    got = got.sort_values(["g", "row", "idx"]).reset_index(drop=True)
+    assert got[["g", "row", "idx", "cnt"]].astype(
+        {"row": "int64", "idx": "int64", "cnt": "int64"}).equals(
+        ref.astype({"row": "int64", "idx": "int64", "cnt": "int64"}))
+    # and per-group single-pass parity
+    for g in ("a", "b"):
+        mask = np.array(groups) == g
+        solo = sketch.cms_partial(_table(ids[mask]), "user_id", d=d,
+                                  w=w).to_pandas()
+        sub = got[got.g == g][["row", "idx", "cnt"]].reset_index(drop=True)
+        assert sub.astype("int64").equals(solo.astype("int64"))
+
+
+def test_cms_validation():
+    with pytest.raises(ValueError):
+        sketch.cms_partial(_table(np.arange(4)), "user_id", d=0)
+    with pytest.raises(ValueError):
+        sketch.cms_partial(_table(np.arange(4)), "user_id", d=9)
+    with pytest.raises(ValueError):
+        sketch.cms_partial(_table(np.arange(4)), "user_id", w=1)
