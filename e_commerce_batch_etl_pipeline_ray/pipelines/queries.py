@@ -5095,3 +5095,42 @@ ORDER BY event_type, row, idx
 
 QUERIES.update({"q121_cms_counters": q121_cms_counters})
 ORACLE.update({"q121_cms_counters": _q121_sql()})
+
+
+# ---------------------------------------------------------------------------
+# q122 — VIDEO frame pipeline, REAL end-to-end (stages/multimodal.py +
+# stages/imagecodec.py GIF codec): deterministic animated-GIF payloads ->
+# actor-pool frame sampling (decode_gif, evenly-spaced picks, PNG
+# re-encode) -> actor-pool image decode of each frame (pixel-histogram
+# features) -> per-video aggregate. The whole chain is pure-numpy
+# decode, no stub. Not SQL-expressible (binary codecs) — rows-only
+# check, like q31; the codecs themselves are pinned by roundtrip +
+# foreign-file tests in tests/test_imagecodec.py.
+
+def q122_video_frames(sf_dir: str):
+    import ray.data as rd
+
+    from e_commerce_batch_etl_pipeline_ray.stages import (
+        aggregates,
+        multimodal,
+    )
+    media = multimodal.real_video_table(256, seed=13)
+    ds = rd.from_arrow(media)
+    frames = multimodal.sample_frames(n_frames=3, batch_size=32).apply(ds)
+    frames = frames.rename_columns({"frame": "payload"})
+    frames = frames.map_batches(            # DecodeImage metadata contract
+        lambda t: t.append_column(
+            "width", pa.array([None] * len(t), pa.int32())).append_column(
+            "height", pa.array([None] * len(t), pa.int32())),
+        batch_format="pyarrow", zero_copy_batch=True)
+    decoded = multimodal.decode_images(fake=False, batch_size=64).apply(
+        frames)
+    agg = aggregates.grouped_aggregate(
+        ["media_id"],
+        [("count", "frame_no", "n_frames"),
+         ("max", "width", "max_w"), ("max", "height", "max_h")],
+    ).apply(decoded)
+    return agg.sort("media_id")
+
+
+QUERIES.update({"q122_video_frames": q122_video_frames})

@@ -698,3 +698,242 @@ def psnr(a: np.ndarray, b: np.ndarray) -> float:
     if mse == 0:
         return float("inf")
     return 10 * np.log10(255.0 ** 2 / mse)
+
+
+# ---------------------------------------------------------------------------
+# GIF (87a/89a) — stdlib-only: LZW is the whole codec, so unlike
+# JPEG2000/WebP there is no library gap. Decode handles global/local
+# palettes, interlace, transparency and frame disposal (none/keep/
+# background/previous) and returns EVERY frame — animated GIF is the one
+# real multi-frame container this environment can decode, so the video
+# frame-sampling stage has a non-stub path (multimodal.SampleFrames).
+# Encode writes GIF89a with a global palette (<= 256 distinct colors —
+# the caller quantizes; ValueError names the excess), full-frame
+# replacement disposal, and the NETSCAPE loop block for animations.
+# The LZW symbol loops are per-code Python, same trade-off as the JPEG
+# entropy coder above (payloads are thumbnail-scale, decoded inside
+# actor workers).
+
+
+def _gif_lzw_decode(data: bytes, min_code: int, npix: int) -> np.ndarray:
+    """GIF-variant LZW: LSB-first codes, growing width, 12-bit cap."""
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    base = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(base)
+    code_size = min_code + 1
+    out = bytearray()
+    acc = nbits = 0
+    prev: bytes | None = None
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= code_size:
+            code = acc & ((1 << code_size) - 1)
+            acc >>= code_size
+            nbits -= code_size
+            if code == clear:
+                table = list(base)
+                code_size = min_code + 1
+                prev = None
+                continue
+            if code == end:
+                return np.frombuffer(bytes(out[:npix]), np.uint8)
+            if code < len(table):
+                entry = table[code]
+            elif code == len(table) and prev is not None:
+                entry = prev + prev[:1]
+            else:
+                raise ValueError(f"corrupt GIF LZW stream (code {code})")
+            out += entry
+            if prev is not None and len(table) < 4096:
+                table.append(prev + entry[:1])
+                if len(table) == (1 << code_size) and code_size < 12:
+                    code_size += 1
+            prev = entry
+            if len(out) >= npix:
+                return np.frombuffer(bytes(out[:npix]), np.uint8)
+    return np.frombuffer(bytes(out[:npix]), np.uint8)
+
+
+def _gif_lzw_encode(indices: np.ndarray, min_code: int) -> bytes:
+    """GIF LZW with (prefix_code, symbol) dict keys (no byte-string
+    concatenation); emits CLEAR up front and on table overflow."""
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code: int, size: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += size
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table: dict[tuple[int, int], int] = {}
+    next_code = end + 1
+    code_size = min_code + 1
+    emit(clear, code_size)
+    prev = -1
+    for sym in indices.tolist():
+        if prev < 0:
+            prev = sym
+            continue
+        hit = table.get((prev, sym))
+        if hit is not None:
+            prev = hit
+            continue
+        emit(prev, code_size)
+        table[(prev, sym)] = next_code
+        next_code += 1
+        if next_code - 1 == (1 << code_size) and code_size < 12:
+            code_size += 1
+        if next_code == 4096:
+            emit(clear, code_size)
+            table.clear()
+            next_code = end + 1
+            code_size = min_code + 1
+        prev = sym
+    if prev >= 0:
+        emit(prev, code_size)
+    emit(end, code_size)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+_GIF_INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def decode_gif(data: bytes) -> tuple[np.ndarray, list[int]]:
+    """Decode every frame: returns ((F, H, W, 3) uint8, delays_ms).
+    Frames are full canvas composites (disposal applied between)."""
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    w, h, packed, bg, _ = struct.unpack("<HHBBB", data[6:13])
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 7)
+        gct = np.frombuffer(data, np.uint8, 3 * n, pos).reshape(n, 3)
+        pos += 3 * n
+    # composite-over-white convention (matches the PNG alpha path in
+    # multimodal.decode_image_bytes): canvas starts white, and
+    # disposal-to-background restores white — the GCT bg color is a
+    # viewer hint, not pixel data
+    canvas = np.full((h, w, 3), 255, np.uint8)
+    frames: list[np.ndarray] = []
+    delays: list[int] = []
+    transparent: int | None = None
+    disposal = 0
+    delay_ms = 0
+    while pos < len(data):
+        block = data[pos]
+        pos += 1
+        if block == 0x3B:                         # trailer
+            break
+        if block == 0x21:                         # extension
+            label = data[pos]
+            pos += 1
+            subs = []
+            while data[pos]:
+                ln = data[pos]
+                subs.append(data[pos + 1:pos + 1 + ln])
+                pos += 1 + ln
+            pos += 1
+            if label == 0xF9 and subs:            # graphic control
+                gpk, dlo, dhi, tidx = subs[0][:4]
+                disposal = (gpk >> 2) & 7
+                transparent = tidx if gpk & 1 else None
+                delay_ms = (dlo | (dhi << 8)) * 10
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{block:02x}")
+        fx, fy, fw, fh, fpk = struct.unpack("<HHHHB", data[pos:pos + 9])
+        pos += 9
+        pal = gct
+        if fpk & 0x80:
+            n = 2 << (fpk & 7)
+            pal = np.frombuffer(data, np.uint8, 3 * n, pos).reshape(n, 3)
+            pos += 3 * n
+        if pal is None:
+            raise ValueError("GIF frame without any color table")
+        min_code = data[pos]
+        pos += 1
+        lzw = bytearray()
+        while data[pos]:
+            ln = data[pos]
+            lzw += data[pos + 1:pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1
+        idx = _gif_lzw_decode(bytes(lzw), min_code, fw * fh)
+        if len(idx) < fw * fh:
+            idx = np.pad(idx, (0, fw * fh - len(idx)))
+        idx = idx.reshape(fh, fw)
+        if fpk & 0x40:                            # interlaced
+            de = np.empty_like(idx)
+            src = 0
+            for start, step in _GIF_INTERLACE:
+                rows = range(start, fh, step)
+                de[list(rows)] = idx[src:src + len(rows)]
+                src += len(rows)
+            idx = de
+        before = canvas.copy() if disposal == 3 else None
+        region = canvas[fy:fy + fh, fx:fx + fw]
+        rgb = pal[np.clip(idx, 0, len(pal) - 1)]
+        if transparent is not None:
+            mask = idx != transparent
+            region[mask] = rgb[mask]
+        else:
+            region[:] = rgb
+        frames.append(canvas.copy())
+        delays.append(delay_ms)
+        if disposal == 2:
+            canvas[fy:fy + fh, fx:fx + fw] = 255
+        elif disposal == 3 and before is not None:
+            canvas = before
+    if not frames:
+        raise ValueError("GIF contains no image data")
+    return np.stack(frames), delays
+
+
+def encode_gif(frames: np.ndarray, delays_ms: list[int] | None = None,
+               loop: int = 0) -> bytes:
+    """Encode (F, H, W, 3) or (H, W, 3) uint8 with one global palette
+    built from the distinct colors (> 256 raises — quantize first)."""
+    frames = np.asarray(frames, np.uint8)
+    if frames.ndim == 3:
+        frames = frames[None]
+    f, h, w, _ = frames.shape
+    flat = frames.reshape(-1, 3)
+    pal, inv = np.unique(flat, axis=0, return_inverse=True)
+    if len(pal) > 256:
+        raise ValueError(f"GIF needs <= 256 distinct colors, got {len(pal)}")
+    bits = max(2, int(np.ceil(np.log2(max(len(pal), 2)))))
+    ptab = np.zeros((1 << bits, 3), np.uint8)
+    ptab[:len(pal)] = pal
+    idx_all = inv.astype(np.uint8).reshape(f, h * w)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | ((bits - 1) << 4) | (bits - 1),
+                       0, 0)
+    out += ptab.tobytes()
+    if f > 1:
+        out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01"
+        out += struct.pack("<H", loop) + b"\x00"
+    delays_ms = delays_ms or [100] * f
+    for fi in range(f):
+        d = max(0, min(0xFFFF, delays_ms[fi] // 10))
+        out += b"\x21\xf9\x04" + bytes([0x04]) + struct.pack("<H", d)
+        out += b"\x00\x00"                        # no transparency
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        min_code = max(2, bits)
+        out.append(min_code)
+        lzw = _gif_lzw_encode(idx_all[fi], min_code)
+        for off in range(0, len(lzw), 255):
+            chunk = lzw[off:off + 255]
+            out.append(len(chunk))
+            out += chunk
+        out.append(0)
+    out.append(0x3B)
+    return bytes(out)

@@ -140,10 +140,15 @@ def decode_image_bytes(payload: bytes) -> np.ndarray:
         if img.ndim == 2:
             return np.repeat(img[:, :, None], 3, axis=2)
         return img
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        from e_commerce_batch_etl_pipeline_ray.stages.imagecodec import (
+            decode_gif,
+        )
+        return decode_gif(payload)[0][0]          # first frame composite
     raise NotImplementedError(
         f"unsupported image format (magic {payload[:4]!r}): PPM/BMP/PNG/"
-        "baseline-JPEG decode in pure numpy; other formats require PIL "
-        "(not in this container)")
+        "baseline-JPEG/GIF decode in pure numpy; other formats require "
+        "PIL (not in this container)")
 
 
 def resize_nearest(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
@@ -277,6 +282,44 @@ def real_media_table(n: int, seed: int = 42, max_side: int = 48) -> pa.Table:
     })
 
 
+def real_video_table(n: int, seed: int = 42, max_side: int = 32,
+                     max_frames: int = 10) -> pa.Table:
+    """Deterministic REAL video payloads: animated GIFs (a moving block
+    over a flat background, 2..max_frames frames, per-frame delays) —
+    decodable end-to-end by the pure-numpy GIF codec, so the frame-
+    sampling stage runs for real."""
+    from e_commerce_batch_etl_pipeline_ray.stages.imagecodec import (
+        encode_gif,
+    )
+    rng = np.random.RandomState(seed)
+    ids, payloads, durs = [], [], []
+    for i in range(n):
+        w = int(rng.randint(12, max_side))
+        h = int(rng.randint(12, max_side))
+        nf = int(rng.randint(2, max_frames + 1))
+        bg = rng.randint(0, 256, 3).astype(np.uint8)
+        fg = rng.randint(0, 256, 3).astype(np.uint8)
+        frames = np.tile(bg, (nf, h, w, 1)).astype(np.uint8)
+        side = max(2, min(w, h) // 3)
+        for fi in range(nf):
+            x = (fi * max(1, (w - side))) // max(1, nf - 1)
+            y = (fi * max(1, (h - side))) // max(1, nf - 1)
+            frames[fi, y:y + side, x:x + side] = fg
+        delays = [int(rng.randint(20, 200)) for _ in range(nf)]
+        ids.append(i)
+        payloads.append(encode_gif(frames, delays))
+        durs.append(sum(delays))
+    return pa.table({
+        "media_id": pa.array(ids, pa.int64()),
+        "media_type": pa.array(["video"] * n, pa.string()),
+        "payload": pa.array(payloads, pa.binary()),
+        "mime": pa.array(["image/gif"] * n, pa.string()),
+        "width": pa.array([None] * n, pa.int32()),
+        "height": pa.array([None] * n, pa.int32()),
+        "duration_ms": pa.array(durs, pa.int32()),
+    })
+
+
 class DecodeImage:
     """Actor-pool image decode -> (width, height, feature vector).
 
@@ -381,26 +424,54 @@ class DecodeAudio:
 
 
 class SampleFrames:
-    """Actor-pool video frame sampler stub: emits ``n_frames`` byte-slices
-    per video row (flat_map layout: one output row per frame)."""
+    """Actor-pool video frame sampler (flat_map layout: one output row
+    per frame, ``n_frames`` evenly-spaced frames per video row).
+
+    ``fake=False`` (default): REAL decode for animated GIF payloads —
+    the one multi-frame container decodable without external libraries
+    (stages/imagecodec.decode_gif); sampled frames are re-encoded as
+    PNG bytes so downstream image stages (DecodeImage) compose. Other
+    containers (mp4/webm/...) raise NotImplementedError naming ffmpeg —
+    an ffmpeg/av path would slot into __init__ when the container
+    gains it.
+
+    ``fake=True``: deterministic byte-slice pseudo-frames for plumbing
+    tests over opaque payloads."""
 
     def __init__(self, n_frames: int = 4, fake: bool = False):
-        if not fake:
-            raise NotImplementedError(
-                "video decode requires ffmpeg/av (not in this container); "
-                "construct with fake=True for plumbing tests")
         self.n_frames = n_frames
+        self.fake = fake
+        if not fake:
+            from e_commerce_batch_etl_pipeline_ray.stages.imagecodec import (
+                decode_gif,
+                encode_png,
+            )
+            self._decode_gif, self._encode_png = decode_gif, encode_png
+
+    def _sample(self, payload: bytes) -> list[bytes]:
+        if self.fake:
+            step = max(1, len(payload) // self.n_frames)
+            return [payload[fi * step:(fi + 1) * step]
+                    for fi in range(self.n_frames)]
+        if payload[:6] not in (b"GIF87a", b"GIF89a"):
+            raise NotImplementedError(
+                f"video container (magic {payload[:4]!r}) requires "
+                "ffmpeg/av (not in this container); animated GIF decodes "
+                "for real, or construct with fake=True for plumbing tests")
+        frames, _ = self._decode_gif(payload)
+        picks = np.unique(np.linspace(0, len(frames) - 1, self.n_frames)
+                          .round().astype(np.int64))
+        return [self._encode_png(frames[i]) for i in picks]
 
     def __call__(self, t: pa.Table) -> pa.Table:
         ids, frame_no, frame_bytes = [], [], []
         for mid, payload in zip(t["media_id"].to_pylist(), t["payload"].to_pylist()):
             if payload is None:
                 continue
-            step = max(1, len(payload) // self.n_frames)
-            for fi in range(self.n_frames):
+            for fi, fb in enumerate(self._sample(payload)):
                 ids.append(mid)
                 frame_no.append(fi)
-                frame_bytes.append(payload[fi * step:(fi + 1) * step])
+                frame_bytes.append(fb)
         return pa.table({
             "media_id": pa.array(ids, pa.int64()),
             "frame_no": pa.array(frame_no, pa.int32()),

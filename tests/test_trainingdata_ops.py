@@ -219,6 +219,9 @@ def test_decode_images_real_kernels():
     assert aout["audio_features"].map(len).eq(16).all()
 
     with pytest.raises(NotImplementedError, match="PIL"):
+        multimodal.DecodeImage(fake=False)._decode_real(
+            b"RIFF\x00\x00\x00\x00WEBPVP8 ")
+    with pytest.raises(ValueError):              # GIF decodes for REAL now
         multimodal.DecodeImage(fake=False)._decode_real(b"GIF87a trailer")
     with pytest.raises(NotImplementedError, match="soundfile"):
         multimodal.decode_wav_bytes(b"ID3\x04mp3 junk....")
