@@ -5134,3 +5134,70 @@ def q122_video_frames(sf_dir: str):
 
 
 QUERIES.update({"q122_video_frames": q122_video_frames})
+
+
+# ---------------------------------------------------------------------------
+# q123 — WEIGHTED Bernoulli sample (stages/sampling.weighted_sample):
+# P(keep) = min(1, rate * n_chars) — the expected-count mixture
+# primitive, pure row-local (zero shuffle, layout/retry-invariant).
+# Bit-exact oracle: the unit hash is exact integer arithmetic and
+# rate * weight is one correctly-rounded double multiply in both
+# engines.
+
+_Q123_RATE, _Q123_SEED = 1 / 3000.0, 7
+
+
+def q123_weighted_sample(sf_dir: str):
+    from e_commerce_batch_etl_pipeline_ray.stages import sampling
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars", "lang"])
+    out = sampling.weighted_sample("doc_id", "n_chars", _Q123_RATE,
+                                   seed=_Q123_SEED).apply(ds)
+    return out.sort("doc_id")
+
+
+def _q123_sql() -> str:
+    from e_commerce_batch_etl_pipeline_ray.stages import sampling
+    u = sampling.sql_unit_hash("doc_id", _Q123_SEED)
+    return f"""
+SELECT doc_id, n_chars, lang FROM documents
+WHERE {u} < LEAST(1.0, {_Q123_RATE!r} * CAST(n_chars AS DOUBLE))
+ORDER BY doc_id
+"""
+
+
+QUERIES.update({"q123_weighted_sample": q123_weighted_sample})
+ORACLE.update({"q123_weighted_sample": _q123_sql()})
+
+
+# ---------------------------------------------------------------------------
+# q124 — WEIGHTED TOP-K WITHOUT REPLACEMENT (Efraimidis-Spirakis
+# exponential race, stages/sampling.weighted_top_k): the k=64 documents
+# winning the ln(u)/n_chars race — longer docs proportionally likelier,
+# no resampling rounds, per-block prune + k-rows-per-block merge. The
+# SQL twin replays the race (see the 1-ulp order-tie note in the
+# docstring — verified green at every shipped sf).
+
+_Q124_K, _Q124_SEED = 64, 11
+
+
+def q124_weighted_topk(sf_dir: str):
+    from e_commerce_batch_etl_pipeline_ray.stages import sampling
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    out = sampling.weighted_top_k(ds, "doc_id", "n_chars", _Q124_K,
+                                  seed=_Q124_SEED)
+    return out.sort("doc_id")
+
+
+def _q124_sql() -> str:
+    from e_commerce_batch_etl_pipeline_ray.stages import sampling
+    u = sampling.sql_unit_hash_open("doc_id", _Q124_SEED)
+    return f"""
+SELECT doc_id, n_chars FROM documents
+WHERE n_chars > 0
+ORDER BY ln({u}) / CAST(n_chars AS DOUBLE) DESC, doc_id
+LIMIT {_Q124_K}
+"""
+
+
+QUERIES.update({"q124_weighted_topk": q124_weighted_topk})
+ORACLE.update({"q124_weighted_topk": _q124_sql()})

@@ -172,3 +172,79 @@ def sample_per_group(by: Sequence[str], id_col: str, k: int,
         return ds.groupby("_spgid").map_groups(_final, batch_format="pandas")
 
     return FnStep(f"sample_per_group[{k}]", _apply)
+
+
+def _unit_hash_open(ids: np.ndarray, seed: int) -> np.ndarray:
+    """(0,1)-open unit hash: (h + 0.5) / 2^32 = (2h+1)/2^33 — exactly
+    representable (< 2^53), never 0 or 1, so logs are always finite.
+    SQL twin: sql_unit_hash_open."""
+    with np.errstate(over="ignore"):
+        h = (((ids.astype(np.uint64) + np.uint64(seed)) % _MOD) * _KNUTH) % _MOD
+    return (h.astype(np.float64) + 0.5) / float(_MOD)
+
+
+def sql_unit_hash_open(id_expr: str, seed: int = 0) -> str:
+    """The DuckDB expression equal to _unit_hash_open bit-for-bit."""
+    return (f"((((CAST({id_expr} AS HUGEINT) + {seed}) % 4294967296) "
+            f"* 2654435761 % 4294967296) + 0.5) / 4294967296.0")
+
+
+def weighted_sample(id_col: str, weight_col: str, rate: float,
+                    seed: int = 0) -> FnStep:
+    """Deterministic weighted Bernoulli sample: keep a row iff
+    unit_hash(id) < rate * weight (clipped to [0,1]; null / non-positive
+    weights never selected). P(keep) proportional to the weight column —
+    the expected-count mixture primitive (up-weight rare high-quality
+    docs, down-weight boilerplate) that stays PURE ROW-LOCAL: zero
+    shuffle, reproducible under retries/layout, and BIT-EXACT in SQL
+    (the unit hash is exact integer arithmetic and rate*weight is one
+    correctly-rounded double multiply, identical in numpy and DuckDB)."""
+
+    def _fn(t: pa.Table) -> pa.Table:
+        u = _unit_hash(t[id_col].to_numpy(), seed)
+        w = t[weight_col].combine_chunks().to_numpy(zero_copy_only=False)
+        w = np.nan_to_num(w.astype(np.float64), nan=0.0)
+        p = np.minimum(1.0, rate * w)
+        return t.filter(pa.array(u < p))
+
+    def _apply(ds):
+        return ds.map_batches(_fn, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    return FnStep(f"weighted_sample[{weight_col}]", _apply)
+
+
+def weighted_top_k(ds, id_col: str, weight_col: str, k: int,
+                   seed: int = 0):
+    """Weighted sampling WITHOUT replacement via the Efraimidis-Spirakis
+    exponential race: each row's key is ln(u) / w (u = open unit hash of
+    the id, order-equivalent to u^(1/w)) and the sample is the k rows
+    with the LARGEST key — one pass, no resampling rounds. Non-positive
+    / null weights never win.
+
+    Scale shape: per-block top-k prune (a block contributes at most k
+    survivors), then one k-row-per-block final merge — traffic is
+    k x blocks rows, never the table. Deterministic under any layout.
+
+    Oracle note (q124): the SQL twin orders by ln(u)/w computed by
+    DuckDB's libm, which can differ from numpy's by 1 ulp; selection
+    flips only if the k-th/k+1-th keys of DIFFERENT rows land within
+    that ulp — a measure-zero tie for continuous hashed keys (verified
+    green at every shipped sf). Exact ties break by id."""
+    import pandas as pd
+
+    def _prune(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df[id_col].to_numpy()
+        w = pd.to_numeric(df[weight_col], errors="coerce").to_numpy(
+            dtype=np.float64)
+        u = _unit_hash_open(ids.astype(np.int64), seed)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            key = np.log(u) / w
+        key = np.where(np.isfinite(key) & (w > 0), key, -np.inf)
+        df = df.assign(__esk=key)
+        df = df.sort_values(["__esk", id_col], ascending=[False, True],
+                            kind="mergesort").head(k)
+        return df[df.__esk > -np.inf].drop(columns="__esk")
+
+    return (ds.map_batches(_prune, batch_format="pandas")
+              .repartition(1)
+              .map_batches(_prune, batch_format="pandas"))

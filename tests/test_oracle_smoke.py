@@ -36,6 +36,7 @@ SMOKE = [
     "q119_kmv_synopsis",     # k-truncation path at sf0.01, exact at sf0.001
     "q120_corpus_overlap",   # float estimator replayed in SQL op-for-op
     "q121_cms_counters",     # additive counter state bit-exact at every sf
+    "q124_weighted_topk",    # E-S race: guards the ln() order-tie caveat
 ]
 
 SCALES = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]

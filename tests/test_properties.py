@@ -435,3 +435,68 @@ def test_merge_kernel_matches_row_oracle(prior_rows, src_rows, insert_on,
             state[p] = dict(r)            # insert (revives tombstones)
     exp = {p: (r["lsn"], r["tag"], r["_deleted"]) for p, r in state.items()}
     assert got == exp
+
+
+@settings(max_examples=30, deadline=None)
+@given(ids=st.lists(st.integers(0, 2**31 - 1), min_size=1, max_size=200,
+                    unique=True),
+       seed=st.integers(0, 10_000),
+       rate=st.floats(1e-6, 1.0, allow_nan=False))
+def test_weighted_sample_matches_duckdb_exactly(ids, seed, rate):
+    """Weighted Bernoulli selection (q123): u < rate * w must pick the
+    SAME id set as the SQL twin for ANY ids/seed/rate — the hash is
+    exact integer arithmetic and rate*w one correctly-rounded multiply,
+    so there is no tolerance, the sets are equal."""
+    import duckdb
+
+    import pyarrow as pa
+
+    from e_commerce_batch_etl_pipeline_ray.stages.sampling import (
+        _unit_hash,
+        sql_unit_hash,
+    )
+    ids_np = np.asarray(ids, dtype=np.int64)
+    w = ((ids_np * 37) % 5000).astype(np.float64)   # deterministic weights
+    u = _unit_hash(ids_np, seed)
+    keep = set(ids_np[u < np.minimum(1.0, rate * w)].tolist())
+    con = duckdb.connect()
+    con.register("t", pa.table({"id": ids_np, "w": w}))
+    exp = {r[0] for r in con.execute(
+        f"SELECT id FROM t WHERE {sql_unit_hash('id', seed)}"
+        f" < LEAST(1.0, {rate!r} * w)").fetchall()}
+    assert keep == exp
+
+
+@settings(max_examples=20, deadline=None)
+@given(ids=st.lists(st.integers(0, 2**31 - 1), min_size=1, max_size=200,
+                    unique=True),
+       seed=st.integers(0, 10_000),
+       k=st.integers(1, 50))
+def test_weighted_topk_open_hash_and_race_parity(ids, seed, k):
+    """The (0,1)-open hash matches its SQL twin bit-for-bit, and the
+    driver-side E-S race (sorted ln(u)/w) picks the same ids as the SQL
+    replay on random inputs (1-ulp order ties never observed — the
+    q124 oracle caveat, exercised here across arbitrary draws)."""
+    import duckdb
+
+    import pyarrow as pa
+
+    from e_commerce_batch_etl_pipeline_ray.stages.sampling import (
+        _unit_hash_open,
+        sql_unit_hash_open,
+    )
+    ids_np = np.asarray(ids, dtype=np.int64)
+    w = ((ids_np * 13) % 997 + 1).astype(np.float64)
+    u = _unit_hash_open(ids_np, seed)
+    con = duckdb.connect()
+    con.register("t", pa.table({"id": ids_np, "w": w}))
+    exp_u = np.array([r[0] for r in con.execute(
+        f"SELECT {sql_unit_hash_open('id', seed)} FROM t").fetchall()])
+    assert u.tolist() == exp_u.tolist()
+    key = np.log(u) / w
+    order = np.lexsort((ids_np, -key))
+    got = ids_np[order[:k]].tolist()
+    exp = [r[0] for r in con.execute(
+        f"SELECT id FROM t ORDER BY ln({sql_unit_hash_open('id', seed)})"
+        f" / w DESC, id LIMIT {k}").fetchall()]
+    assert got == exp

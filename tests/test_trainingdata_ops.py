@@ -777,3 +777,36 @@ def test_bm25_topk_matches_bruteforce():
         assert [g[0] for g in got] == [e[0] for e in exp]
         for g, e in zip(got, exp):
             assert abs(g[1] - e[1]) < 1e-9
+
+
+def test_weighted_sample_and_topk_layout_invariant():
+    """weighted_sample / weighted_top_k pick the SAME rows at any block
+    layout, and the distributed top-k equals the driver-side race."""
+    import pyarrow as pa
+
+    from e_commerce_batch_etl_pipeline_ray.stages import sampling
+    n = 2_000
+    ids = np.arange(n, dtype=np.int64) * 3 + 1
+    w = ((ids * 7) % 400 + 1).astype(np.float64)
+    t = pa.table({"doc_id": ids, "wt": w})
+    for parts in (1, 9):
+        ds = ray.data.from_arrow(t).repartition(parts)
+        got = sampling.weighted_sample("doc_id", "wt", 1 / 300.0,
+                                       seed=3).apply(ds).to_pandas()
+        u = sampling._unit_hash(ids, 3)
+        exp = ids[u < np.minimum(1.0, w / 300.0)]
+        assert sorted(got.doc_id) == sorted(exp.tolist())
+        topk = sampling.weighted_top_k(ds, "doc_id", "wt", 25,
+                                       seed=5).to_pandas()
+        key = np.log(sampling._unit_hash_open(ids, 5)) / w
+        order = np.lexsort((ids, -key))
+        assert sorted(topk.doc_id) == sorted(ids[order[:25]].tolist())
+    # expectation sanity: heavier rows win proportionally more often
+    wins = np.zeros(2, np.int64)   # [light half, heavy half]
+    for seed in range(30):
+        topk = sampling.weighted_top_k(
+            ray.data.from_arrow(t).repartition(4), "doc_id", "wt", 50,
+            seed=100 + seed).to_pandas()
+        heavy = w[np.searchsorted(ids, topk.doc_id.to_numpy())] > 200
+        wins += np.array([(~heavy).sum(), heavy.sum()])
+    assert wins[1] > wins[0] * 1.5, wins
