@@ -5201,3 +5201,35 @@ LIMIT {_Q124_K}
 
 QUERIES.update({"q124_weighted_topk": q124_weighted_topk})
 ORACLE.update({"q124_weighted_topk": _q124_sql()})
+
+
+# ---------------------------------------------------------------------------
+# q125 — INCREMENTAL KMV SYNOPSIS state (cdc/kmv_state.py): the events
+# table arrives as THREE micro-batches; the persisted per-event_type
+# synopsis after the last epoch must equal the one-shot SQL synopsis
+# over the WHOLE table — union-then-truncate is confluent (the k
+# smallest of A u B lie inside the k smallest of each side), so the
+# multi-epoch LSM state (delta, delta, compact at compact_interval=3...
+# epochs 0,1 delta, epoch 2 compacts) replays bit-exactly. Same oracle
+# shape as q119.
+
+def q125_incremental_kmv(sf_dir: str):
+    import tempfile
+
+    from e_commerce_batch_etl_pipeline_ray.cdc import kmv_state
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "user_id"])
+    n = ds.count()
+    cut1, cut2 = n // 3, 2 * n // 3
+    eng = kmv_state.IncrementalKMV(kmv_state.IncKMVConfig(
+        state_dir=tempfile.mkdtemp(prefix="q125_state_", dir="/tmp"),
+        col="user_id", by=["event_type"], k=_Q119_K, num_partitions=4,
+        compact_interval=3))
+    eng.ingest(ds.filter(expr=f"event_id < {cut1}"), 0)
+    eng.ingest(ds.filter(
+        expr=f"event_id >= {cut1} and event_id < {cut2}"), 1)
+    eng.ingest(ds.filter(expr=f"event_id >= {cut2}"), 2)
+    return eng.synopsis()
+
+
+QUERIES.update({"q125_incremental_kmv": q125_incremental_kmv})
+ORACLE.update({"q125_incremental_kmv": _q119_sql()})
