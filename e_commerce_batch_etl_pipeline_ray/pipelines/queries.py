@@ -5233,3 +5233,49 @@ def q125_incremental_kmv(sf_dir: str):
 
 QUERIES.update({"q125_incremental_kmv": q125_incremental_kmv})
 ORACLE.update({"q125_incremental_kmv": _q119_sql()})
+
+
+# ---------------------------------------------------------------------------
+# q126 — TRIANGLE COUNTS + local clustering coefficient over the q108
+# host link graph (stages/graph.triangle_counts): degree-ordered
+# orientation (every out-neighborhood O(sqrt(m)) — the skew armor), one
+# co-partitioned wedge-close pass, exact counts. Oracle: canonical
+# a<b<c three-way self-join in SQL crediting all three corners.
+
+def q126_triangles(sf_dir: str):
+    from e_commerce_batch_etl_pipeline_ray.stages import graph
+    from e_commerce_batch_etl_pipeline_ray.stages.blockutil import (
+        read_parquet_clean,
+    )
+    ensure_q108_fixture()
+    edges = read_parquet_clean(_Q108_EDGES_PATH, override_num_blocks=4)
+    out = graph.triangle_counts(edges, num_partitions=8, round_to=9)
+    return out.sort("node")
+
+
+def _q126_sql() -> str:
+    return f"""
+WITH raw AS (SELECT src, dst FROM read_parquet('{_Q108_EDGES_PATH}')),
+e AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+      FROM raw WHERE src <> dst),
+tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM e e1 JOIN e e2 ON e2.a = e1.b
+                  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+deg AS (SELECT node, COUNT(*) AS degree FROM
+        (SELECT a AS node FROM e UNION ALL SELECT b AS node FROM e)
+        GROUP BY node),
+cr AS (SELECT x AS node FROM tri UNION ALL SELECT y FROM tri
+       UNION ALL SELECT z FROM tri),
+tc AS (SELECT node, COUNT(*) AS triangles FROM cr GROUP BY node)
+SELECT d.node, d.degree, COALESCE(tc.triangles, 0) AS triangles,
+       CASE WHEN d.degree >= 2
+            THEN ROUND(2.0 * COALESCE(tc.triangles, 0)
+                       / (d.degree * (d.degree - 1.0)), 9)
+            ELSE 0.0 END AS clustering
+FROM deg d LEFT JOIN tc USING (node)
+ORDER BY d.node
+"""
+
+
+QUERIES.update({"q126_triangles": q126_triangles})
+ORACLE.update({"q126_triangles": _q126_sql()})

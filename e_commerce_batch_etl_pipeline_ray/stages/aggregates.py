@@ -58,8 +58,16 @@ class _CompSumBase(AggregateFnV2):
     def __init__(self, hi_col: str, lo_col: str, alias: str):
         self._hi_col = hi_col
         self._lo_col = lo_col
+        # accumulator is a HOMOGENEOUS 3-float tuple (hi, lo, is_int) so
+        # Ray can store it in an Arrow list column between shuffle map
+        # and reduce — a mixed-type tag would force the pickled-object
+        # block fallback (noisy and slower). Integer sums ride the same
+        # double-double pair: hi = round(s), lo = s - hi, both integral
+        # floats, and the dd two-sum is error-free on them (lo is 0
+        # until |s| > 2^53 and a tiny integer after), so finalize
+        # reconstructs the exact int.
         super().__init__(alias, on=hi_col, ignore_nulls=True,
-                         zero_factory=lambda: (0.0, 0.0))
+                         zero_factory=lambda: (0.0, 0.0, 1.0))
 
     def aggregate_block(self, block):
         import math
@@ -69,7 +77,10 @@ class _CompSumBase(AggregateFnV2):
         t = BlockAccessor.for_block(block).to_arrow()
         if pa.types.is_integer(t.schema.field(self._hi_col).type):
             s = pc.sum(t[self._hi_col]).as_py()
-            return None if s is None else ("int", s)
+            if s is None:
+                return None
+            hi = float(s)
+            return (hi, float(s - int(hi)), 1.0)
         hi = pc.cast(t[self._hi_col],
                      pa.float64()).to_numpy(zero_copy_only=False)
         m = ~np.isnan(hi)
@@ -82,22 +93,23 @@ class _CompSumBase(AggregateFnV2):
         else:
             xs = hi[m].tolist()
         s = math.fsum(xs)
-        return (s, math.fsum(xs + [-s]))
+        return (s, math.fsum(xs + [-s]), 0.0)
 
     def combine(self, cur, new):
-        if cur[0] == "int" or new[0] == "int":
-            return ("int", cur[1] + new[1])
-        return _dd_add(cur, new)
+        hi, lo = _dd_add(cur[:2], new[:2])
+        return (hi, lo, cur[2] * new[2])
 
 
 class _CompSumHi(_CompSumBase):
     def finalize(self, acc):
-        return acc[1] if acc[0] == "int" else acc[0]
+        if acc[2] == 1.0:
+            return int(acc[0]) + int(acc[1])
+        return acc[0]
 
 
 class _CompSumLo(_CompSumBase):
     def finalize(self, acc):
-        return 0.0 if acc[0] == "int" else acc[1]
+        return 0.0 if acc[2] == 1.0 else acc[1]
 
 
 _PARTIAL_MAP = {  # agg -> (local pa.Table.group_by agg, merge fn on partials)

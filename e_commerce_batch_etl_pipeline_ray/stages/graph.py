@@ -28,6 +28,7 @@ uses the same join-update-iterate pattern with a different monoid.
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -243,3 +244,204 @@ def pagerank_reference(edge_list: list[tuple], iterations: int = 5,
             nxt[v] += damping * pr[u] / outdeg[u]
         pr = nxt
     return pr
+
+
+def triangle_counts(edges: ray.data.Dataset, src: str = "src",
+                    dst: str = "dst", num_partitions: int = 32,
+                    round_to: int | None = 9) -> ray.data.Dataset:
+    """Per-node TRIANGLE COUNTS + local clustering coefficient over the
+    UNDIRECTED simple graph induced by the edge table (direction and
+    duplicates dropped; self-loops ignored). Returns
+    (node, degree, triangles, clustering) for every node.
+
+    Scale shape — the compact-forward (degree-ordered) node iterator:
+
+    1. canonicalize + distinct (one partial-agg shuffle);
+    2. degrees (one grouped count), attached to both endpoints (two
+       hash joins on node);
+    3. ORIENT each edge from its (degree, node)-smaller endpoint — the
+       skew armor: every out-neighborhood is O(sqrt(m)), so a celebrity
+       node with 10^6 neighbors generates wedges at its FOLLOWERS'
+       small out-degrees, never 10^12 pairs at its own;
+    4. wedges per tail partition (vectorized triu pairs per group),
+       each pair emitted in (degree, node) order;
+    5. close wedges against the oriented edge set in one co-partitioned
+       merge on the pair key — each triangle found exactly once, at its
+       order-minimum vertex — crediting all three corners with
+       partition-local pre-aggregation;
+    6. grouped sum + left join back onto the degree table (zero-triangle
+       nodes kept), clustering = 2T / (d (d-1)).
+
+    The count is exact; the q126 oracle replays it with the canonical
+    a<b<c three-way self-join in SQL."""
+    import pandas as pd
+
+    from e_commerce_batch_etl_pipeline_ray.stages.dedup import (
+        hash_partition_ids,
+    )
+
+    node_type = edges.schema().base_schema.field(src).type
+
+    def _canon(t: pa.Table) -> pa.Table:
+        less = pc.less(t[src], t[dst])
+        a = pc.if_else(less, t[src], t[dst])
+        b = pc.if_else(less, t[dst], t[src])
+        keep = pc.invert(pc.equal(t[src], t[dst]))
+        return pa.table({"a": a, "b": b}).filter(pc.fill_null(keep, False))
+
+    e = edges.map_batches(_canon, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    e = aggregates.grouped_aggregate(
+        ["a", "b"], [("count", None, "_n")]).apply(e)
+    e = e.map_batches(lambda t: t.select(["a", "b"]),
+                      batch_format="pyarrow", zero_copy_batch=True)
+    e = detach(e.materialize(),
+               pa.schema([("a", node_type), ("b", node_type)]))
+
+    ends = e.map_batches(
+        lambda t: pa.table({"node": pa.concat_arrays(
+            [t["a"].combine_chunks(), t["b"].combine_chunks()])}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    deg = aggregates.grouped_aggregate(
+        ["node"], [("count", None, "degree")]).apply(ends)
+    deg = detach(deg.materialize(),
+                 pa.schema([("node", node_type), ("degree", pa.int64())]))
+
+    # attach endpoint degrees (hash joins on node — the static attach,
+    # same shape pagerank uses for outdeg)
+    ea = e.map_batches(lambda t: t.rename_columns(["node", "b"]),
+                       batch_format="pyarrow", zero_copy_batch=True)
+    ea = joins.hash_join(deg, on=["node"], join_type="inner",
+                         num_partitions=num_partitions).apply(ea)
+    ea = ea.map_batches(
+        lambda t: pa.table({"a": t["node"], "b": t["b"],
+                            "deg_a": t["degree"]}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    ea = detach(ea.materialize(), pa.schema(
+        [("a", node_type), ("b", node_type), ("deg_a", pa.int64())]))
+    eb = ea.map_batches(
+        lambda t: pa.table({"node": t["b"], "a": t["a"],
+                            "deg_a": t["deg_a"]}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    eb = joins.hash_join(deg, on=["node"], join_type="inner",
+                         num_partitions=num_partitions).apply(eb)
+
+    def _orient(t: pa.Table) -> pa.Table:
+        # tail = (degree, node)-smaller endpoint
+        a, b = t["a"], t["node"]
+        da, db = t["deg_a"], t["degree"]
+        fwd = pc.or_(pc.less(da, db),
+                     pc.and_(pc.equal(da, db), pc.less(a, b)))
+        out = pa.table({
+            "tail": pc.if_else(fwd, a, b),
+            "head": pc.if_else(fwd, b, a),
+            "deg_head": pc.if_else(fwd, db, da),
+        })
+        pid = hash_partition_ids(out, ["tail"], num_partitions)
+        return out.append_column("_pid", pa.array(pid, pa.int32()))
+
+    oriented = eb.map_batches(_orient, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    oriented = detach(oriented.materialize(), pa.schema(
+        [("tail", node_type), ("head", node_type),
+         ("deg_head", pa.int64()), ("_pid", pa.int32())]))
+
+    def _wedges(g: pa.Table) -> pa.Table:
+        df = (g.select(["tail", "head", "deg_head"]).to_pandas()
+              .sort_values(["tail", "deg_head", "head"], kind="mergesort"))
+        tails = df["tail"].to_numpy()
+        heads = df["head"].to_numpy()
+        starts = np.flatnonzero(np.r_[True, tails[1:] != tails[:-1]])
+        bounds = np.r_[starts, len(tails)]
+        xs, ys, cs = [], [], []
+        for s, t_ in zip(bounds[:-1], bounds[1:]):
+            m = t_ - s
+            if m < 2:
+                continue
+            i, j = np.triu_indices(m, k=1)
+            xs.append(heads[s + i])       # rows sorted by (deg, node):
+            ys.append(heads[s + j])       # pair already in orient order
+            cs.append(np.repeat(tails[s], len(i)))
+        if not xs:
+            return pa.table({"x": pa.array([], node_type),
+                             "y": pa.array([], node_type),
+                             "center": pa.array([], node_type)})
+        return pa.table({"x": pa.array(np.concatenate(xs)).cast(node_type),
+                         "y": pa.array(np.concatenate(ys)).cast(node_type),
+                         "center": pa.array(np.concatenate(cs))
+                         .cast(node_type)})
+
+    wedges = oriented.groupby("_pid").map_groups(
+        _wedges, batch_format="pyarrow")
+
+    def _tag_pairs(kind: str, x: str, y: str, center: str | None):
+        def _fn(t: pa.Table) -> pa.Table:
+            out = pa.table({
+                "_kind": pa.array([kind] * t.num_rows),
+                "x": t[x].combine_chunks().cast(node_type),
+                "y": t[y].combine_chunks().cast(node_type),
+                "center": (t[center].combine_chunks().cast(node_type)
+                           if center else pa.nulls(t.num_rows, node_type)),
+            })
+            pid = hash_partition_ids(out, ["x", "y"], num_partitions)
+            return out.append_column("_cpid", pa.array(pid, pa.int32()))
+        return _fn
+
+    tagged = wedges.map_batches(
+        _tag_pairs("w", "x", "y", "center"), batch_format="pyarrow",
+        zero_copy_batch=True).union(oriented.map_batches(
+            _tag_pairs("e", "tail", "head", None), batch_format="pyarrow",
+            zero_copy_batch=True))
+
+    def _close(g: pa.Table) -> pa.Table:
+        is_e = pc.equal(g["_kind"], "e")
+        ed = g.filter(is_e).select(["x", "y"]).to_pandas()
+        wd = g.filter(pc.invert(is_e)).select(["x", "y",
+                                               "center"]).to_pandas()
+        if not len(ed) or not len(wd):
+            return pa.table({"node": pa.array([], node_type),
+                             "cnt": pa.array([], pa.int64())})
+        hit = wd.merge(ed.drop_duplicates(), on=["x", "y"], how="inner")
+        credits = pd.concat([hit["center"], hit["x"], hit["y"]],
+                            ignore_index=True).value_counts()
+        return pa.table({
+            "node": pa.array(credits.index.to_numpy()).cast(node_type),
+            "cnt": pa.array(credits.to_numpy(), pa.int64())})
+
+    credits = tagged.groupby("_cpid").map_groups(
+        _close, batch_format="pyarrow")
+    tri = aggregates.grouped_aggregate(
+        ["node"], [("sum", "cnt", "triangles")]).apply(credits)
+    tri = detach(tri.materialize(), pa.schema(
+        [("node", node_type), ("triangles", pa.int64())]))
+
+    # Ray 2.49 Dataset.join breaks on an all-empty side (the detach
+    # docstring's count()-first contract) — a triangle-free graph is a
+    # legitimate input, so fall back to a null column instead of joining
+    if tri.count() == 0:
+        out = deg.map_batches(
+            lambda t: t.append_column(
+                "triangles", pa.nulls(t.num_rows, pa.int64())),
+            batch_format="pyarrow", zero_copy_batch=True)
+    else:
+        out = joins.hash_join(tri, on=["node"], join_type="left_outer",
+                              num_partitions=num_partitions).apply(deg)
+
+    def _final(t: pa.Table) -> pa.Table:
+        d = t["degree"].combine_chunks().to_numpy().astype(np.float64)
+        tr = pc.fill_null(t["triangles"], 0).combine_chunks().to_numpy()
+        with np.errstate(divide="ignore", invalid="ignore"):
+            c = 2.0 * tr / (d * (d - 1.0))
+        c = np.where(d >= 2, c, 0.0)
+        cl = pa.array(c, pa.float64())
+        if round_to is not None:
+            from e_commerce_batch_etl_pipeline_ray.functions.scalar import (
+                round2,
+            )
+            cl = round2(cl, round_to)
+        return pa.table({"node": t["node"], "degree": t["degree"],
+                         "triangles": pa.array(tr, pa.int64()),
+                         "clustering": cl})
+
+    return out.map_batches(_final, batch_format="pyarrow",
+                           zero_copy_batch=True)

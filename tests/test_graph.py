@@ -4,6 +4,7 @@ dangling-node mass, duplicate (parallel) edges, and block invariance."""
 from __future__ import annotations
 
 import numpy as np
+import pytest
 import pyarrow as pa
 import ray.data
 
@@ -69,3 +70,53 @@ def test_degree_stats():
     rows = {r["node"]: (r["out_degree"], r["in_degree"])
             for r in graph.degree_stats(_ds(el, blocks=2)).take_all()}
     assert rows == {"a": (2, 1), "b": (1, 1), "c": (0, 2), "d": (1, 0)}
+
+
+def test_triangle_counts_matches_bruteforce():
+    """Exact per-node triangle counts, degrees and clustering vs a dense
+    numpy adjacency brute force, on a random multigraph with self-loops
+    and duplicate/reversed edges (all must be ignored/collapsed)."""
+    rng = np.random.default_rng(7)
+    n, m = 35, 260
+    src = rng.integers(0, n, m)
+    dst = rng.integers(0, n, m)
+    t = pa.table({"src": pa.array([f"v{u:02d}" for u in src]),
+                  "dst": pa.array([f"v{v:02d}" for v in dst])})
+    out = (graph.triangle_counts(ray.data.from_arrow(t).repartition(5),
+                                 num_partitions=6)
+           .to_pandas().set_index("node"))
+    adj = np.zeros((n, n), bool)
+    for u, v in zip(src, dst):
+        if u != v:
+            adj[u, v] = adj[v, u] = True
+    tri = (adj @ adj.astype(int) * adj).sum(axis=1) // 2
+    deg = adj.sum(axis=1)
+    for i in range(n):
+        name = f"v{i:02d}"
+        if deg[i] == 0:
+            assert name not in out.index
+            continue
+        row = out.loc[name]
+        assert row.degree == deg[i] and row.triangles == tri[i], name
+        exp = (round(2.0 * tri[i] / (deg[i] * (deg[i] - 1.0)), 9)
+               if deg[i] >= 2 else 0.0)
+        assert row.clustering == pytest.approx(exp, abs=1e-12), name
+    assert out.triangles.sum() == (adj @ adj.astype(int) * adj).sum() // 2
+
+
+def test_triangle_counts_triangle_free_and_clique():
+    """Boundary graphs: a star (0 triangles everywhere) and K5 (every
+    node in C(4,2)=6 triangles, clustering 1.0)."""
+    star = pa.table({"src": pa.array(["hub"] * 6),
+                     "dst": pa.array([f"s{i}" for i in range(6)])})
+    out = graph.triangle_counts(
+        ray.data.from_arrow(star), num_partitions=4).to_pandas()
+    assert (out.triangles == 0).all() and (out.clustering == 0.0).all()
+    k5 = [(f"k{i}", f"k{j}") for i in range(5) for j in range(i + 1, 5)]
+    t = pa.table({"src": pa.array([a for a, _ in k5]),
+                  "dst": pa.array([b for _, b in k5])})
+    out = graph.triangle_counts(
+        ray.data.from_arrow(t), num_partitions=4).to_pandas()
+    assert (out.degree == 4).all()
+    assert (out.triangles == 6).all()
+    assert (out.clustering == 1.0).all()
