@@ -5279,3 +5279,61 @@ ORDER BY d.node
 
 QUERIES.update({"q126_triangles": q126_triangles})
 ORACLE.update({"q126_triangles": _q126_sql()})
+
+
+# ---------------------------------------------------------------------------
+# q127 — per-group ROBUST STATS (exact median + MAD + count,
+# stages/aggregates.grouped_robust_stats): the outlier-resistant
+# location/scale profile per language over doc lengths. Over the
+# integer n_chars column every median/MAD intermediate is an exact
+# .0/.5 double, so the oracle (DuckDB MEDIAN/MAD) is bit-exact.
+
+def q127_robust_stats(sf_dir: str):
+    from e_commerce_batch_etl_pipeline_ray.stages import aggregates
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
+    out = aggregates.grouped_robust_stats(["lang"], "n_chars",
+                                          num_partitions=8).apply(ds)
+    return out.sort("lang")
+
+
+Q127_SQL = """
+SELECT lang, median(n_chars) AS median, mad(n_chars) AS mad,
+       COUNT(n_chars) AS n
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+QUERIES.update({"q127_robust_stats": q127_robust_stats})
+ORACLE.update({"q127_robust_stats": Q127_SQL})
+
+
+# ---------------------------------------------------------------------------
+# q128 — ROBUST OUTLIER FILTER (|x - median| <= c * MAD per language,
+# stages/aggregates.robust_outlier_filter): the data-quality gate that
+# drops length outliers without letting them poison the threshold
+# itself. Stats shuffle once (one row per group), broadcast via
+# ray.put, then a pure row-local filter.
+
+_Q128_C = 2.0
+
+
+def q128_robust_outlier_filter(sf_dir: str):
+    from e_commerce_batch_etl_pipeline_ray.stages import aggregates
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    out = aggregates.robust_outlier_filter(
+        ["lang"], "n_chars", c=_Q128_C, num_partitions=8).apply(ds)
+    return out.sort("doc_id")
+
+
+Q128_SQL = f"""
+WITH s AS (SELECT lang, median(n_chars) AS med, mad(n_chars) AS mad
+           FROM documents GROUP BY lang)
+SELECT d.doc_id, d.lang, d.n_chars
+FROM documents d JOIN s USING (lang)
+WHERE ABS(d.n_chars - s.med) <= {_Q128_C!r} * s.mad
+ORDER BY d.doc_id
+"""
+
+
+QUERIES.update({"q128_robust_outlier_filter": q128_robust_outlier_filter})
+ORACLE.update({"q128_robust_outlier_filter": Q128_SQL})

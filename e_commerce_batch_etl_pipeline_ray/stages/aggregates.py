@@ -1602,3 +1602,93 @@ def approx_quantiles(ds: "ray.data.Dataset", col: str, qs: Sequence[float],
         pos = np.searchsorted(cum, q * total, side="left")
         out.append(float(v[min(pos, v.size - 1)]))
     return out
+
+
+def grouped_robust_stats(by: Sequence[str], col: str,
+                         num_partitions: int = 32) -> FnStep:
+    """Per-group ROBUST location/scale: exact median, MAD
+    (median(|x - median|)) and count — the outlier-resistant profile a
+    data-quality pass uses where mean/std are poisoned by the very
+    outliers being hunted. Matches DuckDB MEDIAN/MAD tie semantics
+    (even counts average the two middles; over integer columns every
+    intermediate is an exact .0/.5 double, so the oracle is bit-exact).
+
+    Scale shape: ONE hash-partition shuffle on the group key, then
+    vectorized pandas per partition (groupby.median + transform) — each
+    GROUP must fit a partition, the standard map_groups contract; group
+    count is unbounded."""
+    import numpy as np
+    import pandas as pd
+
+    from e_commerce_batch_etl_pipeline_ray.stages.dedup import (
+        hash_partition_ids,
+    )
+    by = list(by)
+
+    def _assign(t: pa.Table) -> pa.Table:
+        pid = hash_partition_ids(t, by, num_partitions)
+        return t.append_column("_rpid", pa.array(pid, pa.int32()))
+
+    def _stats(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=["_rpid"])
+        x = pd.to_numeric(df[col], errors="coerce")
+        med = x.groupby([df[c] for c in by]).transform("median")
+        dev = (x - med).abs()
+        g = df.assign(__med=med, __dev=dev).groupby(by, sort=False)
+        out = g.agg(median=("__med", "first"), mad=("__dev", "median"),
+                    n=(col, "count")).reset_index()
+        return out.astype({"median": np.float64, "mad": np.float64,
+                           "n": np.int64})
+
+    def _apply(ds):
+        ds = ds.map_batches(_assign, batch_format="pyarrow",
+                            zero_copy_batch=True)
+        return ds.groupby("_rpid").map_groups(_stats,
+                                              batch_format="pandas")
+    return FnStep(f"grouped_robust_stats[{col}]", _apply)
+
+
+def robust_outlier_filter(by: Sequence[str], col: str, c: float = 3.0,
+                          keep: str = "inliers",
+                          num_partitions: int = 32) -> FnStep:
+    """Row filter by the robust rule |x - median_group| <= c * MAD_group
+    (``keep="outliers"`` inverts). Two passes: grouped_robust_stats
+    (small — one row per group), BROADCAST to every task via ray.put,
+    then a pure row-local vectorized filter — no second shuffle. Rows
+    with null x or an unseen group are dropped in both modes. MAD = 0
+    collapses the band to exact-median-only, the standard caveat."""
+    import numpy as np
+    import pandas as pd
+
+    if keep not in ("inliers", "outliers"):
+        raise ValueError("keep must be 'inliers' or 'outliers'")
+    by = list(by)
+
+    def _apply(ds):
+        import ray as _ray
+        stats = grouped_robust_stats(
+            by, col, num_partitions).apply(ds).to_pandas()
+        key = (stats[by[0]] if len(by) == 1
+               else pd.MultiIndex.from_frame(stats[by]))
+        med = dict(zip(key, stats["median"]))
+        mad = dict(zip(key, stats["mad"]))
+        ref = _ray.put((med, mad))
+
+        def _filter(t: pa.Table) -> pa.Table:
+            med_m, mad_m = _ray.get(ref)
+            df = t.select(by).to_pandas()
+            k = (df[by[0]] if len(by) == 1
+                 else pd.MultiIndex.from_frame(df))
+            m = k.map(med_m).to_numpy(dtype=np.float64)
+            s = k.map(mad_m).to_numpy(dtype=np.float64)
+            x = pd.to_numeric(
+                t[col].combine_chunks().to_pandas(),
+                errors="coerce").to_numpy(dtype=np.float64)
+            inlier = np.abs(x - m) <= c * s      # NaN -> False either way
+            mask = inlier if keep == "inliers" else \
+                (~inlier & ~np.isnan(x) & ~np.isnan(m))
+            return t.filter(pa.array(mask))
+
+        return ds.map_batches(_filter, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    return FnStep(f"robust_outlier_filter[{col}]", _apply)

@@ -810,3 +810,53 @@ def test_weighted_sample_and_topk_layout_invariant():
         heavy = w[np.searchsorted(ids, topk.doc_id.to_numpy())] > 200
         wins += np.array([(~heavy).sum(), heavy.sum()])
     assert wins[1] > wins[0] * 1.5, wins
+
+
+def test_robust_stats_and_outlier_filter():
+    """grouped_robust_stats == pandas median/MAD at any layout; the
+    inlier/outlier modes partition the rows; MAD=0 collapses the band
+    to the exact median."""
+    import pandas as pd
+
+    from e_commerce_batch_etl_pipeline_ray.stages import aggregates
+    rng = np.random.default_rng(8)
+    n = 3_000
+    g = np.array(["ab"[i % 2] for i in range(n)])
+    x = np.where(g == "a", rng.integers(90, 110, n),
+                 rng.integers(0, 1000, n)).astype(np.int64)
+    x[:5] = 10_000                               # planted outliers in both
+    t = pa.table({"g": pa.array(g), "x": pa.array(x, pa.int64()),
+                  "rid": pa.array(np.arange(n), pa.int64())})
+    df = pd.DataFrame({"g": g, "x": x})
+    exp = (df.groupby("g")["x"]
+           .agg(median="median",
+                mad=lambda s: (s - s.median()).abs().median(), n="count")
+           .reset_index())
+    for parts in (1, 7):
+        ds = ray.data.from_arrow(t).repartition(parts)
+        got = (aggregates.grouped_robust_stats(["g"], "x", 4).apply(ds)
+               .to_pandas().sort_values("g").reset_index(drop=True))
+        assert got[["g", "median", "mad", "n"]].astype(
+            {"median": float, "mad": float, "n": "int64"}).equals(
+            exp.astype({"median": float, "mad": float, "n": "int64"}))
+    ds = ray.data.from_arrow(t).repartition(5)
+    inl = aggregates.robust_outlier_filter(["g"], "x", c=3.0).apply(
+        ds).to_pandas()
+    out = aggregates.robust_outlier_filter(["g"], "x", c=3.0,
+                                           keep="outliers").apply(
+        ds).to_pandas()
+    assert len(inl) + len(out) == n
+    assert set(inl.rid) | set(out.rid) == set(range(n))
+    assert set(range(5)) <= set(out.rid)         # planted outliers caught
+    med = exp.set_index("g")
+    for _, r in out.iterrows():
+        assert abs(r.x - med.loc[r.g, "median"]) > 3.0 * med.loc[r.g, "mad"]
+    # MAD = 0: constant group keeps only the exact median value
+    t0 = pa.table({"g": pa.array(["c"] * 10 + ["c"]),
+                   "x": pa.array([7] * 10 + [8], pa.int64())})
+    kept = aggregates.robust_outlier_filter(["g"], "x", c=5.0).apply(
+        ray.data.from_arrow(t0)).to_pandas()
+    assert sorted(kept.x) == [7] * 10
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="keep"):
+        aggregates.robust_outlier_filter(["g"], "x", keep="bogus")
