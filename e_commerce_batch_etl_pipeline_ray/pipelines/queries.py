@@ -5337,3 +5337,35 @@ ORDER BY d.doc_id
 
 QUERIES.update({"q128_robust_outlier_filter": q128_robust_outlier_filter})
 ORACLE.update({"q128_robust_outlier_filter": Q128_SQL})
+
+
+# ---------------------------------------------------------------------------
+# q129 — END-TO-END CURRICULUM BUILD (pipelines/curriculum.py): the
+# flagship composition — lang-ID -> quality gate -> robust length gate
+# -> exact dedup -> near-dup dedup -> mixture sample -> BPE train +
+# tokenize -> FFD packing -> sharded parquet. Returns the per-stage
+# count lineage plus token totals; every stage is individually oracled
+# elsewhere (q20/q16/q127-128/q14/q44-45/q36/q101/q37), the composition
+# itself is iterative/binary (BPE, packing) so this is a rows-only
+# entry. Deterministic at any layout (layout-invariance test).
+
+def q129_curriculum_build(sf_dir: str):
+    import tempfile
+
+    from e_commerce_batch_etl_pipeline_ray.pipelines import curriculum
+    docs = _read(sf_dir, "documents",
+                 ["doc_id", "text", "lang", "source", "n_chars"])
+    cfg = curriculum.CurriculumConfig(
+        out_dir=tempfile.mkdtemp(prefix="q129_curr_", dir="/tmp"),
+        num_merges=24, pack_budget=256, n_shards=4,
+        lang_fractions={"en": 1.0}, default_fraction=0.5)
+    m = curriculum.build_curriculum(docs, cfg)
+    rows = sorted(m["counts"].items()) + [
+        ("tokens_total", m["tokens_total"]),
+        ("merges_trained", m["num_merges"])]
+    return pa.table({"stage": pa.array([k for k, _ in rows]),
+                     "value": pa.array([int(v) for _, v in rows],
+                                       pa.int64())})
+
+
+QUERIES.update({"q129_curriculum_build": q129_curriculum_build})
