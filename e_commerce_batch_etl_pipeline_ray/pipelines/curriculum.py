@@ -71,12 +71,16 @@ def build_curriculum(docs: ray.data.Dataset,
     # 1. language ID (actor-pool, vectorized) — adds lang_pred
     ds = text.lang_id(tcol).apply(docs)
 
-    # 2. quality gate (row-local)
+    # 2. quality gate (row-local). Materialize at each counted stage —
+    # a .count() on a LAZY dataset re-executes the whole upstream chain
+    # (the q110 lesson), and the robust gate's stats pass reads its
+    # input twice anyway; the streaming executor spills oversized
+    # materializations to the object store.
     ds = text.quality_score(tcol).apply(ds)
     ds = ds.map_batches(
         lambda t: t.filter(pa.compute.greater_equal(
             t["quality"], pa.scalar(cfg.quality_min))),
-        batch_format="pyarrow", zero_copy_batch=True)
+        batch_format="pyarrow", zero_copy_batch=True).materialize()
     counts["quality_gate"] = ds.count()
 
     # 3. robust length gate per predicted language (outliers can't
@@ -87,16 +91,15 @@ def build_curriculum(docs: ray.data.Dataset,
         batch_format="pyarrow", zero_copy_batch=True)
     ds = aggregates.robust_outlier_filter(
         ["lang_pred"], "__len", c=cfg.length_mad_c).apply(ds)
-    ds = ds.drop_columns(["__len"])
+    ds = ds.drop_columns(["__len"]).materialize()
     counts["length_gate"] = ds.count()
 
     # 4. exact dedup (content sha, keep-min-id)
-    ds = neardup.exact_dedup(tcol, idc).apply(ds)
+    ds = neardup.exact_dedup(tcol, idc).apply(ds).materialize()
     counts["exact_dedup"] = ds.count()
 
     # 5. near-dup dedup: LSH candidate pairs -> transitive clusters ->
     #    keep the min id per cluster
-    ds = ds.materialize()
     pairs = neardup.minhash_lsh_pairs(ds, text_col=tcol, id_col=idc,
                                       threshold=cfg.neardup_threshold)
     ds = neardup.dedup_by_pairs(ds, pairs, id_col=idc)

@@ -893,6 +893,9 @@ def decode_gif(data: bytes) -> tuple[np.ndarray, list[int]]:
             canvas[fy:fy + fh, fx:fx + fw] = 255
         elif disposal == 3 and before is not None:
             canvas = before
+        # a GCE governs only the image that follows it (GIF89a spec
+        # 23.c) — reset so a GCE-less later frame doesn't inherit it
+        transparent, disposal, delay_ms = None, 0, 0
     if not frames:
         raise ValueError("GIF contains no image data")
     return np.stack(frames), delays

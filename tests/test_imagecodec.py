@@ -264,3 +264,34 @@ def test_real_video_table_end_to_end():
         frames, delays = ic.decode_gif(payload)
         assert frames.ndim == 4 and 2 <= len(frames) <= 10
         assert sum(delays) == (dur // 10) * 10 or sum(delays) <= dur
+
+
+def test_gif_gce_scope_resets_between_frames():
+    """A GCE governs only the image that follows it (GIF89a spec 23.c):
+    a GCE-less second frame must NOT inherit frame 1's transparency or
+    disposal — its palette-2 pixels are opaque color, not holes."""
+    import struct as st
+    pal = np.array([[1, 2, 3], [200, 100, 50],
+                    [9, 9, 9], [255, 0, 255]], np.uint8)
+    w = h = 4
+    f1 = np.zeros((h, w), np.uint8)
+    f2 = np.full((h, w), 2, np.uint8)
+    out = bytearray(b"GIF89a")
+    out += st.pack("<HHBBB", w, h, 0x80 | 0x01, 0, 0) + pal.tobytes()
+    # frame 1 with transparency on index 2 + disposal=2
+    out += b"\x21\xf9\x04" + bytes([(2 << 2) | 1]) + st.pack("<H", 5)
+    out += bytes([2, 0])
+    out += b"\x2c" + st.pack("<HHHHB", 0, 0, w, h, 0)
+    out.append(2)
+    z = ic._gif_lzw_encode(f1.reshape(-1), 2)
+    out.append(len(z)); out += z; out.append(0)
+    # frame 2: NO GCE at all, all pixels index 2
+    out += b"\x2c" + st.pack("<HHHHB", 0, 0, w, h, 0)
+    out.append(2)
+    z = ic._gif_lzw_encode(f2.reshape(-1), 2)
+    out.append(len(z)); out += z; out.append(0)
+    out += b"\x3b"
+    dec, delays = ic.decode_gif(bytes(out))
+    assert (dec[0] == pal[0]).all()
+    assert (dec[1] == pal[2]).all()      # opaque, not inherited-transparent
+    assert delays == [50, 0]             # delay also not inherited
