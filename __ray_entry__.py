@@ -49,22 +49,25 @@ def entry() -> Any:
 # (full rows+schema+hash check); remaining queries keep registry order.
 DRIVER_WINDOW = [
     "q1_pricing_summary", "q24_cdc_ingest", "q26_orders_pipeline",
-    "q2_filter_derive", "q3_dedup_lww", "q4_group_agg_distinct",
-    "q5_lookup_join", "q6_hash_join", "q7_topk", "q8_bucket",
+    "q3_dedup_lww", "q4_group_agg_distinct",
+    "q5_lookup_join", "q6_hash_join",
     "q11_window_agg", "q13_dq_report", "q14_exact_dedup", "q15_token_stats",
     "q17_knn_brute", "q20_lang_id", "q25_sessionize", "q32_asof_join",
     "q33_analytics_cube", "q44_neardup_pairs_exact",
     "q45_neardup_keep_exact", "q46_embedding_neardup_exact",
     "q47_knn_ivf_exact", "q48_simhash_exact", "q52_allpairs_jaccard",
-    "q83_edit_distance_join", "q35_hash_split", "q36_mixture",
+    "q83_edit_distance_join", "q36_mixture",
     "q100_group_split", "q49_window_functions", "q50_rollup", "q51_cube",
-    "q67_frame_aggregates", "q82_range_frame", "q70_left_outer_join",
+    "q67_frame_aggregates",
     "q71_full_outer_join", "q76_cdc_time_travel", "q90_cdc_change_feed",
     "q92_scd2_history", "q94_cdc_merge_into", "q95_lm_perplexity",
     "q96_duplicated_substrings", "q105_zorder_scan", "q107_bm25_indexed",
     "q108_pagerank", "q109_temporal_join", "q110_incremental_dedup",
     "q111_incremental_neardup", "q114_windowed_watermark",
     "q116_session_windows",
+    # round-4 session-2 families (sketches, set algebra, graph, robust)
+    "q117_hll_registers", "q119_kmv_synopsis", "q121_cms_counters",
+    "q125_incremental_kmv", "q126_triangles", "q127_robust_stats",
 ]
 
 

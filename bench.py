@@ -36,7 +36,9 @@ BENCH_QUERIES = ["q1_pricing_summary", "q3_dedup_lww", "q6_hash_join",
                  "q95_lm_perplexity", "q96_duplicated_substrings",
                  "q107_bm25_indexed", "q108_pagerank",
                  "q110_incremental_dedup", "q111_incremental_neardup",
-                 "q117_hll_registers"]
+                 "q117_hll_registers", "q119_kmv_synopsis",
+                 "q121_cms_counters", "q124_weighted_topk",
+                 "q126_triangles", "q128_robust_outlier_filter"]
 
 
 def _lineitem_rows(sf_dir: str) -> int:

@@ -28,7 +28,11 @@ def test_driver_window_is_first_50_and_fully_oracled():
                  "q92_scd2_history", "q94_cdc_merge_into", "q105_zorder_scan",
                  "q108_pagerank", "q110_incremental_dedup",
                  "q111_incremental_neardup", "q114_windowed_watermark",
-                 "q116_session_windows"):
+                 "q116_session_windows",
+                 # round-4 session-2 families
+                 "q117_hll_registers", "q119_kmv_synopsis",
+                 "q121_cms_counters", "q125_incremental_kmv",
+                 "q126_triangles", "q127_robust_stats"):
         assert must in win
 
 
