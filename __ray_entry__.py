@@ -90,4 +90,5 @@ def oracle_sql() -> dict[str, str]:
     from e_commerce_batch_etl_pipeline_ray.pipelines import queries as Q
     Q.ensure_oracle_fixtures()
     Q.ensure_q93_fixture()
+    Q.ensure_patch_fixture()
     return dict(Q.ORACLE)

@@ -711,3 +711,46 @@ class CDCEngine:
 
     def read(self, epoch: int | None = None, **kwargs) -> ray.data.Dataset:
         return lake.read_lake(self.cfg.lake_dir, epoch=epoch, **kwargs)
+
+    def delete_where(self, predicate, epoch: int,
+                     columns: list[str] | None = None) -> EpochStats:
+        """Predicate delete (``DELETE FROM t WHERE ...``) through the
+        STANDARD epoch protocol — no side door into the lake files.
+
+        Snapshot-reads the live table (pruned to ``columns`` when the
+        predicate needs only a few), evaluates ``predicate`` (a batch fn
+        ``pa.Table -> boolean mask``; nulls count as False, SQL WHERE
+        semantics), and ingests a D tombstone per matching key at
+        ``lsn = watermark + 1`` (one shared lsn — LWW is per key, so
+        distinct keys never conflict; it beats every ingested event by
+        construction). Because it is a normal epoch, the delete is
+        exactly-once, crash/resumable, visible to the change feed /
+        SCD2 / replicas, and GC'able like any other tombstone.
+        """
+        last = self.last_committed_epoch()
+        if last is None:
+            raise FileNotFoundError("delete_where on an empty lake")
+        wm = lake.read_manifest(self.cfg.lake_dir, last)["lsn_watermark"]
+        del_lsn = int(wm) + 1
+        cols = None
+        if columns is not None:
+            cols = list(dict.fromkeys([*KEY, *columns]))
+        live = self.read(columns=cols)
+
+        def _to_events(t: pa.Table) -> pa.Table:
+            mask = pc.fill_null(predicate(t), False)
+            t = t.filter(mask)
+            n = t.num_rows
+            return pa.table({
+                "lsn": pa.array([del_lsn] * n, pa.int64()),
+                "op": pa.array(["D"] * n, pa.string()),
+                "repo": t["repo"], "path": t["path"],
+            })
+
+        # materialize the (small, keys-only) tombstone set: ingest_epoch
+        # consumes `events` more than once (schema probe + normalize), and
+        # each lazy pass would re-scan the whole lake
+        events = live.map_batches(_to_events,
+                                  batch_format="pyarrow").materialize()
+        return self.ingest_epoch(events, epoch,
+                                 events_in=events.count())

@@ -666,3 +666,145 @@ def rebucket(src_lake: str, dst_lake: str, num_partitions: int,
                     snapshot_lsn=manifest.get("snapshot_lsn"))
     return {"rows": sum(r["rows_total"] for r in partitions.values()),
             "partitions": len(partitions)}
+
+
+def purge_keys(lake_dir: str, keys: list[tuple[str, str]]) -> dict:
+    """GDPR right-to-be-forgotten: PHYSICALLY erase every trace of the
+    given (repo, path) keys from the lake — every committed epoch's files,
+    so time travel to ANY epoch no longer returns them (a D tombstone only
+    hides a key going forward; the bytes stay readable via as-of reads).
+
+    Hash routing bounds the work: the keys map to a handful of partitions
+    (constant modulus from the manifest chain), and only those partitions'
+    file chains (bases + deltas, across all manifests) are rewritten —
+    never the whole lake. Each file rewrite is atomic (wip + os.replace
+    under the SAME path, so every manifest that references the file via
+    carry-forward sees the purged content at once); manifests referencing
+    rewritten base files get their rows_total/bytes_written lineage
+    refreshed in place. lsn watermarks are NOT recomputed: they are
+    high-water marks of the ingested stream (resume/GC contracts), not
+    row properties.
+
+    An audit record lands in manifests/purge-<n>.json carrying sha256
+    digests of the purged keys (never the keys themselves — they may be
+    the personal data being erased), the files rewritten and rows removed.
+
+    Like vacuum, NOT concurrency-safe with an ingest into the same lake.
+    The binlog source files and any derived stores (indexes, dedup states,
+    replicas) are outside the lake — purge them separately.
+    """
+    import hashlib
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from e_commerce_batch_etl_pipeline_ray.stages.dedup import (
+        hash_partition_ids,
+    )
+
+    last = last_committed_epoch(lake_dir)
+    if last is None:
+        raise FileNotFoundError(f"no committed epochs in {lake_dir}")
+    manifests = {}
+    for name in sorted(os.listdir(os.path.join(lake_dir, MANIFEST_DIR))):
+        if name.startswith("epoch-") and name.endswith(".json"):
+            e = int(name[len("epoch-"):-len(".json")])
+            manifests[e] = read_manifest(lake_dir, e)
+    newest = manifests[last]
+    num_partitions = newest.get("num_partitions")
+
+    key_t = pa.table({"repo": pa.array([k[0] for k in keys], pa.string()),
+                      "path": pa.array([k[1] for k in keys], pa.string())})
+    target_files: set[str] = set()
+    if num_partitions is not None:
+        routed = set(hash_partition_ids(key_t, ["repo", "path"],
+                                        num_partitions).tolist())
+    else:  # legacy manifest without a recorded modulus: scan all
+        routed = None
+    for m in manifests.values():
+        pids = routed if routed is not None else \
+            {int(p) for p in m["partitions"]}
+        for pid in pids:
+            rec = m["partitions"].get(str(pid))
+            if not rec:
+                continue
+            for f in ([rec["file"]] if rec.get("file") else []) \
+                    + list(rec.get("deltas", [])):
+                target_files.add(f)
+
+    # distributed rewrite: one task per candidate file (Ray Data over the
+    # file list — at scale the chains are per-partition-per-epoch files)
+    files = sorted(target_files)
+    key_set = set(keys)
+
+    def _rewrite(batch: pa.Table) -> pa.Table:
+        out = {"file": [], "rows_removed": [], "rows_total": [],
+               "bytes_written": []}
+        needles = pa.array([f"{r}\x00{p}" for r, p in sorted(key_set)],
+                           pa.string())
+        for f in batch["file"].to_pylist():
+            t = pq.read_table(f)
+            joined = pc.binary_join_element_wise(t["repo"], t["path"],
+                                                 pa.scalar("\x00"))
+            mask = pc.is_in(joined, value_set=needles)
+            removed = int(pc.sum(pc.cast(mask, pa.int64())).as_py() or 0)
+            if removed:
+                t = t.filter(pc.invert(mask))
+                wip = f"{f}.purge.{os.getpid()}"
+                pq.write_table(t, wip)
+                os.replace(wip, f)
+            out["file"].append(f)
+            out["rows_removed"].append(removed)
+            out["rows_total"].append(t.num_rows)
+            out["bytes_written"].append(os.path.getsize(f))
+        return pa.table({"file": pa.array(out["file"], pa.string()),
+                         "rows_removed": pa.array(out["rows_removed"],
+                                                  pa.int64()),
+                         "rows_total": pa.array(out["rows_total"],
+                                                pa.int64()),
+                         "bytes_written": pa.array(out["bytes_written"],
+                                                   pa.int64())})
+
+    from e_commerce_batch_etl_pipeline_ray.stages.blockutil import (
+        collect_arrow,
+    )
+    stats_t = collect_arrow(
+        ray.data.from_items([{"file": f} for f in files])
+        .map_batches(_rewrite, batch_format="pyarrow", batch_size=1))
+    by_file = {r["file"]: r for r in stats_t.to_pylist()}
+    touched = {f: r for f, r in by_file.items() if r["rows_removed"]}
+
+    # refresh lineage of every manifest referencing a rewritten base file
+    for e, m in manifests.items():
+        changed = False
+        for rec in m["partitions"].values():
+            f = rec.get("file")
+            if f in touched and rec.get("rows_total", -1) != -1:
+                rec["rows_total"] = touched[f]["rows_total"]
+                rec["bytes_written"] = touched[f]["bytes_written"]
+                changed = True
+        if changed:
+            path = _manifest_path(lake_dir, e)
+            wip = f"{path}.wip.{os.getpid()}"
+            with open(wip, "w") as fh:
+                json.dump(m, fh)
+            os.replace(wip, path)
+
+    audit = {
+        "key_sha256": sorted(
+            hashlib.sha256(f"{r}\x00{p}".encode()).hexdigest()
+            for r, p in keys),
+        "files_rewritten": sorted(touched),
+        "rows_removed": sum(r["rows_removed"] for r in touched.values()),
+        "files_scanned": len(files),
+    }
+    n = 0
+    while os.path.exists(os.path.join(lake_dir, MANIFEST_DIR,
+                                      f"purge-{n:04d}.json")):
+        n += 1
+    apath = os.path.join(lake_dir, MANIFEST_DIR, f"purge-{n:04d}.json")
+    wip = f"{apath}.wip.{os.getpid()}"
+    with open(wip, "w") as fh:
+        json.dump(audit, fh)
+    os.replace(wip, apath)
+    return audit

@@ -5369,3 +5369,165 @@ def q129_curriculum_build(sf_dir: str):
 
 
 QUERIES.update({"q129_curriculum_build": q129_curriculum_build})
+
+
+# ---------------------------------------------------------------------------
+# q130 — PARTIAL-COLUMN (PATCH) CDC MERGE (cdc/patch.py): cell-grain LWW.
+# The fixture binlog's U events are full images OR single-column patches
+# (cols='commit' | 'lang' | 'content,content_sha256', chosen by splitmix64
+# of the lsn so duplicate deliveries replay identically); patch rows keep
+# generator values in their UNSET columns on purpose — engine and oracle
+# must both ignore them. The DuckDB oracle replays the cell semantics with
+# NULL-safe arg_max over one-field structs: per key, del_lsn = max D lsn;
+# each column = value of the max-lsn post-delete event that SET it. Crosses
+# the schema-evolution boundary (epoch-0 has no lang column: a pre-evolution
+# full image must later LOSE to a lang patch, and a pre-evolution 'lang'
+# patch sets NULL on both sides).
+
+_PATCH_PARAMS = dict(events_per_epoch=5000, n_repos=20, paths_per_repo=100,
+                     evolution_epoch=1, content_chars_min=32,
+                     content_chars_max=256)
+_PATCH_EPOCHS = 2
+_PATCH_CELLS = ["commit", "lang", "content", "content_sha256"]
+
+
+def _patch_fixture_dir() -> str:
+    from e_commerce_batch_etl_pipeline_ray.cdc import patch as _patch
+    return os.path.join(
+        _FIXTURE_DIR,
+        "q130_patchlog_" + _spec_tag(_PATCH_PARAMS, _PATCH_EPOCHS,
+                                     _patch.gen_patch_epoch_table))
+
+
+PATCH_BINLOG_DIR = _patch_fixture_dir()
+_PATCH_FILES = [os.path.join(PATCH_BINLOG_DIR, f"epoch-{ep}.parquet")
+                for ep in range(_PATCH_EPOCHS)]
+
+
+def ensure_patch_fixture() -> None:
+    from e_commerce_batch_etl_pipeline_ray.cdc import binlog
+    from e_commerce_batch_etl_pipeline_ray.cdc import patch as _patch
+    spec = binlog.BinlogSpec(**_PATCH_PARAMS)
+    for ep, p in enumerate(_PATCH_FILES):
+        if not os.path.exists(p):
+            _atomic_write_parquet(_patch.gen_patch_epoch_table(spec, ep), p)
+
+
+def q130_patch_cdc(sf_dir: str):
+    import tempfile
+
+    from e_commerce_batch_etl_pipeline_ray.cdc import patch as _patch
+    from e_commerce_batch_etl_pipeline_ray.stages.blockutil import (
+        read_parquet_clean,
+    )
+    ensure_patch_fixture()
+    lake_dir = tempfile.mkdtemp(prefix="q130_patchlake_", dir="/tmp")
+    eng = _patch.PatchCDCEngine(_patch.PatchCDCConfig(
+        lake_dir=lake_dir, num_partitions=16, merge_concurrency=2))
+    for ep, p in enumerate(_PATCH_FILES):
+        eng.ingest_epoch(read_parquet_clean(p, override_num_blocks=8), ep)
+    return eng.read().sort(["repo", "path"])
+
+
+def _q130_sql() -> str:
+    from e_commerce_batch_etl_pipeline_ray.cdc import patch as _patch
+    return _patch.patch_oracle_sql(_PATCH_FILES, _PATCH_CELLS)
+
+
+QUERIES.update({"q130_patch_cdc": q130_patch_cdc})
+ORACLE.update({"q130_patch_cdc": _q130_sql()})
+
+
+# ---------------------------------------------------------------------------
+# q131 — PREDICATE DELETE (DELETE WHERE) through the standard epoch
+# protocol: ingest the q24 binlog fixture, then engine.delete_where(lang =
+# 'go') as epoch 2 — a snapshot read + D tombstones at watermark+1, so the
+# delete is exactly-once, crash/resumable and feed-visible. Oracle: the q24
+# LWW replay with the predicate's matches removed (NULL lang survives —
+# SQL WHERE semantics on both sides).
+
+def q131_delete_where(sf_dir: str):
+    import tempfile
+
+    from e_commerce_batch_etl_pipeline_ray.cdc import engine
+    from e_commerce_batch_etl_pipeline_ray.stages.blockutil import (
+        read_parquet_clean,
+    )
+    ensure_oracle_fixtures()
+    lake_dir = tempfile.mkdtemp(prefix="q131_lake_", dir="/tmp")
+    eng = engine.CDCEngine(engine.CDCConfig(lake_dir=lake_dir,
+                                            num_partitions=16,
+                                            merge_concurrency=2))
+    for ep in range(Q24_EPOCHS):
+        eng.ingest_epoch(read_parquet_clean(
+            os.path.join(Q24_BINLOG_DIR, f"epoch-{ep}.parquet"),
+            override_num_blocks=8), ep)
+    eng.delete_where(lambda t: pc.equal(t["lang"], "go"), Q24_EPOCHS,
+                     columns=["lang"])
+    return eng.read().sort(["repo", "path"])
+
+
+Q131_SQL = f"""
+SELECT lsn, repo, path, commit, lang, content, content_sha256
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY repo, path ORDER BY lsn DESC) AS rn
+  FROM read_parquet(['{Q24_BINLOG_DIR}/epoch-0.parquet',
+                     '{Q24_BINLOG_DIR}/epoch-1.parquet'],
+                    union_by_name=true)
+)
+WHERE rn = 1 AND op <> 'D' AND (lang IS NULL OR lang <> 'go')
+ORDER BY repo, path
+"""
+
+QUERIES.update({"q131_delete_where": q131_delete_where})
+ORACLE.update({"q131_delete_where": Q131_SQL})
+
+
+# ---------------------------------------------------------------------------
+# q132 — GDPR PURGE (physical erasure): ingest the q24 fixture, then
+# lake.purge_keys two fixed keys — every committed epoch's partition files
+# are rewritten in place (hash-routed, only the keys' partitions), so TIME
+# TRAVEL to any epoch no longer returns them and the bytes are gone from
+# disk (pytest asserts both; the oracle checks the final live state =
+# replay minus the keys).
+
+_PURGE_KEYS = [("org000/proj", "src/mod0/file0.py"),
+               ("org001/proj", "src/mod1/file1.py")]
+
+
+def q132_gdpr_purge(sf_dir: str):
+    import tempfile
+
+    from e_commerce_batch_etl_pipeline_ray.cdc import engine, lake
+    from e_commerce_batch_etl_pipeline_ray.stages.blockutil import (
+        read_parquet_clean,
+    )
+    ensure_oracle_fixtures()
+    lake_dir = tempfile.mkdtemp(prefix="q132_lake_", dir="/tmp")
+    eng = engine.CDCEngine(engine.CDCConfig(lake_dir=lake_dir,
+                                            num_partitions=16,
+                                            merge_concurrency=2))
+    for ep in range(Q24_EPOCHS):
+        eng.ingest_epoch(read_parquet_clean(
+            os.path.join(Q24_BINLOG_DIR, f"epoch-{ep}.parquet"),
+            override_num_blocks=8), ep)
+    lake.purge_keys(lake_dir, _PURGE_KEYS)
+    return eng.read().sort(["repo", "path"])
+
+
+Q132_SQL = f"""
+SELECT lsn, repo, path, commit, lang, content, content_sha256
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY repo, path ORDER BY lsn DESC) AS rn
+  FROM read_parquet(['{Q24_BINLOG_DIR}/epoch-0.parquet',
+                     '{Q24_BINLOG_DIR}/epoch-1.parquet'],
+                    union_by_name=true)
+)
+WHERE rn = 1 AND op <> 'D'
+  AND (repo, path) NOT IN (('org000/proj', 'src/mod0/file0.py'),
+                           ('org001/proj', 'src/mod1/file1.py'))
+ORDER BY repo, path
+"""
+
+QUERIES.update({"q132_gdpr_purge": q132_gdpr_purge})
+ORACLE.update({"q132_gdpr_purge": Q132_SQL})

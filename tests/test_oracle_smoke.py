@@ -37,6 +37,7 @@ SMOKE = [
     "q120_corpus_overlap",   # float estimator replayed in SQL op-for-op
     "q121_cms_counters",     # additive counter state bit-exact at every sf
     "q124_weighted_topk",    # E-S race: guards the ln() order-tie caveat
+    "q130_patch_cdc",        # cell-grain LWW vs NULL-safe arg_max replay
 ]
 
 SCALES = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
