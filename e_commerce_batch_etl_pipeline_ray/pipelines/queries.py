@@ -5531,3 +5531,35 @@ ORDER BY repo, path
 
 QUERIES.update({"q132_gdpr_purge": q132_gdpr_purge})
 ORACLE.update({"q132_gdpr_purge": Q132_SQL})
+
+
+# ---------------------------------------------------------------------------
+# q133 — INCREMENTAL COUNT-MIN state (cdc/cms_state.py): the frequency
+# complement of the q118 HLL state and q125 KMV state — the events table
+# arrives as THREE micro-batches (epochs 0,1 delta + epoch 2 compact);
+# counter sum-merge is confluent under epoch SLICING (every event summed
+# exactly once in any slicing), so the persisted per-event_type counter
+# state after the last epoch equals the one-shot q121 SQL replay over
+# the WHOLE table. Crash/redelivery safety is the manifest protocol's,
+# not the algebra's (sum is not idempotent) — pinned by tests.
+
+def q133_incremental_cms(sf_dir: str):
+    import tempfile
+
+    from e_commerce_batch_etl_pipeline_ray.cdc import cms_state
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "user_id"])
+    n = ds.count()
+    cut1, cut2 = n // 3, 2 * n // 3
+    eng = cms_state.IncrementalCMS(cms_state.IncCMSConfig(
+        state_dir=tempfile.mkdtemp(prefix="q133_state_", dir="/tmp"),
+        col="user_id", by=["event_type"], d=_Q121_D, w=_Q121_W,
+        num_partitions=4, compact_interval=3))
+    eng.ingest(ds.filter(expr=f"event_id < {cut1}"), 0)
+    eng.ingest(ds.filter(
+        expr=f"event_id >= {cut1} and event_id < {cut2}"), 1)
+    eng.ingest(ds.filter(expr=f"event_id >= {cut2}"), 2)
+    return eng.counters()
+
+
+QUERIES.update({"q133_incremental_cms": q133_incremental_cms})
+ORACLE.update({"q133_incremental_cms": _q121_sql()})
