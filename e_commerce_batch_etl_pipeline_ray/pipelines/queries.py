@@ -5563,3 +5563,50 @@ def q133_incremental_cms(sf_dir: str):
 
 QUERIES.update({"q133_incremental_cms": q133_incremental_cms})
 ORACLE.update({"q133_incremental_cms": _q121_sql()})
+
+
+# ---------------------------------------------------------------------------
+# q134/q135 — IVF-PQ quantized ANN (stages/similarity.py pq_index_*): the
+# COMPRESSED scale path — the persisted index stores m-byte product-
+# quantized residual codes instead of float vectors (~30x fewer bytes per
+# probed read at m=16 over 64-dim float32), scores candidates by ADC
+# lookup tables, and recovers exact accuracy by re-ranking the ADC
+# shortlist against the true vectors (id-pruned read). q134 is the
+# realistic operating point (nprobe=4 of 16, shortlist 4k, exact rerank)
+# — approximate by design, rows-only check with recall pinned in pytest.
+# q135 is the exact-mode oracle (probe ALL lists + rerank the FULL
+# candidate set): the result must EQUAL brute force, i.e. the q17 SQL —
+# covering build, codes roundtrip, probe routing, pruned read and rerank.
+
+def _q134_index(sf_dir: str) -> tuple:
+    import tempfile
+
+    import numpy as np
+
+    from e_commerce_batch_etl_pipeline_ray.stages import similarity
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qrows = ds.take(3)
+    qids = [r["vec_id"] for r in qrows]
+    qm = np.asarray([r["embedding"] for r in qrows], dtype=np.float64)
+    idx = tempfile.mkdtemp(prefix="q134_pq_", dir="/tmp")
+    similarity.pq_index_build(ds, idx, n_centroids=16, m=16, ks=256)
+    return ds, idx, (qids, qm)
+
+
+def q134_knn_pq(sf_dir: str):
+    from e_commerce_batch_etl_pipeline_ray.stages import similarity
+    ds, idx, q = _q134_index(sf_dir)
+    return similarity.pq_index_search(idx, q, k=10, nprobe=4,
+                                      rerank_ds=ds, rerank_factor=4)
+
+
+def q135_knn_pq_exact(sf_dir: str):
+    from e_commerce_batch_etl_pipeline_ray.stages import similarity
+    ds, idx, q = _q134_index(sf_dir)
+    return similarity.pq_index_search(idx, q, k=10, nprobe=16,
+                                      rerank_ds=ds, rerank_factor=None)
+
+
+QUERIES.update({"q134_knn_pq": q134_knn_pq,
+                "q135_knn_pq_exact": q135_knn_pq_exact})
+ORACLE.update({"q135_knn_pq_exact": Q17_SQL})

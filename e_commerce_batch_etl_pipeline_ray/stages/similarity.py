@@ -328,3 +328,249 @@ def ivf_index_search(index_dir: str, queries: tuple[list[int], np.ndarray],
     sub = rd.read_parquet(dirs, columns=[id_col, emb_col])
     # exactness caveat identical to knn_ivf: recall bounded by the probe set
     return knn_brute(sub, (q_ids, qm), k=k, emb_col=emb_col, id_col=id_col)
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: product-quantized residual codes — the COMPRESSED 100-TB ANN
+# path. The IVF index above prunes I/O to the probed lists but still
+# stores (and reads) full float vectors; PQ shrinks each vector to m bytes
+# (64-dim float32 = 256 B -> 8 B at m=8), so the probed read moves ~30x
+# fewer bytes and a scan-heavy recall sweep becomes memory-bandwidth-bound
+# instead of I/O-bound. Scoring is ADC (asymmetric distance computation):
+# per query, one (m, ks) lookup table of subspace dot products; a
+# candidate's score is q . c_list + sum_j LUT[j, code_j] — a pure numpy
+# gather, no decode. Exact re-rank of the ADC shortlist against the
+# original vectors recovers brute accuracy (Jegou et al., "Product
+# Quantization for Nearest Neighbor Search", TPAMI 2011 — public method).
+
+
+def _pq_lloyd(x: np.ndarray, ks: int, iters: int, seed: int) -> np.ndarray:
+    """Driver-side Lloyd k-means for ONE subspace over the (bounded)
+    training sample — deterministic given the sample."""
+    rng = np.random.RandomState(seed)
+    if len(x) == 0:
+        return np.zeros((ks, x.shape[1] if x.ndim == 2 else 0))
+    cent = x[rng.choice(len(x), size=min(ks, len(x)), replace=False)].copy()
+    for _ in range(iters):
+        d = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = np.argmin(d, axis=1)
+        for c in range(cent.shape[0]):
+            sel = x[assign == c]
+            if len(sel):
+                cent[c] = sel.mean(axis=0)
+    return cent
+
+
+def train_pq(sample: np.ndarray, centroids: np.ndarray, m: int = 8,
+             ks: int = 16, iters: int = 10, seed: int = 7) -> np.ndarray:
+    """Codebooks (m, ks, dim/m) over the sample's coarse RESIDUALS
+    (v - nearest coarse centroid), one independent k-means per subspace."""
+    dim = sample.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    if ks > 256:
+        raise ValueError("ks must fit uint8 codes (<= 256)")
+    sn = _normalize(sample)
+    assign = np.argmax(sn @ centroids.T, axis=1)
+    resid = sn - centroids[assign]
+    dsub = dim // m
+    return np.stack([
+        _pq_lloyd(resid[:, j * dsub:(j + 1) * dsub], ks, iters, seed + j)
+        for j in range(m)])
+
+
+def pq_encode(vn: np.ndarray, centroids: np.ndarray,
+              codebooks: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(coarse list id int32, codes uint8 (n, m)) for NORMALIZED rows."""
+    m, ks, dsub = codebooks.shape
+    assign = np.argmax(vn @ centroids.T, axis=1).astype(np.int32)
+    resid = vn - centroids[assign]
+    codes = np.empty((len(vn), m), np.uint8)
+    for j in range(m):
+        sub = resid[:, j * dsub:(j + 1) * dsub]
+        # ||r - c||^2 argmin == argmax(r.c - ||c||^2/2)
+        cb = codebooks[j]
+        codes[:, j] = np.argmax(sub @ cb.T - 0.5 * (cb * cb).sum(axis=1),
+                                axis=1).astype(np.uint8)
+    return assign, codes
+
+
+def _codes_matrix(col, m: int) -> np.ndarray:
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    buf = arr.buffers()[1]
+    return np.frombuffer(buf, dtype=np.uint8, count=len(arr) * m,
+                         offset=arr.offset * m).reshape(len(arr), m)
+
+
+def pq_index_build(ds: ray.data.Dataset, index_dir: str,
+                   n_centroids: int = 16, m: int = 8, ks: int = 16,
+                   emb_col: str = "embedding", id_col: str = "vec_id",
+                   train_fraction: float = 1.0, seed: int = 11) -> dict:
+    """Build the persisted IVF-PQ index: coarse quantizer + per-subspace
+    codebooks trained on a LAYOUT-INVARIANT hash sample (membership is a
+    pure function of the id — stages/sampling.py), then every vector
+    encoded to (id, _list, m-byte code) and written one parquet directory
+    per coarse list. The index stores NO float vectors — bytes on disk are
+    ~(8 + m) per vector + the O(n_centroids * dim + m * ks * dim/m)
+    quantizer sidecar."""
+    import json
+    import os
+
+    # deterministic bounded training sample (same rows at any layout)
+    from e_commerce_batch_etl_pipeline_ray.stages.sampling import hash_sample
+    train = (hash_sample(id_col, train_fraction, seed=seed).apply(ds)
+             if train_fraction < 1.0 else ds)
+    rows = train.select_columns([id_col, emb_col]).take_all()
+    rows.sort(key=lambda r: r[id_col])
+    sm = np.asarray([r[emb_col] for r in rows], dtype=np.float64)
+    cent = train_centroids(ds, n_centroids, emb_col, seed=seed)
+    cb = train_pq(sm, cent, m=m, ks=ks, seed=seed)
+    cent_ref, cb_ref = ray.put(cent), ray.put(cb)
+
+    def _encode(t: pa.Table) -> pa.Table:
+        c, b = ray.get(cent_ref), ray.get(cb_ref)
+        vn = _normalize(_emb_matrix(t[emb_col]))
+        assign, codes = pq_encode(vn, c, b)
+        mm = b.shape[0]
+        code_arr = pa.FixedSizeBinaryArray.from_buffers(
+            pa.binary(mm), len(vn), [None, pa.py_buffer(codes.tobytes())])
+        return pa.table({
+            id_col: t[id_col],
+            # _list drives the hive directory layout (stripped from the
+            # file by write_parquet); list_id stays INSIDE the file so a
+            # flat read keeps the coarse assignment for ADC's q.c term
+            "_list": pa.array(assign, pa.int32()),
+            "list_id": pa.array(assign, pa.int32()),
+            "code": code_arr,
+        })
+
+    encoded = ds.map_batches(_encode, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    os.makedirs(index_dir, exist_ok=True)
+    encoded.write_parquet(index_dir, partition_cols=["_list"])
+    np.save(os.path.join(index_dir, "centroids.npy"), cent)
+    np.save(os.path.join(index_dir, "codebooks.npy"), cb)
+    meta = {"m": int(m), "ks": int(ks), "n_centroids": int(len(cent)),
+            "id_col": id_col}
+    with open(os.path.join(index_dir, "pq.json"), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def pq_index_search(index_dir: str, queries: tuple[list[int], np.ndarray],
+                    k: int = 10, nprobe: int = 4,
+                    rerank_ds: ray.data.Dataset | None = None,
+                    rerank_factor: int | None = 4,
+                    emb_col: str = "embedding",
+                    id_col: str = "vec_id") -> pa.Table:
+    """Search the PQ index: probe each query's ``nprobe`` nearest coarse
+    lists, read ONLY those lists' (id, code) bytes, ADC-score via per-query
+    lookup tables, keep an ADC shortlist of ``k * rerank_factor``
+    (``rerank_factor=None``: keep ALL probed candidates — with
+    ``nprobe = n_centroids`` that makes the search EXACT after re-rank),
+    then re-rank the shortlist with true cosines against ``rerank_ds``
+    (id-filtered pruned read; skipped when None — pure-ADC results)."""
+    import glob
+    import json
+    import os
+
+    import ray.data as rd
+
+    cent = np.load(os.path.join(index_dir, "centroids.npy"))
+    cb = np.load(os.path.join(index_dir, "codebooks.npy"))
+    with open(os.path.join(index_dir, "pq.json")) as f:
+        meta = json.load(f)
+    m, ks = meta["m"], meta["ks"]
+    dsub = cb.shape[2]
+    q_ids = list(queries[0])
+    qm = _normalize(np.asarray(queries[1], dtype=np.float64))
+    nq = len(q_ids)
+    # per-query ADC tables: LUT[qi, j, code] = q_sub . codebook[j][code]
+    lut = np.einsum("qjd,jkd->qjk",
+                    qm.reshape(nq, m, dsub), cb)          # (nq, m, ks)
+    qc = qm @ cent.T                                      # (nq, lists)
+    probe = np.argsort(-qc, axis=1)[:, :nprobe]
+    lists = sorted({int(c) for row in probe for c in row})
+    probe_sets = [set(map(int, row)) for row in probe]
+    files = []
+    for c in lists:
+        files.extend(sorted(glob.glob(
+            os.path.join(index_dir, f"_list={c}", "*.parquet"))))
+    empty = pa.table({"query_id": pa.array([], pa.int64()),
+                      "neighbor_id": pa.array([], pa.int64()),
+                      "rank": pa.array([], pa.int64()),
+                      "cosine": pa.array([], pa.float64())})
+    if not files:
+        return empty
+    bc = ray.put((q_ids, lut, qc, probe_sets))
+
+    def _adc(t: pa.Table) -> pa.Table:
+        qids, lut_, qc_, psets = ray.get(bc)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        lst = t["list_id"].to_numpy(zero_copy_only=False)
+        codes = _codes_matrix(t["code"], m)
+        out_q, out_id, out_s = [], [], []
+        take_n = (k * rerank_factor) if rerank_factor else len(ids)
+        for qi in range(len(qids)):
+            mask = np.isin(lst, list(psets[qi]))
+            if not mask.any():
+                continue
+            sub_codes = codes[mask]
+            # gather: sum_j LUT[qi, j, code_j] + q . c_list
+            s = lut_[qi, np.arange(m)[None, :], sub_codes].sum(axis=1)
+            s = s + qc_[qi, lst[mask]]
+            sel_ids = ids[mask]
+            kk = min(len(s), take_n)
+            top = np.argpartition(-s, kth=kk - 1)[:kk]
+            out_q.extend([qids[qi]] * kk)
+            out_id.extend(sel_ids[top].tolist())
+            out_s.extend(s[top].tolist())
+        return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                         "neighbor_id": pa.array(out_id, pa.int64()),
+                         "cosine": pa.array(out_s, pa.float64())})
+
+    # hive partition col is re-materialized as a real column at build time,
+    # so a flat file read keeps the list id
+    sub = rd.read_parquet(files, columns=[id_col, "list_id", "code"])
+    shortlist = collect_arrow(sub.map_batches(
+        _adc, batch_format="pyarrow", zero_copy_batch=True))
+    if shortlist.num_rows == 0:
+        return empty
+    df = shortlist.to_pandas()
+    take_n = (k * rerank_factor) if rerank_factor else None
+    df = df.sort_values(["query_id", "cosine", "neighbor_id"],
+                        ascending=[True, False, True])
+    if take_n:
+        df = df.groupby("query_id", sort=True).head(take_n)
+    if rerank_ds is None:
+        df = df.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+        df["rank"] = df.groupby("query_id").cumcount() + 1
+        df["cosine"] = df["cosine"].round(6)
+        return pa.Table.from_pandas(
+            df[["query_id", "neighbor_id", "rank", "cosine"]],
+            preserve_index=False)
+    # exact re-rank: pruned read of ONLY the shortlist ids' true vectors
+    cand = set(df["neighbor_id"].tolist())
+    cand_ref = ray.put(cand)
+
+    def _filter_cand(t: pa.Table) -> pa.Table:
+        cs = ray.get(cand_ref)
+        import pyarrow.compute as pc
+        return t.filter(pc.is_in(t[id_col],
+                                 value_set=pa.array(sorted(cs), pa.int64())))
+
+    pruned = rerank_ds.map_batches(_filter_cand, batch_format="pyarrow",
+                                   zero_copy_batch=True)
+    full = knn_brute(pruned, (q_ids, qm), k=k, emb_col=emb_col,
+                     id_col=id_col)
+    # brute over the union of shortlists can surface a neighbor outside a
+    # query's own shortlist — mask to each query's candidates
+    fdf = full.to_pandas()
+    own = df.groupby("query_id")["neighbor_id"].agg(set).to_dict()
+    keep = [nid in own.get(qid, set())
+            for qid, nid in zip(fdf["query_id"], fdf["neighbor_id"])]
+    fdf = fdf[keep].copy()
+    fdf = fdf.sort_values(["query_id", "rank"])
+    fdf["rank"] = fdf.groupby("query_id").cumcount() + 1
+    return pa.Table.from_pandas(fdf.reset_index(drop=True),
+                                preserve_index=False)
