@@ -91,4 +91,5 @@ def oracle_sql() -> dict[str, str]:
     Q.ensure_oracle_fixtures()
     Q.ensure_q93_fixture()
     Q.ensure_patch_fixture()
+    Q.ensure_rename_fixture()
     return dict(Q.ORACLE)

@@ -754,3 +754,51 @@ class CDCEngine:
                                   batch_format="pyarrow").materialize()
         return self.ingest_epoch(events, epoch,
                                  events_in=events.count())
+
+
+def expand_renames(t: pa.Table) -> pa.Table:
+    """Primary-key-change events (Debezium semantics: an update that moves
+    the key is emitted as DELETE(old key) + CREATE(new key) — for source
+    code repos, file renames). ``op='R'`` rows carry the NEW key in
+    (repo, path), the OLD key in (old_repo, old_path), and the full row
+    image at the new key; this batch fn (prepend to any ingest with
+    ``events.map_batches(expand_renames)``) rewrites each into the
+    equivalent D(old) + I(new) pair at the SAME lsn — distinct keys, so
+    LWW never sees a tie, and the pair rides the standard pipeline
+    (exactly-once, feed, SCD2, replicas all see a delete + an insert,
+    exactly how a downstream consumer must interpret a key move).
+
+    A self-rename (old == new) would put a D and an I on the SAME key at
+    the SAME lsn — an undefined LWW tie; those rows keep only the I.
+    Batch-local and stateless: safe at any parallelism."""
+    if "op" not in t.column_names or "old_repo" not in t.column_names:
+        return t
+    is_r = pc.equal(t["op"], "R")
+    rest = t.filter(pc.invert(pc.fill_null(is_r, False))) \
+        .drop_columns(["old_repo", "old_path"])
+    r = t.filter(pc.fill_null(is_r, False))
+    if r.num_rows == 0:
+        return rest
+    data_cols = [c for c in t.column_names
+                 if c not in ("lsn", "op", "repo", "path",
+                              "old_repo", "old_path")]
+    # I at the new key: the R row's own image
+    i_rows = pa.table({
+        "lsn": r["lsn"],
+        "op": pa.array(["I"] * r.num_rows, pa.string()),
+        "repo": r["repo"], "path": r["path"],
+        **{c: r[c] for c in data_cols},
+    })
+    # D at the old key — except self-renames (see docstring)
+    self_ren = pc.and_(pc.equal(r["repo"], r["old_repo"]),
+                       pc.equal(r["path"], r["old_path"]))
+    d_src = r.filter(pc.invert(pc.fill_null(self_ren, False)))
+    d_rows = pa.table({
+        "lsn": d_src["lsn"],
+        "op": pa.array(["D"] * d_src.num_rows, pa.string()),
+        "repo": d_src["old_repo"], "path": d_src["old_path"],
+        **{c: pa.nulls(d_src.num_rows, t.schema.field(c).type)
+           for c in data_cols},
+    })
+    return pa.concat_tables([rest, d_rows, i_rows],
+                            promote_options="default")

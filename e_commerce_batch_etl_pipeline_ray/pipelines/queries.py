@@ -5610,3 +5610,118 @@ def q135_knn_pq_exact(sf_dir: str):
 QUERIES.update({"q134_knn_pq": q134_knn_pq,
                 "q135_knn_pq_exact": q135_knn_pq_exact})
 ORACLE.update({"q135_knn_pq_exact": Q17_SQL})
+
+
+# ---------------------------------------------------------------------------
+# q136 — PRIMARY-KEY-CHANGE events (engine.expand_renames): Debezium emits
+# an update that moves the key as DELETE(old)+CREATE(new); for source-code
+# repos that is a FILE RENAME. Epoch 2 of the fixture is a deterministic
+# rename log (op='R', new key + old_repo/old_path + full image) over the
+# q24 keyspace, expanded batch-locally into the D/I pair at the same lsn
+# and ingested through the standard protocol. The oracle replays the
+# expansion with two UNION ALL arms, then the usual LWW window. Covers
+# renames of live keys, renames of dead/never-live keys (D is a no-op
+# tombstone, I creates), and double-renames of one source key.
+
+_Q136_N = 300
+
+
+def _gen_rename_table(n: int = _Q136_N, seed: int = 77) -> pa.Table:
+    import hashlib as _hl
+
+    import numpy as np
+
+    from e_commerce_batch_etl_pipeline_ray.cdc.binlog import LANGS
+    from e_commerce_batch_etl_pipeline_ray.sources.generators import (
+        rng_streams,
+    )
+    ids = np.arange(n, dtype=np.int64)
+    r = (rng_streams(ids, seed, 240) % np.uint64(20)).astype(np.int64)
+    p = (rng_streams(ids, seed, 241) % np.uint64(100)).astype(np.int64)
+    li = (rng_streams(ids, seed, 242) % np.uint64(len(LANGS))).astype(int)
+    content = [f"# moved file {int(i)}\ndef f{int(i)}(): return {int(i)}\n"
+               for i in ids]
+    sha = [_hl.sha256(c.encode()).hexdigest() for c in content]
+    return pa.table({
+        "lsn": pa.array(10_000 + ids, pa.int64()),
+        "op": pa.array(["R"] * n, pa.string()),
+        "repo": pa.array([f"org{int(x):03d}/proj" for x in r], pa.string()),
+        "path": pa.array([f"src/moved/file{int(i)}.py" for i in ids],
+                         pa.string()),
+        "old_repo": pa.array([f"org{int(x):03d}/proj" for x in r],
+                             pa.string()),
+        "old_path": pa.array(
+            [f"src/mod{int(x) % 40}/file{int(x)}.py" for x in p],
+            pa.string()),
+        "commit": pa.array([f"{int(x):040x}" for x in ids], pa.string()),
+        "lang": pa.array([LANGS[i] for i in li], pa.string()),
+        "content": pa.array(content, pa.string()),
+        "content_sha256": pa.array(sha, pa.string()),
+    })
+
+
+def _rename_fixture_path() -> str:
+    return os.path.join(
+        _FIXTURE_DIR,
+        "q136_renames_" + _spec_tag(_Q136_N, _gen_rename_table),
+        "renames.parquet")
+
+
+_Q136_RENAMES = _rename_fixture_path()
+
+
+def ensure_rename_fixture() -> None:
+    if not os.path.exists(_Q136_RENAMES):
+        _atomic_write_parquet(_gen_rename_table(), _Q136_RENAMES)
+
+
+def q136_pk_change(sf_dir: str):
+    import tempfile
+
+    from e_commerce_batch_etl_pipeline_ray.cdc import engine
+    from e_commerce_batch_etl_pipeline_ray.stages.blockutil import (
+        read_parquet_clean,
+    )
+    ensure_oracle_fixtures()
+    ensure_rename_fixture()
+    lake_dir = tempfile.mkdtemp(prefix="q136_lake_", dir="/tmp")
+    eng = engine.CDCEngine(engine.CDCConfig(lake_dir=lake_dir,
+                                            num_partitions=16,
+                                            merge_concurrency=2))
+    for ep in range(Q24_EPOCHS):
+        eng.ingest_epoch(read_parquet_clean(
+            os.path.join(Q24_BINLOG_DIR, f"epoch-{ep}.parquet"),
+            override_num_blocks=8), ep)
+    renames = read_parquet_clean(_Q136_RENAMES, override_num_blocks=4) \
+        .map_batches(engine.expand_renames, batch_format="pyarrow")
+    eng.ingest_epoch(renames, Q24_EPOCHS)
+    return eng.read().sort(["repo", "path"])
+
+
+def _q136_sql() -> str:
+    return f"""
+WITH ren AS (SELECT * FROM read_parquet('{_Q136_RENAMES}')),
+ev AS (
+  SELECT lsn, op, repo, path, commit, lang, content, content_sha256
+  FROM read_parquet(['{Q24_BINLOG_DIR}/epoch-0.parquet',
+                     '{Q24_BINLOG_DIR}/epoch-1.parquet'],
+                    union_by_name=true)
+  UNION ALL
+  SELECT lsn, 'D', old_repo, old_path, NULL, NULL, NULL, NULL
+  FROM ren WHERE NOT (repo = old_repo AND path = old_path)
+  UNION ALL
+  SELECT lsn, 'I', repo, path, commit, lang, content, content_sha256
+  FROM ren
+)
+SELECT lsn, repo, path, commit, lang, content, content_sha256
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY repo, path ORDER BY lsn DESC) AS rn
+  FROM ev
+)
+WHERE rn = 1 AND op <> 'D'
+ORDER BY repo, path
+"""
+
+
+QUERIES.update({"q136_pk_change": q136_pk_change})
+ORACLE.update({"q136_pk_change": _q136_sql()})
