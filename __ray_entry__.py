@@ -50,14 +50,14 @@ def entry() -> Any:
 DRIVER_WINDOW = [
     "q1_pricing_summary", "q24_cdc_ingest", "q26_orders_pipeline",
     "q3_dedup_lww", "q4_group_agg_distinct",
-    "q5_lookup_join", "q6_hash_join",
-    "q11_window_agg", "q13_dq_report", "q14_exact_dedup", "q15_token_stats",
+    "q6_hash_join",
+    "q11_window_agg", "q13_dq_report", "q14_exact_dedup",
     "q17_knn_brute", "q20_lang_id", "q25_sessionize", "q32_asof_join",
     "q33_analytics_cube", "q44_neardup_pairs_exact",
     "q45_neardup_keep_exact", "q46_embedding_neardup_exact",
-    "q47_knn_ivf_exact", "q48_simhash_exact", "q52_allpairs_jaccard",
-    "q83_edit_distance_join", "q36_mixture",
-    "q100_group_split", "q49_window_functions", "q50_rollup", "q51_cube",
+    "q48_simhash_exact", "q52_allpairs_jaccard",
+    "q83_edit_distance_join",
+    "q100_group_split", "q50_rollup", "q51_cube",
     "q67_frame_aggregates",
     "q71_full_outer_join", "q76_cdc_time_travel", "q90_cdc_change_feed",
     "q92_scd2_history", "q94_cdc_merge_into", "q95_lm_perplexity",
@@ -68,6 +68,13 @@ DRIVER_WINDOW = [
     # round-4 session-2 families (sketches, set algebra, graph, robust)
     "q117_hll_registers", "q119_kmv_synopsis", "q121_cms_counters",
     "q125_incremental_kmv", "q126_triangles", "q127_robust_stats",
+    # round-4 session-3: CDC semantics depth + compressed ANN. Displaced
+    # entries keep family coverage via siblings in the window: lookup join
+    # via q6/q71, token stats via q20/q95/q96, IVF exact via q135 (which
+    # drives the same probe/pruned-read shape through PQ), mixture via
+    # q100, basic window fns via q11+q67.
+    "q130_patch_cdc", "q131_delete_where", "q133_incremental_cms",
+    "q135_knn_pq_exact", "q136_pk_change",
 ]
 
 

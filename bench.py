@@ -38,7 +38,9 @@ BENCH_QUERIES = ["q1_pricing_summary", "q3_dedup_lww", "q6_hash_join",
                  "q110_incremental_dedup", "q111_incremental_neardup",
                  "q117_hll_registers", "q119_kmv_synopsis",
                  "q121_cms_counters", "q124_weighted_topk",
-                 "q126_triangles", "q128_robust_outlier_filter"]
+                 "q126_triangles", "q128_robust_outlier_filter",
+                 "q130_patch_cdc", "q131_delete_where",
+                 "q133_incremental_cms", "q134_knn_pq"]
 
 
 def _lineitem_rows(sf_dir: str) -> int:

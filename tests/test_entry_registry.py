@@ -32,7 +32,11 @@ def test_driver_window_is_first_50_and_fully_oracled():
                  # round-4 session-2 families
                  "q117_hll_registers", "q119_kmv_synopsis",
                  "q121_cms_counters", "q125_incremental_kmv",
-                 "q126_triangles", "q127_robust_stats"):
+                 "q126_triangles", "q127_robust_stats",
+                 # round-4 session-3: CDC semantics depth + compressed ANN
+                 "q130_patch_cdc", "q131_delete_where",
+                 "q133_incremental_cms", "q135_knn_pq_exact",
+                 "q136_pk_change"):
         assert must in win
 
 
