@@ -81,11 +81,22 @@ def main() -> int:
                     help="drain this lake's change feed into the replica "
                          "lake DST (exactly-once via the CURSOR offset "
                          "file), exit")
+    ap.add_argument("--purge", nargs=2, metavar=("REPO", "PATH"),
+                    default=None,
+                    help="GDPR physical purge of one key from EVERY epoch's "
+                         "files (time travel included); prints the digest "
+                         "audit record, exit")
+    ap.add_argument("--delete-where", nargs=2, metavar=("COL", "VALUE"),
+                    default=None,
+                    help="DELETE WHERE col = value through the standard "
+                         "epoch protocol (exactly-once, feed-visible), "
+                         "committed as the next epoch, exit")
     args = ap.parse_args()
 
     if (args.get is not None or args.rebucket is not None
             or args.zorder is not None or args.scan is not None
-            or args.bootstrap is not None or args.replicate is not None):
+            or args.bootstrap is not None or args.replicate is not None
+            or args.purge is not None or args.delete_where is not None):
         import ray
         if not ray.is_initialized():
             ray.init(address="local", num_cpus=args.num_cpus,
@@ -117,6 +128,23 @@ def main() -> int:
             print(json.dumps({"col": col, "lo": lo, "hi": hi, "rows": n,
                               "files_total": plan["files_total"],
                               "files_pruned": plan["files_pruned"]}))
+        elif args.purge is not None:
+            print(json.dumps({"purge": _lake.purge_keys(
+                args.lake_dir, [tuple(args.purge)])}))
+        elif args.delete_where is not None:
+            import pyarrow.compute as _pc
+
+            from e_commerce_batch_etl_pipeline_ray.cdc import engine as _eng
+            col, value = args.delete_where
+            eng = _eng.CDCEngine(_eng.CDCConfig(
+                lake_dir=args.lake_dir, num_partitions=args.partitions,
+                merge_concurrency=args.merge_concurrency))
+            last = eng.last_committed_epoch()
+            st = eng.delete_where(lambda t: _pc.equal(t[col], value),
+                                  (last or 0) + 1, columns=[col])
+            print(json.dumps({"delete_where": {"col": col, "value": value,
+                                               "epoch": st.epoch,
+                                               "deleted": st.events_in}}))
         elif args.replicate is not None:
             from e_commerce_batch_etl_pipeline_ray.cdc import feed as _feed
             dst, cursor = args.replicate

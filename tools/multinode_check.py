@@ -166,6 +166,49 @@ def main() -> None:
         return {"wall_sec": round(wall, 3),
                 "docs_total": n, "novel_epoch1": len(got)}
 
+    def patch_run() -> dict:
+        """Path 4: the cell-grain (partial-column) CDC merge across both
+        nodes — per-cell lsn CRDT through the shuffle + merge actors,
+        parity-checked against the single-process brute replay."""
+        from e_commerce_batch_etl_pipeline_ray.cdc import patch
+
+        spec2 = binlog.BinlogSpec(
+            events_per_epoch=args.events // 4, n_repos=10,
+            paths_per_repo=60, evolution_epoch=1,
+            content_chars_min=16, content_chars_max=96)
+        ptables = [patch.gen_patch_epoch_table(spec2, e) for e in range(2)]
+        ev = pa.concat_tables(ptables, promote_options="permissive")
+        cells = ["commit", "lang", "content", "content_sha256"]
+        state: dict = {}
+        for r in ev.to_pylist():
+            kk = (r["repo"], r["path"])
+            s = state.setdefault(
+                kk, {"del": -1, "lsn": -1, **{c: (None, -1) for c in cells}})
+            if r["op"] == "D":
+                s["del"] = max(s["del"], r["lsn"])
+                continue
+            s["lsn"] = max(s["lsn"], r["lsn"])
+            setc = (cells if (r["op"] == "I" or r.get("cols") is None)
+                    else r["cols"].split(","))
+            for c in setc:
+                if r["lsn"] >= s[c][1]:
+                    s[c] = (r.get(c), r["lsn"])
+        want = {kk: tuple(s[c][0] if s[c][1] > s["del"] else None
+                          for c in cells)
+                for kk, s in state.items() if s["lsn"] > s["del"]}
+
+        eng = patch.PatchCDCEngine(patch.PatchCDCConfig(
+            lake_dir=tempfile.mkdtemp(prefix="mn_patch_"),
+            num_partitions=8, merge_concurrency=4))
+        t0 = time.perf_counter()
+        for ep, t in enumerate(ptables):
+            eng.ingest_epoch(ray.data.from_arrow(t).repartition(8), ep)
+        wall = time.perf_counter() - t0
+        got = {(r["repo"], r["path"]): tuple(r[c] for c in cells)
+               for r in eng.read().take_all()}
+        assert got == want, "patch: 2-node lake != cell-LWW brute replay"
+        return {"wall_sec": round(wall, 3), "keys": len(got)}
+
     out = {
         "nodes": alive,
         "cpus_per_node": args.cpus_per_node,
@@ -179,6 +222,8 @@ def main() -> None:
                                     two_phase_shuffle=True),
         # path 3: incremental near-dup, merged write shuffle, 2 nodes
         "inc_neardup": neardup_run(),
+        # path 4: cell-grain patch CDC merge, 2 nodes
+        "patch_cdc": patch_run(),
     }
     assert out["actor_pool_split"]["node_spread"] == 2, \
         "merge workers all landed on one node — spread failed"
