@@ -383,6 +383,46 @@ class PatchCDCEngine:
         return ds.map_batches(_live, batch_format="pyarrow",
                               zero_copy_batch=True)
 
+    def point_read(self, keys: list[tuple[str, str]],
+                   epoch: int | None = None) -> pa.Table:
+        """Pruned exact-key lookup on the patch lake: hash-route each key
+        to its partition (constant modulus from the manifest) and read
+        ONLY those partitions' files — the state is one row per key, so
+        this is a filter, not a merge. Driver-side result (point lookups
+        are small by contract)."""
+        if epoch is None:
+            epoch = self.last_committed_epoch()
+        if epoch is None:
+            raise FileNotFoundError("no committed epoch")
+        manifest = lake.read_manifest(self.cfg.lake_dir, epoch)
+        num_partitions = manifest.get("num_partitions",
+                                      self.cfg.num_partitions)
+        schema = lake.schema_from_b64(manifest["schema"])
+        cells = cell_columns(schema)
+        key_t = pa.table({"repo": pa.array([k[0] for k in keys]),
+                          "path": pa.array([k[1] for k in keys])})
+        pids = set(hash_partition_ids(key_t, KEY, num_partitions).tolist())
+        files = [manifest["partitions"][str(p)]["file"]
+                 for p in pids if str(p) in manifest["partitions"]
+                 if manifest["partitions"][str(p)].get("file")]
+        out_cols = [*KEY, "lsn", *cells]
+        if not files:
+            return pa.schema([schema.field(c)
+                              for c in out_cols]).empty_table()
+        needles = pa.array([f"{r}\x00{p}" for r, p in keys], pa.string())
+        parts = []
+        for f in files:
+            t = pq.read_table(f)
+            joined = pc.binary_join_element_wise(t["repo"], t["path"],
+                                                 pa.scalar("\x00"))
+            # filter on the file's own columns first (files written before
+            # a schema evolution lack the newer cells), then unify
+            t = t.filter(pc.and_(pc.is_in(joined, value_set=needles),
+                                 pc.invert(pc.fill_null(t["_deleted"],
+                                                        False))))
+            parts.append(_unify_state(t, schema).select(out_cols))
+        return pa.concat_tables(parts)
+
 
 # ---------------------------------------------------------------------------
 # deterministic patch binlog (fixture generator)

@@ -209,3 +209,137 @@ def test_unset_values_in_patch_rows_are_ignored(patch_binlog):
     assert set(got) == set(want)
     for k, w in want.items():
         assert got[k]["commit"] == w["commit"], k
+
+
+def test_point_read_matches_replay_and_prunes(patch_binlog, monkeypatch):
+    """Pruned exact-key lookup on the patch lake: live keys return the
+    cell-LWW state, dead + missing keys are absent, files written before
+    the schema evolution unify cleanly, and ONLY the keys' hash partitions
+    are opened (the pruning contract)."""
+    files, ev = patch_binlog
+    eng = _ingest(files)
+    want = _brute_replay(ev)
+    live = sorted(want)
+    all_keys = set(zip(ev["repo"].to_pylist(), ev["path"].to_pylist()))
+    dead = sorted(all_keys - set(live))
+    assert dead, "fixture must contain dead keys"
+    keys = live[::9][:15] + dead[:2] + [("no/such", "nope.py")]
+
+    opened: list[str] = []
+    real_read = pq.read_table
+
+    def _spy(f, **kw):
+        opened.append(f)
+        return real_read(f, **kw)
+
+    monkeypatch.setattr(patch.pq, "read_table", _spy)
+    got = {(r["repo"], r["path"]): r
+           for r in eng.point_read(keys).to_pylist()}
+    # semantics: exactly the live requested keys, cell-exact
+    assert set(got) == set(keys) & set(live)
+    for k in set(got):
+        for c in [*CELLS, "lsn"]:
+            assert got[k][c] == want[k][c], (k, c)
+    # pruning: a 2-key lookup opens only those keys' partitions, not all 8
+    few = live[:2]
+    opened.clear()
+    few_got = {(r["repo"], r["path"]) for r in eng.point_read(few).to_pylist()}
+    assert few_got == set(few)
+    key_t = pa.table({"repo": [k[0] for k in few],
+                      "path": [k[1] for k in few]})
+    from e_commerce_batch_etl_pipeline_ray.stages.dedup import (
+        hash_partition_ids,
+    )
+    pids = set(hash_partition_ids(key_t, ["repo", "path"], 8).tolist())
+    assert len(set(opened)) <= len(pids) < 8
+
+
+def test_point_read_missing_only_returns_empty_typed_table(patch_binlog):
+    files, _ = patch_binlog
+    eng = _ingest(files)
+    out = eng.point_read([("no/such", "never.py")])
+    assert out.num_rows == 0 and "commit" in out.column_names
+
+
+# --- hypothesis property: the cell-LWW kernel vs a row-by-row oracle ----
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_PROP_CELLS = ["commit", "lang"]
+
+_events_st = st.lists(
+    st.tuples(st.integers(0, 3),                       # key id
+              st.sampled_from(["I", "U", "U", "D"]),   # op (U twice: bias)
+              st.sampled_from([None, "commit", "lang", "commit,lang"]),
+              st.integers(0, 9), st.integers(0, 9)),   # cell payloads
+    min_size=1, max_size=40)
+
+
+def _prop_table(evs):
+    """Unique lsns (the binlog contract), shuffled delivery order via the
+    hypothesis draw order itself; op I/D rows get cols=NULL."""
+    n = len(evs)
+    return pa.table({
+        "lsn": pa.array(list(range(1, n + 1)), pa.int64()),
+        "op": [e[1] for e in evs],
+        "repo": ["r"] * n,
+        "path": [f"k{e[0]}" for e in evs],
+        "cols": pa.array([e[2] if e[1] == "U" else None for e in evs],
+                         pa.string()),
+        "commit": [f"c{e[3]}" for e in evs],
+        "lang": [f"l{e[4]}" for e in evs],
+    })
+
+
+def _prop_replay(t: pa.Table) -> dict:
+    state: dict = {}
+    for r in t.to_pylist():
+        k = r["path"]
+        s = state.setdefault(
+            k, {"del": -1, "lsn": -1,
+                **{c: (None, -1) for c in _PROP_CELLS}})
+        if r["op"] == "D":
+            s["del"] = max(s["del"], r["lsn"])
+            continue
+        s["lsn"] = max(s["lsn"], r["lsn"])
+        setc = (_PROP_CELLS if (r["op"] == "I" or r["cols"] is None)
+                else r["cols"].split(","))
+        for c in setc:
+            if r["lsn"] >= s[c][1]:
+                s[c] = (r[c], r["lsn"])
+    return {k: {**{c: (s[c][0] if s[c][1] > s["del"] else None)
+                   for c in _PROP_CELLS}, "lsn": s["lsn"]}
+            for k, s in state.items() if s["lsn"] > s["del"]}
+
+
+@settings(deadline=None, max_examples=80)
+@given(_events_st, st.integers(1, 4), st.integers(0, 4))
+def test_patch_kernel_property(evs, n_slices, dup_every):
+    """For ANY event sequence, ANY slicing and exact duplicate redelivery:
+    slicing the normalized rows, combining each slice and re-combining
+    equals the one-shot combine (associativity + idempotence), and the
+    tombstone-applied live rows equal the row-by-row oracle."""
+    t = _prop_table(evs)
+    if dup_every:
+        dups = t.take(list(range(0, t.num_rows, dup_every + 1)))
+        t = pa.concat_tables([t, dups])          # byte-identical redelivery
+    schema = patch.patch_state_schema(t.schema, None)
+    cells = patch.cell_columns(schema)
+    norm = patch._normalize_patch_factory(schema, 1)(t).drop_columns(["_pid"])
+    whole = patch.combine_patch(norm, cells).sort_by(
+        [("repo", "ascending"), ("path", "ascending")])
+    cut = max(1, norm.num_rows // n_slices)
+    parts = [patch.combine_patch(norm.slice(i, cut), cells)
+             for i in range(0, norm.num_rows, cut)]
+    again = patch.combine_patch(pa.concat_tables(parts), cells).sort_by(
+        [("repo", "ascending"), ("path", "ascending")])
+    assert again.equals(whole)
+    final = patch.apply_tombstones(whole, cells)
+    final = final.filter(pc.invert(final["_deleted"]))
+    got = {r["path"]: r for r in final.to_pylist()}
+    want = _prop_replay(t)
+    assert set(got) == set(want)
+    for k, w in want.items():
+        for c in [*_PROP_CELLS, "lsn"]:
+            assert got[k][c] == w[c], (k, c)
