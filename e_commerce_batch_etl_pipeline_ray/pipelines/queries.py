@@ -5725,3 +5725,68 @@ ORDER BY repo, path
 
 QUERIES.update({"q136_pk_change": q136_pk_change})
 ORACLE.update({"q136_pk_change": _q136_sql()})
+
+
+# q137 — CELL-GRAIN CHANGE FEED on the patch lake (cdc/patch_feed.py): the
+# downstream-consumer view of a partial-column CDC stream — per epoch
+# boundary, which keys changed and WHICH CELLS moved (changed_cols =
+# comma-joined sorted names of the value-distinct cells), with pre/post
+# images, Debezium-style inserts (revives included) and deletes carrying
+# the tombstone's lsn. Value-grain: an lsn advance that re-set every cell
+# to the same value emits nothing, so duplicate delivery is invisible.
+# The oracle replays every boundary in SQL: one q130-style cell-LWW state
+# per epoch PREFIX (filename pushdown), full old-vs-new diff, changed_cols
+# rebuilt via list_filter over per-cell IS DISTINCT FROM cases. The fixture
+# extends the q130 binlog to 3 epochs so the feed crosses the schema
+# evolution boundary AND covers two boundaries in one run.
+
+_PFEED_EPOCHS = 3
+
+
+def _pfeed_fixture_dir() -> str:
+    from e_commerce_batch_etl_pipeline_ray.cdc import patch as _patch
+    return os.path.join(
+        _FIXTURE_DIR,
+        "q137_patchlog_" + _spec_tag(_PATCH_PARAMS, _PFEED_EPOCHS,
+                                     _patch.gen_patch_epoch_table))
+
+
+PFEED_BINLOG_DIR = _pfeed_fixture_dir()
+_PFEED_FILES = [os.path.join(PFEED_BINLOG_DIR, f"epoch-{ep}.parquet")
+                for ep in range(_PFEED_EPOCHS)]
+
+
+def ensure_pfeed_fixture() -> None:
+    from e_commerce_batch_etl_pipeline_ray.cdc import binlog
+    from e_commerce_batch_etl_pipeline_ray.cdc import patch as _patch
+    spec = binlog.BinlogSpec(**_PATCH_PARAMS)
+    for ep, p in enumerate(_PFEED_FILES):
+        if not os.path.exists(p):
+            _atomic_write_parquet(_patch.gen_patch_epoch_table(spec, ep), p)
+
+
+def q137_patch_feed(sf_dir: str):
+    import tempfile
+
+    from e_commerce_batch_etl_pipeline_ray.cdc import patch as _patch
+    from e_commerce_batch_etl_pipeline_ray.cdc import patch_feed as _pf
+    from e_commerce_batch_etl_pipeline_ray.stages.blockutil import (
+        read_parquet_clean,
+    )
+    ensure_pfeed_fixture()
+    lake_dir = tempfile.mkdtemp(prefix="q137_patchlake_", dir="/tmp")
+    eng = _patch.PatchCDCEngine(_patch.PatchCDCConfig(
+        lake_dir=lake_dir, num_partitions=16, merge_concurrency=2))
+    for ep, p in enumerate(_PFEED_FILES):
+        eng.ingest_epoch(read_parquet_clean(p, override_num_blocks=8), ep)
+    return _pf.cell_change_feed(lake_dir, from_epoch=1).sort(
+        ["_commit_epoch", "repo", "path", "_change_type"])
+
+
+def _q137_sql() -> str:
+    from e_commerce_batch_etl_pipeline_ray.cdc import patch_feed as _pf
+    return _pf.cell_feed_oracle_sql(_PFEED_FILES, _PATCH_CELLS, from_epoch=1)
+
+
+QUERIES.update({"q137_patch_feed": q137_patch_feed})
+ORACLE.update({"q137_patch_feed": _q137_sql()})

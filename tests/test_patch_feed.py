@@ -1,0 +1,191 @@
+"""Cell-grain change feed on the patch lake (cdc/patch_feed.py).
+
+Covers: brute-force diff parity across every boundary (including the
+epoch-0 all-insert boundary and the schema-evolution boundary), value-level
+apply roundtrip, duplicate-redelivery invisibility (zero feed rows),
+manifest-only partition pruning, and handcrafted changed_cols semantics."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+import ray.data
+
+from e_commerce_batch_etl_pipeline_ray.cdc import binlog, patch, patch_feed
+from e_commerce_batch_etl_pipeline_ray.stages.blockutil import (
+    read_parquet_clean,
+)
+
+CELLS = ["commit", "lang", "content", "content_sha256"]
+SPEC = binlog.BinlogSpec(events_per_epoch=1500, n_repos=8, paths_per_repo=40,
+                         evolution_epoch=1, content_chars_min=16,
+                         content_chars_max=64)
+N_EPOCHS = 3
+
+
+def _brute_state(ev: pa.Table) -> dict:
+    """Single-process cell-LWW replay -> {key: {cell: value, 'lsn': lsn}}
+    over LIVE keys (same semantics as test_patch_cdc._brute_replay)."""
+    state: dict = {}
+    for r in ev.to_pylist():
+        k = (r["repo"], r["path"])
+        s = state.setdefault(
+            k, {"del": -1, "lsn": -1, **{c: (None, -1) for c in CELLS}})
+        if r["op"] == "D":
+            s["del"] = max(s["del"], r["lsn"])
+            continue
+        s["lsn"] = max(s["lsn"], r["lsn"])
+        setc = (CELLS if (r["op"] == "I" or r.get("cols") is None)
+                else r["cols"].split(","))
+        for c in setc:
+            if r["lsn"] >= s[c][1]:
+                s[c] = (r.get(c), r["lsn"])
+    live = {k: {**{c: (s[c][0] if s[c][1] > s["del"] else None)
+                   for c in CELLS}, "lsn": s["lsn"]}
+            for k, s in state.items() if s["lsn"] > s["del"]}
+    dels = {k: s["del"] for k, s in state.items()}
+    return live, dels
+
+
+def _brute_feed(tabs: list[pa.Table], from_epoch: int) -> dict:
+    """Expected feed rows keyed by (epoch, key, change_type)."""
+    out = {}
+    for e in range(from_epoch, len(tabs)):
+        old, _ = (_brute_state(pa.concat_tables(
+            tabs[:e], promote_options="permissive"))
+            if e else ({}, {}))
+        new, dels = _brute_state(pa.concat_tables(
+            tabs[:e + 1], promote_options="permissive"))
+        for k in set(new) - set(old):
+            out[(e, k, "insert")] = {**new[k], "changed_cols": None}
+        for k in set(old) - set(new):
+            out[(e, k, "delete")] = {**old[k], "lsn": dels[k],
+                                     "changed_cols": None}
+        for k in set(old) & set(new):
+            changed = sorted(c for c in CELLS if old[k][c] != new[k][c])
+            if changed:
+                cc = ",".join(changed)
+                out[(e, k, "update_preimage")] = {**old[k],
+                                                  "changed_cols": cc}
+                out[(e, k, "update_postimage")] = {**new[k],
+                                                   "changed_cols": cc}
+    return out
+
+
+@pytest.fixture(scope="module")
+def feed_lake(tmp_path_factory):
+    d = tmp_path_factory.mktemp("pfeedlog")
+    files, tabs = [], []
+    for ep in range(N_EPOCHS):
+        t = patch.gen_patch_epoch_table(SPEC, ep)
+        p = str(d / f"epoch-{ep}.parquet")
+        pq.write_table(t, p)
+        files.append(p)
+        tabs.append(t)
+    lake_dir = tempfile.mkdtemp(prefix="pfeedlake_", dir="/tmp")
+    eng = patch.PatchCDCEngine(patch.PatchCDCConfig(
+        lake_dir=lake_dir, num_partitions=8, merge_concurrency=2))
+    for ep, p in enumerate(files):
+        eng.ingest_epoch(read_parquet_clean(p, override_num_blocks=4), ep)
+    return eng, files, tabs
+
+
+def test_feed_matches_brute_diff_all_boundaries(feed_lake):
+    eng, _, tabs = feed_lake
+    want = _brute_feed(tabs, 0)
+    rows = patch_feed.cell_change_feed(eng.cfg.lake_dir, 0).take_all()
+    got = {(r["_commit_epoch"], (r["repo"], r["path"]), r["_change_type"]): r
+           for r in rows}
+    assert set(got) == set(want)
+    types = {t for (_, _, t) in got}
+    assert types == {"insert", "update_preimage", "update_postimage",
+                     "delete"}
+    for key, w in want.items():
+        for c in [*CELLS, "lsn", "changed_cols"]:
+            assert got[key][c] == w[c], (key, c)
+
+
+def test_feed_applies_to_values_snapshot(feed_lake):
+    """Applying one boundary's feed onto the old live-values map yields
+    the new live-values map (value-level roundtrip; lsn-only advances are
+    invisible by design, so values — not lsns — are the invariant)."""
+    eng, _, tabs = feed_lake
+    old, _ = _brute_state(tabs[0])
+    new, _ = _brute_state(pa.concat_tables(tabs[:2],
+                                           promote_options="permissive"))
+    snap = {k: {c: v[c] for c in CELLS} for k, v in old.items()}
+    for r in patch_feed.cell_change_feed(eng.cfg.lake_dir, 1, 1).take_all():
+        k = (r["repo"], r["path"])
+        if r["_change_type"] == "delete":
+            snap.pop(k, None)
+        elif r["_change_type"] in ("insert", "update_postimage"):
+            snap[k] = {c: r[c] for c in CELLS}
+    assert snap == {k: {c: v[c] for c in CELLS} for k, v in new.items()}
+
+
+def test_redelivered_epoch_emits_nothing(feed_lake):
+    eng, files, _ = feed_lake
+    last = eng.last_committed_epoch()
+    eng.ingest_epoch(read_parquet_clean(files[-1], override_num_blocks=3),
+                     last + 1)
+    feed = patch_feed.cell_change_feed(eng.cfg.lake_dir, last + 1, last + 1)
+    assert feed.count() == 0
+
+
+def test_single_key_epoch_prunes_to_one_partition(feed_lake):
+    eng, _, _ = feed_lake
+    last = eng.last_committed_epoch()
+    ev = pa.table({
+        "lsn": pa.array([10**9], pa.int64()), "op": ["U"],
+        "repo": ["solo/repo"], "path": ["only.py"],
+        "cols": ["commit"], "commit": ["deadbeef"],
+        "lang": pa.array([None], pa.string()),
+        "content": pa.array([None], pa.string()),
+        "content_sha256": pa.array([None], pa.string()),
+    })
+    eng.ingest_epoch(ray.data.from_arrow(ev), last + 1)
+    items, _ = patch_feed._plan(eng.cfg.lake_dir, last + 1, last + 1)
+    assert len(items) == 1                  # 7 of 8 partitions pruned
+    rows = patch_feed.cell_change_feed(
+        eng.cfg.lake_dir, last + 1, last + 1).take_all()
+    assert [(r["repo"], r["path"], r["_change_type"], r["changed_cols"])
+            for r in rows] == [("solo/repo", "only.py", "insert", None)]
+
+
+def test_changed_cols_handcrafted():
+    """Explicit set-to-NULL counts as a change; re-set-to-same-value does
+    not; changed_cols is alphabetical; delete carries the tombstone lsn."""
+    e0 = pa.table({
+        "lsn": pa.array([1, 2], pa.int64()), "op": ["I", "I"],
+        "repo": ["r", "r"], "path": ["a", "b"],
+        "cols": pa.array([None, None], pa.string()),
+        "commit": ["c1", "cb"], "lang": ["py", "go"],
+    })
+    e1 = pa.table({
+        "lsn": pa.array([3, 4, 5], pa.int64()), "op": ["U", "U", "D"],
+        "repo": ["r", "r", "r"], "path": ["a", "a", "b"],
+        "cols": ["lang", "commit", None],
+        "commit": [None, "c1", None],       # re-set commit to SAME value
+        "lang": pa.array([None, None, None], pa.string()),  # explicit NULL
+    })
+    lake_dir = tempfile.mkdtemp(prefix="pfeedmini_", dir="/tmp")
+    eng = patch.PatchCDCEngine(patch.PatchCDCConfig(
+        lake_dir=lake_dir, num_partitions=2, merge_concurrency=1))
+    eng.ingest_epoch(ray.data.from_arrow(e0), 0)
+    eng.ingest_epoch(ray.data.from_arrow(e1), 1)
+    rows = patch_feed.cell_change_feed(lake_dir, 1, 1).take_all()
+    by = {(r["path"], r["_change_type"]): r for r in rows}
+    # key a: lang py->NULL (changed), commit c1->c1 (NOT changed)
+    assert by[("a", "update_postimage")]["changed_cols"] == "lang"
+    assert by[("a", "update_postimage")]["lang"] is None
+    assert by[("a", "update_preimage")]["lang"] == "py"
+    # key b: deleted, preimage payload, tombstone lsn
+    assert by[("b", "delete")]["commit"] == "cb"
+    assert by[("b", "delete")]["lsn"] == 5
+    assert set(by) == {("a", "update_preimage"), ("a", "update_postimage"),
+                       ("b", "delete")}
