@@ -5790,3 +5790,32 @@ def _q137_sql() -> str:
 
 QUERIES.update({"q137_patch_feed": q137_patch_feed})
 ORACLE.update({"q137_patch_feed": _q137_sql()})
+
+
+# q138 — AUDIO LOG-MEL FEATURES (rows-only: FFT is not SQL-expressible;
+# the DSP kernel is pinned by tests/test_audiodsp.py against a naive
+# per-frame reference and physical sine-band sanity). Deterministic PCM16
+# WAV clips (mixed 8/16 kHz, 1-3 seeded tones) -> REAL pure-numpy WAV
+# decode -> strided-STFT log-mel spectrogram -> per-band mean+std clip
+# embedding (actor pool, filterbank built once per actor per rate) ->
+# brute cosine KNN over the embeddings: the full audio similarity chain.
+
+def q138_audio_logmel(sf_dir: str):
+    import numpy as np
+
+    import ray.data as rd
+
+    from e_commerce_batch_etl_pipeline_ray.stages import multimodal, similarity
+    ds = rd.from_arrow(multimodal.real_audio_table(384, seed=11)) \
+        .repartition(8)
+    feats = multimodal.audio_features(batch_size=64).apply(ds) \
+        .select_columns(["media_id", "audio_embedding"])
+    qrows = feats.take(2)
+    qids = [r["media_id"] for r in qrows]
+    qm = np.asarray([r["audio_embedding"] for r in qrows], dtype=np.float64)
+    return similarity.knn_brute(feats, (qids, qm), k=5,
+                                emb_col="audio_embedding",
+                                id_col="media_id")
+
+
+QUERIES.update({"q138_audio_logmel": q138_audio_logmel})

@@ -282,6 +282,41 @@ def real_media_table(n: int, seed: int = 42, max_side: int = 48) -> pa.Table:
     })
 
 
+def real_audio_table(n: int, seed: int = 42) -> pa.Table:
+    """Deterministic REAL PCM16 WAV clips with varied content: mixed
+    rates (8/16 kHz), 1-3 summed sines at seeded frequencies, seeded
+    amplitude and length — enough spectral diversity that log-mel
+    embeddings separate the clips (tested)."""
+    rng = np.random.RandomState(seed)
+    ids, payloads, rates, f0s = [], [], [], []
+    for i in range(n):
+        rate = [8000, 16000][int(rng.randint(2))]
+        dur = 0.2 + 0.3 * rng.rand()
+        t = np.arange(int(rate * dur)) / rate
+        x = np.zeros_like(t, dtype=np.float64)
+        n_tones = int(rng.randint(1, 4))
+        f0 = None
+        for k in range(n_tones):
+            f = float(rng.uniform(100, rate / 2 * 0.8))
+            if f0 is None or f < f0:
+                f0 = f
+            x += rng.uniform(0.2, 0.5) * np.sin(2 * np.pi * f * t)
+        x /= max(1.0, np.abs(x).max() * 1.1)
+        ids.append(i)
+        payloads.append(encode_wav(x.astype(np.float32), rate))
+        rates.append(rate)
+        f0s.append(f0)
+    return pa.table({
+        "media_id": pa.array(ids, pa.int64()),
+        "media_type": pa.array(["audio"] * n, pa.string()),
+        "payload": pa.array(payloads, pa.binary()),
+        "mime": pa.array(["audio/wav"] * n, pa.string()),
+        "sample_rate": pa.array(rates, pa.int32()),
+        "f0_hz": pa.array(f0s, pa.float64()),
+        "duration_ms": pa.array([None] * n, pa.int32()),
+    })
+
+
 def real_video_table(n: int, seed: int = 42, max_side: int = 32,
                      max_frames: int = 10) -> pa.Table:
     """Deterministic REAL video payloads: animated GIFs (a moving block
@@ -479,6 +514,62 @@ class SampleFrames:
         })
 
 
+class AudioFeatures:
+    """Actor-pool log-mel featurizer (stages/audiodsp.py): WAV payload ->
+    fixed-width clip embedding (per-mel-band mean + std over the log-mel
+    spectrogram, the standard pooling for variable-length clips) plus
+    ``n_frames`` and ``duration_ms``.
+
+    Stateful setup lives in the actor: mel filterbanks depend only on
+    (sample_rate, n_fft, n_mels) and are built ONCE per rate per actor
+    (cached dict), never per batch or per clip. Clips necessarily vary in
+    length, so the per-payload loop is the batch grain; all math inside a
+    clip is one strided-frame matrix pipeline."""
+
+    def __init__(self, n_fft: int = 256, hop: int = 128, n_mels: int = 24,
+                 fake: bool = False, sample_rate: int = 16_000):
+        self.n_fft, self.hop, self.n_mels = n_fft, hop, n_mels
+        self.fake = fake
+        self.sample_rate = sample_rate
+        self._fbs: dict[int, np.ndarray] = {}
+
+    def _fb(self, rate: int) -> np.ndarray:
+        from e_commerce_batch_etl_pipeline_ray.stages import audiodsp
+        if rate not in self._fbs:
+            self._fbs[rate] = audiodsp.mel_filterbank(
+                rate, self.n_fft, self.n_mels)
+        return self._fbs[rate]
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        from e_commerce_batch_etl_pipeline_ray.stages import audiodsp
+        durations, frames_n, embs = [], [], []
+        for payload in t["payload"].to_pylist():
+            if payload is None:
+                durations.append(None)
+                frames_n.append(None)
+                embs.append(None)
+                continue
+            if self.fake:
+                arr = np.frombuffer(payload, dtype=np.uint8).astype(np.float32)
+                arr = (arr - 128.0) / 128.0
+                rate = self.sample_rate
+            else:
+                arr, rate = decode_wav_bytes(payload)
+            feat = audiodsp.logmel(arr, rate, self.n_fft, self.hop,
+                                   self.n_mels, fb=self._fb(rate))
+            durations.append(int(len(arr) * 1000 / rate))
+            frames_n.append(feat.shape[0])
+            embs.append(audiodsp.pool_stats(feat).tolist())
+        if "duration_ms" in t.column_names:
+            t = t.set_column(t.column_names.index("duration_ms"),
+                             "duration_ms", pa.array(durations, pa.int32()))
+        else:
+            t = t.append_column("duration_ms", pa.array(durations, pa.int32()))
+        t = t.append_column("n_frames", pa.array(frames_n, pa.int32()))
+        return t.append_column(
+            "audio_embedding", pa.array(embs, pa.list_(pa.float32())))
+
+
 def decode_images(fake: bool = False, batch_size: int = 128,
                   concurrency: tuple[int, int] = (1, 4)) -> FnStep:
     """Wide-binary-row stage: note the SMALL batch_size."""
@@ -498,6 +589,19 @@ def decode_audio(fake: bool = False, batch_size: int = 128,
                               fn_constructor_kwargs={"fake": fake},
                               concurrency=concurrency)
     return FnStep("decode_audio", _apply)
+
+
+def audio_features(n_fft: int = 256, hop: int = 128, n_mels: int = 24,
+                   fake: bool = False, batch_size: int = 128,
+                   concurrency: tuple[int, int] = (1, 4)) -> FnStep:
+    def _apply(ds):
+        return ds.map_batches(AudioFeatures, batch_format="pyarrow",
+                              zero_copy_batch=True, batch_size=batch_size,
+                              fn_constructor_kwargs={
+                                  "n_fft": n_fft, "hop": hop,
+                                  "n_mels": n_mels, "fake": fake},
+                              concurrency=concurrency)
+    return FnStep("audio_features", _apply)
 
 
 def sample_frames(n_frames: int = 4, fake: bool = False, batch_size: int = 64,
