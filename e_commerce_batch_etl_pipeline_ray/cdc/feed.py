@@ -289,10 +289,16 @@ class FeedCursor:
     byte-identical.
     """
 
-    def __init__(self, lake_dir: str, state_path: str):
+    def __init__(self, lake_dir: str, state_path: str, feed_fn=None):
+        """``feed_fn(lake_dir, from_epoch, to_epoch) -> Dataset`` selects
+        WHICH feed the cursor drains (default: the row-grain change_feed;
+        pass cdc.patch_feed.cell_change_feed to consume a patch lake at
+        cell grain — both lakes share the epoch/manifest protocol, so the
+        offset contract is identical)."""
         import os
         self.lake_dir = lake_dir
         self.state_path = state_path
+        self.feed_fn = feed_fn or change_feed
         self._pending: int | None = None
         os.makedirs(os.path.dirname(state_path) or ".", exist_ok=True)
 
@@ -315,7 +321,7 @@ class FeedCursor:
             return None
         start = 0 if off is None else off + 1
         self._pending = last
-        return change_feed(self.lake_dir, start, last)
+        return self.feed_fn(self.lake_dir, start, last)
 
     def commit(self) -> int:
         """Durably advance the offset to the last polled epoch."""
