@@ -10,6 +10,8 @@ from __future__ import annotations
 import os
 import tempfile
 
+import pandas as pd
+
 import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
@@ -210,3 +212,24 @@ def test_feed_cursor_drives_patch_feed(feed_lake, tmp_path):
     assert again.count() == n1
     cur2.commit()
     assert cur2.poll() is None              # caught up
+
+
+def test_oracle_sql_from_epoch_zero(feed_lake):
+    """The SQL oracle builder's epoch-0 path (synthetic empty old-state
+    CTE, reordered after s0_new) matches the brute diff — q137 itself only
+    exercises from_epoch=1, so pin the other branch here (DuckDB only)."""
+    import duckdb
+    _, files, tabs = feed_lake
+    sql = patch_feed.cell_feed_oracle_sql(files, CELLS, from_epoch=0)
+    exp = duckdb.connect().execute(sql).fetchdf()
+    want = _brute_feed(tabs, 0)
+    got = {(int(r["_commit_epoch"]), (r["repo"], r["path"]),
+            r["_change_type"]): r
+           for _, r in exp.iterrows()}
+    assert set(got) == set(want)
+    for key, w in want.items():
+        g = got[key]
+        for c in CELLS:
+            gv = None if pd.isna(g[c]) else g[c]
+            assert gv == w[c], (key, c)
+        assert int(g["lsn"]) == w["lsn"], key
