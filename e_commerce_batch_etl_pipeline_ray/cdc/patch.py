@@ -56,6 +56,7 @@ for.
 
 from __future__ import annotations
 
+import json
 import os
 from dataclasses import dataclass
 
@@ -225,19 +226,49 @@ def _unify_state(t: pa.Table, schema: pa.Schema) -> pa.Table:
     return pa.Table.from_arrays(cols, schema=schema)
 
 
+def _part_files(rec: dict | None) -> list[str]:
+    """A partition's full state file list: compacted base + LSM deltas."""
+    if not rec:
+        return []
+    return ([rec["file"]] if rec.get("file") else []) \
+        + list(rec.get("deltas", []))
+
+
+def merge_state_files(files: list[str], schema: pa.Schema,
+                      cells: list[str]) -> pa.Table:
+    """One partition's cell-LWW state from base + delta files: unify each
+    to the newest schema, CRDT-merge (combine_patch is associative +
+    commutative + idempotent, so delta order is irrelevant), re-apply
+    tombstones. Idempotent on an already-compacted single file."""
+    if not files:
+        return apply_tombstones(schema.empty_table(), cells)
+    tables = [_unify_state(pq.read_table(f), schema) for f in files]
+    t = tables[0] if len(tables) == 1 else pa.concat_tables(tables)
+    return apply_tombstones(combine_patch(t, cells), cells)
+
+
 class PatchMergeApply:
-    """Merge-apply actor (map_groups over the hash shuffle): cell-LWW the
-    epoch's combined delta against the prior partition state, apply
-    tombstones, write the compacted sorted partition file. Same lineage
-    contract as engine.MergeApply so the manifest commit is shared."""
+    """Merge-apply actor (map_groups over the hash shuffle). Two modes,
+    selected per epoch like engine.MergeApply (same lineage contract so
+    the manifest commit is shared):
+
+      compact — cell-LWW the epoch's combined delta against the prior
+                base + accumulated deltas, write one sorted state file
+                (O(state) write for the touched partition);
+      delta   — write ONLY the epoch's combined delta (O(epoch) write,
+                the LSM path): because the state row is a CRDT, readers
+                merge base+deltas in ANY order and get the identical
+                table, so no removal log or ordering metadata is needed.
+    """
 
     def __init__(self, lake_dir: str, epoch: int, schema_b64: str,
-                 prev_partitions: dict[str, dict]):
+                 prev_partitions: dict[str, dict], mode: str = "compact"):
         self.lake_dir = lake_dir
         self.epoch = epoch
         self.schema = lake.schema_from_b64(schema_b64)
         self.cells = cell_columns(self.schema)
         self.prev_partitions = prev_partitions
+        self.mode = mode
         self.tmp_dir = lake.epoch_dir(lake_dir, epoch, tmp=True)
         os.makedirs(self.tmp_dir, exist_ok=True)
 
@@ -252,13 +283,19 @@ class PatchMergeApply:
         pid = group[_PID][0].as_py()
         delta = _unify_state(group.drop_columns([_PID]), self.schema)
         rows_applied = delta.num_rows
-        rec = self.prev_partitions.get(str(pid))
-        if rec and rec.get("file"):
-            prior = _unify_state(pq.read_table(rec["file"]), self.schema)
-            delta = pa.concat_tables([prior, delta])
+        if self.mode == "compact":
+            rec = self.prev_partitions.get(str(pid))
+            prior_files = _part_files(rec)
+            if prior_files:
+                priors = [_unify_state(pq.read_table(f), self.schema)
+                          for f in prior_files]
+                delta = pa.concat_tables([*priors, delta])
         merged = combine_patch(delta, self.cells)
+        # eager tombstoning is safe even on deltas: _del_lsn stays in the
+        # state, so base cells at-or-below it are re-killed at read merge
         merged = apply_tombstones(merged, self.cells)
-        fname = f"part-{pid:05d}.parquet"
+        fname = (f"part-{pid:05d}.parquet" if self.mode == "compact"
+                 else f"part-{pid:05d}.delta-{self.epoch:04d}.parquet")
         tmp_path = os.path.join(self.tmp_dir, fname)
         in_progress = f"{tmp_path}.wip.{os.getpid()}"
         pq.write_table(merged, in_progress)
@@ -283,15 +320,21 @@ class PatchCDCConfig:
     lake_dir: str
     num_partitions: int = 16
     merge_concurrency: int = 4
+    # LSM write-amplification control, same contract as CDCConfig: with
+    # compact_interval=K, K-1 of every K epochs write O(epoch) delta files
+    # and every K-th epoch folds base+deltas into a fresh sorted base.
+    # The cell-state CRDT makes this trivially correct: readers merge
+    # base+deltas in any order (combine_patch) and re-apply tombstones.
+    compact_interval: int = 1
 
 
 class PatchCDCEngine:
     """The cell-LWW sibling of cdc/engine.CDCEngine, sharing its lake
     protocol (atomic epoch promote + manifest chain => exactly-once,
-    resume, carry-forward). Always compacts (a patch lake's state row is
-    the CRDT itself, so every write is one sorted file per touched
-    partition; LSM delta mode composes exactly as in the main engine and
-    is omitted here for surface economy)."""
+    resume, carry-forward) and its LSM delta mode (compact_interval) —
+    without delta mode a touched partition's FULL state is rewritten
+    every epoch, O(state) write amplification that does not hold at
+    100 TB."""
 
     def __init__(self, config: PatchCDCConfig):
         self.cfg = config
@@ -331,9 +374,12 @@ class PatchCDCEngine:
             conc = max(1, min(conc, avail - 2))
         except Exception:  # noqa: BLE001
             pass
+        mode = ("compact" if cfg.compact_interval <= 1
+                or (epoch + 1) % cfg.compact_interval == 0 else "delta")
         lineage_ds = normalized.groupby(_PID).map_groups(
             PatchMergeApply, batch_format="pyarrow",
-            fn_constructor_args=(cfg.lake_dir, epoch, schema_b64, prev_parts),
+            fn_constructor_args=(cfg.lake_dir, epoch, schema_b64, prev_parts,
+                                 mode),
             concurrency=conc, num_cpus=1)
         from e_commerce_batch_etl_pipeline_ray.stages.blockutil import (
             collect_arrow,
@@ -343,13 +389,26 @@ class PatchCDCEngine:
         lake.promote_epoch_dir(cfg.lake_dir, epoch)
         partitions = {}
         for rec in lineage.to_pylist():
-            partitions[rec["partition"]] = {
-                "file": rec["file"], "deltas": [],
-                "lsn_watermark": rec["lsn_watermark"],
-                "rows_applied": rec["rows_applied"],
-                "rows_total": rec["rows_total"],
-                "bytes_written": rec["bytes_written"],
-            }
+            pid = rec["partition"]
+            if mode == "delta":
+                prev = prev_parts.get(str(pid), {})
+                partitions[pid] = {
+                    "file": prev.get("file"),
+                    "deltas": list(prev.get("deltas", [])) + [rec["file"]],
+                    "lsn_watermark": max(prev.get("lsn_watermark", -1),
+                                         rec["lsn_watermark"]),
+                    "rows_applied": rec["rows_applied"],
+                    "rows_total": -1,          # unknown without a base read
+                    "bytes_written": rec["bytes_written"],
+                }
+            else:
+                partitions[pid] = {
+                    "file": rec["file"], "deltas": [],
+                    "lsn_watermark": rec["lsn_watermark"],
+                    "rows_applied": rec["rows_applied"],
+                    "rows_total": rec["rows_total"],
+                    "bytes_written": rec["bytes_written"],
+                }
         manifest = lake.commit_manifest(
             cfg.lake_dir, epoch, partitions, schema, prev_manifest,
             metrics={"rows_applied": sum(r["rows_applied"]
@@ -360,8 +419,10 @@ class PatchCDCEngine:
 
     def read(self, epoch: int | None = None) -> ray.data.Dataset:
         """Live rows (key, lsn, data columns) as of ``epoch`` (default:
-        latest) — cells already tombstone-filtered at write time, so this
-        is a pure pruned read + boolean filter, no merge work."""
+        latest). Compacted partitions are tombstone-filtered at write time
+        — a pure pruned read + boolean filter, no merge work; partitions
+        carrying LSM deltas CRDT-merge base+deltas, one Ray task per
+        partition (co-partitioned by construction, no shuffle)."""
         if epoch is None:
             epoch = self.last_committed_epoch()
         if epoch is None:
@@ -370,18 +431,44 @@ class PatchCDCEngine:
         schema = lake.schema_from_b64(manifest["schema"])
         cells = cell_columns(schema)
         out_cols = [*KEY, "lsn", *cells]
-        read_schema = pa.schema(
-            [schema.field(c) for c in out_cols]
-            + [pa.field("_deleted", pa.bool_())])
-        files = lake.manifest_files(manifest)
-        ds = ray.data.read_parquet(files, schema=read_schema,
-                                   columns=out_cols + ["_deleted"])
+        compacted, delta_items = [], []
+        for pid, rec in manifest["partitions"].items():
+            if rec.get("deltas"):
+                delta_items.append({"pid": int(pid),
+                                    "files": json.dumps(_part_files(rec))})
+            elif rec.get("file"):
+                compacted.append(rec["file"])
+        pieces = []
+        if compacted:
+            read_schema = pa.schema(
+                [schema.field(c) for c in out_cols]
+                + [pa.field("_deleted", pa.bool_())])
+            ds = ray.data.read_parquet(compacted, schema=read_schema,
+                                       columns=out_cols + ["_deleted"])
 
-        def _live(t: pa.Table) -> pa.Table:
-            t = t.filter(pc.invert(pc.fill_null(t["_deleted"], False)))
-            return t.drop_columns(["_deleted"])
-        return ds.map_batches(_live, batch_format="pyarrow",
-                              zero_copy_batch=True)
+            def _live(t: pa.Table) -> pa.Table:
+                t = t.filter(pc.invert(pc.fill_null(t["_deleted"], False)))
+                return t.drop_columns(["_deleted"])
+            pieces.append(ds.map_batches(_live, batch_format="pyarrow",
+                                         zero_copy_batch=True))
+        if delta_items:
+            schema_b64 = lake.schema_to_b64(schema)
+
+            def _merge_live(batch: pa.Table) -> pa.Table:
+                sch = lake.schema_from_b64(schema_b64)
+                cls = cell_columns(sch)
+                out = []
+                for row in batch.to_pylist():
+                    t = merge_state_files(json.loads(row["files"]), sch, cls)
+                    t = t.filter(pc.invert(t["_deleted"]))
+                    out.append(t.select([*KEY, "lsn", *cls]))
+                return pa.concat_tables(out) if len(out) > 1 else out[0]
+            pieces.append(ray.data.from_items(delta_items).map_batches(
+                _merge_live, batch_format="pyarrow", batch_size=1))
+        if not pieces:
+            return ray.data.from_arrow(pa.schema(
+                [schema.field(c) for c in out_cols]).empty_table())
+        return pieces[0] if len(pieces) == 1 else pieces[0].union(pieces[1])
 
     def point_read(self, keys: list[tuple[str, str]],
                    epoch: int | None = None) -> pa.Table:
@@ -402,25 +489,31 @@ class PatchCDCEngine:
         key_t = pa.table({"repo": pa.array([k[0] for k in keys]),
                           "path": pa.array([k[1] for k in keys])})
         pids = set(hash_partition_ids(key_t, KEY, num_partitions).tolist())
-        files = [manifest["partitions"][str(p)]["file"]
-                 for p in pids if str(p) in manifest["partitions"]
-                 if manifest["partitions"][str(p)].get("file")]
+        groups = [_part_files(manifest["partitions"].get(str(p)))
+                  for p in pids]
+        groups = [g for g in groups if g]
         out_cols = [*KEY, "lsn", *cells]
-        if not files:
+        if not groups:
             return pa.schema([schema.field(c)
                               for c in out_cols]).empty_table()
         needles = pa.array([f"{r}\x00{p}" for r, p in keys], pa.string())
         parts = []
-        for f in files:
-            t = pq.read_table(f)
-            joined = pc.binary_join_element_wise(t["repo"], t["path"],
-                                                 pa.scalar("\x00"))
-            # filter on the file's own columns first (files written before
-            # a schema evolution lack the newer cells), then unify
-            t = t.filter(pc.and_(pc.is_in(joined, value_set=needles),
-                                 pc.invert(pc.fill_null(t["_deleted"],
-                                                        False))))
-            parts.append(_unify_state(t, schema).select(out_cols))
+        for files in groups:
+            # filter to the needles on each file's OWN columns first
+            # (pre-evolution files lack newer cells), keep tombstone rows
+            # — a delta's tombstone must kill base rows at the merge —
+            # then CRDT-merge the partition's base+deltas and drop dead
+            tabs = []
+            for f in files:
+                t = pq.read_table(f)
+                joined = pc.binary_join_element_wise(t["repo"], t["path"],
+                                                     pa.scalar("\x00"))
+                t = t.filter(pc.is_in(joined, value_set=needles))
+                tabs.append(_unify_state(t, schema))
+            merged = apply_tombstones(
+                combine_patch(pa.concat_tables(tabs), cells), cells)
+            merged = merged.filter(pc.invert(merged["_deleted"]))
+            parts.append(merged.select(out_cols))
         return pa.concat_tables(parts)
 
 

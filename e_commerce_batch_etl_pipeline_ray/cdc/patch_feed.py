@@ -52,14 +52,12 @@ import json
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
-import pyarrow.parquet as pq
 
 import ray.data
 
 from e_commerce_batch_etl_pipeline_ray.cdc import lake
 from e_commerce_batch_etl_pipeline_ray.cdc.patch import (
     KEY,
-    _unify_state,
     cell_columns,
 )
 
@@ -80,17 +78,11 @@ def _feed_schema(state_schema: pa.Schema) -> pa.Schema:
     return pa.schema(fields)
 
 
-def _load_state(path: str | None, schema: pa.Schema) -> pa.Table:
-    """One partition's compacted cell-LWW state, unified to the newest
-    schema, with the file's ``_deleted``/``_del_lsn`` markers re-attached
-    (``_unify_state`` pins to the marker-free state layout)."""
-    if not path:
-        return schema.empty_table() \
-            .append_column("_deleted", pa.array([], pa.bool_()))
-    t = pq.read_table(path)
-    deleted = pc.fill_null(t["_deleted"], False)
-    out = _unify_state(t, schema)
-    return out.append_column("_deleted", deleted)
+def _load_state(files: list[str], schema: pa.Schema) -> pa.Table:
+    """One partition's cell-LWW state (compacted base + any LSM deltas,
+    CRDT-merged), unified to the newest schema, ``_deleted`` attached."""
+    from e_commerce_batch_etl_pipeline_ray.cdc.patch import merge_state_files
+    return merge_state_files(files, schema, cell_columns(schema))
 
 
 def _fused_key(t: pa.Table) -> pa.Array:
@@ -223,12 +215,16 @@ def _plan(lake_dir: str, from_epoch: int,
         cur_manifest = lake.read_manifest(lake_dir, e)
         prev_parts = prev_manifest["partitions"] if prev_manifest else {}
         for pid, rec in cur_manifest["partitions"].items():
-            prev_rec = prev_parts.get(pid) or {}
-            if rec.get("file") == prev_rec.get("file"):
+            from e_commerce_batch_etl_pipeline_ray.cdc.patch import (
+                _part_files,
+            )
+            cur_files = _part_files(rec)
+            prev_files = _part_files(prev_parts.get(pid))
+            if cur_files == prev_files:
                 continue                     # carried forward: no changes
             items.append({"partition": int(pid), "epoch": e,
-                          "cur_file": rec.get("file"),
-                          "prev_file": prev_rec.get("file")})
+                          "cur_files": json.dumps(cur_files),
+                          "prev_files": json.dumps(prev_files)})
         prev_manifest = cur_manifest
     return items, state_schema
 
@@ -249,8 +245,8 @@ def cell_change_feed(lake_dir: str, from_epoch: int = 0,
         feed_schema = _feed_schema(schema)
         out = []
         for row in batch.to_pylist():
-            prev = _load_state(row["prev_file"], schema)
-            cur = _load_state(row["cur_file"], schema)
+            prev = _load_state(json.loads(row["prev_files"]), schema)
+            cur = _load_state(json.loads(row["cur_files"]), schema)
             out.append(_diff_states(prev, cur, row["epoch"], cells,
                                     feed_schema))
         return pa.concat_tables(out) if len(out) > 1 else out[0]

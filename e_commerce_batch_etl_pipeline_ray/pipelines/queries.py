@@ -5775,8 +5775,11 @@ def q137_patch_feed(sf_dir: str):
     )
     ensure_pfeed_fixture()
     lake_dir = tempfile.mkdtemp(prefix="q137_patchlake_", dir="/tmp")
+    # compact_interval=2: epochs 0/2 write LSM deltas, epoch 1 compacts —
+    # the driver's oracle gate exercises the delta read/diff path too
     eng = _patch.PatchCDCEngine(_patch.PatchCDCConfig(
-        lake_dir=lake_dir, num_partitions=16, merge_concurrency=2))
+        lake_dir=lake_dir, num_partitions=16, merge_concurrency=2,
+        compact_interval=2))
     for ep, p in enumerate(_PFEED_FILES):
         eng.ingest_epoch(read_parquet_clean(p, override_num_blocks=8), ep)
     return _pf.cell_change_feed(lake_dir, from_epoch=1).sort(

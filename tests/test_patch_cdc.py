@@ -69,11 +69,11 @@ def _norm(df: pd.DataFrame) -> pd.DataFrame:
             .sort_values(["repo", "path"]).reset_index(drop=True))
 
 
-def _ingest(files, num_partitions=8, blocks=5) -> patch.PatchCDCEngine:
+def _ingest(files, num_partitions=8, blocks=5, **cfg_kw) -> patch.PatchCDCEngine:
     lake_dir = tempfile.mkdtemp(prefix="patchlake_", dir="/tmp")
     eng = patch.PatchCDCEngine(patch.PatchCDCConfig(
         lake_dir=lake_dir, num_partitions=num_partitions,
-        merge_concurrency=2))
+        merge_concurrency=2, **cfg_kw))
     for ep, p in enumerate(files):
         eng.ingest_epoch(read_parquet_clean(p, override_num_blocks=blocks), ep)
     return eng
@@ -343,3 +343,52 @@ def test_patch_kernel_property(evs, n_slices, dup_every):
     for k, w in want.items():
         for c in [*_PROP_CELLS, "lsn"]:
             assert got[k][c] == w[c], (k, c)
+
+
+# --- LSM delta mode (compact_interval > 1) -------------------------------
+
+@pytest.mark.parametrize("interval", [2, 3])
+def test_lsm_delta_mode_matches_compact(patch_binlog, interval):
+    """compact_interval=2: epoch-0 delta, epoch-1 compacts base+delta;
+    =3: BOTH epochs are deltas (read merges a base-less partition).
+    read(), time travel and point_read must all equal the always-compact
+    lake — the CRDT makes delta order irrelevant."""
+    files, ev = patch_binlog
+    compact_eng = _ingest(files)
+    lsm_eng = _ingest(files, compact_interval=interval)
+    pd.testing.assert_frame_equal(
+        _norm(compact_eng.read().to_pandas()),
+        _norm(lsm_eng.read().to_pandas()), check_dtype=False)
+    # time travel to the (always-delta) epoch 0
+    pd.testing.assert_frame_equal(
+        _norm(compact_eng.read(epoch=0).to_pandas()),
+        _norm(lsm_eng.read(epoch=0).to_pandas()), check_dtype=False)
+    # manifest shape matches the mode schedule
+    from e_commerce_batch_etl_pipeline_ray.cdc import lake as _lake
+    m1 = _lake.read_manifest(lsm_eng.cfg.lake_dir, 1)
+    has_deltas = any(r.get("deltas") for r in m1["partitions"].values())
+    assert has_deltas == (interval == 3)
+    # point_read parity over the LSM lake (tombstones in deltas must kill
+    # base rows at the merge)
+    want = _brute_replay(ev)
+    keys = sorted(want)[::13][:10] + [("no/such", "x.py")]
+    got = {(r["repo"], r["path"]): r
+           for r in lsm_eng.point_read(keys).to_pylist()}
+    assert set(got) == set(keys) & set(want)
+    for k in got:
+        for c in [*CELLS, "lsn"]:
+            assert got[k][c] == want[k][c], (k, c)
+
+
+def test_lsm_crash_resume_on_delta_epoch(patch_binlog):
+    files, _ = patch_binlog
+    eng = _ingest(files, compact_interval=3)     # every epoch a delta
+    before = _norm(eng.read().to_pandas())
+    lake_dir = eng.cfg.lake_dir
+    eng.ingest_epoch(read_parquet_clean(files[1], override_num_blocks=3), 2)
+    os.remove(os.path.join(lake_dir, "manifests", "epoch-0002.json"))
+    os.makedirs(os.path.join(lake_dir, ".tmp-epoch=3"), exist_ok=True)
+    assert eng.resume_point() == 2
+    eng.ingest_epoch(read_parquet_clean(files[1], override_num_blocks=3), 2)
+    pd.testing.assert_frame_equal(before, _norm(eng.read().to_pandas()),
+                                  check_dtype=False)

@@ -233,3 +233,25 @@ def test_oracle_sql_from_epoch_zero(feed_lake):
             gv = None if pd.isna(g[c]) else g[c]
             assert gv == w[c], (key, c)
         assert int(g["lsn"]) == w["lsn"], key
+
+
+def test_feed_over_lsm_lake_matches_compact(feed_lake):
+    """The cell feed over an LSM lake (compact_interval=3: every epoch a
+    delta) equals the feed over the always-compact lake — _plan compares
+    full file LISTS and _load_state CRDT-merges base+deltas per side."""
+    eng, files, _ = feed_lake
+    lsm_dir = tempfile.mkdtemp(prefix="pfeedlsm_", dir="/tmp")
+    lsm = patch.PatchCDCEngine(patch.PatchCDCConfig(
+        lake_dir=lsm_dir, num_partitions=8, merge_concurrency=2,
+        compact_interval=3))
+    for ep, p in enumerate(files):
+        lsm.ingest_epoch(read_parquet_clean(p, override_num_blocks=4), ep)
+
+    def norm(lake_dir):
+        df = patch_feed.cell_change_feed(lake_dir, 0, 2).to_pandas()
+        return (df[sorted(df.columns)]
+                .sort_values(["_commit_epoch", "repo", "path",
+                              "_change_type"]).reset_index(drop=True))
+
+    pd.testing.assert_frame_equal(norm(eng.cfg.lake_dir), norm(lsm_dir),
+                                  check_dtype=False)
