@@ -40,7 +40,8 @@ BENCH_QUERIES = ["q1_pricing_summary", "q3_dedup_lww", "q6_hash_join",
                  "q121_cms_counters", "q124_weighted_topk",
                  "q126_triangles", "q128_robust_outlier_filter",
                  "q130_patch_cdc", "q131_delete_where",
-                 "q133_incremental_cms", "q134_knn_pq"]
+                 "q133_incremental_cms", "q134_knn_pq",
+                 "q137_patch_feed", "q138_audio_logmel"]
 
 
 def _lineitem_rows(sf_dir: str) -> int:
