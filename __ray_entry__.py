@@ -66,7 +66,7 @@ DRIVER_WINDOW = [
     "q111_incremental_neardup", "q114_windowed_watermark",
     "q116_session_windows",
     # round-4 session-2 families (sketches, set algebra, graph, robust)
-    "q117_hll_registers", "q119_kmv_synopsis", "q121_cms_counters",
+    "q117_hll_registers",
     "q125_incremental_kmv", "q126_triangles", "q127_robust_stats",
     # round-4 session-3: CDC semantics depth + compressed ANN. Displaced
     # entries keep family coverage via siblings in the window: lookup join
@@ -75,6 +75,11 @@ DRIVER_WINDOW = [
     # q100, basic window fns via q11+q67.
     "q130_patch_cdc", "q131_delete_where", "q133_incremental_cms",
     "q135_knn_pq_exact", "q136_pk_change",
+    # round-4 session-4/5: cell-grain feed over LSM boundaries and
+    # bloom-pruned point reads (the one point-read entry in the window).
+    # Displaced: q119/q121 one-shot sketches — their kernels are driven
+    # through the lake protocol by q125/q133 above.
+    "q137_patch_feed", "q139_bloom_point_read",
 ]
 
 

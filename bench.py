@@ -41,7 +41,8 @@ BENCH_QUERIES = ["q1_pricing_summary", "q3_dedup_lww", "q6_hash_join",
                  "q126_triangles", "q128_robust_outlier_filter",
                  "q130_patch_cdc", "q131_delete_where",
                  "q133_incremental_cms", "q134_knn_pq",
-                 "q137_patch_feed", "q138_audio_logmel"]
+                 "q137_patch_feed", "q138_audio_logmel",
+                 "q139_bloom_point_read"]
 
 
 def _lineitem_rows(sf_dir: str) -> int:

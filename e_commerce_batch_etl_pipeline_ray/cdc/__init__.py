@@ -3,6 +3,7 @@ from e_commerce_batch_etl_pipeline_ray.cdc import (  # noqa: F401
     binlog,
     engine,
     feed,
+    keybloom,
     lake,
     merge,
     multi,

@@ -52,10 +52,12 @@ class MergeWorker:
     def begin_epoch(self, epoch: int, schema_b64: str,
                     prev_partitions: dict[str, dict], mode: str,
                     gc_horizon_lsn: int | None = None,
-                    stats_cols: tuple = ()) -> None:
+                    stats_cols: tuple = (),
+                    key_bloom_fpp: float | None = None) -> None:
         self.epoch = epoch
         self.gc_horizon_lsn = gc_horizon_lsn
         self.stats_cols = tuple(stats_cols)
+        self.key_bloom_fpp = key_bloom_fpp
         self.schema = lake.schema_from_b64(schema_b64)
         self.prev_partitions = prev_partitions
         self.mode = mode
@@ -142,6 +144,9 @@ class MergeWorker:
             wip = f"{tmp_path}.wip.{os.getpid()}"
             pq.write_table(merged, wip)
             os.replace(wip, tmp_path)
+            if self.key_bloom_fpp:
+                from e_commerce_batch_etl_pipeline_ray.cdc import keybloom
+                keybloom.write_sidecar(tmp_path, merged, self.key_bloom_fpp)
             if self.mode == "compact":
                 self.cache[pid] = (self.epoch, merged)
             import json as _json
@@ -226,9 +231,11 @@ class PersistentMergePool:
     def run_epoch(self, normalized, epoch: int, schema_b64: str,
                   prev_partitions: dict, mode: str,
                   gc_horizon_lsn: int | None = None,
-                  stats_cols: tuple = ()) -> pa.Table:
+                  stats_cols: tuple = (),
+                  key_bloom_fpp: float | None = None) -> pa.Table:
         ray.get([w.begin_epoch.remote(epoch, schema_b64, prev_partitions,
-                                      mode, gc_horizon_lsn, stats_cols)
+                                      mode, gc_horizon_lsn, stats_cols,
+                                      key_bloom_fpp)
                  for w in self.workers])
         futures = []
         if self.fan_out == "split":

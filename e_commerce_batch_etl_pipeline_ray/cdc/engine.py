@@ -110,6 +110,11 @@ class CDCConfig:
     # COMPACT write (delta files carry none) — lets zorder.plan_range_scan
     # prune files on these columns without an OPTIMIZE ZORDER pass.
     stats_cols: tuple = ("lsn",)
+    # per-file key Bloom sidecars (<file>.kbloom, cdc/keybloom.py) written
+    # at every partition-file write — point_read skips files whose bloom
+    # proves no needle key is present (the big win is LSM delta chains:
+    # a cold-key lookup otherwise opens base + K-1 deltas). None disables.
+    key_bloom_fpp: float | None = 0.01
     # actor_pool fan-out: "auto" (default: split when >1 alive Ray node,
     # else broadcast) | "broadcast" (single-host optimal: every worker
     # reads every block zero-copy from plasma) | "split" (multi-node-
@@ -214,7 +219,7 @@ class MergeApply:
     def __init__(self, lake_dir: str, epoch: int, schema_b64: str,
                  prev_partitions: dict[str, dict], cache_partitions: bool,
                  mode: str = "compact", gc_horizon_lsn: int | None = None,
-                 stats_cols: tuple = ()):
+                 stats_cols: tuple = (), key_bloom_fpp: float | None = None):
         self.lake_dir = lake_dir
         self.epoch = epoch
         self.schema = lake.schema_from_b64(schema_b64)
@@ -223,6 +228,7 @@ class MergeApply:
         self.mode = mode                      # "compact" | "delta"
         self.gc_horizon_lsn = gc_horizon_lsn
         self.stats_cols = tuple(stats_cols)
+        self.key_bloom_fpp = key_bloom_fpp
         self.tmp_dir = lake.epoch_dir(lake_dir, epoch, tmp=True)
         os.makedirs(self.tmp_dir, exist_ok=True)
 
@@ -288,6 +294,9 @@ class MergeApply:
         in_progress = f"{tmp_path}.wip.{os.getpid()}"
         pq.write_table(merged, in_progress)
         os.replace(in_progress, tmp_path)
+        if self.key_bloom_fpp:
+            from e_commerce_batch_etl_pipeline_ray.cdc import keybloom
+            keybloom.write_sidecar(tmp_path, merged, self.key_bloom_fpp)
         bytes_written = os.path.getsize(tmp_path)
 
         final_path = os.path.join(lake.epoch_dir(self.lake_dir, self.epoch), fname)
@@ -465,7 +474,8 @@ class CDCEngine:
                                                  fan_out=cfg.fan_out)
             lineage = self._pool.run_epoch(normalized, epoch, schema_b64,
                                            prev_parts, mode, gc_horizon,
-                                           stats_cols=cfg.stats_cols)
+                                           stats_cols=cfg.stats_cols,
+                                           key_bloom_fpp=cfg.key_bloom_fpp)
         else:
             # cap the merge actor pool below the cluster CPU count: each
             # actor reserves 1 CPU, and if the pool takes EVERY CPU the
@@ -481,7 +491,8 @@ class CDCEngine:
                 MergeApply, batch_format="pyarrow",
                 fn_constructor_args=(cfg.lake_dir, epoch, schema_b64,
                                      prev_parts, cfg.cache_partitions, mode,
-                                     gc_horizon, cfg.stats_cols),
+                                     gc_horizon, cfg.stats_cols,
+                                     cfg.key_bloom_fpp),
                 concurrency=conc,
                 num_cpus=1)
             from e_commerce_batch_etl_pipeline_ray.stages.blockutil import (

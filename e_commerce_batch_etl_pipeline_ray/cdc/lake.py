@@ -367,6 +367,7 @@ def point_read(lake_dir: str, keys: list[tuple[str, str]],
         return ray.data.from_arrow(_strip_internal(empty))
 
     def _lookup(batch: pa.Table) -> pa.Table:
+        from e_commerce_batch_etl_pipeline_ray.cdc import keybloom
         from e_commerce_batch_etl_pipeline_ray.stages.dedup import (
             combine_keep_extreme,
         )
@@ -375,14 +376,21 @@ def point_read(lake_dir: str, keys: list[tuple[str, str]],
         for row in batch.to_pylist():
             repos = json.loads(row["repos"])
             paths = json.loads(row["paths"])
+            pairs = json.loads(row["keys"])
             filt = [[("repo", "in", repos), ("path", "in", paths)]]
-            tables = []
-            for f in json.loads(row["files"]):
+            # third pruning level: per-file key Bloom sidecars — a file
+            # whose bloom proves no needle is present is skipped without
+            # opening its footer (LSM delta chains shrink to ~fpp x files)
+            files = keybloom.prune_files(
+                json.loads(row["files"]),
+                [p[0] for p in pairs], [p[1] for p in pairs])
+            tables = [sch.empty_table()] if not files else []
+            for f in files:
                 t = pq.read_table(f, filters=filt)
                 tables.append(_unify_to(t, sch))
             t = tables[0] if len(tables) == 1 else pa.concat_tables(tables)
             # coarse repo-set x path-set superset -> exact key pairs
-            want = pa.array([f"{r}\x00{p}" for r, p in json.loads(row["keys"])])
+            want = pa.array([f"{r}\x00{p}" for r, p in pairs])
             fused = pc.binary_join_element_wise(
                 t["repo"].combine_chunks(), t["path"].combine_chunks(), "\x00")
             t = t.filter(pc.is_in(fused, value_set=want))
@@ -466,6 +474,12 @@ def optimize(lake_dir: str, mode: str = "lww") -> dict:
                 wip = f"{tmp_path}.wip.{os.getpid()}"
                 pq.write_table(t, wip)
                 os.replace(wip, tmp_path)
+                # the fresh base inherits a key-bloom sidecar when any
+                # source file carried one (bloom-enabled lake)
+                from e_commerce_batch_etl_pipeline_ray.cdc import keybloom
+                if any(os.path.exists(keybloom.sidecar_path(f))
+                       for f in json.loads(row["files"])):
+                    keybloom.write_sidecar(tmp_path, t)
                 recs.append({
                     "partition": pid,
                     "file": os.path.join(epoch_dir(lake_dir, epoch), fname),
@@ -541,6 +555,10 @@ def vacuum(lake_dir: str, keep_last: int = 1) -> dict:
                 referenced.add(os.path.realpath(rec["novel_file"]))
             for d in rec.get("deltas", []):
                 referenced.add(os.path.realpath(d))
+    # a referenced data file keeps its key-bloom sidecar alive too
+    # (sidecars are never referenced by manifests directly)
+    from e_commerce_batch_etl_pipeline_ray.cdc.keybloom import BLOOM_SUFFIX
+    referenced |= {f + BLOOM_SUFFIX for f in referenced}
 
     files_removed = 0
     bytes_reclaimed = 0
@@ -630,6 +648,8 @@ def rebucket(src_lake: str, dst_lake: str, num_partitions: int,
         wip = f"{tmp_path}.wip.{os.getpid()}"
         pq.write_table(t, wip)
         os.replace(wip, tmp_path)
+        from e_commerce_batch_etl_pipeline_ray.cdc import keybloom
+        keybloom.write_sidecar(tmp_path, t)
         return pa.table({
             "partition": pa.array([pid], pa.int32()),
             "file": pa.array([os.path.join(epoch_dir(dst_lake, 0), fname)],
@@ -753,6 +773,12 @@ def purge_keys(lake_dir: str, keys: list[tuple[str, str]]) -> dict:
                 wip = f"{f}.purge.{os.getpid()}"
                 pq.write_table(t, wip)
                 os.replace(wip, f)
+                # refresh the key-bloom sidecar (the stale one is a
+                # superset — safe — but rebuilding drops the purged keys'
+                # bits and lets point_read skip the file outright)
+                from e_commerce_batch_etl_pipeline_ray.cdc import keybloom
+                if os.path.exists(keybloom.sidecar_path(f)):
+                    keybloom.write_sidecar(f, t)
             out["file"].append(f)
             out["rows_removed"].append(removed)
             out["rows_total"].append(t.num_rows)

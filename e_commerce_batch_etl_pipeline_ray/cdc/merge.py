@@ -192,6 +192,15 @@ class _MergeIntoApply:
         wip = f"{tmp_path}.wip.{os.getpid()}"
         pq.write_table(merged, wip)
         os.replace(wip, tmp_path)
+        # keep key-bloom point-read pruning alive across a MERGE on a
+        # bloom-enabled lake (any prior file carried a sidecar)
+        from e_commerce_batch_etl_pipeline_ray.cdc import keybloom
+        rec = self.prev_partitions.get(str(pid)) or {}
+        prior_files = ([rec["file"]] if rec.get("file") else []) + \
+            list(rec.get("deltas", []))
+        if any(os.path.exists(keybloom.sidecar_path(f))
+               for f in prior_files) or not prior_files:
+            keybloom.write_sidecar(tmp_path, merged)
         return pa.table({
             "partition": pa.array([pid], pa.int32()),
             "file": pa.array([os.path.join(

@@ -143,6 +143,12 @@ def optimize_zorder(lake_dir: str, by: list[str],
             wip = f"{tmp_path}.wip.{os.getpid()}"
             pq.write_table(t, wip, row_group_size=row_group_rows)
             os.replace(wip, tmp_path)
+            # inherit key-bloom sidecars across the rewrite (same keys,
+            # new file) so zorder never degrades point-read pruning
+            from e_commerce_batch_etl_pipeline_ray.cdc import keybloom
+            if any(os.path.exists(keybloom.sidecar_path(f))
+                   for f in json.loads(row["files"])):
+                keybloom.write_sidecar(tmp_path, t)
             recs.append({
                 "partition": pid,
                 "file": os.path.join(lake.epoch_dir(lake_dir, epoch), fname),

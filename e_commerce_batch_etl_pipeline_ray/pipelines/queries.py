@@ -5822,3 +5822,46 @@ def q138_audio_logmel(sf_dir: str):
 
 
 QUERIES.update({"q138_audio_logmel": q138_audio_logmel})
+
+
+# ---------------------------------------------------------------------------
+# q139 — BLOOM-PRUNED POINT READ over an LSM delta chain (cdc/keybloom.py):
+# every partition-file write emits a <file>.kbloom sidecar (Bloom over the
+# file's fused keys — Delta-Lake-style bloom indexes); point_read skips
+# files whose bloom proves no needle present BEFORE opening the footer.
+# The lake is built base-less at compact_interval=3 (both fixture epochs
+# are LSM deltas), so a lookup walks a 2-file delta chain per partition —
+# the exact shape where blooms pay: a cold key's partition files all
+# prune, a key touched only in epoch 1 skips the epoch-0 delta. Needles =
+# the q91 key set PLUS never-inserted keys (miss path). The oracle is the
+# same LWW window restricted to the key set; misses contribute no rows,
+# so the result must be IDENTICAL with pruning on — correctness of the
+# skip logic is what the hash check verifies.
+
+def q139_bloom_point_read(sf_dir: str):
+    import tempfile
+
+    from e_commerce_batch_etl_pipeline_ray.cdc import engine, lake
+    from e_commerce_batch_etl_pipeline_ray.stages.blockutil import (
+        read_parquet_clean,
+    )
+    ensure_oracle_fixtures()
+    lake_dir = tempfile.mkdtemp(prefix="q139_lake_", dir="/tmp")
+    eng = engine.CDCEngine(engine.CDCConfig(
+        lake_dir=lake_dir, num_partitions=16, merge_concurrency=2,
+        compact_interval=3, key_bloom_fpp=0.01))
+    for ep in range(Q24_EPOCHS):
+        events = read_parquet_clean(
+            os.path.join(Q24_BINLOG_DIR, f"epoch-{ep}.parquet"),
+            override_num_blocks=8)
+        eng.ingest_epoch(events, ep)
+    keys = [(f"org{r:03d}/proj", p)
+            for r in range(_Q24_PARAMS["n_repos"]) for p in _Q91_PATHS]
+    # guaranteed misses: repos/paths the generator never emits
+    keys += [(f"ghost{r}/proj", "src/mod0/file0.py") for r in range(10)]
+    keys += [("org000/proj", f"src/ghost/file{i}.py") for i in range(10)]
+    return lake.point_read(lake_dir, keys).sort(["repo", "path"])
+
+
+QUERIES.update({"q139_bloom_point_read": q139_bloom_point_read})
+ORACLE.update({"q139_bloom_point_read": Q91_SQL})

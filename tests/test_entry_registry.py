@@ -29,14 +29,17 @@ def test_driver_window_is_first_50_and_fully_oracled():
                  "q108_pagerank", "q110_incremental_dedup",
                  "q111_incremental_neardup", "q114_windowed_watermark",
                  "q116_session_windows",
-                 # round-4 session-2 families
-                 "q117_hll_registers", "q119_kmv_synopsis",
-                 "q121_cms_counters", "q125_incremental_kmv",
+                 # round-4 session-2 families (q119/q121 displaced by their
+                 # incremental siblings q125/q133 in session 4/5)
+                 "q117_hll_registers",
+                 "q125_incremental_kmv",
                  "q126_triangles", "q127_robust_stats",
                  # round-4 session-3: CDC semantics depth + compressed ANN
                  "q130_patch_cdc", "q131_delete_where",
                  "q133_incremental_cms", "q135_knn_pq_exact",
-                 "q136_pk_change"):
+                 "q136_pk_change",
+                 # round-4 session-4/5: cell feed + bloom point reads
+                 "q137_patch_feed", "q139_bloom_point_read"):
         assert must in win
 
 
