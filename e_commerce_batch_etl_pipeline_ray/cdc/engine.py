@@ -106,6 +106,15 @@ class CDCConfig:
     # failing report and continues.
     dq: object | None = None            # quality.checks.DQConfig
     dq_gate: bool = True
+    # Dead-letter queue (cdc/dlq.py — Debezium/Kafka-Connect DLQ
+    # semantics): quarantine individually malformed rows (null key, bad
+    # lsn, unknown op, sha mismatch when verify_sha) into
+    # dlq-NNNNN.parquet files inside the epoch dir instead of applying or
+    # crashing on them; the manifest chain carries the accumulated
+    # dlq_files lineage (read back via dlq.read_dlq, repaired rows
+    # re-ingest as a later epoch — LWW makes redelivery idempotent).
+    # With dlq=True, verify_sha's fail-fast is replaced by quarantine.
+    dlq: bool = False
     # per-file min/max column stats recorded in the manifest at every
     # COMPACT write (delta files carry none) — lets zorder.plan_range_scan
     # prune files on these columns without an OPTIMIZE ZORDER pass.
@@ -380,9 +389,61 @@ class CDCEngine:
                    snapshot_lsn: int | None = None) -> ray.data.Dataset:
         return events.map_batches(
             _normalize_factory(schema, self.cfg.num_partitions,
-                               self.cfg.verify_sha, snapshot_lsn),
+                               # with the DLQ on, sha mismatches were
+                               # quarantined already — re-verifying would
+                               # hash every content twice for nothing
+                               self.cfg.verify_sha and not self.cfg.dlq,
+                               snapshot_lsn),
             batch_format="pyarrow", zero_copy_batch=True,
             batch_size=self.cfg.batch_size)
+
+    def _quarantine(self, events: ray.data.Dataset, epoch: int
+                    ) -> tuple[ray.data.Dataset, int, list[str]]:
+        """Dead-letter split (cdc/dlq.py): write this epoch's malformed
+        rows as dlq-NNNNN.parquet inside the epoch tmp dir (they ride the
+        atomic promote; crash cleanup removes them with the uncommitted
+        epoch) and return (valid rows, quarantined count, FINAL dlq
+        paths). Two passes over the raw events — the classify mask is
+        cheap except sha, which the DLQ owns outright (normalize skips
+        its re-verify)."""
+        import shutil
+
+        import pyarrow.parquet as _pq
+
+        from e_commerce_batch_etl_pipeline_ray.cdc import dlq as _dlq
+
+        cfg = self.cfg
+        tmp_dir = lake.epoch_dir(cfg.lake_dir, epoch, tmp=True)
+        os.makedirs(tmp_dir, exist_ok=True)
+        scratch = os.path.join(tmp_dir, ".dlq-scratch")
+        if os.path.isdir(scratch):          # debris from a crashed attempt
+            shutil.rmtree(scratch)
+        bad = events.map_batches(
+            _dlq.split_factory(cfg.verify_sha, "bad", epoch),
+            batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=cfg.batch_size)
+        bad.write_parquet(scratch)
+        # rename scratch outputs to flat deterministic names in the epoch
+        # dir (a nested dir would break vacuum's flat walk), drop empties
+        # (a fully-clean epoch may not even create the scratch dir)
+        os.makedirs(scratch, exist_ok=True)
+        final_dir = lake.epoch_dir(cfg.lake_dir, epoch)
+        dlq_rows, dlq_files = 0, []
+        for i, name in enumerate(sorted(os.listdir(scratch))):
+            src = os.path.join(scratch, name)
+            n = _pq.read_metadata(src).num_rows
+            if n == 0:
+                continue
+            fname = f"dlq-{len(dlq_files):05d}.parquet"
+            os.replace(src, os.path.join(tmp_dir, fname))
+            dlq_files.append(os.path.join(final_dir, fname))
+            dlq_rows += n
+        shutil.rmtree(scratch)
+        good = events.map_batches(
+            _dlq.split_factory(cfg.verify_sha, "good"),
+            batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=cfg.batch_size)
+        return good, dlq_rows, dlq_files
 
     def _run_dq(self, events: ray.data.Dataset, epoch: int,
                 label: str = "epoch") -> None:
@@ -436,16 +497,26 @@ class CDCEngine:
                 f"{cfg.num_partitions} — the key->partition routing (resume, "
                 f"carry-forward, point_read) requires a constant modulus")
         self._run_dq(events, epoch)
+        # capture the schema BEFORE the DLQ split: the quarantine filter
+        # never changes columns, and the raw dataset's schema is metadata
+        raw_schema = events.schema().base_schema
+        dlq_rows, dlq_new_files = 0, []
+        if cfg.dlq:
+            if _normalized is not None:
+                raise ValueError(
+                    "dlq=True is incompatible with the pipelined-normalize "
+                    "path (quarantine must run before normalize)")
+            events, dlq_rows, dlq_new_files = self._quarantine(events, epoch)
         prev_schema = lake.schema_from_b64(prev_manifest["schema"]) if prev_manifest else None
         if _normalized is not None:
             # pipelined path: normalize ran ahead with a schema computed
             # from the deterministic schema CHAIN — must equal the one the
             # committed manifest now implies
             schema = _schema
-            if schema != _data_schema(events.schema().base_schema, prev_schema):
+            if schema != _data_schema(raw_schema, prev_schema):
                 raise ValueError("pipelined schema does not match manifest chain")
         else:
-            schema = _data_schema(events.schema().base_schema, prev_schema)
+            schema = _data_schema(raw_schema, prev_schema)
         schema_b64 = lake.schema_to_b64(schema)
         prev_parts = prev_manifest["partitions"] if prev_manifest else {}
 
@@ -542,6 +613,16 @@ class CDCEngine:
             "backend": cfg.backend,
             "elapsed_s": round(time.perf_counter() - t_start, 3),
         }
+        if cfg.dlq:
+            metrics["dlq_rows"] = dlq_rows
+        extra = None
+        if dlq_new_files:
+            prev_dlq = prev_manifest.get("dlq_files", []) if prev_manifest \
+                else []
+            prev_dlq_rows = prev_manifest.get("dlq_rows", 0) \
+                if prev_manifest else 0
+            extra = {"dlq_files": prev_dlq + dlq_new_files,
+                     "dlq_rows": prev_dlq_rows + dlq_rows}
         # staged_commit: prepare phase of a cross-table transaction — the
         # manifest is written invisible (.staged); MultiTableCDC's txn
         # record + promote_staged_manifest make it visible atomically
@@ -549,7 +630,8 @@ class CDCEngine:
         manifest = lake.commit_manifest(cfg.lake_dir, epoch, partitions,
                                         schema, prev_manifest, metrics=metrics,
                                         staged=staged_commit,
-                                        num_partitions=cfg.num_partitions)
+                                        num_partitions=cfg.num_partitions,
+                                        extra=extra)
         return EpochStats(
             epoch=epoch,
             events_in=events_in if events_in is not None else -1,

@@ -119,6 +119,14 @@ def commit_manifest(lake_dir: str, epoch: int, partitions: dict[int, dict],
         manifest["snapshot_lsn"] = snapshot_lsn
     elif prev and "snapshot_lsn" in prev:
         manifest["snapshot_lsn"] = prev["snapshot_lsn"]
+    # dead-letter-queue lineage (cdc/dlq.py) rides the WHOLE manifest
+    # chain like snapshot_lsn — every commit path (ingest, optimize,
+    # zorder, merge, delete_where) must carry it or vacuum reclaims the
+    # quarantined rows; an ingest that adds rows passes the accumulated
+    # lists via ``extra`` (explicit extra wins over carry-forward).
+    for carry in ("dlq_files", "dlq_rows"):
+        if (extra is None or carry not in extra) and prev and carry in prev:
+            manifest[carry] = prev[carry]
     if metrics:
         manifest["metrics"] = metrics
     # extra top-level keys (e.g. the index view's removal_log) land in
@@ -544,6 +552,9 @@ def vacuum(lake_dir: str, keep_last: int = 1) -> dict:
         # index-view manifests track their uncompacted removal log at the
         # top level — those files are part of the committed state too
         for f in m.get("removal_log", []):
+            referenced.add(os.path.realpath(f))
+        # dead-letter-queue files are committed state too (cdc/dlq.py)
+        for f in m.get("dlq_files", []):
             referenced.add(os.path.realpath(f))
         for rec in m["partitions"].values():
             if rec.get("file"):

@@ -5865,3 +5865,123 @@ def q139_bloom_point_read(sf_dir: str):
 
 QUERIES.update({"q139_bloom_point_read": q139_bloom_point_read})
 ORACLE.update({"q139_bloom_point_read": Q91_SQL})
+
+
+# ---------------------------------------------------------------------------
+# q140/q141 — DEAD-LETTER QUEUE ingest (cdc/dlq.py; Debezium/Kafka-Connect
+# errors.deadletterqueue semantics): a dirty binlog (null keys, negative
+# lsns, unknown ops, corrupted sha256s injected deterministically) ingests
+# with CDCConfig(dlq=True, verify_sha=True) — malformed rows quarantine
+# into dlq-NNNNN.parquet files riding the epoch's atomic promote, valid
+# rows apply normally. q140 returns the DLQ table (reason per row, fixed
+# precedence) — oracle = the SAME validity CASE over the fixture,
+# including DuckDB's own sha256() recompute. q141 returns the lake's live
+# state — oracle = the LWW window over VALID rows only, proving
+# quarantine never leaks a bad row into state nor drops a good one.
+
+def _dlq_dirty_table() -> pa.Table:
+    """Deterministic dirty binlog: q24-generator events + four corruption
+    families on disjoint row slices (every 41st row rotates a family)."""
+    import numpy as np
+
+    from e_commerce_batch_etl_pipeline_ray.cdc import binlog
+    spec = binlog.BinlogSpec(**_Q24_PARAMS)
+    t = binlog.gen_epoch_table(spec, 0)
+    n = t.num_rows
+    idx = np.arange(n)
+    fam = np.where(idx % 41 == 0, idx // 41 % 4, -1)
+    path = pc.if_else(pa.array(fam == 0), pa.nulls(n, pa.string()),
+                      t["path"].combine_chunks())
+    lsn = pc.if_else(pa.array(fam == 1), pa.scalar(-7, pa.int64()),
+                     t["lsn"].combine_chunks())
+    op = pc.if_else(pa.array(fam == 2), pa.scalar("X"),
+                    t["op"].combine_chunks())
+    sha = pc.if_else(
+        pa.array(fam == 3),
+        pc.binary_join_element_wise(
+            pa.array(["zz"] * n),
+            pc.utf8_slice_codeunits(
+                pc.fill_null(t["content_sha256"].combine_chunks(),
+                             "0" * 64), 2, 64), ""),
+        t["content_sha256"].combine_chunks())
+    return pa.table({"lsn": lsn, "op": op,
+                     "repo": t["repo"], "path": path,
+                     "commit": t["commit"], "content": t["content"],
+                     "content_sha256": sha})
+
+
+_DLQ_BINLOG_PATH = os.path.join(
+    _FIXTURE_DIR, "dlq_binlog_" + _spec_tag(_Q24_PARAMS, 41, "v1"),
+    "epoch-0.parquet")
+
+
+def ensure_dlq_fixture() -> None:
+    if not os.path.exists(_DLQ_BINLOG_PATH):
+        _atomic_write_parquet(_dlq_dirty_table(), _DLQ_BINLOG_PATH)
+
+
+def _dlq_ingest(tag: str) -> str:
+    import tempfile
+
+    from e_commerce_batch_etl_pipeline_ray.cdc import engine
+    from e_commerce_batch_etl_pipeline_ray.stages.blockutil import (
+        read_parquet_clean,
+    )
+    ensure_dlq_fixture()
+    lake_dir = tempfile.mkdtemp(prefix=f"{tag}_lake_", dir="/tmp")
+    eng = engine.CDCEngine(engine.CDCConfig(
+        lake_dir=lake_dir, num_partitions=8, merge_concurrency=2,
+        dlq=True, verify_sha=True))
+    eng.ingest_epoch(read_parquet_clean(_DLQ_BINLOG_PATH,
+                                        override_num_blocks=8), 0)
+    return lake_dir
+
+
+def q140_dlq_quarantine(sf_dir: str):
+    from e_commerce_batch_etl_pipeline_ray.cdc import dlq
+    lake_dir = _dlq_ingest("q140")
+    # sort keys must be null-free (Ray's boundary sampling compares with
+    # python <): repo/lsn/op are never nulled by the corruption families,
+    # path is — and the driver's value hash is order-insensitive anyway
+    return dlq.read_dlq(lake_dir) \
+        .select_columns(["repo", "path", "lsn", "op", "_dlq_reason"]) \
+        .sort(["repo", "lsn", "op"])
+
+
+def _q140_sql() -> str:
+    from e_commerce_batch_etl_pipeline_ray.cdc import dlq
+    return f"""
+SELECT repo, path, lsn, op, {dlq.reason_case_sql()} AS _dlq_reason
+FROM read_parquet('{_DLQ_BINLOG_PATH}')
+WHERE {dlq.reason_case_sql()} IS NOT NULL
+ORDER BY repo, path, lsn, op, _dlq_reason
+"""
+
+
+def q141_dlq_clean_state(sf_dir: str):
+    from e_commerce_batch_etl_pipeline_ray.cdc import lake
+    lake_dir = _dlq_ingest("q141")
+    return lake.read_lake(lake_dir).sort(["repo", "path"])
+
+
+def _q141_sql() -> str:
+    from e_commerce_batch_etl_pipeline_ray.cdc import dlq
+    return f"""
+WITH valid AS (
+  SELECT * FROM read_parquet('{_DLQ_BINLOG_PATH}')
+  WHERE {dlq.reason_case_sql()} IS NULL
+)
+SELECT lsn, repo, path, commit, content, content_sha256
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY repo, path
+                               ORDER BY lsn DESC) AS rn
+  FROM valid)
+WHERE rn = 1 AND op <> 'D'
+ORDER BY repo, path
+"""
+
+
+QUERIES.update({"q140_dlq_quarantine": q140_dlq_quarantine,
+                "q141_dlq_clean_state": q141_dlq_clean_state})
+ORACLE.update({"q140_dlq_quarantine": _q140_sql(),
+               "q141_dlq_clean_state": _q141_sql()})

@@ -35,6 +35,13 @@ def main() -> int:
     ap.add_argument("--merge-concurrency", type=int, default=8)
     ap.add_argument("--compact-interval", type=int, default=1)
     ap.add_argument("--verify-sha", action="store_true")
+    ap.add_argument("--dlq", action="store_true",
+                    help="quarantine malformed rows (null key / bad lsn / "
+                         "unknown op / sha mismatch when --verify-sha) to "
+                         "dead-letter files instead of applying or failing")
+    ap.add_argument("--read-dlq", action="store_true",
+                    help="print the accumulated dead-letter-queue counts by "
+                         "reason and exit")
     ap.add_argument("--backend", default="map_groups",
                     choices=["map_groups", "actor_pool"])
     ap.add_argument("--gc-lateness-epochs", type=int, default=None,
@@ -96,7 +103,8 @@ def main() -> int:
     if (args.get is not None or args.rebucket is not None
             or args.zorder is not None or args.scan is not None
             or args.bootstrap is not None or args.replicate is not None
-            or args.purge is not None or args.delete_where is not None):
+            or args.purge is not None or args.delete_where is not None
+            or args.read_dlq):
         import ray
         if not ray.is_initialized():
             ray.init(address="local", num_cpus=args.num_cpus,
@@ -104,7 +112,15 @@ def main() -> int:
         import ray.data
         ray.data.DataContext.get_current().enable_progress_bars = False
         from e_commerce_batch_etl_pipeline_ray.cdc import lake as _lake
-        if args.get is not None:
+        if args.read_dlq:
+            from e_commerce_batch_etl_pipeline_ray.cdc import dlq as _dlq
+            df = _dlq.read_dlq(args.lake_dir).to_pandas()
+            by = (df.groupby("_dlq_reason").size().to_dict()
+                  if len(df) else {})
+            print(json.dumps({"dlq_rows": len(df),
+                              "by_reason": {k: int(v)
+                                            for k, v in sorted(by.items())}}))
+        elif args.get is not None:
             rows = _lake.point_read(args.lake_dir,
                                     [tuple(args.get)]).take_all()
             print(json.dumps({"key": args.get, "found": bool(rows),
@@ -229,6 +245,7 @@ def main() -> int:
         merge_concurrency=args.merge_concurrency,
         compact_interval=args.compact_interval,
         verify_sha=args.verify_sha,
+        dlq=args.dlq,
         cache_partitions=False,
         backend=args.backend,
         gc_lateness_epochs=args.gc_lateness_epochs,
