@@ -1,39 +1,26 @@
-"""INCREMENTAL FREQUENCY state — Count-Min counters persisted through the
-lake epoch/manifest protocol. Completes the incremental-sketch family:
+"""INCREMENTAL DISTRIBUTION state — fixed-range histogram bin counts
+persisted through the lake epoch/manifest protocol. Completes the
+incremental mergeable-summary family:
 
-    cdc/ndv_state.py   HLL registers   max-merge    "distinct so far"
-    cdc/kmv_state.py   KMV synopses    union+trunc  "overlap so far"
-    cdc/cms_state.py   CMS counters    SUM-merge    "how often so far"
-    cdc/hist_state.py  histogram bins  SUM-merge    "spread so far"
+    cdc/ndv_state.py    HLL registers   max-merge    "distinct so far"
+    cdc/kmv_state.py    KMV synopses    union+trunc  "overlap so far"
+    cdc/cms_state.py    CMS counters    SUM-merge    "how often so far"
+    cdc/hist_state.py   histogram bins  SUM-merge    "spread so far"
 
-Continuous heavy-hitter / frequency queries ("how many times has each
-user_id been seen, per event_type, across the whole stream so far") fold
-each micro-batch into a fixed d x w counter matrix per group: state is
-bounded by groups x d x w 24-byte rows, never by the key set, and point
-queries never rescan the corpus.
+Continuous distribution monitoring ("what does per-event value look
+like per event_type across the whole stream so far" — latency SLOs,
+drift alarms, approximate quantiles) folds each micro-batch into
+(by..., bin, cnt) rows: state is bounded by groups x (nbins + 2) rows,
+and cumulative bins answer quantiles with error <= one bin width
+(stages/sketch.hist_quantile).
 
-THE ALGEBRAIC DIFFERENCE from HLL/KMV, and what it costs: counter
-sum-merge is associative + commutative but NOT idempotent. Confluence
-under epoch SLICING still holds (every event is counted exactly once in
-any slicing — the q133 oracle exploits this), but crash/redelivery
-safety cannot come from the merge itself; it comes from the manifest
-protocol alone:
-
-- an epoch whose manifest never committed leaves only debris that
-  resume_point() cleans — its counts are NOT in the state, and the
-  re-ingest recomputes them exactly once;
-- a committed epoch refuses re-ingest (strict epoch ordering), so the
-  same micro-batch can never be summed twice;
-- LSM deltas still need no removal log (counts only grow), and
-  compaction is one groupby-SUM.
-
-Duplicate delivery WITHIN the stream (the same logical event in two
-different epochs) double-counts by definition of frequency counting —
-dedupe upstream (cdc/dedup_state.py) when the stream is at-least-once.
-
-Partitioning: hash of (by..., row, idx) — a hot group's counters spread
-over all partitions (no per-group locality requirement; estimates fold
-across partitions)."""
+Same algebra as the CMS state, same consequence: bin-count SUM-merge is
+confluent under epoch slicing but NOT idempotent, so crash/redelivery
+safety is the manifest protocol's (debris cleaned at resume, committed
+epochs refuse replay); LSM deltas need no removal log (counts only
+grow) and compaction is one groupby-sum. Binning is pure integer
+arithmetic ((x - lo) // step with explicit under/overflow bins) so the
+q142 oracle replays it bit-exactly in SQL — no float floor edges."""
 
 from __future__ import annotations
 
@@ -51,22 +38,27 @@ from e_commerce_batch_etl_pipeline_ray.stages.dedup import (
     hash_partition_ids,
 )
 from e_commerce_batch_etl_pipeline_ray.stages.sketch import (
-    cms_estimate,
-    cms_partial,
+    hist_check,
+    hist_partial,
+    hist_quantile,
 )
 
 _PID = "_pid"
 
 
 @dataclass
-class IncCMSConfig:
+class IncHistConfig:
     state_dir: str
     col: str
     by: list[str] = field(default_factory=list)
-    d: int = 4
-    w: int = 1024
+    lo: int = 0
+    hi: int = 1024
+    nbins: int = 64
     num_partitions: int = 8
     compact_interval: int = 8
+
+    def __post_init__(self):
+        hist_check(self.lo, self.hi, self.nbins)
 
 
 def _files(rec: dict | None) -> list[str]:
@@ -77,15 +69,15 @@ def _files(rec: dict | None) -> list[str]:
 
 
 def _sum_merge(t: pa.Table, by: list[str]) -> pa.Table:
-    keys = [*by, "row", "idx"]
+    keys = [*by, "bin"]
     out = t.group_by(keys).aggregate([("cnt", "sum")])
     return out.rename_columns([*keys, "cnt"])
 
 
-class _CMSWrite:
-    """Per-partition worker: delta mode appends this epoch's (already
-    partition-locally summed) counter rows; compact mode folds
-    base+deltas+epoch with one groupby-sum into a fresh base."""
+class _HistWrite:
+    """Per-partition worker, same contract as cdc/cms_state._CMSWrite:
+    delta mode appends this epoch's summed bin rows, compact mode folds
+    base+deltas+epoch with one groupby-sum into a fresh sorted base."""
 
     def __init__(self, state_dir: str, epoch: int,
                  prev_partitions: dict[str, dict], by: list[str],
@@ -108,7 +100,7 @@ class _CMSWrite:
             prior = pa.concat_tables([pq.read_table(f) for f in files])
             state = _sum_merge(pa.concat_tables([prior, rows]), self.by)
         state = state.sort_by([(c, "ascending")
-                               for c in (*self.by, "row", "idx")])
+                               for c in (*self.by, "bin")])
         suffix = "delta.parquet" if self.mode == "delta" else "parquet"
         sfname = f"part-{pid:05d}.{suffix}"
         tmp_path = os.path.join(self.tmp_dir, sfname)
@@ -127,8 +119,8 @@ class _CMSWrite:
         })
 
 
-class IncrementalCMS:
-    def __init__(self, config: IncCMSConfig):
+class IncrementalHist:
+    def __init__(self, config: IncHistConfig):
         self.cfg = config
         os.makedirs(config.state_dir, exist_ok=True)
 
@@ -157,8 +149,9 @@ class IncrementalCMS:
         prev_parts = prev_manifest["partitions"] if prev_manifest else {}
 
         def _partial(t: pa.Table) -> pa.Table:
-            out = cms_partial(t, cfg.col, cfg.by or None, cfg.d, cfg.w)
-            pid = hash_partition_ids(out, [*cfg.by, "row", "idx"],
+            out = hist_partial(t, cfg.col, cfg.by or None,
+                               cfg.lo, cfg.hi, cfg.nbins)
+            pid = hash_partition_ids(out, [*cfg.by, "bin"],
                                      cfg.num_partitions)
             return out.append_column(_PID, pa.array(pid, pa.int32()))
 
@@ -170,7 +163,7 @@ class IncrementalCMS:
             collect_arrow,
         )
         lineage = collect_arrow(partials.groupby(_PID).map_groups(
-            _CMSWrite, batch_format="pyarrow",
+            _HistWrite, batch_format="pyarrow",
             fn_constructor_args=(cfg.state_dir, epoch, prev_parts,
                                  cfg.by, mode),
             concurrency=2, num_cpus=1))
@@ -199,18 +192,17 @@ class IncrementalCMS:
                 int(pid_s) if pid_s.lstrip("-").isdigit() else pid_s, rec)
         state_schema = pa.schema(
             [(c, pa.string()) for c in cfg.by]
-            + [("row", pa.int64()), ("idx", pa.int64()),
-               ("cnt", pa.int64())])
-        metrics = {"op": "inc_cms", "mode": mode, "d": cfg.d, "w": cfg.w}
+            + [("bin", pa.int64()), ("cnt", pa.int64())])
+        metrics = {"op": "inc_hist", "mode": mode, "lo": cfg.lo,
+                   "hi": cfg.hi, "nbins": cfg.nbins}
         lake.commit_manifest(cfg.state_dir, epoch, partitions, state_schema,
                              prev_manifest, metrics=metrics,
                              num_partitions=cfg.num_partitions)
         return metrics
 
-    def counters(self, epoch: int | None = None) -> pa.Table:
-        """Merged (by..., row, idx, cnt) state as of ``epoch`` —
-        base+deltas folded with one groupby-sum. Driver-light: bounded by
-        groups x d x w rows, never by input size."""
+    def bins(self, epoch: int | None = None) -> pa.Table:
+        """Merged (by..., bin, cnt) state as of ``epoch`` — base+deltas
+        folded with one groupby-sum. Bounded by groups x (nbins+2) rows."""
         if epoch is None:
             epoch = self.last_committed_epoch()
         if epoch is None:
@@ -222,17 +214,18 @@ class IncrementalCMS:
             files.extend(_files(rec))
         t = pa.concat_tables([pq.read_table(f) for f in sorted(set(files))])
         return _sum_merge(t, self.cfg.by).sort_by(
-            [(c, "ascending") for c in (*self.cfg.by, "row", "idx")])
+            [(c, "ascending") for c in (*self.cfg.by, "bin")])
 
-    def estimate(self, keys: np.ndarray, group: tuple | None = None,
-                 epoch: int | None = None) -> np.ndarray:
-        """Point-frequency estimates (overestimate-only, CMS bound) for
-        ``keys`` within ``group`` from the state."""
-        c = self.counters(epoch)
+    def quantiles(self, qs, group: tuple | None = None,
+                  epoch: int | None = None) -> np.ndarray:
+        """Approximate quantiles (error <= one bin width) for ``group``
+        from the state so far."""
+        b = self.bins(epoch)
         if self.cfg.by:
             if group is None:
                 raise ValueError("group required for a grouped state")
             import pyarrow.compute as pc
             for col, val in zip(self.cfg.by, group):
-                c = c.filter(pc.equal(c[col], val))
-        return cms_estimate(c, keys, self.cfg.d, self.cfg.w)
+                b = b.filter(pc.equal(b[col], val))
+        return hist_quantile(b.select(["bin", "cnt"]), qs,
+                             self.cfg.lo, self.cfg.hi, self.cfg.nbins)

@@ -5985,3 +5985,58 @@ QUERIES.update({"q140_dlq_quarantine": q140_dlq_quarantine,
                 "q141_dlq_clean_state": q141_dlq_clean_state})
 ORACLE.update({"q140_dlq_quarantine": _q140_sql(),
                "q141_dlq_clean_state": _q141_sql()})
+
+
+# ---------------------------------------------------------------------------
+# q142 — INCREMENTAL HISTOGRAM state (cdc/hist_state.py): fixed-range bin
+# counts per event_type maintained through the lake epoch/manifest
+# protocol — completes the mergeable-summary family (HLL distinct / KMV
+# overlap / CMS frequency / histogram DISTRIBUTION, the drift-alarm +
+# approx-quantile state). Three micro-batches (event_id thirds) at
+# compact_interval=2 (delta, compact, delta), and the final LSM state
+# must equal the one-shot SQL bin counts over the WHOLE table — bin-count
+# sum-merge is slicing-confluent; binning is pure integer arithmetic
+# ((x-lo)//step + explicit under/overflow bins) so the oracle is
+# bit-exact with no float floor edges.
+
+# lo/hi sized to the events generator's user_id range: sf0.001
+# populates ~8 bins per type, sf0.01 fills all 64 AND overflows
+# (max id 149 >= hi) so the smoke matrix exercises both paths
+_Q142_LO, _Q142_HI, _Q142_NBINS = 0, 128, 64
+
+
+def q142_incremental_hist(sf_dir: str):
+    import tempfile
+
+    from e_commerce_batch_etl_pipeline_ray.cdc import hist_state
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "user_id"])
+    n = ds.count()
+    cut1, cut2 = n // 3, 2 * n // 3
+    eng = hist_state.IncrementalHist(hist_state.IncHistConfig(
+        state_dir=tempfile.mkdtemp(prefix="q142_state_", dir="/tmp"),
+        col="user_id", by=["event_type"], lo=_Q142_LO, hi=_Q142_HI,
+        nbins=_Q142_NBINS, num_partitions=8, compact_interval=2))
+    eng.ingest(ds.filter(expr=f"event_id < {cut1}"), 0)
+    eng.ingest(ds.filter(
+        expr=f"event_id >= {cut1} and event_id < {cut2}"), 1)
+    eng.ingest(ds.filter(expr=f"event_id >= {cut2}"), 2)
+    return eng.bins()
+
+
+def _q142_sql() -> str:
+    step = (_Q142_HI - _Q142_LO) // _Q142_NBINS
+    return f"""
+SELECT event_type,
+       CASE WHEN user_id < {_Q142_LO} THEN -1
+            WHEN user_id >= {_Q142_HI} THEN {_Q142_NBINS}
+            ELSE (user_id - {_Q142_LO}) // {step} END AS bin,
+       COUNT(*) AS cnt
+FROM events
+WHERE user_id IS NOT NULL
+GROUP BY event_type, bin
+ORDER BY event_type, bin
+"""
+
+
+QUERIES.update({"q142_incremental_hist": q142_incremental_hist})
+ORACLE.update({"q142_incremental_hist": _q142_sql()})

@@ -39,6 +39,7 @@ import math
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data
 
@@ -398,3 +399,70 @@ def cms_estimate(counters: pa.Table, keys: np.ndarray,
     for j in range(d):
         est = np.minimum(est, dense[j, cms_hash(keys, j, w)])
     return est
+
+
+# ---------------------------------------------------------------------------
+# Fixed-range histogram partials — the mergeable DISTRIBUTION summary that
+# completes the family (HLL "how many distinct", KMV "how much overlap",
+# CMS "how often each", histogram "how are values spread"). Bin counts
+# sum-merge exactly like CMS counters (confluent under any slicing, NOT
+# idempotent), and cumulative bins answer approximate quantiles with
+# error bounded by one bin width. Binning is pure integer arithmetic so
+# the SQL oracle replays it bit-exactly (no float floor edge cases):
+# bin -1 = underflow (x < lo), bin nbins = overflow (x >= hi).
+
+def hist_check(lo: int, hi: int, nbins: int) -> int:
+    if nbins <= 0 or hi <= lo or (hi - lo) % nbins:
+        raise ValueError(
+            f"need hi > lo, nbins > 0 and nbins | (hi - lo); got "
+            f"lo={lo} hi={hi} nbins={nbins}")
+    return (hi - lo) // nbins
+
+
+def hist_partial(t: pa.Table, col: str, by: list[str] | None = None,
+                 lo: int = 0, hi: int = 1024, nbins: int = 64) -> pa.Table:
+    """One block's bin-count partial: rows (by..., bin, cnt); nulls
+    ignored; integer column required (exact binning contract)."""
+    step = hist_check(lo, hi, nbins)
+    sub = t.select([*(by or []), col])
+    sub = sub.filter(pc.is_valid(sub[col]))
+    xv = np.asarray(sub[col].to_numpy(zero_copy_only=False), np.int64)
+    b = (xv - lo) // step
+    b[xv < lo] = -1
+    b[xv >= hi] = nbins
+    sub = sub.drop_columns([col]).append_column("bin", pa.array(b, pa.int64()))
+    out = sub.group_by([*(by or []), "bin"]).aggregate([([], "count_all")])
+    cnt = out["count_all"].cast(pa.int64())
+    return out.drop_columns(["count_all"]).append_column("cnt", cnt)
+
+
+def hist_quantile(bins: pa.Table, qs, lo: int = 0, hi: int = 1024,
+                  nbins: int = 64) -> np.ndarray:
+    """Approximate quantiles from ONE group's bin counts — linear
+    interpolation within the quantile's bin (error <= one bin width).
+    Underflow/overflow bins clamp to lo/hi."""
+    step = hist_check(lo, hi, nbins)
+    b = bins["bin"].to_numpy(zero_copy_only=False)
+    c = bins["cnt"].to_numpy(zero_copy_only=False).astype(np.float64)
+    order = np.argsort(b)
+    b, c = b[order], c[order]
+    cum = np.cumsum(c)
+    total = cum[-1] if len(cum) else 0.0
+    out = np.empty(len(qs), np.float64)
+    for i, q in enumerate(qs):
+        if total == 0:
+            out[i] = np.nan
+            continue
+        target = q * total
+        j = int(np.searchsorted(cum, target, side="left"))
+        j = min(j, len(b) - 1)
+        if b[j] < 0:
+            out[i] = float(lo)
+            continue
+        if b[j] >= nbins:
+            out[i] = float(hi)
+            continue
+        prev = cum[j - 1] if j else 0.0
+        frac = (target - prev) / (cum[j] - prev) if cum[j] > prev else 0.0
+        out[i] = lo + b[j] * step + frac * step
+    return out
