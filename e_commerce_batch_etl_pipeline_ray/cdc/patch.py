@@ -262,13 +262,15 @@ class PatchMergeApply:
     """
 
     def __init__(self, lake_dir: str, epoch: int, schema_b64: str,
-                 prev_partitions: dict[str, dict], mode: str = "compact"):
+                 prev_partitions: dict[str, dict], mode: str = "compact",
+                 key_bloom_fpp: float | None = None):
         self.lake_dir = lake_dir
         self.epoch = epoch
         self.schema = lake.schema_from_b64(schema_b64)
         self.cells = cell_columns(self.schema)
         self.prev_partitions = prev_partitions
         self.mode = mode
+        self.key_bloom_fpp = key_bloom_fpp
         self.tmp_dir = lake.epoch_dir(lake_dir, epoch, tmp=True)
         os.makedirs(self.tmp_dir, exist_ok=True)
 
@@ -300,6 +302,9 @@ class PatchMergeApply:
         in_progress = f"{tmp_path}.wip.{os.getpid()}"
         pq.write_table(merged, in_progress)
         os.replace(in_progress, tmp_path)
+        if self.key_bloom_fpp:
+            from e_commerce_batch_etl_pipeline_ray.cdc import keybloom
+            keybloom.write_sidecar(tmp_path, merged, self.key_bloom_fpp)
         watermark = max(pc.max(merged["lsn"]).as_py() or -1,
                         pc.max(merged["_del_lsn"]).as_py() or -1)
         final_path = os.path.join(
@@ -326,6 +331,10 @@ class PatchCDCConfig:
     # The cell-state CRDT makes this trivially correct: readers merge
     # base+deltas in any order (combine_patch) and re-apply tombstones.
     compact_interval: int = 1
+    # per-file key Bloom sidecars (cdc/keybloom.py, same contract as
+    # CDCConfig.key_bloom_fpp): point_read skips files whose bloom proves
+    # no needle key present. None disables.
+    key_bloom_fpp: float | None = 0.01
 
 
 class PatchCDCEngine:
@@ -379,7 +388,7 @@ class PatchCDCEngine:
         lineage_ds = normalized.groupby(_PID).map_groups(
             PatchMergeApply, batch_format="pyarrow",
             fn_constructor_args=(cfg.lake_dir, epoch, schema_b64, prev_parts,
-                                 mode),
+                                 mode, cfg.key_bloom_fpp),
             concurrency=conc, num_cpus=1)
         from e_commerce_batch_etl_pipeline_ray.stages.blockutil import (
             collect_arrow,
@@ -498,7 +507,15 @@ class PatchCDCEngine:
                               for c in out_cols]).empty_table()
         needles = pa.array([f"{r}\x00{p}" for r, p in keys], pa.string())
         parts = []
+        from e_commerce_batch_etl_pipeline_ray.cdc import keybloom
         for files in groups:
+            # bloom sidecars first: a pruned file provably holds NO needle
+            # row — including tombstones (they carry the key too), so the
+            # CRDT merge below never loses a kill by skipping it
+            files = keybloom.prune_files(
+                files, [k[0] for k in keys], [k[1] for k in keys])
+            if not files:
+                continue
             # filter to the needles on each file's OWN columns first
             # (pre-evolution files lack newer cells), keep tombstone rows
             # — a delta's tombstone must kill base rows at the merge —
@@ -514,6 +531,9 @@ class PatchCDCEngine:
                 combine_patch(pa.concat_tables(tabs), cells), cells)
             merged = merged.filter(pc.invert(merged["_deleted"]))
             parts.append(merged.select(out_cols))
+        if not parts:
+            return pa.schema([schema.field(c)
+                              for c in out_cols]).empty_table()
         return pa.concat_tables(parts)
 
 

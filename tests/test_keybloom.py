@@ -216,3 +216,44 @@ def test_sidecar_deterministic():
     a = keybloom.build(pa.array(repos), pa.array(paths))
     b = keybloom.build(pa.array(list(repos)), pa.array(list(paths)))
     assert a == b
+
+
+# -- patch-lake integration ---------------------------------------------------
+
+def test_patch_point_read_parity_and_prune(tmp_path, ray_session):
+    """Cell-grain lake (LSM interval 3 -> delta chain): bloom-pruned
+    point_read == unpruned; ghost keys return typed-empty."""
+    import ray.data as rd
+
+    from e_commerce_batch_etl_pipeline_ray.cdc import patch
+
+    def _build(name, fpp):
+        eng = patch.PatchCDCEngine(patch.PatchCDCConfig(
+            lake_dir=str(tmp_path / name), num_partitions=4,
+            merge_concurrency=2, compact_interval=3, key_bloom_fpp=fpp))
+        for ep in range(2):
+            t = patch.gen_patch_epoch_table(SPEC, ep)
+            eng.ingest_epoch(rd.from_arrow(t).repartition(5), ep)
+        return eng
+
+    on = _build("pon", 0.01)
+    off = _build("poff", None)
+    needles = [(f"org{r:03d}/proj", f"src/mod{m}/file{m}.py")
+               for r in range(4) for m in (3, 17)] \
+        + [(f"ghost{i}", "nope.py") for i in range(6)]
+    a = on.point_read(needles).to_pandas() \
+        .sort_values(["repo", "path"]).reset_index(drop=True)
+    b = off.point_read(needles).to_pandas() \
+        .sort_values(["repo", "path"]).reset_index(drop=True)
+    assert a.equals(b) and len(a) > 0
+    # sidecars exist on every file of the bloom lake
+    m = lake.read_manifest(on.cfg.lake_dir, 1)
+    files = []
+    for rec in m["partitions"].values():
+        files += ([rec["file"]] if rec.get("file") else []) \
+            + list(rec.get("deltas", []))
+    assert files and all(os.path.exists(keybloom.sidecar_path(f))
+                         for f in files)
+    # ghost-only lookup: every chain prunes, typed-empty result
+    ghosts = on.point_read([("ghostx", "nope.py")])
+    assert ghosts.num_rows == 0 and "lsn" in ghosts.column_names
