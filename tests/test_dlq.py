@@ -196,3 +196,47 @@ def test_repair_and_replay(tmp_path, ray_session):
     ref = _engine(tmp_path, "ref", dlq=True, verify_sha=True)
     ref.ingest_epoch(rd.from_arrow(ref_events).repartition(6), 0)
     assert _state(eng.cfg.lake_dir).equals(_state(ref.cfg.lake_dir))
+
+
+# -- hypothesis property ---------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_sha_ok = hashlib.sha256(b"x").hexdigest()
+_event = st.fixed_dictionaries({
+    "lsn": st.one_of(st.none(), st.integers(-5, 5)),
+    "op": st.one_of(st.none(), st.sampled_from(["I", "U", "D", "R", "X", ""])),
+    "repo": st.one_of(st.none(), st.sampled_from(["r1", "r2"])),
+    "path": st.one_of(st.none(), st.sampled_from(["p1", "p2"])),
+    "content": st.one_of(st.none(), st.sampled_from(["x", "y"])),
+    "content_sha256": st.one_of(st.none(),
+                                st.sampled_from([_sha_ok, "f" * 64])),
+})
+
+
+def _reason_rowwise(r: dict) -> str | None:
+    """Independent row-by-row replay of the documented contract."""
+    if r["repo"] is None or r["path"] is None:
+        return "null_key"
+    if r["lsn"] is None or r["lsn"] < 0:
+        return "bad_lsn"
+    if r["op"] is None or r["op"] not in ("I", "U", "D", "R"):
+        return "bad_op"
+    if r["op"] != "D" and r["content"] is not None:
+        want = hashlib.sha256(r["content"].encode()).hexdigest()
+        if r["content_sha256"] is None or r["content_sha256"] != want:
+            return "sha_mismatch"
+    return None
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(_event, min_size=0, max_size=40))
+def test_classify_matches_rowwise_oracle(rows):
+    schema = pa.schema([("lsn", pa.int64()), ("op", pa.string()),
+                        ("repo", pa.string()), ("path", pa.string()),
+                        ("content", pa.string()),
+                        ("content_sha256", pa.string())])
+    t = pa.Table.from_pylist(rows, schema=schema)
+    got = dlq.classify(t).to_pylist()
+    assert got == [_reason_rowwise(r) for r in rows]
