@@ -6040,3 +6040,49 @@ ORDER BY event_type, bin
 
 QUERIES.update({"q142_incremental_hist": q142_incremental_hist})
 ORACLE.update({"q142_incremental_hist": _q142_sql()})
+
+
+# ---------------------------------------------------------------------------
+# q143 — EXACTLY-ONCE DB REPLICATION from the change feed
+# (cdc/db_replica.py; the Kafka-Connect-JDBC-sink upsert-mode shape,
+# SQLite standing in for the warehouse per SURVEY §7.5): two sync windows
+# over the q24 fixture lake — one per committed epoch, the second
+# crossing the schema-evolution boundary (ALTER TABLE ADD COLUMN rides
+# the same transaction) — each applying one final action per key
+# (distributed keyed dedup over the manifest-pruned feed) and committing
+# the consumer offset INSIDE the sink transaction. A third, caught-up
+# sync must no-op. The read-back warehouse table must equal the lake's
+# LWW window (the q24 oracle) — deletes really deleted, upserts really
+# once.
+
+def q143_db_replica(sf_dir: str):
+    import tempfile
+
+    import pandas as pd
+
+    from e_commerce_batch_etl_pipeline_ray.cdc import db_replica, engine
+    from e_commerce_batch_etl_pipeline_ray.stages.blockutil import (
+        read_parquet_clean,
+    )
+    ensure_oracle_fixtures()
+    lake_dir = tempfile.mkdtemp(prefix="q143_lake_", dir="/tmp")
+    db = os.path.join(tempfile.mkdtemp(prefix="q143_db_", dir="/tmp"),
+                      "warehouse.sqlite3")
+    eng = engine.CDCEngine(engine.CDCConfig(
+        lake_dir=lake_dir, num_partitions=16, merge_concurrency=2))
+    rep = db_replica.DBReplica(lake_dir, db, "files")
+    for ep in range(Q24_EPOCHS):
+        eng.ingest_epoch(read_parquet_clean(
+            os.path.join(Q24_BINLOG_DIR, f"epoch-{ep}.parquet"),
+            override_num_blocks=8), ep)
+        rep.sync()                       # one window per epoch
+    assert rep.sync()["epochs"] == 0     # caught up -> no-op
+    df = rep.read().to_pandas()
+    return pd.DataFrame({
+        c: df[c] for c in ["lsn", "repo", "path", "commit", "lang",
+                           "content", "content_sha256"]}) \
+        .sort_values(["repo", "path"]).reset_index(drop=True)
+
+
+QUERIES.update({"q143_db_replica": q143_db_replica})
+ORACLE.update({"q143_db_replica": Q24_SQL})
