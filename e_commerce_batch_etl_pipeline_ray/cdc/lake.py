@@ -566,6 +566,13 @@ def vacuum(lake_dir: str, keep_last: int = 1) -> dict:
                 referenced.add(os.path.realpath(rec["novel_file"]))
             for d in rec.get("deltas", []):
                 referenced.add(os.path.realpath(d))
+    # an open branch's manifests may reference this lake's files (the
+    # fork-point carry-forward, cdc/branch.py) — vacuuming the parent must
+    # never break a branch that hasn't published yet
+    from e_commerce_batch_etl_pipeline_ray.cdc.branch import (
+        branch_referenced_files,
+    )
+    referenced |= branch_referenced_files(lake_dir)
     # a referenced data file keeps its key-bloom sidecar alive too
     # (sidecars are never referenced by manifests directly)
     from e_commerce_batch_etl_pipeline_ray.cdc.keybloom import BLOOM_SUFFIX

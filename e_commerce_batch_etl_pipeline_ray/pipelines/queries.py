@@ -6086,3 +6086,54 @@ def q143_db_replica(sf_dir: str):
 
 QUERIES.update({"q143_db_replica": q143_db_replica})
 ORACLE.update({"q143_db_replica": Q24_SQL})
+
+
+# ---------------------------------------------------------------------------
+# q144 — BRANCHES + WRITE-AUDIT-PUBLISH (cdc/branch.py; the Iceberg/
+# Nessie-style staging workflow): main ingests epoch 0, a "staging"
+# branch (a child lake seeded with ONE copied manifest, zero data copy)
+# ingests epoch 1 across the schema-evolution boundary, the one-pass DQ
+# framework audits the branch's LIVE post-merge state, and publish
+# fast-forwards main onto the branch head (hardlinked files + path-
+# rewritten manifests, each committed atomically). The branch is dropped
+# AFTER publish — the hardlinks must keep main alive. Main's read-back
+# must equal the lake's LWW window over both epochs (the q24 oracle):
+# the audited epochs landed exactly as audited.
+
+def q144_branch_wap(sf_dir: str):
+    import tempfile
+
+    from e_commerce_batch_etl_pipeline_ray.cdc import branch, engine
+    from e_commerce_batch_etl_pipeline_ray.quality.checks import DQConfig
+    from e_commerce_batch_etl_pipeline_ray.stages.blockutil import (
+        read_parquet_clean,
+    )
+    ensure_oracle_fixtures()
+    lake_dir = tempfile.mkdtemp(prefix="q144_lake_", dir="/tmp")
+
+    def _epoch(ep):
+        return read_parquet_clean(
+            os.path.join(Q24_BINLOG_DIR, f"epoch-{ep}.parquet"),
+            override_num_blocks=8)
+
+    eng = engine.CDCEngine(engine.CDCConfig(
+        lake_dir=lake_dir, num_partitions=16, merge_concurrency=2))
+    eng.ingest_epoch(_epoch(0), 0)
+
+    branch.create_branch(lake_dir, "staging")
+    beng = engine.CDCEngine(branch.branch_config(lake_dir, "staging",
+                                                 merge_concurrency=2))
+    for ep in range(1, Q24_EPOCHS):
+        beng.ingest_epoch(_epoch(ep), ep)
+
+    _, status = branch.audit_branch(
+        lake_dir, "staging",
+        DQConfig(min_rows=1, max_null_pct={"repo": 0.0, "path": 0.0}))
+    assert status in ("PASS", "WARN")
+    branch.publish_branch(lake_dir, "staging", require_audit=True)
+    branch.drop_branch(lake_dir, "staging")
+    return eng.read().sort(["repo", "path"])
+
+
+QUERIES.update({"q144_branch_wap": q144_branch_wap})
+ORACLE.update({"q144_branch_wap": Q24_SQL})

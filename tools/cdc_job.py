@@ -98,7 +98,54 @@ def main() -> int:
                     help="DELETE WHERE col = value through the standard "
                          "epoch protocol (exactly-once, feed-visible), "
                          "committed as the next epoch, exit")
+    ap.add_argument("--create-branch", default=None, metavar="NAME",
+                    help="fork a WAP staging branch off the latest "
+                         "committed epoch (metadata-only), exit")
+    ap.add_argument("--audit-branch", default=None, metavar="NAME",
+                    help="run the DQ framework over the branch's live "
+                         "state, persist audit-NNNN.json, exit")
+    ap.add_argument("--publish-branch", default=None, metavar="NAME",
+                    help="fast-forward main onto the branch head "
+                         "(requires a PASS/WARN audit of the head), exit")
+    ap.add_argument("--drop-branch", default=None, metavar="NAME",
+                    help="remove a branch (safe published or not), exit")
+    ap.add_argument("--list-branches", action="store_true",
+                    help="list branches with fork/head epochs, exit")
     args = ap.parse_args()
+
+    if (args.create_branch or args.publish_branch or args.drop_branch
+            or args.list_branches):
+        # metadata-only branch ops: no Ray session needed
+        from e_commerce_batch_etl_pipeline_ray.cdc import branch as _br
+        if args.create_branch:
+            print(json.dumps({"create_branch": _br.create_branch(
+                args.lake_dir, args.create_branch)}))
+        elif args.publish_branch:
+            print(json.dumps({"publish_branch": _br.publish_branch(
+                args.lake_dir, args.publish_branch, require_audit=True)}))
+        elif args.drop_branch:
+            _br.drop_branch(args.lake_dir, args.drop_branch)
+            print(json.dumps({"drop_branch": args.drop_branch}))
+        else:
+            print(json.dumps({"branches": _br.list_branches(args.lake_dir)}))
+        return 0
+
+    if args.audit_branch:
+        import ray
+        if not ray.is_initialized():
+            ray.init(address="local", num_cpus=args.num_cpus,
+                     include_dashboard=False, logging_level="ERROR")
+        import ray.data
+        ray.data.DataContext.get_current().enable_progress_bars = False
+        from e_commerce_batch_etl_pipeline_ray.cdc import branch as _br
+        from e_commerce_batch_etl_pipeline_ray.quality.checks import DQConfig
+        report, status = _br.audit_branch(
+            args.lake_dir, args.audit_branch,
+            DQConfig(min_rows=1, max_null_pct={"repo": 0.0, "path": 0.0}))
+        print(json.dumps({"audit_branch": args.audit_branch,
+                          "status": status, "checks": len(report)}))
+        ray.shutdown()
+        return 0
 
     if (args.get is not None or args.rebucket is not None
             or args.zorder is not None or args.scan is not None
