@@ -158,8 +158,10 @@ class MergeWorker:
                 "rows_total": merged.num_rows,
                 "bytes_written": os.path.getsize(tmp_path),
                 "late_events": late_events,
-                "stats": (_json.dumps(lake.col_stats(merged,
-                                                     self.stats_cols))
+                "stats": (_json.dumps({**lake.col_stats(merged,
+                                                        self.stats_cols),
+                                       **lake.live_meta(merged,
+                                                        self.stats_cols)})
                           if self.mode == "compact" and self.stats_cols
                           else ""),
             })

@@ -311,8 +311,14 @@ class MergeApply:
         final_path = os.path.join(lake.epoch_dir(self.lake_dir, self.epoch), fname)
         watermark = pc.max(merged["lsn"]).as_py()
         import json as _json
-        stats = (_json.dumps(lake.col_stats(merged, self.stats_cols))
-                 if self.mode == "compact" and self.stats_cols else "")
+        stats = ""
+        if self.mode == "compact" and self.stats_cols:
+            d = lake.col_stats(merged, self.stats_cols)
+            # live-row metadata rides the same stats channel (underscore
+            # keys, split back out at manifest assembly) — feeds
+            # lake.table_stats' metadata-only COUNT/MIN/MAX
+            d.update(lake.live_meta(merged, self.stats_cols))
+            stats = _json.dumps(d)
         return pa.table({
             "partition": pa.array([pid], pa.int32()),
             "file": pa.array([final_path], pa.string()),
@@ -599,7 +605,13 @@ class CDCEngine:
                 }
                 if rec.get("stats"):
                     import json as _json
-                    partitions[pid]["stats"] = _json.loads(rec["stats"])
+                    st = _json.loads(rec["stats"])
+                    live_rows = st.pop("_live_rows", None)
+                    live_stats = st.pop("_live", None)
+                    partitions[pid]["stats"] = st
+                    if live_rows is not None:
+                        partitions[pid]["live_rows"] = live_rows
+                        partitions[pid]["live_stats"] = live_stats or {}
         metrics = {
             "events_in": events_in if events_in is not None else -1,
             "rows_applied": sum(r["rows_applied"] for r in partitions.values()),
@@ -741,6 +753,7 @@ class CDCEngine:
         tmp_dir = lake.epoch_dir(cfg.lake_dir, 0, tmp=True)
         os.makedirs(tmp_dir, exist_ok=True)
         lake_dir = cfg.lake_dir
+        stats_cols = list(cfg.stats_cols)
 
         def _assign(t: pa.Table) -> pa.Table:
             t = pa.table(
@@ -761,6 +774,7 @@ class CDCEngine:
             wip = f"{tmp_path}.wip.{os.getpid()}"
             pq.write_table(t, wip)
             os.replace(wip, tmp_path)
+            import json as _json
             return pa.table({
                 "partition": pa.array([pid], pa.int32()),
                 "file": pa.array(
@@ -769,6 +783,9 @@ class CDCEngine:
                 "rows_total": pa.array([t.num_rows], pa.int64()),
                 "bytes_written": pa.array([os.path.getsize(tmp_path)],
                                           pa.int64()),
+                "stats": pa.array([_json.dumps(
+                    {**lake.col_stats(t, stats_cols),
+                     **lake.live_meta(t, stats_cols)})], pa.string()),
             })
 
         from e_commerce_batch_etl_pipeline_ray.stages.blockutil import (
@@ -779,14 +796,23 @@ class CDCEngine:
                              zero_copy_batch=True)
             .groupby(_PID).map_groups(_write, batch_format="pyarrow"))
         lake.promote_epoch_dir(cfg.lake_dir, 0)
-        partitions = {
-            rec["partition"]: {
+        import json as _json
+        partitions = {}
+        for rec in lineage.to_pylist():
+            partitions[rec["partition"]] = {
                 "file": rec["file"], "deltas": [],
                 "lsn_watermark": lsn0,
                 "rows_applied": rec["rows_total"],
                 "rows_total": rec["rows_total"],
                 "bytes_written": rec["bytes_written"],
-            } for rec in lineage.to_pylist()}
+            }
+            st = _json.loads(rec["stats"])
+            live_rows = st.pop("_live_rows", None)
+            live_stats = st.pop("_live", None)
+            partitions[rec["partition"]]["stats"] = st
+            if live_rows is not None:
+                partitions[rec["partition"]]["live_rows"] = live_rows
+                partitions[rec["partition"]]["live_stats"] = live_stats or {}
         lake.commit_manifest(
             cfg.lake_dir, 0, partitions, schema, None,
             metrics={"op": "bootstrap", "lsn0": lsn0,

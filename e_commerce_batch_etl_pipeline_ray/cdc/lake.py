@@ -222,6 +222,114 @@ def col_stats(t: pa.Table, cols) -> dict:
     return stats
 
 
+def live_meta(t: pa.Table, cols) -> dict:
+    """LIVE-row metadata for a compacted partition file (tombstones
+    excluded): exact count + per-column min/max, embedded in the same
+    ``stats`` JSON channel the writers already ship (underscore keys so
+    zorder's per-column pruning lookups never see them). This is what
+    makes ``table_stats`` a metadata-only answer — Delta's numRecords /
+    Iceberg's snapshot-summary shape."""
+    import pyarrow.compute as pc
+    live = t.filter(pc.equal(t["_deleted"], False)) \
+        if "_deleted" in t.column_names else t
+    return {"_live_rows": live.num_rows, "_live": col_stats(live, cols)}
+
+
+def table_stats(lake_dir: str, epoch: int | None = None,
+                cols: tuple = ("lsn",)) -> dict:
+    """COUNT(*) + MIN/MAX of the live table answered from MANIFEST
+    metadata — no data file is opened for any compacted partition whose
+    record carries ``live_rows``/``live_stats`` (every compact write
+    records them). Partitions that can't be answered from metadata
+    (uncompacted LSM delta chains, files rewritten by purge, legacy
+    manifests) fall back to a pruned read of ONLY those partitions'
+    chains, LWW-merged per partition — at a 10k-partition lake with a
+    delta interval of K, that is at most the partitions touched since the
+    last compaction, never the whole lake.
+
+    ``cols`` must be within the lake's ``CDCConfig.stats_cols`` (default
+    ``("lsn",)``): a column the writers never tracked would be
+    indistinguishable from an all-null column in the metadata. Returns
+    ``{"rows", "min": {col: v}, "max": {col: v}, "partitions_total",
+    "partitions_from_metadata", "partitions_read"}``.
+    """
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from e_commerce_batch_etl_pipeline_ray.stages.dedup import (
+        combine_keep_extreme,
+    )
+
+    if epoch is None:
+        epoch = last_committed_epoch(lake_dir)
+    if epoch is None:
+        raise FileNotFoundError(f"no committed epochs in {lake_dir}")
+    manifest = read_manifest(lake_dir, epoch)
+    schema_b64 = manifest["schema"]
+
+    rows = 0
+    lo: dict[str, object] = {}
+    hi: dict[str, object] = {}
+
+    def _fold(c, a, b):
+        lo[c] = a if c not in lo or a < lo[c] else lo[c]
+        hi[c] = b if c not in hi or b > hi[c] else hi[c]
+
+    fallback = []
+    n_meta = 0
+    for pid, rec in manifest["partitions"].items():
+        files = (([rec["file"]] if rec.get("file") else [])
+                 + list(rec.get("deltas", [])))
+        if not files:
+            continue
+        if not rec.get("deltas") and rec.get("live_rows") is not None:
+            n_meta += 1
+            rows += rec["live_rows"]
+            for c in cols:
+                b = (rec.get("live_stats") or {}).get(c)
+                if b is not None:
+                    _fold(c, b[0], b[1])
+        else:
+            fallback.append({"partition": int(pid),
+                             "files": json.dumps(files)})
+
+    if fallback:
+        cols_list = list(cols)
+
+        def _summarize(batch: pa.Table) -> pa.Table:
+            sch = schema_from_b64(schema_b64)
+            out = {"live_rows": [], "stats": []}
+            for files_json in batch["files"].to_pylist():
+                tables = [_unify_to(pq.read_table(f), sch)
+                          for f in json.loads(files_json)]
+                t = (tables[0] if len(tables) == 1
+                     else pa.concat_tables(tables))
+                t = combine_keep_extreme(t, ["repo", "path"], ["lsn"],
+                                         descending=True)
+                live = t.filter(pc.equal(t["_deleted"], False))
+                out["live_rows"].append(live.num_rows)
+                out["stats"].append(json.dumps(col_stats(live, cols_list)))
+            return pa.table({"live_rows": pa.array(out["live_rows"],
+                                                   pa.int64()),
+                             "stats": pa.array(out["stats"], pa.string())})
+
+        from e_commerce_batch_etl_pipeline_ray.stages.blockutil import (
+            collect_arrow,
+        )
+        summary = collect_arrow(
+            ray.data.from_items(fallback).map_batches(
+                _summarize, batch_format="pyarrow", batch_size=1))
+        for r in summary.to_pylist():
+            rows += r["live_rows"]
+            for c, (a, b) in json.loads(r["stats"]).items():
+                _fold(c, a, b)
+
+    return {"rows": rows, "min": lo, "max": hi,
+            "partitions_total": len(manifest["partitions"]),
+            "partitions_from_metadata": n_meta,
+            "partitions_read": len(fallback)}
+
+
 def _unify_to(t: pa.Table, schema: pa.Schema) -> pa.Table:
     cols = []
     for fld in schema:
@@ -456,6 +564,12 @@ def optimize(lake_dir: str, mode: str = "lww") -> dict:
         # nothing to compact: no epoch burned, manifest untouched
         return {"epoch": last, "partitions_compacted": 0}
 
+    # the stats columns this lake tracks (union over existing records;
+    # "lsn" when the lake predates stats) — the fresh bases must keep
+    # recording them or optimize would DOWNGRADE table_stats/range_scan
+    stats_cols = sorted({c for rec in manifest["partitions"].values()
+                         for c in (rec.get("stats") or {})}) or ["lsn"]
+
     partitions: dict[int, dict] = {}
     if items:
         os.makedirs(tmp_dir, exist_ok=True)
@@ -495,6 +609,9 @@ def optimize(lake_dir: str, mode: str = "lww") -> dict:
                     if t.num_rows else -1,
                     "rows_total": t.num_rows,
                     "bytes_written": os.path.getsize(tmp_path),
+                    "stats": json.dumps(col_stats(t, stats_cols)),
+                    "live": json.dumps(live_meta(t, stats_cols)
+                                       if mode == "lww" else {}),
                 })
             return pa.Table.from_pylist(recs)
 
@@ -508,7 +625,13 @@ def optimize(lake_dir: str, mode: str = "lww") -> dict:
                 "rows_applied": 0,
                 "rows_total": rec["rows_total"],
                 "bytes_written": rec["bytes_written"],
+                "stats": json.loads(rec["stats"]),
             }
+            live = json.loads(rec["live"])
+            if "_live_rows" in live:   # log-mode lakes keep no live meta
+                partitions[rec["partition"]]["live_rows"] = \
+                    live["_live_rows"]
+                partitions[rec["partition"]]["live_stats"] = live["_live"]
     promote_epoch_dir(lake_dir, epoch)
     commit_manifest(lake_dir, epoch, partitions,
                     schema_from_b64(schema_b64), manifest,
@@ -826,6 +949,12 @@ def purge_keys(lake_dir: str, keys: list[tuple[str, str]]) -> dict:
             if f in touched and rec.get("rows_total", -1) != -1:
                 rec["rows_total"] = touched[f]["rows_total"]
                 rec["bytes_written"] = touched[f]["bytes_written"]
+                # live-row metadata is now stale — drop it so table_stats
+                # falls back to reading the purged partition (per-file
+                # min/max "stats" stay: still a SUPERSET of the remaining
+                # rows, so range-scan pruning remains safe, just looser)
+                rec.pop("live_rows", None)
+                rec.pop("live_stats", None)
                 changed = True
         if changed:
             path = _manifest_path(lake_dir, e)

@@ -201,6 +201,8 @@ class _MergeIntoApply:
         if any(os.path.exists(keybloom.sidecar_path(f))
                for f in prior_files) or not prior_files:
             keybloom.write_sidecar(tmp_path, merged)
+        import json as _json
+        stats_cols = sorted((rec.get("stats") or {"lsn": None}).keys())
         return pa.table({
             "partition": pa.array([pid], pa.int32()),
             "file": pa.array([os.path.join(
@@ -211,6 +213,9 @@ class _MergeIntoApply:
             "rows_applied": pa.array([rows_applied], pa.int64()),
             "rows_total": pa.array([merged.num_rows], pa.int64()),
             "bytes_written": pa.array([os.path.getsize(tmp_path)], pa.int64()),
+            "stats": pa.array([_json.dumps(
+                {**lake.col_stats(merged, stats_cols),
+                 **lake.live_meta(merged, stats_cols)})], pa.string()),
         })
 
 
@@ -276,14 +281,23 @@ def merge_into(lake_dir: str, source: ray.data.Dataset, *,
         concurrency=conc, num_cpus=1))
 
     lake.promote_epoch_dir(lake_dir, epoch)
-    partitions = {
-        rec["partition"]: {
+    import json as _json
+    partitions = {}
+    for rec in lineage.to_pylist():
+        st = _json.loads(rec["stats"])
+        live_rows = st.pop("_live_rows", None)
+        live_stats = st.pop("_live", None)
+        partitions[rec["partition"]] = {
             "file": rec["file"], "deltas": [],
             "lsn_watermark": rec["lsn_watermark"],
             "rows_applied": rec["rows_applied"],
             "rows_total": rec["rows_total"],
             "bytes_written": rec["bytes_written"],
-        } for rec in lineage.to_pylist()}
+            "stats": st,
+        }
+        if live_rows is not None:
+            partitions[rec["partition"]]["live_rows"] = live_rows
+            partitions[rec["partition"]]["live_stats"] = live_stats or {}
     metrics = {
         "op": "merge_into",
         "rows_applied": sum(r["rows_applied"] for r in partitions.values()),

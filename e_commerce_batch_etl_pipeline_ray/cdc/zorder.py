@@ -156,7 +156,10 @@ def optimize_zorder(lake_dir: str, by: list[str],
                 if t.num_rows else -1,
                 "rows_total": t.num_rows,
                 "bytes_written": os.path.getsize(tmp_path),
-                "stats": json.dumps(_col_stats(t, by)),
+                "stats": json.dumps({**_col_stats(t, by),
+                                     **lake.live_meta(
+                                         t, list(dict.fromkeys(
+                                             list(by) + ["lsn"])))}),
             })
         return pa.Table.from_pylist(recs)
 
@@ -165,15 +168,21 @@ def optimize_zorder(lake_dir: str, by: list[str],
             _rewrite, batch_format="pyarrow", batch_size=1))
     partitions = {}
     for rec in lineage.to_pylist():
+        st = json.loads(rec["stats"])
+        live_rows = st.pop("_live_rows", None)
+        live_stats = st.pop("_live", None)
         partitions[rec["partition"]] = {
             "file": rec["file"], "deltas": [],
             "lsn_watermark": rec["lsn_watermark"],
             "rows_applied": 0,
             "rows_total": rec["rows_total"],
             "bytes_written": rec["bytes_written"],
-            "stats": json.loads(rec["stats"]),
+            "stats": st,
             "zorder": list(by),
         }
+        if live_rows is not None:
+            partitions[rec["partition"]]["live_rows"] = live_rows
+            partitions[rec["partition"]]["live_stats"] = live_stats or {}
     lake.promote_epoch_dir(lake_dir, epoch)
     lake.commit_manifest(lake_dir, epoch, partitions, schema, manifest,
                          metrics={"op": "zorder", "by": list(by),

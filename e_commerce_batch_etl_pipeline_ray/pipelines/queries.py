@@ -6137,3 +6137,52 @@ def q144_branch_wap(sf_dir: str):
 
 QUERIES.update({"q144_branch_wap": q144_branch_wap})
 ORACLE.update({"q144_branch_wap": Q24_SQL})
+
+
+# ---------------------------------------------------------------------------
+# q145 — METADATA-ONLY TABLE STATS (lake.table_stats; Delta numRecords /
+# Iceberg snapshot-summary shape): every compact write records the
+# partition's LIVE row count + per-column min/max in its manifest record,
+# so COUNT(*)/MIN/MAX of a compacted lake are answered WITHOUT OPENING A
+# SINGLE DATA FILE — the assert pins partitions_read == 0, making the
+# oracle certify the pure-metadata path. At 100 TB this is the difference
+# between a catalog lookup and a full scan; uncompacted LSM chains fall
+# back to reading only those partitions (tested, not exercised here).
+
+def q145_table_stats(sf_dir: str):
+    import tempfile
+
+    import pandas as pd
+
+    from e_commerce_batch_etl_pipeline_ray.cdc import engine, lake
+    from e_commerce_batch_etl_pipeline_ray.stages.blockutil import (
+        read_parquet_clean,
+    )
+    ensure_oracle_fixtures()
+    lake_dir = tempfile.mkdtemp(prefix="q145_lake_", dir="/tmp")
+    eng = engine.CDCEngine(engine.CDCConfig(
+        lake_dir=lake_dir, num_partitions=16, merge_concurrency=2))
+    for ep in range(Q24_EPOCHS):
+        eng.ingest_epoch(read_parquet_clean(
+            os.path.join(Q24_BINLOG_DIR, f"epoch-{ep}.parquet"),
+            override_num_blocks=8), ep)
+    st = lake.table_stats(lake_dir)
+    assert st["partitions_read"] == 0, "metadata-only path must not read"
+    return pd.DataFrame({"live_rows": [st["rows"]],
+                         "min_lsn": [st["min"]["lsn"]],
+                         "max_lsn": [st["max"]["lsn"]]})
+
+
+Q145_SQL = f"""
+SELECT COUNT(*) AS live_rows, MIN(lsn) AS min_lsn, MAX(lsn) AS max_lsn
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY repo, path ORDER BY lsn DESC) AS rn
+  FROM read_parquet(['{Q24_BINLOG_DIR}/epoch-0.parquet',
+                     '{Q24_BINLOG_DIR}/epoch-1.parquet'],
+                    union_by_name=true)
+)
+WHERE rn = 1 AND op <> 'D'
+"""
+
+QUERIES.update({"q145_table_stats": q145_table_stats})
+ORACLE.update({"q145_table_stats": Q145_SQL})

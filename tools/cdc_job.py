@@ -111,7 +111,23 @@ def main() -> int:
                     help="remove a branch (safe published or not), exit")
     ap.add_argument("--list-branches", action="store_true",
                     help="list branches with fork/head epochs, exit")
+    ap.add_argument("--stats", action="store_true",
+                    help="metadata-only COUNT/MIN/MAX from the manifest "
+                         "(reads data only for uncompacted partitions), "
+                         "exit")
     args = ap.parse_args()
+
+    if args.stats:
+        import ray
+        if not ray.is_initialized():
+            ray.init(address="local", num_cpus=args.num_cpus,
+                     include_dashboard=False, logging_level="ERROR")
+        import ray.data
+        ray.data.DataContext.get_current().enable_progress_bars = False
+        from e_commerce_batch_etl_pipeline_ray.cdc import lake as _lake
+        print(json.dumps({"table_stats": _lake.table_stats(args.lake_dir)}))
+        ray.shutdown()
+        return 0
 
     if (args.create_branch or args.publish_branch or args.drop_branch
             or args.list_branches):
