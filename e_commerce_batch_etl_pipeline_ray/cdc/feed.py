@@ -238,6 +238,113 @@ def change_feed(lake_dir: str, from_epoch: int = 0,
         _diff_partition, batch_format="pyarrow", batch_size=1)
 
 
+def _key_plan(lake_dir: str, keys: list[tuple[str, str]],
+              from_epoch: int, to_epoch: int | None
+              ) -> tuple[list[dict], pa.Schema]:
+    """key_history's pruned diff plan (split out so tests can pin the
+    pruning levels without running the diff)."""
+    from e_commerce_batch_etl_pipeline_ray.cdc import keybloom
+    from e_commerce_batch_etl_pipeline_ray.stages.dedup import (
+        hash_partition_ids,
+    )
+
+    items, out_schema, to_epoch = _plan(lake_dir, from_epoch, to_epoch)
+    repos = [k[0] for k in keys]
+    paths = [k[1] for k in keys]
+
+    num_partitions = lake.read_manifest(
+        lake_dir, to_epoch).get("num_partitions")
+    pids = None
+    if num_partitions is not None and keys:
+        key_t = pa.table({KEY[0]: pa.array(repos, pa.string()),
+                          KEY[1]: pa.array(paths, pa.string())})
+        pids = set(hash_partition_ids(key_t, KEY, num_partitions).tolist())
+
+    pruned = []
+    for it in items:
+        if pids is not None and it["partition"] not in pids:
+            continue
+        cur = keybloom.prune_files(json.loads(it["cur_files"]), repos, paths)
+        prev = keybloom.prune_files(json.loads(it["prev_files"]), repos,
+                                    paths)
+        if cur == prev:     # identical pruned chains: keys' state unchanged
+            continue
+        pruned.append({**it, "cur_files": json.dumps(cur),
+                       "prev_files": json.dumps(prev)})
+    return pruned, out_schema
+
+
+def key_history(lake_dir: str, keys: list[tuple[str, str]],
+                from_epoch: int = 0,
+                to_epoch: int | None = None) -> ray.data.Dataset:
+    """Per-key VERSION HISTORY — the change feed restricted to ``keys``,
+    with three pruning levels stacked so the cost scales with the keys'
+    own change history, never the lake:
+
+      1. partition routing: the keys hash to a fixed set of partitions
+         (constant manifest modulus), every other partition's (epoch,
+         partition) diff item is dropped — pure metadata;
+      2. manifest carry-forward (inherited from the feed's planner):
+         epochs that didn't touch a key's partition never appear;
+      3. key-bloom sidecars: within a touched partition's file chains,
+         files that provably hold none of the keys are dropped from BOTH
+         sides of the diff — and if the pruned chains come out identical,
+         the keys' state provably didn't change and the whole diff task
+         is skipped.
+
+    Inside a task, files read with a parquet ``isin`` row-group filter
+    and the loaded states mask to the EXACT fused keys before the
+    standard vectorized diff — so the diff itself is O(keys' rows), and
+    pruning can never change the answer (a dropped file holds no needle
+    rows; extra (repo, path) cross-pairs from the isin superset are
+    masked out).
+
+    Output: the feed schema (_change_type/_commit_epoch) filtered to the
+    keys — for one key, its full insert/update/delete timeline across the
+    manifest chain; ordering is up to the caller (sort by _commit_epoch).
+    Epochs older than the vacuum horizon are gone by definition.
+    """
+    pruned, out_schema = _key_plan(lake_dir, keys, from_epoch, to_epoch)
+    repos = [k[0] for k in keys]
+    paths = [k[1] for k in keys]
+
+    if not pruned or not keys:
+        return ray.data.from_arrow(out_schema.empty_table())
+
+    schema_b64 = lake.schema_to_b64(
+        pa.schema([f for f in out_schema if f.name
+                   not in (CHANGE_COL, EPOCH_COL)]).append(
+            pa.field("_deleted", pa.bool_())))
+    fused_keys = [f"{r}{_SEP}{p}" for r, p in keys]
+
+    def _diff_keys(batch: pa.Table) -> pa.Table:
+        state_schema = lake.schema_from_b64(schema_b64)
+        feed_schema = _feed_schema(state_schema)
+        needle = pa.array(fused_keys, pa.string())
+        flt = (pc.field(KEY[0]).isin(pa.array(sorted(set(repos))))
+               & pc.field(KEY[1]).isin(pa.array(sorted(set(paths)))))
+
+        def _load(files):
+            if not files:
+                return state_schema.empty_table()
+            tabs = [lake._unify_to(
+                pq.read_table(f, filters=flt), state_schema)
+                for f in files]
+            t = tabs[0] if len(tabs) == 1 else pa.concat_tables(tabs)
+            t = t.filter(pc.is_in(_fused_key(t), value_set=needle))
+            return combine_keep_extreme(t, KEY, ["lsn"], descending=True)
+
+        out = []
+        for row in batch.to_pylist():
+            prev = _load(json.loads(row["prev_files"]))
+            cur = _load(json.loads(row["cur_files"]))
+            out.append(_diff_states(prev, cur, row["epoch"], feed_schema))
+        return pa.concat_tables(out) if len(out) > 1 else out[0]
+
+    return ray.data.from_items(pruned).map_batches(
+        _diff_keys, batch_format="pyarrow", batch_size=1)
+
+
 def apply_feed(snapshot: pa.Table, feed: pa.Table) -> pa.Table:
     """Re-apply a change feed onto the snapshot it diffed FROM, producing
     the snapshot it diffed TO (driver-side helper for tests / consumers):

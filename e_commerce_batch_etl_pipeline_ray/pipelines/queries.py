@@ -6186,3 +6186,95 @@ WHERE rn = 1 AND op <> 'D'
 
 QUERIES.update({"q145_table_stats": q145_table_stats})
 ORACLE.update({"q145_table_stats": Q145_SQL})
+
+
+# ---------------------------------------------------------------------------
+# q146 — PER-KEY VERSION HISTORY (feed.key_history; "DESCRIBE HISTORY of
+# one key"): the change feed pruned to a key set with three stacked
+# levels — partition routing (constant manifest modulus), manifest
+# carry-forward, and key-bloom file skipping inside touched chains (two
+# identically-pruned chains prove the keys' state unchanged, the whole
+# diff task is skipped). Cost scales with the keys' own change history,
+# never the lake. Driven over the q24 fixture lake for EVERY key of the
+# lexicographically-first repo; the oracle replays the same per-epoch
+# LWW diff in SQL (the q90 shape) restricted to that repo — including the
+# evolution boundary (epoch-0-derived images carry lang NULL) and the
+# Debezium delete-lsn rule.
+
+def q146_key_history(sf_dir: str):
+    import tempfile
+
+    import pyarrow.parquet as _pq
+
+    from e_commerce_batch_etl_pipeline_ray.cdc import engine, feed
+    from e_commerce_batch_etl_pipeline_ray.stages.blockutil import (
+        read_parquet_clean,
+    )
+    ensure_oracle_fixtures()
+    lake_dir = tempfile.mkdtemp(prefix="q146_lake_", dir="/tmp")
+    eng = engine.CDCEngine(engine.CDCConfig(
+        lake_dir=lake_dir, num_partitions=16, merge_concurrency=2))
+    for ep in range(Q24_EPOCHS):
+        eng.ingest_epoch(read_parquet_clean(
+            os.path.join(Q24_BINLOG_DIR, f"epoch-{ep}.parquet"),
+            override_num_blocks=8), ep)
+    # every key (live or dead) of the first repo, from the fixture itself
+    pairs = set()
+    for ep in range(Q24_EPOCHS):
+        t = _pq.read_table(
+            os.path.join(Q24_BINLOG_DIR, f"epoch-{ep}.parquet"),
+            columns=["repo", "path"])
+        pairs |= set(zip(t["repo"].to_pylist(), t["path"].to_pylist()))
+    repo0 = min(r for r, _ in pairs)
+    keys = sorted(k for k in pairs if k[0] == repo0)
+    return feed.key_history(lake_dir, keys).sort(
+        ["repo", "path", "_commit_epoch", "_change_type", "lsn"])
+
+
+Q146_SQL = f"""
+WITH e0 AS (SELECT * FROM read_parquet('{Q24_BINLOG_DIR}/epoch-0.parquet')),
+ea AS (SELECT * FROM read_parquet(['{Q24_BINLOG_DIR}/epoch-0.parquet',
+                                   '{Q24_BINLOG_DIR}/epoch-1.parquet'],
+                                  union_by_name=true)),
+r0 AS (SELECT MIN(repo) AS repo FROM ea),
+s0 AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY repo, path ORDER BY lsn DESC) rn
+    FROM e0 WHERE repo = (SELECT repo FROM r0)) WHERE rn = 1
+),
+s1 AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY repo, path ORDER BY lsn DESC) rn
+    FROM ea WHERE repo = (SELECT repo FROM r0)) WHERE rn = 1
+),
+hist AS (
+  SELECT 'insert' AS _change_type, CAST(0 AS BIGINT) AS _commit_epoch,
+         lsn, repo, path, commit, CAST(NULL AS VARCHAR) AS lang,
+         content, content_sha256
+  FROM s0 WHERE op <> 'D'
+  UNION ALL
+  SELECT 'insert', 1, s1.lsn, s1.repo, s1.path, s1.commit, s1.lang,
+         s1.content, s1.content_sha256
+  FROM s1 LEFT JOIN s0 ON s1.repo = s0.repo AND s1.path = s0.path
+  WHERE s1.op <> 'D' AND (s0.repo IS NULL OR s0.op = 'D')
+  UNION ALL
+  SELECT 'update_preimage', 1, s0.lsn, s0.repo, s0.path, s0.commit,
+         CAST(NULL AS VARCHAR), s0.content, s0.content_sha256
+  FROM s1 JOIN s0 ON s1.repo = s0.repo AND s1.path = s0.path
+  WHERE s1.op <> 'D' AND s0.op <> 'D' AND s1.lsn <> s0.lsn
+  UNION ALL
+  SELECT 'update_postimage', 1, s1.lsn, s1.repo, s1.path, s1.commit,
+         s1.lang, s1.content, s1.content_sha256
+  FROM s1 JOIN s0 ON s1.repo = s0.repo AND s1.path = s0.path
+  WHERE s1.op <> 'D' AND s0.op <> 'D' AND s1.lsn <> s0.lsn
+  UNION ALL
+  SELECT 'delete', 1, s1.lsn, s0.repo, s0.path, s0.commit,
+         CAST(NULL AS VARCHAR), s0.content, s0.content_sha256
+  FROM s1 JOIN s0 ON s1.repo = s0.repo AND s1.path = s0.path
+  WHERE s1.op = 'D' AND s0.op <> 'D'
+)
+SELECT * FROM hist ORDER BY repo, path, _commit_epoch, _change_type, lsn
+"""
+
+QUERIES.update({"q146_key_history": q146_key_history})
+ORACLE.update({"q146_key_history": Q146_SQL})
