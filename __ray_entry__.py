@@ -54,7 +54,7 @@ DRIVER_WINDOW = [
     "q11_window_agg", "q13_dq_report", "q14_exact_dedup",
     "q17_knn_brute", "q20_lang_id", "q25_sessionize", "q32_asof_join",
     "q33_analytics_cube", "q44_neardup_pairs_exact",
-    "q45_neardup_keep_exact", "q46_embedding_neardup_exact",
+    "q45_neardup_keep_exact",
     "q48_simhash_exact", "q52_allpairs_jaccard",
     "q83_edit_distance_join",
     "q100_group_split", "q50_rollup", "q51_cube",
@@ -66,7 +66,6 @@ DRIVER_WINDOW = [
     "q111_incremental_neardup", "q114_windowed_watermark",
     "q116_session_windows",
     # round-4 session-2 families (sketches, set algebra, graph, robust)
-    "q117_hll_registers",
     "q125_incremental_kmv", "q126_triangles", "q127_robust_stats",
     # round-4 session-3: CDC semantics depth + compressed ANN. Displaced
     # entries keep family coverage via siblings in the window: lookup join
@@ -80,6 +79,13 @@ DRIVER_WINDOW = [
     # Displaced: q119/q121 one-shot sketches — their kernels are driven
     # through the lake protocol by q125/q133 above.
     "q137_patch_feed", "q139_bloom_point_read",
+    # round-4 session-6: the WAP staging workflow (branch isolation +
+    # audited fast-forward publish) and the triple-pruned per-key history.
+    # Displaced: q46 (the exact near-dup family keeps q44/q45/q48/q52)
+    # and q117 (the sketch family keeps q125/q133, which drive the
+    # mergeable-sketch machinery through the lake protocol; HLL's
+    # register kernel stays pytest-pinned and q117/q118 stay registered).
+    "q144_branch_wap", "q146_key_history",
 ]
 
 

@@ -30,8 +30,9 @@ def test_driver_window_is_first_50_and_fully_oracled():
                  "q111_incremental_neardup", "q114_windowed_watermark",
                  "q116_session_windows",
                  # round-4 session-2 families (q119/q121 displaced by their
-                 # incremental siblings q125/q133 in session 4/5)
-                 "q117_hll_registers",
+                 # incremental siblings q125/q133 in session 4/5; q117
+                 # displaced in session 6 — the sketch family keeps
+                 # q125/q133, HLL's register kernel stays pytest-pinned)
                  "q125_incremental_kmv",
                  "q126_triangles", "q127_robust_stats",
                  # round-4 session-3: CDC semantics depth + compressed ANN
@@ -39,7 +40,9 @@ def test_driver_window_is_first_50_and_fully_oracled():
                  "q133_incremental_cms", "q135_knn_pq_exact",
                  "q136_pk_change",
                  # round-4 session-4/5: cell feed + bloom point reads
-                 "q137_patch_feed", "q139_bloom_point_read"):
+                 "q137_patch_feed", "q139_bloom_point_read",
+                 # round-4 session-6: WAP branches + per-key history
+                 "q144_branch_wap", "q146_key_history"):
         assert must in win
 
 
