@@ -49,6 +49,11 @@ REASON_COL = "_dlq_reason"
 EPOCH_COL = "_dlq_epoch"
 
 
+class ConstraintViolationError(RuntimeError):
+    """Raised on a CHECK-constraint violation when the DLQ is off (the
+    Delta Lake contract: the write fails, the table is untouched)."""
+
+
 def _sha_mismatch_mask(t: pa.Table) -> np.ndarray:
     """Rows whose recomputed sha256(content) disagrees with content_sha256
     (missing sha counts as a mismatch when content is present). Bytes are
@@ -80,8 +85,30 @@ def _sha_mismatch_mask(t: pa.Table) -> np.ndarray:
     return out
 
 
-def classify(t: pa.Table, check_sha: bool = True) -> pa.Array:
-    """Per-row reason string (null = valid row), precedence as documented."""
+def constraint_violations(t: pa.Table, name: str, fn) -> np.ndarray:
+    """Rows violating one CHECK constraint, with SQL CHECK semantics: the
+    constraint fails only where ``fn(t)`` IS FALSE — NULL (unknown, e.g. a
+    predicate over a delete's null payload) passes, exactly like
+    ``CHECK (expr)`` in SQL. ``fn`` returns a boolean Arrow array / numpy
+    mask meaning "row satisfies the constraint"."""
+    mask = fn(t)
+    if isinstance(mask, np.ndarray):
+        if mask.dtype != bool:
+            raise TypeError(f"constraint {name!r} returned {mask.dtype}")
+        return ~mask
+    if isinstance(mask, (pa.Array, pa.ChunkedArray)):
+        return pc.fill_null(pc.equal(mask, False),
+                            False).to_numpy(zero_copy_only=False)
+    raise TypeError(f"constraint {name!r} returned {type(mask).__name__}")
+
+
+def classify(t: pa.Table, check_sha: bool = True,
+             constraints: tuple = ()) -> pa.Array:
+    """Per-row reason string (null = valid row), precedence as documented.
+    ``constraints`` — ``((name, fn), ...)`` CHECK constraints — classify
+    AFTER the structural reasons (a structurally-broken row quarantines
+    with its structural reason; a structurally-valid row violating
+    constraint k gets ``check:<name>``, first declared wins)."""
     n = t.num_rows
 
     def _np(mask) -> np.ndarray:
@@ -111,17 +138,42 @@ def classify(t: pa.Table, check_sha: bool = True) -> pa.Array:
     reasons[bad_op] = "bad_op"
     reasons[bad_lsn] = "bad_lsn"
     reasons[null_key] = "null_key"
+    if constraints:
+        structurally_ok = np.array([r is None for r in reasons], dtype=bool)
+        for name, fn in constraints:
+            viol = constraint_violations(t, name, fn)
+            hit = structurally_ok & viol & np.array(
+                [r is None for r in reasons], dtype=bool)
+            reasons[hit] = f"check:{name}"
     return pa.array(reasons, pa.string())
 
 
-def split_factory(check_sha: bool, keep: str, epoch: int | None = None):
+def enforce_factory(constraints: tuple):
+    """map_batches fn for the NO-DLQ path (Delta contract): any CHECK
+    violation aborts the epoch mid-pipeline — nothing was committed, the
+    lake is untouched, crash cleanup removes the tmp debris at resume.
+    Rows pass through unchanged (zero-copy) when every constraint holds."""
+    def _fn(t: pa.Table) -> pa.Table:
+        for name, fn in constraints:
+            n = int(constraint_violations(t, name, fn).sum())
+            if n:
+                raise ConstraintViolationError(
+                    f"CHECK constraint {name!r} violated by {n} row(s) in "
+                    "a batch; epoch aborted (enable CDCConfig.dlq to "
+                    "quarantine instead)")
+        return t
+    return _fn
+
+
+def split_factory(check_sha: bool, keep: str, epoch: int | None = None,
+                  constraints: tuple = ()):
     """map_batches fn: keep='good' passes valid rows through unchanged;
     keep='bad' returns quarantined rows + reason (+ epoch tag)."""
     if keep not in ("good", "bad"):
         raise ValueError(keep)
 
     def _fn(t: pa.Table) -> pa.Table:
-        reason = classify(t, check_sha=check_sha)
+        reason = classify(t, check_sha=check_sha, constraints=constraints)
         bad = pc.is_valid(reason)
         if keep == "good":
             return t.filter(pc.invert(bad))

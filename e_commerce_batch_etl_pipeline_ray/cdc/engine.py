@@ -115,6 +115,16 @@ class CDCConfig:
     # re-ingest as a later epoch — LWW makes redelivery idempotent).
     # With dlq=True, verify_sha's fail-fast is replaced by quarantine.
     dlq: bool = False
+    # CHECK constraints (Delta Lake ALTER TABLE ADD CONSTRAINT shape):
+    # ((name, fn), ...) where fn(batch: pa.Table) -> boolean mask meaning
+    # "row satisfies the constraint", with SQL CHECK three-valued
+    # semantics (NULL passes — a delete's null payload can't violate a
+    # content predicate). Violations: with dlq=True the row quarantines
+    # as reason "check:<name>" (structural reasons take precedence, first
+    # declared constraint wins); with dlq=False the epoch ABORTS
+    # (ConstraintViolationError) with the lake untouched — the Delta
+    # write-fails contract.
+    constraints: tuple = ()
     # per-file min/max column stats recorded in the manifest at every
     # COMPACT write (delta files carry none) — lets zorder.plan_range_scan
     # prune files on these columns without an OPTIMIZE ZORDER pass.
@@ -331,6 +341,30 @@ class MergeApply:
         })
 
 
+def merge_pool_size(requested: int) -> int:
+    """Actor-pool size bounded by the cluster, twice over: below TOTAL
+    CPUs (a pool reserving every CPU starves the upstream map/sort tasks
+    and the streaming executor deadlocks — observed at merge_concurrency
+    == num_cpus), and below currently-AVAILABLE CPUs (a FAILED earlier
+    pipeline keeps its pool actors alive for as long as the caller
+    references the error's traceback — the frames pin the executor, the
+    executor pins the actors, the actors pin their CPU reservations;
+    sizing the retry's pool from total CPUs would then deadlock it.
+    Shrinking to the available headroom keeps the retry making progress
+    at any leak size; test_constraints pins the scenario). Contention-
+    free sessions see avail == total and are unaffected."""
+    conc = requested
+    try:
+        total = int(ray.cluster_resources().get("CPU", requested + 2))
+        conc = max(1, min(requested, total - 2))
+        avail = int(ray.available_resources().get("CPU", total))
+        if avail < conc + 1:
+            conc = max(1, avail - 1)
+    except Exception:  # noqa: BLE001
+        pass
+    return conc
+
+
 class CDCEngine:
     """Driver-side orchestrator: epoch loop, commit protocol, resume."""
 
@@ -345,7 +379,12 @@ class CDCEngine:
         return lake.last_committed_epoch(self.cfg.lake_dir)
 
     def resume_point(self) -> int:
-        """Clean crash debris; next epoch to ingest."""
+        """Clean crash debris; next epoch to ingest. Also collects Python
+        garbage: a failed epoch's pipeline executor lives in a reference
+        CYCLE with its error traceback, and until collected its merge
+        actor pool keeps CPUs reserved (see merge_pool_size)."""
+        import gc
+        gc.collect()
         lake.clean_uncommitted(self.cfg.lake_dir)
         last = self.last_committed_epoch()
         return 0 if last is None else last + 1
@@ -425,7 +464,8 @@ class CDCEngine:
         if os.path.isdir(scratch):          # debris from a crashed attempt
             shutil.rmtree(scratch)
         bad = events.map_batches(
-            _dlq.split_factory(cfg.verify_sha, "bad", epoch),
+            _dlq.split_factory(cfg.verify_sha, "bad", epoch,
+                               constraints=cfg.constraints),
             batch_format="pyarrow", zero_copy_batch=True,
             batch_size=cfg.batch_size)
         bad.write_parquet(scratch)
@@ -446,7 +486,8 @@ class CDCEngine:
             dlq_rows += n
         shutil.rmtree(scratch)
         good = events.map_batches(
-            _dlq.split_factory(cfg.verify_sha, "good"),
+            _dlq.split_factory(cfg.verify_sha, "good",
+                               constraints=cfg.constraints),
             batch_format="pyarrow", zero_copy_batch=True,
             batch_size=cfg.batch_size)
         return good, dlq_rows, dlq_files
@@ -513,6 +554,15 @@ class CDCEngine:
                     "dlq=True is incompatible with the pipelined-normalize "
                     "path (quarantine must run before normalize)")
             events, dlq_rows, dlq_new_files = self._quarantine(events, epoch)
+        elif cfg.constraints:
+            # Delta contract without a DLQ: any CHECK violation aborts the
+            # epoch mid-pipeline — nothing committed, lake untouched, tmp
+            # debris cleaned at resume (same fail-fast shape as verify_sha)
+            from e_commerce_batch_etl_pipeline_ray.cdc import dlq as _dlq
+            events = events.map_batches(
+                _dlq.enforce_factory(cfg.constraints),
+                batch_format="pyarrow", zero_copy_batch=True,
+                batch_size=cfg.batch_size)
         prev_schema = lake.schema_from_b64(prev_manifest["schema"]) if prev_manifest else None
         if _normalized is not None:
             # pipelined path: normalize ran ahead with a schema computed
@@ -554,16 +604,7 @@ class CDCEngine:
                                            stats_cols=cfg.stats_cols,
                                            key_bloom_fpp=cfg.key_bloom_fpp)
         else:
-            # cap the merge actor pool below the cluster CPU count: each
-            # actor reserves 1 CPU, and if the pool takes EVERY CPU the
-            # upstream sort/map tasks starve -> the streaming executor
-            # deadlocks (observed at merge_concurrency == num_cpus)
-            conc = cfg.merge_concurrency
-            try:
-                avail = int(ray.cluster_resources().get("CPU", conc + 2))
-                conc = max(1, min(conc, avail - 2))
-            except Exception:  # noqa: BLE001
-                pass
+            conc = merge_pool_size(cfg.merge_concurrency)
             lineage_ds = normalized.groupby(_PID).map_groups(
                 MergeApply, batch_format="pyarrow",
                 fn_constructor_args=(cfg.lake_dir, epoch, schema_b64,

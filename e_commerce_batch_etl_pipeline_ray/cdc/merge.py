@@ -267,12 +267,8 @@ def merge_into(lake_dir: str, source: ray.data.Dataset, *,
 
     routed = source.map_batches(_route, batch_format="pyarrow",
                                 zero_copy_batch=True)
-    conc = merge_concurrency
-    try:
-        avail = int(ray.cluster_resources().get("CPU", conc + 2))
-        conc = max(1, min(conc, avail - 2))
-    except Exception:  # noqa: BLE001
-        pass
+    from e_commerce_batch_etl_pipeline_ray.cdc.engine import merge_pool_size
+    conc = merge_pool_size(merge_concurrency)
     lineage = collect_arrow(routed.groupby(_PID).map_groups(
         _MergeIntoApply, batch_format="pyarrow",
         fn_constructor_args=(lake_dir, epoch, schema_b64, prev_parts,

@@ -377,12 +377,10 @@ class PatchCDCEngine:
         normalized = events.map_batches(
             _normalize_patch_factory(schema, cfg.num_partitions),
             batch_format="pyarrow")
-        conc = cfg.merge_concurrency
-        try:
-            avail = int(ray.cluster_resources().get("CPU", conc + 2))
-            conc = max(1, min(conc, avail - 2))
-        except Exception:  # noqa: BLE001
-            pass
+        from e_commerce_batch_etl_pipeline_ray.cdc.engine import (
+            merge_pool_size,
+        )
+        conc = merge_pool_size(cfg.merge_concurrency)
         mode = ("compact" if cfg.compact_interval <= 1
                 or (epoch + 1) % cfg.compact_interval == 0 else "delta")
         lineage_ds = normalized.groupby(_PID).map_groups(

@@ -226,12 +226,10 @@ class SCD2Engine:
 
         normalized = events.map_batches(_combine, batch_format="pyarrow",
                                         zero_copy_batch=True)
-        conc = cfg.merge_concurrency
-        try:
-            avail = int(ray.cluster_resources().get("CPU", conc + 2))
-            conc = max(1, min(conc, avail - 2))
-        except Exception:  # noqa: BLE001
-            pass
+        from e_commerce_batch_etl_pipeline_ray.cdc.engine import (
+            merge_pool_size,
+        )
+        conc = merge_pool_size(cfg.merge_concurrency)
         mode = ("compact" if cfg.compact_interval <= 1
                 or (epoch + 1) % cfg.compact_interval == 0 else "delta")
         lineage_ds = normalized.groupby(_PID).map_groups(

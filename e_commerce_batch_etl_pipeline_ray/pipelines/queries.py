@@ -6278,3 +6278,91 @@ SELECT * FROM hist ORDER BY repo, path, _commit_epoch, _change_type, lsn
 
 QUERIES.update({"q146_key_history": q146_key_history})
 ORACLE.update({"q146_key_history": Q146_SQL})
+
+
+# ---------------------------------------------------------------------------
+# q147/q148 — CHECK CONSTRAINTS at ingest (CDCConfig.constraints; the
+# Delta Lake ALTER TABLE ADD CONSTRAINT shape, composed with the DLQ so
+# violating rows quarantine as reason "check:<name>" instead of failing
+# the batch — Kafka-Connect errors.tolerance). SQL three-valued CHECK
+# semantics: NULL passes, so a delete's null payload can never violate a
+# content predicate — the oracle mirrors this with IS FALSE. q147 checks
+# the quarantine table (structural reasons empty on the clean fixture,
+# so every row is the check's), q148 checks the live state == LWW over
+# the rows that SATISFY the constraint. The no-DLQ abort contract
+# (ConstraintViolationError, lake untouched) is test-pinned.
+
+_Q147_MIN_LEN = 50        # fixture contents are 49-50 chars: 49s violate
+
+
+def _q147_ingest(tag: str) -> str:
+    import tempfile
+
+    import pyarrow.compute as _pc
+
+    from e_commerce_batch_etl_pipeline_ray.cdc import engine
+    from e_commerce_batch_etl_pipeline_ray.stages.blockutil import (
+        read_parquet_clean,
+    )
+    ensure_oracle_fixtures()
+    lake_dir = tempfile.mkdtemp(prefix=f"{tag}_lake_", dir="/tmp")
+    check = ("content_min_len",
+             lambda t: _pc.greater_equal(_pc.utf8_length(t["content"]),
+                                         _Q147_MIN_LEN))
+    eng = engine.CDCEngine(engine.CDCConfig(
+        lake_dir=lake_dir, num_partitions=16, merge_concurrency=2,
+        dlq=True, constraints=(check,)))
+    for ep in range(Q24_EPOCHS):
+        eng.ingest_epoch(read_parquet_clean(
+            os.path.join(Q24_BINLOG_DIR, f"epoch-{ep}.parquet"),
+            override_num_blocks=8), ep)
+    return lake_dir
+
+
+def q147_check_constraint_dlq(sf_dir: str):
+    from e_commerce_batch_etl_pipeline_ray.cdc import dlq
+    lake_dir = _q147_ingest("q147")
+    return dlq.read_dlq(lake_dir) \
+        .select_columns(["repo", "path", "lsn", "op", "_dlq_reason",
+                         "_dlq_epoch"]) \
+        .sort(["repo", "path", "lsn", "op"])
+
+
+Q147_SQL = f"""
+SELECT repo, path, lsn, op, 'check:content_min_len' AS _dlq_reason,
+       CAST(CASE WHEN filename LIKE '%epoch-0%' THEN 0 ELSE 1 END
+            AS BIGINT) AS _dlq_epoch
+FROM read_parquet(['{Q24_BINLOG_DIR}/epoch-0.parquet',
+                   '{Q24_BINLOG_DIR}/epoch-1.parquet'],
+                  union_by_name=true, filename=true)
+WHERE (LENGTH(content) >= {_Q147_MIN_LEN}) IS FALSE
+ORDER BY repo, path, lsn, op
+"""
+
+
+def q148_check_constraint_state(sf_dir: str):
+    from e_commerce_batch_etl_pipeline_ray.cdc import lake
+    lake_dir = _q147_ingest("q148")
+    return lake.read_lake(lake_dir).sort(["repo", "path"])
+
+
+Q148_SQL = f"""
+WITH valid AS (
+  SELECT * FROM read_parquet(['{Q24_BINLOG_DIR}/epoch-0.parquet',
+                              '{Q24_BINLOG_DIR}/epoch-1.parquet'],
+                             union_by_name=true)
+  WHERE (LENGTH(content) >= {_Q147_MIN_LEN}) IS NOT FALSE
+)
+SELECT lsn, repo, path, commit, lang, content, content_sha256
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY repo, path
+                               ORDER BY lsn DESC) AS rn
+  FROM valid)
+WHERE rn = 1 AND op <> 'D'
+ORDER BY repo, path
+"""
+
+QUERIES.update({"q147_check_constraint_dlq": q147_check_constraint_dlq,
+                "q148_check_constraint_state": q148_check_constraint_state})
+ORACLE.update({"q147_check_constraint_dlq": Q147_SQL,
+               "q148_check_constraint_state": Q148_SQL})
