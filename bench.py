@@ -42,7 +42,12 @@ BENCH_QUERIES = ["q1_pricing_summary", "q3_dedup_lww", "q6_hash_join",
                  "q130_patch_cdc", "q131_delete_where",
                  "q133_incremental_cms", "q134_knn_pq",
                  "q137_patch_feed", "q138_audio_logmel",
-                 "q139_bloom_point_read"]
+                 "q139_bloom_point_read",
+                 # session 6: exactly-once DB replication, WAP branches,
+                 # metadata-only stats, triple-pruned key history,
+                 # CHECK-constraint quarantine
+                 "q143_db_replica", "q144_branch_wap", "q145_table_stats",
+                 "q146_key_history", "q147_check_constraint_dlq"]
 
 
 def _lineitem_rows(sf_dir: str) -> int:

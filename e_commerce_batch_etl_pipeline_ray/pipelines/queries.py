@@ -6366,3 +6366,25 @@ QUERIES.update({"q147_check_constraint_dlq": q147_check_constraint_dlq,
                 "q148_check_constraint_state": q148_check_constraint_state})
 ORACLE.update({"q147_check_constraint_dlq": Q147_SQL,
                "q148_check_constraint_state": Q148_SQL})
+
+
+# ---------------------------------------------------------------------------
+# q149 — SEMANTIC DEDUP, exact mode (stages/neardup.semantic_dedup_pairs;
+# SemDeDup, Abbas et al. 2023): k-means-bucketed within-cluster exact
+# cosine pairs — the learned-structure sibling of the SRP-LSH operator.
+# With n_clusters=1 every vector shares the one cluster, recall is 1.0
+# by construction, and the full chain (kmeans fit -> broadcast assign ->
+# cluster-partitioned segment matmul -> pair dedup) must EQUAL the
+# all-pairs cosine join — the q46 SQL oracle, over the same planted
+# corpus. The realistic operating point (n_clusters>1, ~N^2/k work) is
+# pinned by tests (planted near-identical pairs recovered, output is a
+# subset of all-pairs).
+
+def q149_semantic_dedup_exact(sf_dir: str):
+    from e_commerce_batch_etl_pipeline_ray.stages import neardup
+    return neardup.semantic_dedup_pairs(
+        _q46_planted(sf_dir), n_clusters=1, threshold=0.95)
+
+
+QUERIES.update({"q149_semantic_dedup_exact": q149_semantic_dedup_exact})
+ORACLE.update({"q149_semantic_dedup_exact": Q46_SQL})

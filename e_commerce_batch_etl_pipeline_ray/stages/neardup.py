@@ -822,6 +822,69 @@ def simhash_pairs(ds: ray.data.Dataset, text_col: str = "text",
 # embedding cosine near-dup (SRP-LSH)
 
 
+def _cosine_bucket_pairs(bucketed: ray.data.Dataset, id_col: str,
+                         threshold: float,
+                         num_partitions: int = 32) -> ray.data.Dataset:
+    """Shared verify kernel for bucketed embedding near-dup (SRP-LSH and
+    SemDeDup): hash-partition the (tab, bucket) keys, then ONE vectorized
+    Python call per partition that sorts, finds bucket boundaries, and
+    matmuls per bucket segment (the same _bpid pattern as
+    minhash/simhash — round 1's groupby(tab,bucket).map_groups paid one
+    Python dispatch per tiny bucket). Input layout: (id_col, tab, bucket,
+    vec); output (id_a, id_b, cosine), deduped across tables."""
+
+    def _pairs_partition(g: pa.Table) -> pa.Table:
+        empty = pa.table({"id_a": pa.array([], pa.int64()),
+                          "id_b": pa.array([], pa.int64()),
+                          "cosine": pa.array([], pa.float64())})
+        if g.num_rows == 0:
+            return empty
+        idx = pc.sort_indices(g, sort_keys=[("tab", "ascending"),
+                                            ("bucket", "ascending"),
+                                            (id_col, "ascending")])
+        t = g.take(idx)
+        tab = t["tab"].to_numpy()
+        bucket = t["bucket"].to_numpy()
+        ids = t[id_col].to_numpy()
+        from e_commerce_batch_etl_pipeline_ray.stages.similarity import _emb_matrix
+        v = _emb_matrix(t["vec"])
+        norm = np.linalg.norm(v, axis=1, keepdims=True)
+        norm[norm == 0] = 1.0
+        vn = v / norm
+        n = len(ids)
+        new_group = np.ones(n, dtype=bool)
+        new_group[1:] = (tab[1:] != tab[:-1]) | (bucket[1:] != bucket[:-1])
+        starts = np.flatnonzero(new_group)
+        ends = np.append(starts[1:], n)
+        a_out, b_out, cs = [], [], []
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            seg_ids = ids[s:e]
+            sim = vn[s:e] @ vn[s:e].T
+            ii, jj = np.nonzero(np.triu(sim >= threshold, k=1))
+            for i, j in zip(ii, jj):
+                a_out.append(int(seg_ids[i]))
+                b_out.append(int(seg_ids[j]))
+                cs.append(round(float(sim[i, j]), 6))
+        if not a_out:
+            return empty
+        return pa.table({"id_a": pa.array(a_out, pa.int64()),
+                         "id_b": pa.array(b_out, pa.int64()),
+                         "cosine": pa.array(cs, pa.float64())})
+
+    def _assign_bucket_pid(t: pa.Table) -> pa.Table:
+        pid = hash_partition_ids(t, ["tab", "bucket"], num_partitions)
+        return t.append_column("_bpid", pa.array(pid, pa.int32()))
+
+    pairs = bucketed.map_batches(_assign_bucket_pid, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+    pairs = pairs.groupby("_bpid").map_groups(_pairs_partition,
+                                              batch_format="pyarrow")
+    return dedup_keyed(["id_a", "id_b"], ["cosine"], descending=True,
+                       num_partitions=16).apply(pairs)
+
+
 def embedding_neardup_pairs(ds: ray.data.Dataset, emb_col: str = "embedding",
                             id_col: str = "vec_id", dim: int = 64,
                             n_planes: int = 12, threshold: float = 0.95,
@@ -867,62 +930,57 @@ def embedding_neardup_pairs(ds: ray.data.Dataset, emb_col: str = "embedding",
     bucketed = ds.map_batches(_Bucket, batch_format="pyarrow",
                               fn_constructor_args=(planes_ref,),
                               batch_size=2048, concurrency=(1, 8))
+    return _cosine_bucket_pairs(bucketed, id_col, threshold, 32)
 
-    # partition-level vectorized bucketing — the SAME _bpid pattern as
-    # minhash/simhash: hash-partition the (tab, bucket) keys, then ONE
-    # Python call per partition that sorts, finds bucket boundaries, and
-    # matmuls per bucket segment. (Round 1 did groupby(tab,bucket)
-    # .map_groups — one Python dispatch per tiny bucket.)
-    def _pairs_partition(g: pa.Table) -> pa.Table:
-        empty = pa.table({"id_a": pa.array([], pa.int64()),
-                          "id_b": pa.array([], pa.int64()),
-                          "cosine": pa.array([], pa.float64())})
-        if g.num_rows == 0:
-            return empty
-        idx = pc.sort_indices(g, sort_keys=[("tab", "ascending"),
-                                            ("bucket", "ascending"),
-                                            (id_col, "ascending")])
-        t = g.take(idx)
-        tab = t["tab"].to_numpy()
-        bucket = t["bucket"].to_numpy()
-        ids = t[id_col].to_numpy()
-        from e_commerce_batch_etl_pipeline_ray.stages.similarity import _emb_matrix
-        v = _emb_matrix(t["vec"])
-        norm = np.linalg.norm(v, axis=1, keepdims=True)
-        norm[norm == 0] = 1.0
-        vn = v / norm
-        n = len(ids)
-        new_group = np.ones(n, dtype=bool)
-        new_group[1:] = (tab[1:] != tab[:-1]) | (bucket[1:] != bucket[:-1])
-        starts = np.flatnonzero(new_group)
-        ends = np.append(starts[1:], n)
-        a_out, b_out, cs = [], [], []
-        for s, e in zip(starts, ends):
-            if e - s < 2:
-                continue
-            seg_ids = ids[s:e]
-            sim = vn[s:e] @ vn[s:e].T
-            ii, jj = np.nonzero(np.triu(sim >= threshold, k=1))
-            for i, j in zip(ii, jj):
-                a_out.append(int(seg_ids[i]))
-                b_out.append(int(seg_ids[j]))
-                cs.append(round(float(sim[i, j]), 6))
-        if not a_out:
-            return empty
-        return pa.table({"id_a": pa.array(a_out, pa.int64()),
-                         "id_b": pa.array(b_out, pa.int64()),
-                         "cosine": pa.array(cs, pa.float64())})
 
-    def _assign_bucket_pid(t: pa.Table) -> pa.Table:
-        pid = hash_partition_ids(t, ["tab", "bucket"], 32)
-        return t.append_column("_bpid", pa.array(pid, pa.int32()))
+def semantic_dedup_pairs(ds: ray.data.Dataset, emb_col: str = "embedding",
+                         id_col: str = "vec_id", n_clusters: int = 16,
+                         threshold: float = 0.95, seed: int = 7,
+                         sample_size: int = 4096,
+                         num_partitions: int = 32) -> ray.data.Dataset:
+    """SemDeDup-style semantic near-dup pairs (Abbas et al. 2023,
+    arXiv:2303.09540 — public): k-means-cluster the embedding space, then
+    exact pairwise cosine ONLY within each cluster — the quadratic term
+    drops from O(N^2) to O(sum_c n_c^2), i.e. ~N^2/k for balanced
+    clusters, and each cluster's matmul is an independent co-partitioned
+    task. This is the CLUSTER-bucketed sibling of the SRP-LSH operator
+    (embedding_neardup_pairs): LSH buckets by random hyperplanes and
+    stacks tables to bound the miss rate; SemDeDup buckets by learned
+    structure, which concentrates true semantic duplicates into one
+    bucket (a near-identical pair is split only when it straddles a
+    k-means boundary — with ``n_clusters=1`` recall is exactly 1.0 and
+    the output EQUALS the all-pairs join, the q149 oracle point).
 
-    pairs = bucketed.map_batches(_assign_bucket_pid, batch_format="pyarrow",
-                                 zero_copy_batch=True)
-    pairs = pairs.groupby("_bpid").map_groups(_pairs_partition,
-                                              batch_format="pyarrow")
-    return dedup_keyed(["id_a", "id_b"], ["cosine"], descending=True,
-                       num_partitions=16).apply(pairs)
+    Shape: kmeans_fit (driver-sampled k-means++ init, per-batch partial
+    sums — O(iters * blocks * k * d) traffic, data never collected) ->
+    broadcast-centroid assignment (row-local) -> hash-partition on
+    cluster id -> one vectorized sort + segment-matmul task per
+    partition (the minhash/simhash _bpid pattern) -> keyed pair dedup.
+    Returns (id_a, id_b, cosine), id_a < id_b.
+    """
+    from e_commerce_batch_etl_pipeline_ray.stages.embedding import (
+        kmeans_assign,
+        kmeans_fit,
+    )
+
+    model = kmeans_fit(ds, n_clusters, emb_col=emb_col, seed=seed,
+                       sample_size=sample_size)
+
+    def _shape(t: pa.Table) -> pa.Table:
+        _check_int_id(t[id_col], id_col, "semantic_dedup_pairs")
+        # reuse the SRP verify kernel's (tab, bucket, vec) layout:
+        # tab=0 (single table), bucket = the learned cluster id
+        return pa.table({
+            id_col: t[id_col],
+            "tab": pa.array(np.zeros(t.num_rows, dtype=np.int32)),
+            "bucket": t["_sem_cluster"].cast(pa.int64()),
+            "vec": t[emb_col],
+        })
+
+    bucketed = kmeans_assign(model["centroids"], emb_col,
+                             out="_sem_cluster").apply(ds) \
+        .map_batches(_shape, batch_format="pyarrow", zero_copy_batch=True)
+    return _cosine_bucket_pairs(bucketed, id_col, threshold, num_partitions)
 
 
 # ---------------------------------------------------------------------------
