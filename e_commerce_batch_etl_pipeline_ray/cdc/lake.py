@@ -732,6 +732,97 @@ def vacuum(lake_dir: str, keep_last: int = 1) -> dict:
             "manifests_removed": manifests_removed}
 
 
+def restore(lake_dir: str, to_epoch: int) -> dict:
+    """RESTORE the lake's live state to an earlier committed epoch — the
+    Delta ``RESTORE TABLE t TO VERSION AS OF k`` shape (reference has no
+    rollback at all; its pipeline overwrites the curated table per run,
+    src/load.py). Pure METADATA: commits a NEW epoch whose per-partition
+    records are a copy of epoch ``to_epoch``'s — the manifest re-references
+    the old files by path, zero data is copied or rewritten, so a 100 TB
+    rollback is one O(KB) JSON write. The schema reverts with the data
+    (a restore across the additive-evolution boundary narrows the read
+    schema again, exactly like Delta's metadata revert).
+
+    What does NOT rewind — the stream-position contracts:
+
+    * ``lsn_watermark`` stays at the pre-restore head. The watermark is the
+      high-water mark of the INGESTED binlog (delete_where/MERGE mint
+      ``wm+1`` as a fresh LSN; rewinding it could collide with real lsns
+      from the undone epochs if they are later re-delivered).
+    * ``snapshot_lsn`` (bootstrap boundary) and the DLQ lineage
+      (``dlq_files``/``dlq_rows``) carry from the head — quarantined rows
+      are an audit channel, not table state.
+
+    Everything downstream composes because this is a normal epoch commit:
+    time travel to pre-restore epochs still works (manifests are
+    immutable), the change feed emits the INVERSE diff at the restore
+    boundary (its planner diffs file lists per epoch, and the lists just
+    changed back), ``apply_feed`` roundtrips across it, vacuum keeps the
+    re-referenced old files (it walks manifest references, not epoch
+    dirs), and the next ``ingest_epoch`` resumes at ``restored_epoch + 1``
+    with LWW semantics unchanged (new binlog lsns exceed the preserved
+    watermark). A partition whose FIRST file landed after ``to_epoch`` is
+    restored to an explicit empty record (``file: None``) — omitting the
+    pid would hide its deletion from the feed planner.
+
+    Plain CDC lakes only: derived stores with their own top-level manifest
+    state (index views' removal_log, incremental dedup states) version
+    through their own engines. Not concurrency-safe with an ingest into
+    the same lake (single-writer rule, same as optimize/vacuum).
+    """
+    last = last_committed_epoch(lake_dir)
+    if last is None:
+        raise FileNotFoundError(f"restore on an empty lake: {lake_dir}")
+    if not (0 <= to_epoch <= last):
+        raise ValueError(f"restore target {to_epoch} outside committed "
+                         f"[0, {last}]")
+    if not os.path.exists(_manifest_path(lake_dir, to_epoch)):
+        raise FileNotFoundError(
+            f"epoch {to_epoch} manifest was vacuumed — restore needs the "
+            f"target manifest (vacuum keep_last bounds the restore window)")
+    target = read_manifest(lake_dir, to_epoch)
+    head = read_manifest(lake_dir, last)
+
+    parts: dict[str, dict] = {pid: dict(rec)
+                              for pid, rec in target["partitions"].items()}
+    for pid in head["partitions"]:
+        if pid not in parts:
+            parts[pid] = {"file": None, "deltas": [], "lsn_watermark": -1,
+                          "rows_applied": 0, "rows_total": 0,
+                          "bytes_written": 0, "late_events": 0, "stats": ""}
+
+    manifest = {
+        "epoch": last + 1,
+        "lsn_watermark": head["lsn_watermark"],
+        "schema": target["schema"],
+        "partitions": parts,
+        "committed": True,
+        "restored_from": to_epoch,
+        "metrics": {"restored_from": to_epoch, "head_before_restore": last},
+    }
+    for carry in ("num_partitions", "snapshot_lsn", "dlq_files", "dlq_rows"):
+        if carry in head:
+            manifest[carry] = head[carry]
+
+    path = _manifest_path(lake_dir, last + 1)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, path)
+    return {"restored_from": to_epoch, "epoch": last + 1,
+            "partitions_reverted": sum(
+                1 for pid, rec in parts.items()
+                if _rec_files(rec) != _rec_files(
+                    head["partitions"].get(pid)))}
+
+
+def _rec_files(rec: dict | None) -> list[str]:
+    if not rec:
+        return []
+    return ([rec["file"]] if rec.get("file") else []) \
+        + list(rec.get("deltas", []))
+
+
 def rebucket(src_lake: str, dst_lake: str, num_partitions: int,
              epoch: int | None = None) -> dict:
     """Offline partition-count migration: rewrite the lake's state (at

@@ -6388,3 +6388,66 @@ def q149_semantic_dedup_exact(sf_dir: str):
 
 QUERIES.update({"q149_semantic_dedup_exact": q149_semantic_dedup_exact})
 ORACLE.update({"q149_semantic_dedup_exact": Q46_SQL})
+
+
+# ---------------------------------------------------------------------------
+# q150/q151 — RESTORE (rollback) of the CDC lake (cdc/lake.restore; the
+# Delta `RESTORE TABLE t TO VERSION AS OF k` shape — reference has no
+# rollback, its run overwrites the curated table, src/load.py).
+# q150 pins the restore READ: ingest both fixture epochs, restore to
+# epoch 0 (across the schema-evolution boundary — the schema reverts
+# with the data, no `lang` column), read the head -> must equal the LWW
+# window over the epoch-0 log alone (the q76 as-of SQL, because a
+# restore commit re-references exactly epoch 0's files).
+# q151 pins the stream CONTINUATION: after the rollback, re-deliver the
+# epoch-1 binlog as the next epoch — because restore preserved the lsn
+# watermark and the manifest chain, the replay must land exactly where
+# the original head was: the q24 two-epoch LWW SQL.
+
+def q150_restore_read(sf_dir: str):
+    import tempfile
+
+    from e_commerce_batch_etl_pipeline_ray.cdc import engine, lake
+    from e_commerce_batch_etl_pipeline_ray.stages.blockutil import (
+        read_parquet_clean,
+    )
+    ensure_oracle_fixtures()
+    lake_dir = tempfile.mkdtemp(prefix="q150_lake_", dir="/tmp")
+    eng = engine.CDCEngine(engine.CDCConfig(lake_dir=lake_dir,
+                                            num_partitions=16,
+                                            merge_concurrency=2))
+    for ep in range(Q24_EPOCHS):
+        eng.ingest_epoch(read_parquet_clean(
+            os.path.join(Q24_BINLOG_DIR, f"epoch-{ep}.parquet"),
+            override_num_blocks=8), ep)
+    lake.restore(lake_dir, 0)
+    return eng.read().sort(["repo", "path"])
+
+
+def q151_restore_reingest(sf_dir: str):
+    import tempfile
+
+    from e_commerce_batch_etl_pipeline_ray.cdc import engine, lake
+    from e_commerce_batch_etl_pipeline_ray.stages.blockutil import (
+        read_parquet_clean,
+    )
+    ensure_oracle_fixtures()
+    lake_dir = tempfile.mkdtemp(prefix="q151_lake_", dir="/tmp")
+    eng = engine.CDCEngine(engine.CDCConfig(lake_dir=lake_dir,
+                                            num_partitions=16,
+                                            merge_concurrency=2))
+    for ep in range(Q24_EPOCHS):
+        eng.ingest_epoch(read_parquet_clean(
+            os.path.join(Q24_BINLOG_DIR, f"epoch-{ep}.parquet"),
+            override_num_blocks=8), ep)
+    lake.restore(lake_dir, 0)
+    eng.ingest_epoch(read_parquet_clean(
+        os.path.join(Q24_BINLOG_DIR, "epoch-1.parquet"),
+        override_num_blocks=8), eng.resume_point())
+    return eng.read().sort(["repo", "path"])
+
+
+QUERIES.update({"q150_restore_read": q150_restore_read,
+                "q151_restore_reingest": q151_restore_reingest})
+ORACLE.update({"q150_restore_read": Q76_SQL,
+               "q151_restore_reingest": Q24_SQL})

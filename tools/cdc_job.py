@@ -111,11 +111,22 @@ def main() -> int:
                     help="remove a branch (safe published or not), exit")
     ap.add_argument("--list-branches", action="store_true",
                     help="list branches with fork/head epochs, exit")
+    ap.add_argument("--restore", type=int, default=None, metavar="EPOCH",
+                    help="RESTORE the live table to this committed epoch "
+                         "(metadata-only rollback commit; stream position "
+                         "is preserved), exit")
     ap.add_argument("--stats", action="store_true",
                     help="metadata-only COUNT/MIN/MAX from the manifest "
                          "(reads data only for uncompacted partitions), "
                          "exit")
     args = ap.parse_args()
+
+    if args.restore is not None:
+        # metadata-only: no Ray session needed
+        from e_commerce_batch_etl_pipeline_ray.cdc import lake as _lake
+        print(json.dumps({"restore": _lake.restore(args.lake_dir,
+                                                   args.restore)}))
+        return 0
 
     if args.stats:
         import ray
