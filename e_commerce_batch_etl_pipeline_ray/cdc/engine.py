@@ -152,14 +152,20 @@ class EpochStats:
     lineage: list[dict] = field(default_factory=list)
 
 
-def _data_schema(event_schema: pa.Schema, prev_schema: pa.Schema | None) -> pa.Schema:
+def _data_schema(event_schema: pa.Schema, prev_schema: pa.Schema | None,
+                 dropped: tuple = ()) -> pa.Schema:
     """Evolved lake schema: event columns minus op, plus lsn + _deleted;
     unified additively with the previous epoch's schema (type widening via
-    permissive unify). Metadata is STRIPPED: parquet pandas-metadata makes
-    pa.Schema unhashable, which disables Ray's block-schema dedup and spams
-    'Failed to hash the schemas' warnings per merge task."""
+    permissive unify). ``dropped``: column names retired by
+    ``lake.drop_column`` — incoming events may still carry them (the
+    producer doesn't know the lake stopped storing the column), so they are
+    excluded here, which makes the normalize projection STRIP them and
+    every compact rewrite progressively remove the old bytes. Metadata is
+    STRIPPED: parquet pandas-metadata makes pa.Schema unhashable, which
+    disables Ray's block-schema dedup and spams 'Failed to hash the
+    schemas' warnings per merge task."""
     fields = [pa.field(f.name, f.type) for f in event_schema
-              if f.name not in ("op",)]
+              if f.name not in ("op",) and f.name not in dropped]
     s = pa.schema(fields)
     if prev_schema is not None:
         prev_data = pa.schema([f for f in prev_schema if f.name != "_deleted"])
@@ -564,15 +570,17 @@ class CDCEngine:
                 batch_format="pyarrow", zero_copy_batch=True,
                 batch_size=cfg.batch_size)
         prev_schema = lake.schema_from_b64(prev_manifest["schema"]) if prev_manifest else None
+        dropped = tuple(prev_manifest.get("dropped_columns", ())) \
+            if prev_manifest else ()
         if _normalized is not None:
             # pipelined path: normalize ran ahead with a schema computed
             # from the deterministic schema CHAIN — must equal the one the
             # committed manifest now implies
             schema = _schema
-            if schema != _data_schema(raw_schema, prev_schema):
+            if schema != _data_schema(raw_schema, prev_schema, dropped):
                 raise ValueError("pipelined schema does not match manifest chain")
         else:
-            schema = _data_schema(raw_schema, prev_schema)
+            schema = _data_schema(raw_schema, prev_schema, dropped)
         schema_b64 = lake.schema_to_b64(schema)
         prev_parts = prev_manifest["partitions"] if prev_manifest else {}
 
@@ -733,10 +741,15 @@ class CDCEngine:
         snap_lsn = (prev_manifest.get("snapshot_lsn")
                     if prev_manifest is not None else None)
 
-        # deterministic schema chain, computed up front
+        # deterministic schema chain, computed up front (dropped-column
+        # markers are chain-constant too: single-writer rule, no
+        # drop_column can land mid-run)
+        dropped = (tuple(prev_manifest.get("dropped_columns", ()))
+                   if prev_manifest is not None else ())
         schemas = []
         for _, events in epochs:
-            s = _data_schema(events.schema().base_schema, prev_schema)
+            s = _data_schema(events.schema().base_schema, prev_schema,
+                             dropped)
             schemas.append(s)
             prev_schema = s
 

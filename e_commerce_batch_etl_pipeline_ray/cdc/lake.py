@@ -124,7 +124,10 @@ def commit_manifest(lake_dir: str, epoch: int, partitions: dict[int, dict],
     # zorder, merge, delete_where) must carry it or vacuum reclaims the
     # quarantined rows; an ingest that adds rows passes the accumulated
     # lists via ``extra`` (explicit extra wins over carry-forward).
-    for carry in ("dlq_files", "dlq_rows"):
+    # dropped_columns (lake.drop_column) rides the chain the same way —
+    # every commit path must carry it or a later ingest would resurrect
+    # the retired column from the incoming events
+    for carry in ("dlq_files", "dlq_rows", "dropped_columns"):
         if (extra is None or carry not in extra) and prev and carry in prev:
             manifest[carry] = prev[carry]
     if metrics:
@@ -800,6 +803,10 @@ def restore(lake_dir: str, to_epoch: int) -> dict:
         "restored_from": to_epoch,
         "metrics": {"restored_from": to_epoch, "head_before_restore": last},
     }
+    # dropped_columns is a STATE property — it reverts with the schema
+    # (a drop after the target epoch is undone by the restore)
+    if "dropped_columns" in target:
+        manifest["dropped_columns"] = target["dropped_columns"]
     for carry in ("num_partitions", "snapshot_lsn", "dlq_files", "dlq_rows"):
         if carry in head:
             manifest[carry] = head[carry]
@@ -821,6 +828,117 @@ def _rec_files(rec: dict | None) -> list[str]:
         return []
     return ([rec["file"]] if rec.get("file") else []) \
         + list(rec.get("deltas", []))
+
+
+# key + protocol columns a CDC lake cannot function without
+_UNDROPPABLE = ("repo", "path", "lsn", "_deleted", "op")
+
+
+def drop_column(lake_dir: str, col: str) -> dict:
+    """Metadata-only ``ALTER TABLE t DROP COLUMN col`` — the Delta
+    column-mapping drop shape, adapted to a CDC lake whose producer keeps
+    sending the column. Commits a new epoch with the SAME partition
+    records (zero data rewritten — at 100 TB the drop is one O(KB) JSON
+    write) and the schema minus ``col``; effects:
+
+    * READS hide the column instantly: every reader projects files to the
+      manifest schema (``_unify_to``), so old files' bytes are simply
+      never selected.
+    * INGEST strips the column: ``dropped_columns`` rides the manifest
+      chain and the engine excludes retired names from the evolved schema,
+      so the normalize projection drops them from incoming events and
+      every compact rewrite progressively removes the old bytes.
+    * The NAME is retired: re-introducing it via events is ignored (strip)
+      rather than resurrecting old values from un-rewritten files. To
+      reuse the name, ``undrop_column`` verifies no referenced file still
+      carries physical bytes (footer scan) and lifts the marker; the next
+      ingest then re-adds it as a fresh additive column.
+    * RESTORE to a pre-drop epoch reverts the drop with the schema
+      (state property, like Delta's metadata revert).
+    * The row-grain change feed emits nothing at the drop boundary (file
+      lists unchanged; a column-level change is not a row change).
+
+    Physical erasure on demand (GDPR-grade) is a full-rewrite pass —
+    ``zorder.optimize_zorder`` rewrites every partition and therefore
+    drops the bytes as a side effect of the schema projection.
+
+    Single-writer rule: not concurrency-safe with an ingest into the same
+    lake (same as optimize/vacuum/restore).
+    """
+    last = last_committed_epoch(lake_dir)
+    if last is None:
+        raise FileNotFoundError(f"drop_column on an empty lake: {lake_dir}")
+    if col in _UNDROPPABLE:
+        raise ValueError(f"cannot drop key/protocol column {col!r}")
+    head = read_manifest(lake_dir, last)
+    schema = schema_from_b64(head["schema"])
+    if col not in schema.names:
+        raise ValueError(f"column {col!r} not in lake schema "
+                         f"{[n for n in schema.names if n != '_deleted']}")
+    new_schema = pa.schema([f for f in schema if f.name != col])
+    dropped = list(head.get("dropped_columns", [])) + [col]
+
+    manifest = dict(head)
+    manifest.pop("restored_from", None)
+    manifest["epoch"] = last + 1
+    manifest["schema"] = schema_to_b64(new_schema)
+    manifest["dropped_columns"] = dropped
+    manifest["metrics"] = {"dropped_column": col}
+    path = _manifest_path(lake_dir, last + 1)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, path)
+    return {"dropped": col, "epoch": last + 1,
+            "dropped_columns": dropped}
+
+
+def undrop_column(lake_dir: str, col: str) -> dict:
+    """Lift a ``drop_column`` marker so the name can be reused. SAFE only
+    when no file referenced by the head manifest still physically carries
+    the column — otherwise the schema projection would resurrect stale
+    values for partitions not rewritten since the drop. The check is
+    metadata-grade: one parquet FOOTER read per referenced file, no data
+    decoded. Refuses (listing offending files) until a full rewrite
+    (``zorder.optimize_zorder``) or enough compact ingests have removed
+    the bytes. The column is NOT re-added to the schema — the next ingest
+    carrying it evolves the schema additively, as a fresh all-new column."""
+    import pyarrow.parquet as pq
+
+    last = last_committed_epoch(lake_dir)
+    if last is None:
+        raise FileNotFoundError(f"undrop_column on an empty lake: {lake_dir}")
+    head = read_manifest(lake_dir, last)
+    dropped = list(head.get("dropped_columns", []))
+    if col not in dropped:
+        raise ValueError(f"column {col!r} is not dropped "
+                         f"(dropped_columns={dropped})")
+    stale = []
+    for rec in head["partitions"].values():
+        for f in _rec_files(rec):
+            if col in pq.read_schema(f).names:
+                stale.append(f)
+    if stale:
+        raise ValueError(
+            f"column {col!r} still has physical bytes in {len(stale)} "
+            f"file(s) (e.g. {stale[0]}) — rewrite them first "
+            f"(zorder.optimize_zorder rewrites every partition)")
+    dropped.remove(col)
+    manifest = dict(head)
+    manifest.pop("restored_from", None)
+    manifest["epoch"] = last + 1
+    if dropped:
+        manifest["dropped_columns"] = dropped
+    else:
+        manifest.pop("dropped_columns", None)
+    manifest["metrics"] = {"undropped_column": col}
+    path = _manifest_path(lake_dir, last + 1)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, path)
+    return {"undropped": col, "epoch": last + 1,
+            "dropped_columns": dropped}
 
 
 def rebucket(src_lake: str, dst_lake: str, num_partitions: int,

@@ -6451,3 +6451,58 @@ QUERIES.update({"q150_restore_read": q150_restore_read,
                 "q151_restore_reingest": q151_restore_reingest})
 ORACLE.update({"q150_restore_read": Q76_SQL,
                "q151_restore_reingest": Q24_SQL})
+
+
+# ---------------------------------------------------------------------------
+# q152 — metadata-only DROP COLUMN (cdc/lake.drop_column; the Delta
+# column-mapping drop shape). Ingest both fixture epochs (schema evolves
+# to carry `lang` at epoch 1), DROP `lang` — one O(KB) manifest commit,
+# zero files rewritten — then read: every reader projects files to the
+# manifest schema, so the column vanishes instantly while the bytes
+# still sit in the epoch-1 files. THEN re-deliver the epoch-1 binlog as
+# a new epoch: the chain's dropped_columns marker makes the engine STRIP
+# the column from the incoming events (the producer doesn't know the
+# lake retired it) instead of resurrecting it. The oracle is the q24
+# two-epoch LWW window WITHOUT lang — both the hidden-at-read and the
+# stripped-at-ingest paths must land exactly there.
+
+def q152_drop_column(sf_dir: str):
+    import tempfile
+
+    from e_commerce_batch_etl_pipeline_ray.cdc import engine, lake
+    from e_commerce_batch_etl_pipeline_ray.stages.blockutil import (
+        read_parquet_clean,
+    )
+    ensure_oracle_fixtures()
+    lake_dir = tempfile.mkdtemp(prefix="q152_lake_", dir="/tmp")
+    eng = engine.CDCEngine(engine.CDCConfig(lake_dir=lake_dir,
+                                            num_partitions=16,
+                                            merge_concurrency=2))
+    for ep in range(Q24_EPOCHS):
+        eng.ingest_epoch(read_parquet_clean(
+            os.path.join(Q24_BINLOG_DIR, f"epoch-{ep}.parquet"),
+            override_num_blocks=8), ep)
+    lake.drop_column(lake_dir, "lang")
+    # re-delivery after the drop: events still carry lang; the engine
+    # strips it (idempotent state, minus the retired column)
+    eng.ingest_epoch(read_parquet_clean(
+        os.path.join(Q24_BINLOG_DIR, "epoch-1.parquet"),
+        override_num_blocks=8), eng.resume_point())
+    return eng.read().sort(["repo", "path"])
+
+
+Q152_SQL = f"""
+SELECT lsn, repo, path, commit, content, content_sha256
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY repo, path ORDER BY lsn DESC) AS rn
+  FROM read_parquet(['{Q24_BINLOG_DIR}/epoch-0.parquet',
+                     '{Q24_BINLOG_DIR}/epoch-1.parquet'],
+                    union_by_name=true)
+)
+WHERE rn = 1 AND op <> 'D'
+ORDER BY repo, path
+"""
+
+
+QUERIES.update({"q152_drop_column": q152_drop_column})
+ORACLE.update({"q152_drop_column": Q152_SQL})

@@ -115,6 +115,12 @@ def main() -> int:
                     help="RESTORE the live table to this committed epoch "
                          "(metadata-only rollback commit; stream position "
                          "is preserved), exit")
+    ap.add_argument("--drop-column", default=None, metavar="COL",
+                    help="metadata-only ALTER TABLE DROP COLUMN: reads hide "
+                         "it instantly, later ingests strip it, exit")
+    ap.add_argument("--undrop-column", default=None, metavar="COL",
+                    help="lift a drop_column marker (refuses while any "
+                         "referenced file still carries the bytes), exit")
     ap.add_argument("--stats", action="store_true",
                     help="metadata-only COUNT/MIN/MAX from the manifest "
                          "(reads data only for uncompacted partitions), "
@@ -126,6 +132,17 @@ def main() -> int:
         from e_commerce_batch_etl_pipeline_ray.cdc import lake as _lake
         print(json.dumps({"restore": _lake.restore(args.lake_dir,
                                                    args.restore)}))
+        return 0
+
+    if args.drop_column is not None or args.undrop_column is not None:
+        # metadata-only (undrop reads parquet footers, still no Ray session)
+        from e_commerce_batch_etl_pipeline_ray.cdc import lake as _lake
+        if args.drop_column is not None:
+            print(json.dumps({"drop_column": _lake.drop_column(
+                args.lake_dir, args.drop_column)}))
+        else:
+            print(json.dumps({"undrop_column": _lake.undrop_column(
+                args.lake_dir, args.undrop_column)}))
         return 0
 
     if args.stats:
