@@ -66,14 +66,9 @@ class MergeWorker:
         os.makedirs(self.tmp_dir, exist_ok=True)
 
     def _unify(self, t: pa.Table) -> pa.Table:
-        cols = []
-        for fld in self.schema:
-            if fld.name in t.column_names:
-                c = t[fld.name]
-                cols.append(c.cast(fld.type) if c.type != fld.type else c)
-            else:
-                cols.append(pa.nulls(t.num_rows, type=fld.type))
-        return pa.Table.from_arrays(cols, schema=self.schema)
+        # lake._unify_to also resolves rename aliases — prior files written
+        # before a lake.rename_column carry the old physical name
+        return lake._unify_to(t, self.schema)
 
     def ingest_block(self, block: pa.Table) -> int:
         """Broadcast fan-out: take this worker's rows from a (shared,

@@ -160,12 +160,31 @@ def _data_schema(event_schema: pa.Schema, prev_schema: pa.Schema | None,
     ``lake.drop_column`` — incoming events may still carry them (the
     producer doesn't know the lake stopped storing the column), so they are
     excluded here, which makes the normalize projection STRIP them and
-    every compact rewrite progressively remove the old bytes. Metadata is
-    STRIPPED: parquet pandas-metadata makes pa.Schema unhashable, which
-    disables Ray's block-schema dedup and spams 'Failed to hash the
-    schemas' warnings per merge task."""
-    fields = [pa.field(f.name, f.type) for f in event_schema
-              if f.name not in ("op",) and f.name not in dropped]
+    every compact rewrite progressively remove the old bytes. Event field
+    names are CANONICALIZED through the previous schema's rename aliases
+    (``lake.rename_column`` field metadata) — a producer still sending a
+    renamed column's old name evolves nothing (the old name must never
+    re-appear as a fresh additive column); if a batch carries both names
+    the current one wins. Schema-level metadata is STRIPPED: parquet
+    pandas-metadata makes pa.Schema unhashable, which disables Ray's
+    block-schema dedup and spams 'Failed to hash the schemas' warnings per
+    merge task (field-level alias metadata is kept — it IS the rename
+    map, and field metadata does not break schema hashing)."""
+    canon = {}
+    if prev_schema is not None:
+        for f in prev_schema:
+            for a in lake.field_aliases(f):
+                canon[a] = f.name
+    present = set(event_schema.names)
+    fields, seen = [], set()
+    for f in event_schema:
+        name = canon.get(f.name, f.name)
+        if name in ("op",) or name in dropped or name in seen:
+            continue
+        if name != f.name and name in present:
+            continue    # batch carries BOTH names: the current one wins
+        seen.add(name)
+        fields.append(pa.field(name, f.type))
     s = pa.schema(fields)
     if prev_schema is not None:
         prev_data = pa.schema([f for f in prev_schema if f.name != "_deleted"])
@@ -216,8 +235,12 @@ def _normalize_factory(schema: pa.Schema, num_partitions: int,
         for fld in schema:
             if fld.name == "_deleted":
                 cols.append(deleted.combine_chunks() if isinstance(deleted, pa.ChunkedArray) else deleted)
-            elif fld.name in t.column_names:
-                c = t[fld.name]
+                continue
+            # rename-alias fallback (lake.rename_column): a producer still
+            # sending the old name lands in the current column
+            src = lake.resolve_source(fld, t.column_names)
+            if src is not None:
+                c = t[src]
                 cols.append(c.cast(fld.type) if c.type != fld.type else c)
             else:
                 cols.append(pa.nulls(t.num_rows, type=fld.type))
@@ -268,14 +291,9 @@ class MergeApply:
         return tables[0] if len(tables) == 1 else pa.concat_tables(tables)
 
     def _unify(self, t: pa.Table) -> pa.Table:
-        cols = []
-        for fld in self.schema:
-            if fld.name in t.column_names:
-                c = t[fld.name]
-                cols.append(c.cast(fld.type) if c.type != fld.type else c)
-            else:
-                cols.append(pa.nulls(t.num_rows, type=fld.type))
-        return pa.Table.from_arrays(cols, schema=self.schema)
+        # lake._unify_to also resolves rename aliases — prior files written
+        # before a lake.rename_column carry the old physical name
+        return lake._unify_to(t, self.schema)
 
     def __call__(self, group: pa.Table) -> pa.Table:
         pid = group[_PID][0].as_py()

@@ -60,9 +60,12 @@ _SEP = "\x00"
 
 def _feed_schema(data_schema: pa.Schema) -> pa.Schema:
     """Output schema: data columns (tombstone marker dropped) + change
-    metadata columns."""
-    fields = [pa.field(f.name, f.type) for f in data_schema
-              if f.name != "_deleted"]
+    metadata columns. Fields are kept WHOLE (not rebuilt name+type): the
+    rename-alias field metadata (lake.rename_column) must survive into the
+    state schema so _load_state unifies pre-rename files correctly — a
+    feed window crossing a rename boundary would otherwise null-backfill
+    the renamed column on the old side and report every row as changed."""
+    fields = [f for f in data_schema if f.name != "_deleted"]
     return pa.schema(fields + [pa.field(CHANGE_COL, pa.string()),
                                pa.field(EPOCH_COL, pa.int64())])
 

@@ -269,6 +269,10 @@ def table_stats(lake_dir: str, epoch: int | None = None,
         raise FileNotFoundError(f"no committed epochs in {lake_dir}")
     manifest = read_manifest(lake_dir, epoch)
     schema_b64 = manifest["schema"]
+    # a renamed column's stats were recorded under its name AT WRITE TIME —
+    # look a requested column up under its historical aliases too
+    # (newest-first), same resolution rule as the data projection
+    probe = probe_names(schema_from_b64(schema_b64), cols)
 
     rows = 0
     lo: dict[str, object] = {}
@@ -289,7 +293,8 @@ def table_stats(lake_dir: str, epoch: int | None = None,
             n_meta += 1
             rows += rec["live_rows"]
             for c in cols:
-                b = (rec.get("live_stats") or {}).get(c)
+                st = rec.get("live_stats") or {}
+                b = next((st[n] for n in probe[c] if n in st), None)
                 if b is not None:
                     _fold(c, b[0], b[1])
         else:
@@ -333,11 +338,45 @@ def table_stats(lake_dir: str, epoch: int | None = None,
             "partitions_read": len(fallback)}
 
 
+def field_aliases(fld: pa.Field) -> tuple[str, ...]:
+    """Historical names of a renamed column (``rename_column``), carried as
+    field metadata INSIDE the manifest schema so every reader / writer that
+    projects through the schema sees them with zero extra plumbing — the
+    Delta column-mapping idea (logical name decoupled from the physical
+    parquet name), with the manifest schema's field metadata as the map."""
+    if fld.metadata and b"aliases" in fld.metadata:
+        return tuple(a for a in fld.metadata[b"aliases"].decode().split(",")
+                     if a)
+    return ()
+
+
+def resolve_source(fld: pa.Field, column_names) -> str | None:
+    """Physical column of ``fld`` inside a file/batch with ``column_names``:
+    the current name if present, else the NEWEST alias present (aliases are
+    ordered oldest-first, and a file written between two renames carries
+    the newer of the two old names)."""
+    if fld.name in column_names:
+        return fld.name
+    for a in reversed(field_aliases(fld)):
+        if a in column_names:
+            return a
+    return None
+
+
+def probe_names(schema: pa.Schema, cols) -> dict[str, tuple[str, ...]]:
+    """For each requested column: the physical names it may carry in files
+    / stats records written before a ``rename_column`` — current name
+    first, then aliases newest-first (the ``resolve_source`` order)."""
+    return {c: ((c, *reversed(field_aliases(schema.field(c))))
+                if c in schema.names else (c,)) for c in cols}
+
+
 def _unify_to(t: pa.Table, schema: pa.Schema) -> pa.Table:
     cols = []
     for fld in schema:
-        if fld.name in t.column_names:
-            c = t[fld.name]
+        src = resolve_source(fld, t.column_names)
+        if src is not None:
+            c = t[src]
             cols.append(c.cast(fld.type) if c.type != fld.type else c)
         else:
             cols.append(pa.nulls(t.num_rows, type=fld.type))
@@ -876,7 +915,11 @@ def drop_column(lake_dir: str, col: str) -> dict:
         raise ValueError(f"column {col!r} not in lake schema "
                          f"{[n for n in schema.names if n != '_deleted']}")
     new_schema = pa.schema([f for f in schema if f.name != col])
-    dropped = list(head.get("dropped_columns", [])) + [col]
+    # dropping a RENAMED column retires its historical names too — a
+    # re-delivery under any old name must strip, not resurrect the bytes
+    # still sitting in pre-rename files as a fresh additive column
+    retired = [col, *field_aliases(schema.field(col))]
+    dropped = list(head.get("dropped_columns", [])) + retired
 
     manifest = dict(head)
     manifest.pop("restored_from", None)
@@ -939,6 +982,83 @@ def undrop_column(lake_dir: str, col: str) -> dict:
     os.replace(tmp, path)
     return {"undropped": col, "epoch": last + 1,
             "dropped_columns": dropped}
+
+
+def rename_column(lake_dir: str, old: str, new: str) -> dict:
+    """Metadata-only ``ALTER TABLE t RENAME COLUMN old TO new`` — the Delta
+    column-mapping rename shape. One O(KB) manifest commit re-referencing
+    the same files (zero data rewritten at any lake size); the old name is
+    recorded as a field-metadata ALIAS inside the manifest schema, so:
+
+    * READS translate instantly: every reader projects files through
+      ``_unify_to``/``resolve_source``, which falls back to the newest
+      alias present in a file — pre-rename files' bytes surface under the
+      new name with no rewrite.
+    * INGEST translates: the engine's normalize projection resolves
+      aliases the same way, so a producer still sending the OLD name lands
+      in the new column (and ``_data_schema`` canonicalizes event fields
+      so the old name can never re-appear as a fresh additive column).
+      An event batch carrying BOTH names keeps the current name (the
+      alias is ignored, same rule as a retired name).
+    * Every compact rewrite progressively renames the physical bytes
+      (files are written with the manifest schema), exactly like
+      ``drop_column``'s progressive removal.
+    * Renames CHAIN (a->b->c keeps [a, b] as aliases, newest-alias-wins
+      for files written between the two renames) and compose with
+      ``drop_column`` (dropping a renamed column retires its aliases) and
+      ``restore`` (the schema reverts, so the rename reverts).
+
+    Guards: protocol columns are fixed (hash routing + LWW key on
+    repo/path, versioning on lsn); ``new`` must not collide with a live
+    column, a live column's alias, or a RETIRED (dropped) name — old files
+    may still physically carry retired bytes, and the alias fallback would
+    resurrect them under the new column. Single-writer rule, like
+    drop/optimize/restore."""
+    last = last_committed_epoch(lake_dir)
+    if last is None:
+        raise FileNotFoundError(f"rename_column on an empty lake: {lake_dir}")
+    if old in _UNDROPPABLE or new in _UNDROPPABLE:
+        raise ValueError(f"cannot rename key/protocol column "
+                         f"({old!r} -> {new!r})")
+    if old == new:
+        raise ValueError(f"rename {old!r} -> {new!r} is a no-op")
+    head = read_manifest(lake_dir, last)
+    schema = schema_from_b64(head["schema"])
+    if old not in schema.names:
+        raise ValueError(f"column {old!r} not in lake schema "
+                         f"{[n for n in schema.names if n != '_deleted']}")
+    if new in schema.names:
+        raise ValueError(f"column {new!r} already exists")
+    for f in schema:
+        if new in field_aliases(f):
+            raise ValueError(f"name {new!r} is a historical alias of "
+                             f"{f.name!r} — old files may still carry its "
+                             f"bytes; pick another name or rewrite first "
+                             f"(zorder.optimize_zorder)")
+    if new in head.get("dropped_columns", ()):
+        raise ValueError(f"name {new!r} is retired by drop_column — old "
+                         f"files may still carry its bytes; undrop_column "
+                         f"it first (requires a full rewrite)")
+
+    fields = []
+    for f in schema:
+        if f.name == old:
+            aliases = [*field_aliases(f), old]
+            fields.append(pa.field(new, f.type,
+                                   metadata={"aliases": ",".join(aliases)}))
+        else:
+            fields.append(f)
+    manifest = dict(head)
+    manifest.pop("restored_from", None)
+    manifest["epoch"] = last + 1
+    manifest["schema"] = schema_to_b64(pa.schema(fields))
+    manifest["metrics"] = {"renamed_column": [old, new]}
+    path = _manifest_path(lake_dir, last + 1)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, path)
+    return {"renamed": [old, new], "epoch": last + 1}
 
 
 def rebucket(src_lake: str, dst_lake: str, num_partitions: int,

@@ -212,6 +212,12 @@ def plan_range_scan(lake_dir: str, predicates: dict,
     if epoch is None:
         raise FileNotFoundError(f"no committed epochs in {lake_dir}")
     manifest = lake.read_manifest(lake_dir, epoch)
+    # stats written before a lake.rename_column are keyed by the OLD name —
+    # probe a predicate column under its aliases too (newest-first), same
+    # resolution rule as the data projection, so pruning stays effective
+    # across a rename (a miss only disables pruning, never wrongly prunes)
+    probe = lake.probe_names(lake.schema_from_b64(manifest["schema"]),
+                             predicates)
     items, files_total, files_pruned = [], 0, 0
     for pid, rec in manifest["partitions"].items():
         files = ([rec["file"]] if rec.get("file") else []) + \
@@ -223,7 +229,8 @@ def plan_range_scan(lake_dir: str, predicates: dict,
         if stats is not None and not rec.get("deltas"):
             prunable = False
             for col, (lo, hi) in predicates.items():
-                if col in stats and not _overlaps(stats[col], lo, hi):
+                b = next((stats[n] for n in probe[col] if n in stats), None)
+                if b is not None and not _overlaps(b, lo, hi):
                     prunable = True
                     break
             if prunable:
@@ -279,18 +286,34 @@ def range_scan(lake_dir: str, predicates: dict, epoch: int | None = None,
             conj.append((col, ">=", lo))
         if hi is not None:
             conj.append((col, "<=", hi))
-    filt = [conj] if conj else None
-
     def _scan(batch: pa.Table) -> pa.Table:
         sch = lake.schema_from_b64(schema_b64)
+        probe = lake.probe_names(sch, preds)
         out = []
         for row in batch.to_pylist():
             files = json.loads(row["files"])
             if len(files) == 1:
                 # compacted partition: one winner per key already — the
-                # pushed-down filter is safe (no cross-row LWW to break)
-                t = lake._unify_to(pq.read_table(files[0], filters=filt),
-                                   sch)
+                # pushed-down filter is safe (no cross-row LWW to break).
+                # Translate filter columns to the file's PHYSICAL names
+                # (pre-rename files carry an alias); a file lacking the
+                # column entirely unifies to all-null, which a range
+                # predicate can never match — skip the read
+                fnames = pq.read_schema(files[0]).names
+                fconj, dead = [], False
+                for col, op, v in (conj or []):
+                    src = next((n for n in probe[col] if n in fnames), None)
+                    if src is None:
+                        dead = True
+                        break
+                    fconj.append((src, op, v))
+                if dead:
+                    t = sch.empty_table()
+                else:
+                    t = lake._unify_to(
+                        pq.read_table(files[0],
+                                      filters=[fconj] if fconj else None),
+                        sch)
             else:
                 # delta partition: LWW first (a filter could drop the
                 # winning tombstone/update of a matching older row), so

@@ -6506,3 +6506,60 @@ ORDER BY repo, path
 
 QUERIES.update({"q152_drop_column": q152_drop_column})
 ORACLE.update({"q152_drop_column": Q152_SQL})
+
+
+# ---------------------------------------------------------------------------
+# q153 — metadata-only RENAME COLUMN (cdc/lake.rename_column; the Delta
+# column-mapping rename shape). Ingest both fixture epochs, RENAME
+# `lang` -> `language` — one O(KB) manifest commit recording the old
+# name as a field-metadata alias, zero files rewritten — then read:
+# every reader's schema projection resolves the alias, so pre-rename
+# files' bytes surface under the new name instantly. THEN re-deliver
+# the epoch-1 binlog (events still carry `lang` — the producer doesn't
+# know): the normalize projection maps the old name into the new
+# column and _data_schema canonicalizes the event schema so `lang` can
+# never re-appear as a fresh additive column. The oracle is the q24
+# two-epoch LWW window with `lang AS language` — both the
+# translated-at-read and the mapped-at-ingest paths must land exactly
+# there, values intact.
+
+def q153_rename_column(sf_dir: str):
+    import tempfile
+
+    from e_commerce_batch_etl_pipeline_ray.cdc import engine, lake
+    from e_commerce_batch_etl_pipeline_ray.stages.blockutil import (
+        read_parquet_clean,
+    )
+    ensure_oracle_fixtures()
+    lake_dir = tempfile.mkdtemp(prefix="q153_lake_", dir="/tmp")
+    eng = engine.CDCEngine(engine.CDCConfig(lake_dir=lake_dir,
+                                            num_partitions=16,
+                                            merge_concurrency=2))
+    for ep in range(Q24_EPOCHS):
+        eng.ingest_epoch(read_parquet_clean(
+            os.path.join(Q24_BINLOG_DIR, f"epoch-{ep}.parquet"),
+            override_num_blocks=8), ep)
+    lake.rename_column(lake_dir, "lang", "language")
+    # re-delivery after the rename: events still carry `lang`; the engine
+    # maps it into `language` (idempotent state under the new name)
+    eng.ingest_epoch(read_parquet_clean(
+        os.path.join(Q24_BINLOG_DIR, "epoch-1.parquet"),
+        override_num_blocks=8), eng.resume_point())
+    return eng.read().sort(["repo", "path"])
+
+
+Q153_SQL = f"""
+SELECT lsn, repo, path, commit, lang AS language, content, content_sha256
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY repo, path ORDER BY lsn DESC) AS rn
+  FROM read_parquet(['{Q24_BINLOG_DIR}/epoch-0.parquet',
+                     '{Q24_BINLOG_DIR}/epoch-1.parquet'],
+                    union_by_name=true)
+)
+WHERE rn = 1 AND op <> 'D'
+ORDER BY repo, path
+"""
+
+
+QUERIES.update({"q153_rename_column": q153_rename_column})
+ORACLE.update({"q153_rename_column": Q153_SQL})

@@ -121,6 +121,11 @@ def main() -> int:
     ap.add_argument("--undrop-column", default=None, metavar="COL",
                     help="lift a drop_column marker (refuses while any "
                          "referenced file still carries the bytes), exit")
+    ap.add_argument("--rename-column", default=None, nargs=2,
+                    metavar=("OLD", "NEW"),
+                    help="metadata-only ALTER TABLE RENAME COLUMN: reads "
+                         "translate instantly via schema aliases, ingests "
+                         "map the old name, exit")
     ap.add_argument("--stats", action="store_true",
                     help="metadata-only COUNT/MIN/MAX from the manifest "
                          "(reads data only for uncompacted partitions), "
@@ -134,15 +139,19 @@ def main() -> int:
                                                    args.restore)}))
         return 0
 
-    if args.drop_column is not None or args.undrop_column is not None:
+    if (args.drop_column is not None or args.undrop_column is not None
+            or args.rename_column is not None):
         # metadata-only (undrop reads parquet footers, still no Ray session)
         from e_commerce_batch_etl_pipeline_ray.cdc import lake as _lake
         if args.drop_column is not None:
             print(json.dumps({"drop_column": _lake.drop_column(
                 args.lake_dir, args.drop_column)}))
-        else:
+        elif args.undrop_column is not None:
             print(json.dumps({"undrop_column": _lake.undrop_column(
                 args.lake_dir, args.undrop_column)}))
+        else:
+            print(json.dumps({"rename_column": _lake.rename_column(
+                args.lake_dir, *args.rename_column)}))
         return 0
 
     if args.stats:
