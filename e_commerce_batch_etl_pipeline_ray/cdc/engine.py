@@ -134,6 +134,16 @@ class CDCConfig:
     # proves no needle key is present (the big win is LSM delta chains:
     # a cold-key lookup otherwise opens base + K-1 deltas). None disables.
     key_bloom_fpp: float | None = 0.01
+    # optimistic concurrency: how many times ingest_epoch re-plans after
+    # LOSING the manifest commit CAS to a concurrent metadata committer
+    # (rename/drop/restore — lake.CommitConflictError). A retry re-reads
+    # the new head, re-normalizes against the evolved schema chain and
+    # lands at the next free epoch; LWW makes the event re-application
+    # idempotent. 0 = surface the conflict to the caller (who resumes via
+    # resume_point()). Retry never fires when the winning commit wrote
+    # data files into the contested epoch dir (a second INGEST writer —
+    # unsupported; the CDC stream itself is single-source).
+    commit_retries: int = 1
     # actor_pool fan-out: "auto" (default: split when >1 alive Ray node,
     # else broadcast) | "broadcast" (single-host optimal: every worker
     # reads every block zero-copy from plasma) | "split" (multi-node-
@@ -551,6 +561,48 @@ class CDCEngine:
                      _normalized: ray.data.Dataset | None = None,
                      _schema: pa.Schema | None = None,
                      staged_commit: bool = False) -> EpochStats:
+        """Ingest one epoch (see ``_ingest_epoch_once`` for the pipeline).
+
+        Optimistic concurrency: the manifest commit is a put-if-absent CAS
+        (lake._commit_json). Losing it means a concurrent METADATA
+        committer (rename/drop/restore) claimed our epoch number — the
+        ingest's data files are unreferenced by the winner, so they are
+        reclaimed and the whole epoch re-plans from the new head (fresh
+        schema chain, next epoch number), up to ``cfg.commit_retries``
+        times. LWW keeps re-application idempotent. No retry when the
+        winner wrote data files into the contested epoch dir (a second
+        ingest writer — unsupported), on the pipelined path (its schema
+        chain was precomputed against the old head) or for staged commits
+        (cross-table transactions own their recovery protocol)."""
+        import shutil as _shutil
+        attempts = 1 + (self.cfg.commit_retries
+                        if _normalized is None and not staged_commit else 0)
+        for i in range(attempts):
+            try:
+                return self._ingest_epoch_once(
+                    events, epoch, events_in=events_in,
+                    _normalized=_normalized, _schema=_schema,
+                    staged_commit=staged_commit)
+            except lake.CommitConflictError:
+                winner = lake.read_manifest(self.cfg.lake_dir, epoch)
+                edir = lake.epoch_dir(self.cfg.lake_dir, epoch) + os.sep
+                shared = any(
+                    (rec.get("file") or "").startswith(edir)
+                    or any(d.startswith(edir)
+                           for d in rec.get("deltas", []))
+                    for rec in winner["partitions"].values())
+                if shared:      # winner references OUR contested dir:
+                    raise       # a data-writing racer, never auto-retried
+                _shutil.rmtree(edir.rstrip(os.sep), ignore_errors=True)
+                if i == attempts - 1:
+                    raise
+                epoch = self.resume_point()
+
+    def _ingest_epoch_once(self, events: ray.data.Dataset, epoch: int,
+                           events_in: int | None = None,
+                           _normalized: ray.data.Dataset | None = None,
+                           _schema: pa.Schema | None = None,
+                           staged_commit: bool = False) -> EpochStats:
         import time
         t_start = time.perf_counter()
         cfg = self.cfg

@@ -43,6 +43,66 @@ MANIFEST_DIR = "manifests"
 INTERNAL_COLS = ("_deleted",)
 
 
+class CommitConflictError(RuntimeError):
+    """Another writer committed this epoch first. The manifest chain is the
+    lake's commit log; epoch numbers are claimed with an atomic
+    CREATE-EXCLUSIVE (hardlink CAS), so two writers racing the same epoch
+    can never silently overwrite each other — the loser gets this error,
+    re-reads the new head, and retries at the next epoch (metadata ops
+    retry automatically; ingest re-plans via ``CDCConfig.commit_retries``).
+    This is the mutual-exclusion contract a Delta log store provides
+    (put-if-absent), expressed on a filesystem."""
+
+
+def _commit_json(path: str, manifest: dict, overwrite: bool = False) -> None:
+    """Atomic manifest write. ``overwrite=False`` (final epoch commits) is
+    a put-if-absent CAS: hardlink from a writer-unique tmp fails with
+    FileExistsError if the epoch was already claimed — EXCEPT when the
+    existing bytes are identical (an idempotent crash-replay of the same
+    commit), which is a no-op success. ``overwrite=True`` keeps the old
+    os.replace semantics (staged prepares: re-running a crashed
+    transaction prepare legitimately rewrites its own invisible .staged
+    file with fresh timings)."""
+    import uuid
+
+    payload = json.dumps(manifest)
+    tmp = f"{path}.tmp-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
+        f.write(payload)
+    if overwrite:
+        os.replace(tmp, path)
+        return
+    try:
+        os.link(tmp, path)
+    except FileExistsError:
+        with open(path) as f:
+            if f.read() == payload:
+                return
+        raise CommitConflictError(
+            f"epoch manifest {path} was committed by another writer "
+            f"(put-if-absent lost)") from None
+    finally:
+        try:
+            os.unlink(tmp)
+        except FileNotFoundError:
+            pass
+
+
+def _retry_conflicts(fn, *args, attempts: int = 8):
+    """Run a metadata-only committer, retrying on a lost CAS. Each retry
+    re-reads the head and re-validates from scratch (the ops are O(KB)
+    metadata commits), so a surviving retry is semantically the op applied
+    AFTER the competing commit — and a retry that now fails validation
+    (e.g. the column was dropped by the winner) surfaces the REAL conflict
+    as that op's own error."""
+    for _ in range(attempts - 1):
+        try:
+            return fn(*args)
+        except CommitConflictError:
+            continue
+    return fn(*args)
+
+
 def _manifest_path(lake_dir: str, epoch: int) -> str:
     return os.path.join(lake_dir, MANIFEST_DIR, f"epoch-{epoch:04d}.json")
 
@@ -140,10 +200,9 @@ def commit_manifest(lake_dir: str, epoch: int, partitions: dict[int, dict],
     path = _manifest_path(lake_dir, epoch)
     if staged:
         path += ".staged"
-    tmp = path + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(manifest, f)
-    os.replace(tmp, path)
+    # final commits are put-if-absent (CommitConflictError on a lost race);
+    # staged prepares overwrite their own invisible file (crash re-prepare)
+    _commit_json(path, manifest, overwrite=staged)
     return manifest
 
 
@@ -775,6 +834,11 @@ def vacuum(lake_dir: str, keep_last: int = 1) -> dict:
 
 
 def restore(lake_dir: str, to_epoch: int) -> dict:
+    """See ``_restore_once``; auto-retries a lost commit CAS."""
+    return _retry_conflicts(_restore_once, lake_dir, to_epoch)
+
+
+def _restore_once(lake_dir: str, to_epoch: int) -> dict:
     """RESTORE the lake's live state to an earlier committed epoch — the
     Delta ``RESTORE TABLE t TO VERSION AS OF k`` shape (reference has no
     rollback at all; its pipeline overwrites the curated table per run,
@@ -850,11 +914,7 @@ def restore(lake_dir: str, to_epoch: int) -> dict:
         if carry in head:
             manifest[carry] = head[carry]
 
-    path = _manifest_path(lake_dir, last + 1)
-    tmp = path + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(manifest, f)
-    os.replace(tmp, path)
+    _commit_json(_manifest_path(lake_dir, last + 1), manifest)
     return {"restored_from": to_epoch, "epoch": last + 1,
             "partitions_reverted": sum(
                 1 for pid, rec in parts.items()
@@ -874,6 +934,11 @@ _UNDROPPABLE = ("repo", "path", "lsn", "_deleted", "op")
 
 
 def drop_column(lake_dir: str, col: str) -> dict:
+    """See ``_drop_column_once``; auto-retries a lost commit CAS."""
+    return _retry_conflicts(_drop_column_once, lake_dir, col)
+
+
+def _drop_column_once(lake_dir: str, col: str) -> dict:
     """Metadata-only ``ALTER TABLE t DROP COLUMN col`` — the Delta
     column-mapping drop shape, adapted to a CDC lake whose producer keeps
     sending the column. Commits a new epoch with the SAME partition
@@ -927,16 +992,17 @@ def drop_column(lake_dir: str, col: str) -> dict:
     manifest["schema"] = schema_to_b64(new_schema)
     manifest["dropped_columns"] = dropped
     manifest["metrics"] = {"dropped_column": col}
-    path = _manifest_path(lake_dir, last + 1)
-    tmp = path + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(manifest, f)
-    os.replace(tmp, path)
+    _commit_json(_manifest_path(lake_dir, last + 1), manifest)
     return {"dropped": col, "epoch": last + 1,
             "dropped_columns": dropped}
 
 
 def undrop_column(lake_dir: str, col: str) -> dict:
+    """See ``_undrop_column_once``; auto-retries a lost commit CAS."""
+    return _retry_conflicts(_undrop_column_once, lake_dir, col)
+
+
+def _undrop_column_once(lake_dir: str, col: str) -> dict:
     """Lift a ``drop_column`` marker so the name can be reused. SAFE only
     when no file referenced by the head manifest still physically carries
     the column — otherwise the schema projection would resurrect stale
@@ -975,16 +1041,17 @@ def undrop_column(lake_dir: str, col: str) -> dict:
     else:
         manifest.pop("dropped_columns", None)
     manifest["metrics"] = {"undropped_column": col}
-    path = _manifest_path(lake_dir, last + 1)
-    tmp = path + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(manifest, f)
-    os.replace(tmp, path)
+    _commit_json(_manifest_path(lake_dir, last + 1), manifest)
     return {"undropped": col, "epoch": last + 1,
             "dropped_columns": dropped}
 
 
 def rename_column(lake_dir: str, old: str, new: str) -> dict:
+    """See ``_rename_column_once``; auto-retries a lost commit CAS."""
+    return _retry_conflicts(_rename_column_once, lake_dir, old, new)
+
+
+def _rename_column_once(lake_dir: str, old: str, new: str) -> dict:
     """Metadata-only ``ALTER TABLE t RENAME COLUMN old TO new`` — the Delta
     column-mapping rename shape. One O(KB) manifest commit re-referencing
     the same files (zero data rewritten at any lake size); the old name is
@@ -1053,11 +1120,7 @@ def rename_column(lake_dir: str, old: str, new: str) -> dict:
     manifest["epoch"] = last + 1
     manifest["schema"] = schema_to_b64(pa.schema(fields))
     manifest["metrics"] = {"renamed_column": [old, new]}
-    path = _manifest_path(lake_dir, last + 1)
-    tmp = path + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(manifest, f)
-    os.replace(tmp, path)
+    _commit_json(_manifest_path(lake_dir, last + 1), manifest)
     return {"renamed": [old, new], "epoch": last + 1}
 
 

@@ -6563,3 +6563,70 @@ ORDER BY repo, path
 
 QUERIES.update({"q153_rename_column": q153_rename_column})
 ORACLE.update({"q153_rename_column": Q153_SQL})
+
+
+# ---------------------------------------------------------------------------
+# q154 — OPTIMISTIC CONCURRENCY: ingest survives a concurrent schema
+# change (manifest put-if-absent CAS, lake._commit_json). A rename
+# commits BETWEEN the epoch-1 ingest's planning and its manifest write:
+# the ingest loses the epoch-number CAS, reclaims its unreferenced data
+# files, re-plans against the renamed head (fresh schema chain, next
+# epoch) and lands exactly where the serial order rename->ingest would —
+# the two-epoch LWW window with commit AS commit_sha (the fixture only
+# evolves `lang` in at epoch 1, so the mid-ingest rename targets a
+# column that exists at the epoch-0 head). The
+# interleave is injected deterministically by wrapping the commit
+# primitive, standing in for a second writer process.
+
+def q154_concurrent_schema_change(sf_dir: str):
+    import tempfile
+
+    from e_commerce_batch_etl_pipeline_ray.cdc import engine, lake
+    from e_commerce_batch_etl_pipeline_ray.stages.blockutil import (
+        read_parquet_clean,
+    )
+    ensure_oracle_fixtures()
+    lake_dir = tempfile.mkdtemp(prefix="q154_lake_", dir="/tmp")
+    eng = engine.CDCEngine(engine.CDCConfig(lake_dir=lake_dir,
+                                            num_partitions=16,
+                                            merge_concurrency=2))
+    eng.ingest_epoch(read_parquet_clean(
+        os.path.join(Q24_BINLOG_DIR, "epoch-0.parquet"),
+        override_num_blocks=8), 0)
+
+    real = lake._commit_json
+    fired = []
+
+    def race_once(path, manifest, overwrite=False):
+        if not fired and "epoch-0001" in path:
+            fired.append(1)
+            lake._commit_json = real
+            lake.rename_column(lake_dir, "commit", "commit_sha")
+        return real(path, manifest, overwrite)
+
+    lake._commit_json = race_once
+    try:
+        stats = eng.ingest_epoch(read_parquet_clean(
+            os.path.join(Q24_BINLOG_DIR, "epoch-1.parquet"),
+            override_num_blocks=8), 1)
+    finally:
+        lake._commit_json = real
+    assert fired and stats.epoch == 2, "conflict retry did not engage"
+    return eng.read().sort(["repo", "path"])
+
+
+Q154_SQL = f"""
+SELECT lsn, repo, path, commit AS commit_sha, lang, content, content_sha256
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY repo, path ORDER BY lsn DESC) AS rn
+  FROM read_parquet(['{Q24_BINLOG_DIR}/epoch-0.parquet',
+                     '{Q24_BINLOG_DIR}/epoch-1.parquet'],
+                    union_by_name=true)
+)
+WHERE rn = 1 AND op <> 'D'
+ORDER BY repo, path
+"""
+
+
+QUERIES.update({"q154_concurrent_schema_change": q154_concurrent_schema_change})
+ORACLE.update({"q154_concurrent_schema_change": Q154_SQL})
