@@ -55,14 +55,14 @@ DRIVER_WINDOW = [
     "q17_knn_brute", "q20_lang_id", "q25_sessionize", "q32_asof_join",
     "q33_analytics_cube", "q44_neardup_pairs_exact",
     "q45_neardup_keep_exact",
-    "q48_simhash_exact", "q52_allpairs_jaccard",
+    "q52_allpairs_jaccard",
     "q83_edit_distance_join",
     "q100_group_split", "q50_rollup", "q51_cube",
     "q67_frame_aggregates",
     "q71_full_outer_join", "q76_cdc_time_travel", "q90_cdc_change_feed",
     "q92_scd2_history", "q94_cdc_merge_into", "q95_lm_perplexity",
     "q96_duplicated_substrings", "q105_zorder_scan", "q107_bm25_indexed",
-    "q108_pagerank", "q109_temporal_join", "q110_incremental_dedup",
+    "q108_pagerank", "q110_incremental_dedup",
     "q111_incremental_neardup", "q114_windowed_watermark",
     "q116_session_windows",
     # round-4 session-2 families (sketches, set algebra, graph, robust)
@@ -86,6 +86,14 @@ DRIVER_WINDOW = [
     # mergeable-sketch machinery through the lake protocol; HLL's
     # register kernel stays pytest-pinned and q117/q118 stay registered).
     "q144_branch_wap", "q146_key_history",
+    # round-4 session-7: schema governance + optimistic concurrency —
+    # metadata-only DROP COLUMN (hide-at-read + strip-at-ingest) and the
+    # commit-CAS conflict retry whose scenario also drives RENAME COLUMN
+    # end-to-end (alias translation at read AND old-name mapping at
+    # ingest; q153 stays registered+oracled). Displaced: q48 (the exact
+    # near-dup family keeps q44/q45/q52 and the incremental q111) and
+    # q109 (ASOF semantics stay via q32, SCD2 via q92).
+    "q152_drop_column", "q154_concurrent_schema_change",
 ]
 
 

@@ -42,7 +42,9 @@ def test_driver_window_is_first_50_and_fully_oracled():
                  # round-4 session-4/5: cell feed + bloom point reads
                  "q137_patch_feed", "q139_bloom_point_read",
                  # round-4 session-6: WAP branches + per-key history
-                 "q144_branch_wap", "q146_key_history"):
+                 "q144_branch_wap", "q146_key_history",
+                 # round-4 session-7: schema governance + commit CAS
+                 "q152_drop_column", "q154_concurrent_schema_change"):
         assert must in win
 
 
