@@ -998,6 +998,77 @@ class CDCEngine:
         return self.ingest_epoch(events, epoch,
                                  events_in=events.count())
 
+    def replace_where(self, predicate, rows: ray.data.Dataset, epoch: int,
+                      columns: list[str] | None = None) -> EpochStats:
+        """Atomic predicate overwrite (Delta's ``replaceWhere`` / dynamic
+        ``INSERT OVERWRITE``): delete every live row matching ``predicate``
+        AND insert ``rows`` as the region's new contents — in ONE epoch
+        commit, so readers never observe the deleted-but-not-yet-replaced
+        intermediate state and a crash leaves the lake at the old snapshot.
+
+        Built from the stream primitives, not a side door: the matching
+        keys become D tombstones at ``lsn = watermark + 1`` and the
+        replacement rows become I events at ``watermark + 2`` — one shared
+        lsn each (LWW is per key; the insert beats the delete wherever a
+        replacement reuses a deleted key). Because it is a normal epoch,
+        the overwrite is exactly-once, crash/resumable and visible to the
+        change feed / SCD2 / replicas as the delete+insert rows a consumer
+        must interpret anyway.
+
+        ``rows``: KEY + data columns (no lsn/op — this engine mints them;
+        a batch overwrite has no stream position). Delta's constraint is
+        enforced: every replacement row must itself SATISFY ``predicate``
+        (vectorized check, nulls fail) — otherwise the op would write
+        outside the region it claims to replace. ``columns``: prune the
+        predicate scan, as in ``delete_where``.
+        """
+        last = self.last_committed_epoch()
+        if last is None:
+            raise FileNotFoundError("replace_where on an empty lake")
+        wm = lake.read_manifest(self.cfg.lake_dir, last)["lsn_watermark"]
+        del_lsn, ins_lsn = int(wm) + 1, int(wm) + 2
+        cols = None
+        if columns is not None:
+            cols = list(dict.fromkeys([*KEY, *columns]))
+        live = self.read(columns=cols)
+
+        row_schema = rows.schema().base_schema
+        data_fields = [f for f in row_schema if f.name not in KEY]
+
+        def _tombstones(t: pa.Table) -> pa.Table:
+            mask = pc.fill_null(predicate(t), False)
+            t = t.filter(mask)
+            n = t.num_rows
+            return pa.table({
+                "lsn": pa.array([del_lsn] * n, pa.int64()),
+                "op": pa.array(["D"] * n, pa.string()),
+                "repo": t["repo"], "path": t["path"],
+                **{f.name: pa.nulls(n, f.type) for f in data_fields},
+            })
+
+        def _inserts(t: pa.Table) -> pa.Table:
+            ok = pc.fill_null(predicate(t), False)
+            if t.num_rows and not pc.all(ok).as_py():
+                bad = t.filter(pc.invert(ok))
+                raise ValueError(
+                    f"replace_where: {bad.num_rows} replacement row(s) do "
+                    f"not satisfy the predicate (first key: "
+                    f"{bad['repo'][0].as_py()}/{bad['path'][0].as_py()}) — "
+                    f"an overwrite must stay inside the region it replaces")
+            n = t.num_rows
+            return pa.table({
+                "lsn": pa.array([ins_lsn] * n, pa.int64()),
+                "op": pa.array(["I"] * n, pa.string()),
+                "repo": t["repo"], "path": t["path"],
+                **{f.name: t[f.name] for f in data_fields},
+            })
+
+        events = live.map_batches(_tombstones, batch_format="pyarrow") \
+            .union(rows.map_batches(_inserts, batch_format="pyarrow")) \
+            .materialize()
+        return self.ingest_epoch(events, epoch,
+                                 events_in=events.count())
+
 
 def expand_renames(t: pa.Table) -> pa.Table:
     """Primary-key-change events (Debezium semantics: an update that moves

@@ -6630,3 +6630,84 @@ ORDER BY repo, path
 
 QUERIES.update({"q154_concurrent_schema_change": q154_concurrent_schema_change})
 ORACLE.update({"q154_concurrent_schema_change": Q154_SQL})
+
+
+# ---------------------------------------------------------------------------
+# q155 — replaceWhere / dynamic INSERT OVERWRITE (engine.replace_where):
+# atomically replace the `lang='go'` region of the live table — every
+# matching row deleted AND a deterministic replacement set inserted, in
+# ONE epoch commit (readers never see the deleted-but-unreplaced
+# intermediate state). Built on the stream primitives: D tombstones at
+# wm+1, I events at wm+2, through the standard exactly-once pipeline.
+# The oracle is pure SQL over the fixture binlog: the two-epoch LWW
+# window minus the go-region, UNION ALL the same replacement rows
+# (content rewritten, sha256 recomputed DuckDB-side) at wm+2.
+
+def q155_replace_where(sf_dir: str):
+    import hashlib
+    import tempfile
+
+    import pyarrow.compute as _pc
+
+    from e_commerce_batch_etl_pipeline_ray.cdc import engine
+    from e_commerce_batch_etl_pipeline_ray.stages.blockutil import (
+        read_parquet_clean,
+    )
+    ensure_oracle_fixtures()
+    lake_dir = tempfile.mkdtemp(prefix="q155_lake_", dir="/tmp")
+    eng = engine.CDCEngine(engine.CDCConfig(lake_dir=lake_dir,
+                                            num_partitions=16,
+                                            merge_concurrency=2))
+    for ep in range(Q24_EPOCHS):
+        eng.ingest_epoch(read_parquet_clean(
+            os.path.join(Q24_BINLOG_DIR, f"epoch-{ep}.parquet"),
+            override_num_blocks=8), ep)
+
+    def pred(t):
+        return _pc.equal(t["lang"], "go")
+
+    def _replacement(t):
+        t = t.filter(_pc.fill_null(pred(t), False))
+        paths = t["path"].to_pylist()
+        content = [f"OVERWRITTEN:{p}" for p in paths]
+        sha = [hashlib.sha256(c.encode()).hexdigest() for c in content]
+        import pyarrow as _pa
+        return _pa.table({
+            "repo": t["repo"], "path": t["path"],
+            "commit": _pa.array(["overwrite"] * len(paths), _pa.string()),
+            "lang": _pa.array(["go"] * len(paths), _pa.string()),
+            "content": _pa.array(content, _pa.string()),
+            "content_sha256": _pa.array(sha, _pa.string()),
+        })
+
+    rows = eng.read().map_batches(_replacement, batch_format="pyarrow")
+    eng.replace_where(pred, rows, eng.resume_point(), columns=["lang"])
+    return eng.read().sort(["repo", "path"])
+
+
+Q155_SQL = f"""
+WITH ev AS (
+  SELECT * FROM read_parquet(['{Q24_BINLOG_DIR}/epoch-0.parquet',
+                              '{Q24_BINLOG_DIR}/epoch-1.parquet'],
+                             union_by_name=true)
+), live AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY repo, path
+                                 ORDER BY lsn DESC) AS rn
+    FROM ev
+  ) WHERE rn = 1 AND op <> 'D'
+)
+SELECT lsn, repo, path, commit, lang, content, content_sha256 FROM live
+WHERE lang IS DISTINCT FROM 'go'
+UNION ALL
+SELECT (SELECT MAX(lsn) FROM ev) + 2 AS lsn, repo, path,
+       'overwrite' AS commit, 'go' AS lang,
+       'OVERWRITTEN:' || path AS content,
+       sha256('OVERWRITTEN:' || path) AS content_sha256
+FROM live WHERE lang = 'go'
+ORDER BY repo, path
+"""
+
+
+QUERIES.update({"q155_replace_where": q155_replace_where})
+ORACLE.update({"q155_replace_where": Q155_SQL})
