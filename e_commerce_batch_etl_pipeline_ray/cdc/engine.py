@@ -144,6 +144,17 @@ class CDCConfig:
     # data files into the contested epoch dir (a second INGEST writer —
     # unsupported; the CDC stream itself is single-source).
     commit_retries: int = 1
+    # GENERATED ALWAYS AS columns (the Delta generated-columns shape):
+    # ((name, pa.DataType, fn), ...) where fn is a vectorized batch fn over
+    # the NORMALIZED table (canonical column names) returning the column.
+    # Computed at every write — ingest normalize and bootstrap — and stored
+    # physically, so stats/pruning/compaction/feed all see a real column;
+    # events must NOT carry the name (the engine raises — a producer can
+    # never ship a value that disagrees with the expression). Tombstones
+    # compute over their null payload like any row (the result is dropped
+    # at read with the tombstone). To retire one: remove it from the
+    # config FIRST, then lake.drop_column (else the next ingest re-adds it).
+    generated: tuple = ()
     # actor_pool fan-out: "auto" (default: split when >1 alive Ray node,
     # else broadcast) | "broadcast" (single-host optimal: every worker
     # reads every block zero-copy from plasma) | "split" (multi-node-
@@ -163,7 +174,7 @@ class EpochStats:
 
 
 def _data_schema(event_schema: pa.Schema, prev_schema: pa.Schema | None,
-                 dropped: tuple = ()) -> pa.Schema:
+                 dropped: tuple = (), generated: tuple = ()) -> pa.Schema:
     """Evolved lake schema: event columns minus op, plus lsn + _deleted;
     unified additively with the previous epoch's schema (type widening via
     permissive unify). ``dropped``: column names retired by
@@ -199,6 +210,9 @@ def _data_schema(event_schema: pa.Schema, prev_schema: pa.Schema | None,
     if prev_schema is not None:
         prev_data = pa.schema([f for f in prev_schema if f.name != "_deleted"])
         s = pa.unify_schemas([prev_data, s], promote_options="permissive")
+    for name, typ, _fn in generated:
+        if name not in s.names:
+            s = s.append(pa.field(name, typ))
     return s.append(pa.field("_deleted", pa.bool_()))
 
 
@@ -227,8 +241,30 @@ def _verify_content_sha(t: pa.Table) -> None:
             raise ValueError("content sha256 mismatch in binlog")
 
 
+def _apply_generated(t: pa.Table, generated: tuple) -> pa.Table:
+    """Compute GENERATED ALWAYS AS columns over a normalized batch and
+    overwrite their (null-projected) slots; the declared type is enforced
+    by cast so the lake schema stays stable whatever the fn returns."""
+    for name, typ, fn in generated:
+        arr = fn(t)
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        elif not isinstance(arr, pa.Array):
+            arr = pa.array(arr, typ)
+        idx = t.schema.get_field_index(name)
+        # reuse the projected field object — it keeps any rename-alias
+        # metadata, and its type governs (the schema chain may have
+        # widened past the declared type)
+        fld = t.schema.field(idx)
+        if arr.type != fld.type:
+            arr = arr.cast(fld.type)
+        t = t.set_column(idx, fld, arr)
+    return t
+
+
 def _normalize_factory(schema: pa.Schema, num_partitions: int,
-                       verify_sha: bool, snapshot_lsn: int | None = None):
+                       verify_sha: bool, snapshot_lsn: int | None = None,
+                       generated: tuple = ()):
     """Batch fn: unify to evolved schema, verify sha, LWW-combine within the
     batch, assign partition ids. ``snapshot_lsn``: bootstrap boundary —
     events at or below it are already in the snapshot (which carries no
@@ -255,6 +291,7 @@ def _normalize_factory(schema: pa.Schema, num_partitions: int,
             else:
                 cols.append(pa.nulls(t.num_rows, type=fld.type))
         out = pa.Table.from_arrays(cols, schema=schema)
+        out = _apply_generated(out, generated)
         out = combine_keep_extreme(out, KEY, ["lsn"], descending=True)
         pid = hash_partition_ids(out, KEY, num_partitions)
         return out.append_column(_PID, pa.array(pid, pa.int32()))
@@ -472,7 +509,8 @@ class CDCEngine:
                                # quarantined already — re-verifying would
                                # hash every content twice for nothing
                                self.cfg.verify_sha and not self.cfg.dlq,
-                               snapshot_lsn),
+                               snapshot_lsn,
+                               generated=self.cfg.generated),
             batch_format="pyarrow", zero_copy_batch=True,
             batch_size=self.cfg.batch_size)
 
@@ -623,6 +661,13 @@ class CDCEngine:
         # capture the schema BEFORE the DLQ split: the quarantine filter
         # never changes columns, and the raw dataset's schema is metadata
         raw_schema = events.schema().base_schema
+        for gname, _gtyp, _gfn in cfg.generated:
+            if gname in raw_schema.names:
+                raise ValueError(
+                    f"events must not carry generated column {gname!r} — "
+                    f"it is GENERATED ALWAYS AS and computed at every "
+                    f"write (a producer value could disagree with the "
+                    f"expression)")
         dlq_rows, dlq_new_files = 0, []
         if cfg.dlq:
             if _normalized is not None:
@@ -647,10 +692,12 @@ class CDCEngine:
             # from the deterministic schema CHAIN — must equal the one the
             # committed manifest now implies
             schema = _schema
-            if schema != _data_schema(raw_schema, prev_schema, dropped):
+            if schema != _data_schema(raw_schema, prev_schema, dropped,
+                                      cfg.generated):
                 raise ValueError("pipelined schema does not match manifest chain")
         else:
-            schema = _data_schema(raw_schema, prev_schema, dropped)
+            schema = _data_schema(raw_schema, prev_schema, dropped,
+                                  cfg.generated)
         schema_b64 = lake.schema_to_b64(schema)
         prev_parts = prev_manifest["partitions"] if prev_manifest else {}
 
@@ -819,7 +866,7 @@ class CDCEngine:
         schemas = []
         for _, events in epochs:
             s = _data_schema(events.schema().base_schema, prev_schema,
-                             dropped)
+                             dropped, self.cfg.generated)
             schemas.append(s)
             prev_schema = s
 
@@ -868,22 +915,32 @@ class CDCEngine:
         for k in KEY:
             if k not in base_schema.names:
                 raise ValueError(f"snapshot table lacks key column {k!r}")
+        for name, _typ, _fn in cfg.generated:
+            if name in base_schema.names:
+                raise ValueError(
+                    f"snapshot table must not carry generated column "
+                    f"{name!r} — it is computed at every write")
         # same DQ contract as ingest_epoch: gate BEFORE any write work
         self._run_dq(base, 0, label="bootstrap")
         schema = pa.schema(
             [pa.field("lsn", pa.int64())]
             + [pa.field(f.name, f.type) for f in base_schema]
+            + [pa.field(n, t) for n, t, _ in cfg.generated]
             + [pa.field("_deleted", pa.bool_())])
         tmp_dir = lake.epoch_dir(cfg.lake_dir, 0, tmp=True)
         os.makedirs(tmp_dir, exist_ok=True)
         lake_dir = cfg.lake_dir
         stats_cols = list(cfg.stats_cols)
 
+        generated = cfg.generated
+
         def _assign(t: pa.Table) -> pa.Table:
             t = pa.table(
                 {"lsn": pa.array([lsn0] * t.num_rows, pa.int64()),
                  **{c: t[c] for c in t.column_names},
+                 **{n: pa.nulls(t.num_rows, ty) for n, ty, _ in generated},
                  "_deleted": pa.array([False] * t.num_rows, pa.bool_())})
+            t = _apply_generated(t, generated)
             pid = hash_partition_ids(t, KEY, cfg.num_partitions)
             return t.append_column(_PID, pa.array(pid, pa.int32()))
 

@@ -6711,3 +6711,62 @@ ORDER BY repo, path
 
 QUERIES.update({"q155_replace_where": q155_replace_where})
 ORACLE.update({"q155_replace_where": Q155_SQL})
+
+
+# ---------------------------------------------------------------------------
+# q156 — GENERATED ALWAYS AS columns (CDCConfig.generated; the Delta
+# generated-columns shape). Two expressions ride every write through the
+# normalize projection: repo_org = first path segment of the key (the
+# classic derived-partition-column use) and content_len = utf8 length of
+# the payload (null on tombstones' null payload). Events must not carry
+# the names; values are recomputed at every write and stored physically,
+# so stats/pruning/feed all see real columns. The oracle mirrors both
+# expressions in SQL over the two-epoch LWW window.
+
+def q156_generated_columns(sf_dir: str):
+    import tempfile
+
+    import pyarrow as _pa
+    import pyarrow.compute as _pc
+
+    from e_commerce_batch_etl_pipeline_ray.cdc import engine
+    from e_commerce_batch_etl_pipeline_ray.stages.blockutil import (
+        read_parquet_clean,
+    )
+    ensure_oracle_fixtures()
+    lake_dir = tempfile.mkdtemp(prefix="q156_lake_", dir="/tmp")
+
+    def gen_org(t):
+        return _pc.list_element(_pc.split_pattern(t["repo"], "/"), 0)
+
+    def gen_len(t):
+        return _pc.utf8_length(t["content"])
+
+    eng = engine.CDCEngine(engine.CDCConfig(
+        lake_dir=lake_dir, num_partitions=16, merge_concurrency=2,
+        generated=(("repo_org", _pa.string(), gen_org),
+                   ("content_len", _pa.int64(), gen_len))))
+    for ep in range(Q24_EPOCHS):
+        eng.ingest_epoch(read_parquet_clean(
+            os.path.join(Q24_BINLOG_DIR, f"epoch-{ep}.parquet"),
+            override_num_blocks=8), ep)
+    return eng.read().sort(["repo", "path"])
+
+
+Q156_SQL = f"""
+SELECT lsn, repo, path, commit, lang, content, content_sha256,
+       SPLIT_PART(repo, '/', 1) AS repo_org,
+       LENGTH(content)::BIGINT AS content_len
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY repo, path ORDER BY lsn DESC) AS rn
+  FROM read_parquet(['{Q24_BINLOG_DIR}/epoch-0.parquet',
+                     '{Q24_BINLOG_DIR}/epoch-1.parquet'],
+                    union_by_name=true)
+)
+WHERE rn = 1 AND op <> 'D'
+ORDER BY repo, path
+"""
+
+
+QUERIES.update({"q156_generated_columns": q156_generated_columns})
+ORACLE.update({"q156_generated_columns": Q156_SQL})
