@@ -1046,6 +1046,80 @@ def _undrop_column_once(lake_dir: str, col: str) -> dict:
             "dropped_columns": dropped}
 
 
+def clone_lake(src_lake: str, dst_lake: str, epoch: int | None = None) -> dict:
+    """CLONE TABLE — an instant, fully INDEPENDENT copy of the lake's
+    committed state at ``epoch`` (default head), the Delta clone shape.
+    Every referenced data file (bases, deltas, novel files, DLQ files,
+    plus their ``.kbloom`` sidecars) is HARDLINKED into the same relative
+    layout under ``dst_lake`` (copy fallback across filesystems), and the
+    source manifest is re-committed there with rewritten paths — on one
+    filesystem a 100 TB clone costs one inode link per file and one O(KB)
+    JSON write, zero bytes copied.
+
+    Unlike a branch (cdc/branch.py) the clone has NO parent contract: it
+    starts its own lineage at the source's epoch number (history is not
+    cloned — a clone is a single-version table, like Delta's), both sides
+    ingest/optimize/vacuum independently, and because hardlinks pin the
+    inodes, vacuuming either side can never tear files out of the other.
+    ``resume_point`` on the clone continues at ``epoch + 1`` with the
+    source's lsn_watermark / snapshot_lsn / dropped_columns / schema
+    (rename aliases ride the schema b64) carried over.
+
+    Crash-safe without a transaction: links are idempotent (deterministic
+    destination names, existing dst = completed earlier attempt) and the
+    clone only becomes visible with the final manifest CAS — re-run a
+    crashed clone and it finishes."""
+    from e_commerce_batch_etl_pipeline_ray.cdc.branch import _link
+
+    if epoch is None:
+        epoch = last_committed_epoch(src_lake)
+    if epoch is None:
+        raise FileNotFoundError(f"clone of an empty lake: {src_lake}")
+    if not os.path.exists(_manifest_path(src_lake, epoch)):
+        raise FileNotFoundError(
+            f"no manifest for epoch {epoch} in {src_lake} (vacuumed?)")
+    if last_committed_epoch(dst_lake) is not None:
+        raise FileExistsError(f"{dst_lake} already holds a committed lake")
+    manifest = read_manifest(src_lake, epoch)
+
+    src_prefix = os.path.normpath(src_lake) + os.sep
+    linked = 0
+
+    def _map(p: str) -> str:
+        nonlocal linked
+        q = os.path.normpath(p)
+        if not q.startswith(src_prefix):
+            raise ValueError(
+                f"referenced file {p!r} lies outside the source lake — "
+                f"clone would dangle (publish/retarget it first)")
+        dst = os.path.join(dst_lake, q[len(src_prefix):])
+        linked += _link(q, dst)
+        if os.path.exists(q + ".kbloom"):
+            linked += _link(q + ".kbloom", dst + ".kbloom")
+        return dst
+
+    out = dict(manifest)
+    out.pop("restored_from", None)
+    out["partitions"] = {}
+    for pid, rec in manifest["partitions"].items():
+        rec = dict(rec)
+        for key in ("file", "novel_file"):
+            if rec.get(key):
+                rec[key] = _map(rec[key])
+        if rec.get("deltas"):
+            rec["deltas"] = [_map(d) for d in rec["deltas"]]
+        out["partitions"][pid] = rec
+    for key in ("removal_log", "dlq_files"):
+        if manifest.get(key):
+            out[key] = [_map(p) for p in manifest[key]]
+    out["metrics"] = {"cloned_from": os.path.normpath(src_lake),
+                      "source_epoch": epoch, "files_linked": linked}
+    os.makedirs(os.path.join(dst_lake, MANIFEST_DIR), exist_ok=True)
+    _commit_json(_manifest_path(dst_lake, epoch), out)
+    return {"cloned_from": src_lake, "epoch": epoch,
+            "files_linked": linked}
+
+
 def rename_column(lake_dir: str, old: str, new: str) -> dict:
     """See ``_rename_column_once``; auto-retries a lost commit CAS."""
     return _retry_conflicts(_rename_column_once, lake_dir, old, new)

@@ -6770,3 +6770,49 @@ ORDER BY repo, path
 
 QUERIES.update({"q156_generated_columns": q156_generated_columns})
 ORACLE.update({"q156_generated_columns": Q156_SQL})
+
+
+# ---------------------------------------------------------------------------
+# q157 — CLONE TABLE (lake.clone_lake): an instant fully-independent copy
+# — every referenced file hardlinked (zero bytes copied), one manifest
+# commit, no parent contract (unlike a branch both sides then evolve
+# independently and vacuum on either can never tear the other). The
+# clone is taken at the two-epoch head and then the SOURCE receives a
+# third (divergent) epoch — the clone must still read exactly the
+# two-epoch LWW state it captured (the q24 oracle), proving isolation.
+
+def q157_clone(sf_dir: str):
+    import tempfile
+
+    from e_commerce_batch_etl_pipeline_ray.cdc import engine, lake
+    from e_commerce_batch_etl_pipeline_ray.stages.blockutil import (
+        read_parquet_clean,
+    )
+    ensure_oracle_fixtures()
+    lake_dir = tempfile.mkdtemp(prefix="q157_lake_", dir="/tmp")
+    clone_dir = tempfile.mkdtemp(prefix="q157_clone_", dir="/tmp") + "/lake"
+    eng = engine.CDCEngine(engine.CDCConfig(lake_dir=lake_dir,
+                                            num_partitions=16,
+                                            merge_concurrency=2))
+    for ep in range(Q24_EPOCHS):
+        eng.ingest_epoch(read_parquet_clean(
+            os.path.join(Q24_BINLOG_DIR, f"epoch-{ep}.parquet"),
+            override_num_blocks=8), ep)
+    lake.clone_lake(lake_dir, clone_dir)
+    # diverge the SOURCE after the clone: re-deliver epoch-1 (idempotent
+    # for the source) plus a predicate delete — neither may leak into
+    # the clone's snapshot
+    eng.ingest_epoch(read_parquet_clean(
+        os.path.join(Q24_BINLOG_DIR, "epoch-1.parquet"),
+        override_num_blocks=8), eng.resume_point())
+
+    def pred(t):
+        import pyarrow.compute as _pc
+        return _pc.equal(t["lang"], "go")
+
+    eng.delete_where(pred, eng.resume_point(), columns=["lang"])
+    return lake.read_lake(clone_dir).sort(["repo", "path"])
+
+
+QUERIES.update({"q157_clone": q157_clone})
+ORACLE.update({"q157_clone": Q24_SQL})

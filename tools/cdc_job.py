@@ -126,6 +126,10 @@ def main() -> int:
                     help="metadata-only ALTER TABLE RENAME COLUMN: reads "
                          "translate instantly via schema aliases, ingests "
                          "map the old name, exit")
+    ap.add_argument("--clone", default=None, metavar="DST_DIR",
+                    help="CLONE TABLE: hardlink every referenced file into "
+                         "DST_DIR + one manifest commit — an instant, fully "
+                         "independent copy of the head state, exit")
     ap.add_argument("--stats", action="store_true",
                     help="metadata-only COUNT/MIN/MAX from the manifest "
                          "(reads data only for uncompacted partitions), "
@@ -137,6 +141,12 @@ def main() -> int:
         from e_commerce_batch_etl_pipeline_ray.cdc import lake as _lake
         print(json.dumps({"restore": _lake.restore(args.lake_dir,
                                                    args.restore)}))
+        return 0
+
+    if args.clone is not None:
+        from e_commerce_batch_etl_pipeline_ray.cdc import lake as _lake
+        print(json.dumps({"clone": _lake.clone_lake(args.lake_dir,
+                                                    args.clone)}))
         return 0
 
     if (args.drop_column is not None or args.undrop_column is not None
