@@ -53,11 +53,13 @@ class MergeWorker:
                     prev_partitions: dict[str, dict], mode: str,
                     gc_horizon_lsn: int | None = None,
                     stats_cols: tuple = (),
-                    key_bloom_fpp: float | None = None) -> None:
+                    key_bloom_fpp: float | None = None,
+                    bloom_cols: tuple = ()) -> None:
         self.epoch = epoch
         self.gc_horizon_lsn = gc_horizon_lsn
         self.stats_cols = tuple(stats_cols)
         self.key_bloom_fpp = key_bloom_fpp
+        self.bloom_cols = tuple(bloom_cols)
         self.schema = lake.schema_from_b64(schema_b64)
         self.prev_partitions = prev_partitions
         self.mode = mode
@@ -141,7 +143,8 @@ class MergeWorker:
             os.replace(wip, tmp_path)
             if self.key_bloom_fpp:
                 from e_commerce_batch_etl_pipeline_ray.cdc import keybloom
-                keybloom.write_sidecar(tmp_path, merged, self.key_bloom_fpp)
+                keybloom.write_sidecar(tmp_path, merged, self.key_bloom_fpp,
+                                       value_cols=self.bloom_cols)
             if self.mode == "compact":
                 self.cache[pid] = (self.epoch, merged)
             import json as _json
@@ -229,10 +232,11 @@ class PersistentMergePool:
                   prev_partitions: dict, mode: str,
                   gc_horizon_lsn: int | None = None,
                   stats_cols: tuple = (),
-                  key_bloom_fpp: float | None = None) -> pa.Table:
+                  key_bloom_fpp: float | None = None,
+                  bloom_cols: tuple = ()) -> pa.Table:
         ray.get([w.begin_epoch.remote(epoch, schema_b64, prev_partitions,
                                       mode, gc_horizon_lsn, stats_cols,
-                                      key_bloom_fpp)
+                                      key_bloom_fpp, bloom_cols)
                  for w in self.workers])
         futures = []
         if self.fan_out == "split":

@@ -134,6 +134,14 @@ class CDCConfig:
     # proves no needle key is present (the big win is LSM delta chains:
     # a cold-key lookup otherwise opens base + K-1 deltas). None disables.
     key_bloom_fpp: float | None = 0.01
+    # VALUE Bloom columns (Parquet column-bloom-filter / Databricks
+    # bloom-index shape): per-file value Blooms over these columns embed
+    # in the same sidecar (v2) at every compact write — equality scans
+    # (zorder.plan_range_scan / range_scan with lo==hi) skip files whose
+    # bloom proves the value absent. Rewrites (optimize/zorder/merge)
+    # inherit the column set from the source sidecars. Needs
+    # key_bloom_fpp enabled (the sidecar is shared).
+    bloom_cols: tuple = ()
     # optimistic concurrency: how many times ingest_epoch re-plans after
     # LOSING the manifest commit CAS to a concurrent metadata committer
     # (rename/drop/restore — lake.CommitConflictError). A retry re-reads
@@ -314,7 +322,8 @@ class MergeApply:
     def __init__(self, lake_dir: str, epoch: int, schema_b64: str,
                  prev_partitions: dict[str, dict], cache_partitions: bool,
                  mode: str = "compact", gc_horizon_lsn: int | None = None,
-                 stats_cols: tuple = (), key_bloom_fpp: float | None = None):
+                 stats_cols: tuple = (), key_bloom_fpp: float | None = None,
+                 bloom_cols: tuple = ()):
         self.lake_dir = lake_dir
         self.epoch = epoch
         self.schema = lake.schema_from_b64(schema_b64)
@@ -324,6 +333,7 @@ class MergeApply:
         self.gc_horizon_lsn = gc_horizon_lsn
         self.stats_cols = tuple(stats_cols)
         self.key_bloom_fpp = key_bloom_fpp
+        self.bloom_cols = tuple(bloom_cols)
         self.tmp_dir = lake.epoch_dir(lake_dir, epoch, tmp=True)
         os.makedirs(self.tmp_dir, exist_ok=True)
 
@@ -386,7 +396,8 @@ class MergeApply:
         os.replace(in_progress, tmp_path)
         if self.key_bloom_fpp:
             from e_commerce_batch_etl_pipeline_ray.cdc import keybloom
-            keybloom.write_sidecar(tmp_path, merged, self.key_bloom_fpp)
+            keybloom.write_sidecar(tmp_path, merged, self.key_bloom_fpp,
+                                   value_cols=self.bloom_cols)
         bytes_written = os.path.getsize(tmp_path)
 
         final_path = os.path.join(lake.epoch_dir(self.lake_dir, self.epoch), fname)
@@ -727,7 +738,8 @@ class CDCEngine:
             lineage = self._pool.run_epoch(normalized, epoch, schema_b64,
                                            prev_parts, mode, gc_horizon,
                                            stats_cols=cfg.stats_cols,
-                                           key_bloom_fpp=cfg.key_bloom_fpp)
+                                           key_bloom_fpp=cfg.key_bloom_fpp,
+                                           bloom_cols=cfg.bloom_cols)
         else:
             conc = merge_pool_size(cfg.merge_concurrency)
             lineage_ds = normalized.groupby(_PID).map_groups(
@@ -735,7 +747,7 @@ class CDCEngine:
                 fn_constructor_args=(cfg.lake_dir, epoch, schema_b64,
                                      prev_parts, cfg.cache_partitions, mode,
                                      gc_horizon, cfg.stats_cols,
-                                     cfg.key_bloom_fpp),
+                                     cfg.key_bloom_fpp, cfg.bloom_cols),
                 concurrency=conc,
                 num_cpus=1)
             from e_commerce_batch_etl_pipeline_ray.stages.blockutil import (

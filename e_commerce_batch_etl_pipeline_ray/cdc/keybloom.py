@@ -101,9 +101,11 @@ def may_contain(blob: bytes, repo, path) -> np.ndarray:
     """Boolean per key: possibly present (True) / definitely absent."""
     nl = blob.index(b"\n")
     hdr = json.loads(blob[:nl])
-    if hdr["v"] != _HEADER_V:
+    if hdr["v"] not in (_HEADER_V, 2):
         raise ValueError(f"unknown kbloom version {hdr['v']}")
     m, k = hdr["m"], hdr["k"]
+    # v2 appends value-bloom bitsets after the key bits; key probes only
+    # ever index below m, so the trailing bytes are inert here
     bits = np.frombuffer(blob[nl + 1:], dtype=np.uint8)
     n = len(repo)
     if n == 0:
@@ -118,16 +120,127 @@ def sidecar_path(data_path: str) -> str:
     return data_path + BLOOM_SUFFIX
 
 
+def _column_hash(col) -> np.ndarray:
+    """Stable uint64 per non-null value of a single column (same pandas
+    primitive as the key hash; dtype-faithful through Arrow->pandas, so a
+    needle cast to the column's Arrow type hashes identically)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    col = col.drop_null()
+    ser = pa.table({"v": col}).to_pandas()["v"]
+    return pd.util.hash_pandas_object(ser, index=False,
+                                      categorize=False).to_numpy()
+
+
+def _build_bits(h1: np.ndarray, fpp: float) -> tuple[bytes, int, int, int]:
+    n = len(h1)
+    m, k = _params(n, fpp)
+    bits = np.zeros(m // 8, dtype=np.uint8)
+    if n:
+        pos = _probe_positions(h1, k, m)
+        np.bitwise_or.at(bits, (pos >> np.uint64(3)).astype(np.int64),
+                         np.left_shift(np.uint8(1),
+                                       (pos & np.uint64(7)).astype(np.uint8)))
+    return bits.tobytes(), m, k, n
+
+
+def _probe_bits(bits: np.ndarray, m: int, k: int,
+                h1: np.ndarray) -> np.ndarray:
+    n = len(h1)
+    if n == 0:
+        return np.zeros(0, dtype=bool)
+    pos = _probe_positions(h1, k, m).reshape(k, n)
+    hit = (bits[(pos >> np.uint64(3)).astype(np.int64)]
+           >> (pos & np.uint64(7)).astype(np.uint8)) & np.uint8(1)
+    return hit.all(axis=0)
+
+
 def write_sidecar(data_path: str, table: pa.Table,
-                  fpp: float = 0.01) -> str:
-    """Atomically (re)write the sidecar for ``data_path`` from its table."""
-    blob = build(table["repo"], table["path"], fpp=fpp)
+                  fpp: float = 0.01, value_cols: tuple = ()) -> str:
+    """Atomically (re)write the sidecar for ``data_path`` from its table.
+
+    ``value_cols`` (CDCConfig.bloom_cols) additionally embeds one VALUE
+    Bloom per listed column (non-null values; the Parquet
+    column-bloom-filter / Databricks bloom-index shape) in the same
+    sidecar file — a v2 header — so every path that carries, vacuums,
+    clones or rebuilds the key sidecar transparently handles the value
+    blooms too. Equality scans (zorder.plan_range_scan lo==hi) probe them
+    to skip files. A listed column absent from the table is skipped (the
+    file predates the column — no bloom, no pruning, always safe)."""
+    key_bits, m, k, n = _build_bits(_fused_hash(table["repo"],
+                                                table["path"]), fpp)
+    header: dict = {"v": _HEADER_V, "m": m, "k": k, "n": n}
+    chunks = [key_bits]
+    if value_cols:
+        vals = {}
+        off = len(key_bits)
+        for c in value_cols:
+            if c not in table.column_names:
+                continue
+            vbits, vm, vk, vn = _build_bits(_column_hash(table[c]), fpp)
+            vals[c] = [vm, vk, vn, off, len(vbits)]
+            chunks.append(vbits)
+            off += len(vbits)
+        if vals:
+            header = {"v": 2, "m": m, "k": k, "n": n, "vals": vals}
+    blob = json.dumps(header).encode() + b"\n" + b"".join(chunks)
     out = sidecar_path(data_path)
     wip = f"{out}.wip.{os.getpid()}"
     with open(wip, "wb") as f:
         f.write(blob)
     os.replace(wip, out)
     return out
+
+
+def sidecar_value_cols(files) -> tuple:
+    """Union of value-bloom column names present in the given files'
+    sidecars — lets a rewrite (optimize/zorder/merge) rebuild value blooms
+    WITHOUT access to the writer's config."""
+    cols: set = set()
+    for f in files:
+        sp = sidecar_path(f)
+        if not os.path.exists(sp):
+            continue
+        with open(sp, "rb") as fh:
+            first = fh.readline()
+        hdr = json.loads(first)
+        cols.update(hdr.get("vals", ()))
+    return tuple(sorted(cols))
+
+
+def value_verdict(blob: bytes, names, needle: pa.Array) -> bool | None:
+    """Tri-state bloom verdict for a column known under any of ``names``
+    (rename aliases, newest-first): True = may contain, False = provably
+    absent, None = this sidecar holds no value bloom under any name (the
+    caller must not prune on it)."""
+    nl = blob.index(b"\n")
+    hdr = json.loads(blob[:nl])
+    vals = hdr.get("vals", {})
+    for n in names:
+        spec = vals.get(n)
+        if spec is not None:
+            vm, vk, vn, off, ln = spec
+            body = blob[nl + 1:]
+            bits = np.frombuffer(body[off:off + ln], dtype=np.uint8)
+            return bool(_probe_bits(bits, vm, vk,
+                                    _column_hash(needle)).any())
+    return None
+
+
+def value_may_contain(blob: bytes, col: str, needle: pa.Array) -> bool:
+    """True if the file may contain ANY of the needle values in ``col``
+    (cast the needles to the column's type first). Returns True — never
+    prune — when the sidecar has no value bloom for the column (v1
+    sidecar, or the column wasn't configured/present at write time)."""
+    nl = blob.index(b"\n")
+    hdr = json.loads(blob[:nl])
+    spec = hdr.get("vals", {}).get(col)
+    if spec is None:
+        return True
+    vm, vk, vn, off, ln = spec
+    body = blob[nl + 1:]
+    bits = np.frombuffer(body[off:off + ln], dtype=np.uint8)
+    return bool(_probe_bits(bits, vm, vk, _column_hash(needle)).any())
 
 
 def prune_files(files: list[str], repos: list[str],

@@ -700,9 +700,12 @@ def optimize(lake_dir: str, mode: str = "lww") -> dict:
                 # the fresh base inherits a key-bloom sidecar when any
                 # source file carried one (bloom-enabled lake)
                 from e_commerce_batch_etl_pipeline_ray.cdc import keybloom
+                srcs = json.loads(row["files"])
                 if any(os.path.exists(keybloom.sidecar_path(f))
-                       for f in json.loads(row["files"])):
-                    keybloom.write_sidecar(tmp_path, t)
+                       for f in srcs):
+                    keybloom.write_sidecar(
+                        tmp_path, t,
+                        value_cols=keybloom.sidecar_value_cols(srcs))
                 recs.append({
                     "partition": pid,
                     "file": os.path.join(epoch_dir(lake_dir, epoch), fname),
@@ -1385,7 +1388,8 @@ def purge_keys(lake_dir: str, keys: list[tuple[str, str]]) -> dict:
                 # bits and lets point_read skip the file outright)
                 from e_commerce_batch_etl_pipeline_ray.cdc import keybloom
                 if os.path.exists(keybloom.sidecar_path(f)):
-                    keybloom.write_sidecar(f, t)
+                    keybloom.write_sidecar(
+                        f, t, value_cols=keybloom.sidecar_value_cols([f]))
             out["file"].append(f)
             out["rows_removed"].append(removed)
             out["rows_total"].append(t.num_rows)

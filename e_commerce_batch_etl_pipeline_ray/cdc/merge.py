@@ -200,7 +200,9 @@ class _MergeIntoApply:
             list(rec.get("deltas", []))
         if any(os.path.exists(keybloom.sidecar_path(f))
                for f in prior_files) or not prior_files:
-            keybloom.write_sidecar(tmp_path, merged)
+            keybloom.write_sidecar(
+                tmp_path, merged,
+                value_cols=keybloom.sidecar_value_cols(prior_files))
         import json as _json
         stats_cols = sorted((rec.get("stats") or {"lsn": None}).keys())
         return pa.table({

@@ -146,9 +146,12 @@ def optimize_zorder(lake_dir: str, by: list[str],
             # inherit key-bloom sidecars across the rewrite (same keys,
             # new file) so zorder never degrades point-read pruning
             from e_commerce_batch_etl_pipeline_ray.cdc import keybloom
+            srcs = json.loads(row["files"])
             if any(os.path.exists(keybloom.sidecar_path(f))
-                   for f in json.loads(row["files"])):
-                keybloom.write_sidecar(tmp_path, t)
+                   for f in srcs):
+                keybloom.write_sidecar(
+                    tmp_path, t,
+                    value_cols=keybloom.sidecar_value_cols(srcs))
             recs.append({
                 "partition": pid,
                 "file": os.path.join(lake.epoch_dir(lake_dir, epoch), fname),
@@ -203,10 +206,21 @@ def _overlaps(bounds: list, lo, hi) -> bool:
 
 def plan_range_scan(lake_dir: str, predicates: dict,
                     epoch: int | None = None) -> dict:
-    """Driver-side scan plan: which partition file sets survive manifest
-    stats pruning. ``predicates``: {col: (lo, hi)} inclusive, either side
-    None. Partitions with delta files (or no stats record) are never
-    pruned — stats exist only for z-order-compacted bases."""
+    """Driver-side scan plan: which partition file sets survive pruning.
+    ``predicates``: {col: (lo, hi)} inclusive, either side None.
+
+    Two pruning levels, both metadata-grade:
+      * manifest min/max stats — partitions with delta files (or no stats
+        record) are never stats-pruned (stats exist only for compacted
+        bases);
+      * for EQUALITY predicates (lo == hi), per-file VALUE Blooms
+        (CDCConfig.bloom_cols, keybloom v2 sidecars): a partition is
+        pruned when EVERY file's bloom proves the value absent — safe
+        under LWW for delta chains too (if no version of any key ever
+        carried the value, the merged state cannot), and probed only for
+        partitions that survived stats pruning (one small sidecar read
+        per file)."""
+    from e_commerce_batch_etl_pipeline_ray.cdc import keybloom
     if epoch is None:
         epoch = lake.last_committed_epoch(lake_dir)
     if epoch is None:
@@ -216,8 +230,13 @@ def plan_range_scan(lake_dir: str, predicates: dict,
     # probe a predicate column under its aliases too (newest-first), same
     # resolution rule as the data projection, so pruning stays effective
     # across a rename (a miss only disables pruning, never wrongly prunes)
-    probe = lake.probe_names(lake.schema_from_b64(manifest["schema"]),
-                             predicates)
+    schema = lake.schema_from_b64(manifest["schema"])
+    probe = lake.probe_names(schema, predicates)
+    eq_needles = {}
+    for col, (lo, hi) in predicates.items():
+        if lo is not None and lo == hi:
+            typ = schema.field(col).type if col in schema.names else None
+            eq_needles[col] = pa.array([lo], type=typ)
     items, files_total, files_pruned = [], 0, 0
     for pid, rec in manifest["partitions"].items():
         files = ([rec["file"]] if rec.get("file") else []) + \
@@ -226,16 +245,34 @@ def plan_range_scan(lake_dir: str, predicates: dict,
             continue
         files_total += len(files)
         stats = rec.get("stats")
+        prunable = False
         if stats is not None and not rec.get("deltas"):
-            prunable = False
             for col, (lo, hi) in predicates.items():
                 b = next((stats[n] for n in probe[col] if n in stats), None)
                 if b is not None and not _overlaps(b, lo, hi):
                     prunable = True
                     break
-            if prunable:
-                files_pruned += len(files)
-                continue
+        if not prunable and eq_needles:
+            for col, needle in eq_needles.items():
+                verdicts = []
+                for f in files:
+                    sp = keybloom.sidecar_path(f)
+                    if not os.path.exists(sp):
+                        verdicts = None
+                        break
+                    with open(sp, "rb") as fh:
+                        v = keybloom.value_verdict(fh.read(), probe[col],
+                                                   needle)
+                    if v is None:
+                        verdicts = None
+                        break
+                    verdicts.append(v)
+                if verdicts is not None and not any(verdicts):
+                    prunable = True
+                    break
+        if prunable:
+            files_pruned += len(files)
+            continue
         items.append({"partition": int(pid), "files": json.dumps(files)})
     return {"epoch": epoch, "manifest": manifest, "items": items,
             "files_total": files_total, "files_pruned": files_pruned,

@@ -6816,3 +6816,60 @@ def q157_clone(sf_dir: str):
 
 QUERIES.update({"q157_clone": q157_clone})
 ORACLE.update({"q157_clone": Q24_SQL})
+
+
+# ---------------------------------------------------------------------------
+# q158 — VALUE BLOOM FILTERS (CDCConfig.bloom_cols; the Parquet
+# column-bloom-filter / Databricks bloom-index shape). The lake ingests
+# with a value Bloom over `commit` embedded in every file's sidecar
+# (keybloom v2); an equality scan for one commit sha then prunes every
+# partition whose files provably never carried the value — probed on the
+# driver from sidecars alone — before the surviving files are read and
+# exactly masked. Needle: the commit of the lexicographically-first live
+# key, chosen identically on both sides. Oracle: the LWW window filtered
+# to that commit in SQL. The plan's pruning effectiveness is asserted
+# in-query (a sha appears in ~1 partition of 16).
+
+def q158_value_bloom_scan(sf_dir: str):
+    import tempfile
+
+    from e_commerce_batch_etl_pipeline_ray.cdc import engine, zorder
+    from e_commerce_batch_etl_pipeline_ray.stages.blockutil import (
+        read_parquet_clean,
+    )
+    ensure_oracle_fixtures()
+    lake_dir = tempfile.mkdtemp(prefix="q158_lake_", dir="/tmp")
+    eng = engine.CDCEngine(engine.CDCConfig(lake_dir=lake_dir,
+                                            num_partitions=16,
+                                            merge_concurrency=2,
+                                            bloom_cols=("commit",)))
+    for ep in range(Q24_EPOCHS):
+        eng.ingest_epoch(read_parquet_clean(
+            os.path.join(Q24_BINLOG_DIR, f"epoch-{ep}.parquet"),
+            override_num_blocks=8), ep)
+    first = eng.read().sort(["repo", "path"]).take(1)[0]
+    needle = first["commit"]
+    plan = zorder.plan_range_scan(lake_dir, {"commit": (needle, needle)})
+    assert plan["files_pruned"] > 0, "value bloom pruned nothing"
+    return zorder.range_scan(lake_dir, {"commit": (needle, needle)}) \
+        .sort(["repo", "path"])
+
+
+Q158_SQL = f"""
+WITH live AS (
+  SELECT lsn, repo, path, commit, lang, content, content_sha256 FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY repo, path
+                                 ORDER BY lsn DESC) AS rn
+    FROM read_parquet(['{Q24_BINLOG_DIR}/epoch-0.parquet',
+                       '{Q24_BINLOG_DIR}/epoch-1.parquet'],
+                      union_by_name=true)
+  ) WHERE rn = 1 AND op <> 'D'
+)
+SELECT * FROM live
+WHERE commit = (SELECT commit FROM live ORDER BY repo, path LIMIT 1)
+ORDER BY repo, path
+"""
+
+
+QUERIES.update({"q158_value_bloom_scan": q158_value_bloom_scan})
+ORACLE.update({"q158_value_bloom_scan": Q158_SQL})
