@@ -103,7 +103,12 @@ class MergeWorker:
         files = ([rec["file"]] if rec.get("file") else []) + list(rec.get("deltas", []))
         if not files:
             return None
-        tables = [self._unify(pq.read_table(f)) for f in files]
+        # deletion-vector mask at the prior read (lake.delete_where_dv);
+        # the cross-epoch cache above is safe: a DV commit claims an epoch
+        # number, so the next ingest's ``epoch - 1`` check misses and state
+        # is re-read from files through this masked path
+        tables = [self._unify(lake.apply_dv(pq.read_table(f), f, rec))
+                  for f in files]
         return tables[0] if len(tables) == 1 else pa.concat_tables(tables)
 
     def finish_epoch(self) -> pa.Table:

@@ -191,6 +191,12 @@ def _rewrite_paths(manifest: dict, bdir: str,
             rec["novel_file"] = _map(rec["novel_file"])
         if rec.get("deltas"):
             rec["deltas"] = [_map(d) for d in rec["deltas"]]
+        if rec.get("dv"):
+            # deletion-vector sidecars publish like data files; covers are
+            # rewritten the same way so apply_dv matches the published paths
+            rec["dv"] = [{**e, "file": _map(e["file"]),
+                          "covers": [_map(c) for c in e["covers"]]}
+                         for e in rec["dv"]]
         out["partitions"][pid] = rec
     for key in ("removal_log", "dlq_files"):
         if manifest.get(key):
@@ -300,7 +306,8 @@ def branch_referenced_files(lake_dir: str) -> set[str]:
                 m = json.load(fh)
             for rec in m.get("partitions", {}).values():
                 for p in ([rec.get("file"), rec.get("novel_file")]
-                          + list(rec.get("deltas", []))):
+                          + list(rec.get("deltas", []))
+                          + [e["file"] for e in rec.get("dv", [])]):
                     if p:
                         out.add(os.path.realpath(p))
             for key in ("removal_log", "dlq_files"):

@@ -344,7 +344,11 @@ class MergeApply:
         files = ([rec["file"]] if rec.get("file") else []) + list(rec.get("deltas", []))
         if not files:
             return None
-        tables = [self._unify(pq.read_table(f)) for f in files]
+        # deletion vectors (lake.delete_where_dv) mask at the prior read:
+        # the compact-mode rewrite MATERIALIZES the delete (the fresh rec
+        # carries no dv), so a masked key can never resurrect
+        tables = [self._unify(lake.apply_dv(pq.read_table(f), f, rec))
+                  for f in files]
         return tables[0] if len(tables) == 1 else pa.concat_tables(tables)
 
     def _unify(self, t: pa.Table) -> pa.Table:
@@ -772,6 +776,11 @@ class CDCEngine:
                     "bytes_written": rec["bytes_written"],
                     "late_events": rec.get("late_events", 0),
                 }
+                # a delta append leaves the covered base/delta files in
+                # place — any deletion vectors must ride along (the new
+                # delta file is NOT covered: re-inserts stay visible)
+                if prev.get("dv"):
+                    partitions[pid]["dv"] = prev["dv"]
             else:
                 partitions[pid] = {
                     "file": rec["file"], "deltas": [],
@@ -1066,6 +1075,19 @@ class CDCEngine:
                                   batch_format="pyarrow").materialize()
         return self.ingest_epoch(events, epoch,
                                  events_in=events.count())
+
+    def delete_where_dv(self, predicate,
+                        columns: list[str] | None = None) -> dict:
+        """Predicate delete as a DELETION-VECTOR commit (merge-on-read):
+        no data file rewritten, no events shuffled — the matched keys are
+        written as per-partition sidecars and readers mask them until the
+        next compacting rewrite materializes the delete. See
+        ``lake.delete_where_dv`` for semantics (feed visibility, LSM
+        re-insert safety, crash safety). Prefer ``delete_where`` (tombstone
+        events) when downstream consumers replay the EVENT stream (SCD2,
+        replicas built from raw epochs)."""
+        return lake.delete_where_dv(self.cfg.lake_dir, predicate,
+                                    columns=columns)
 
     def replace_where(self, predicate, rows: ray.data.Dataset, epoch: int,
                       columns: list[str] | None = None) -> EpochStats:

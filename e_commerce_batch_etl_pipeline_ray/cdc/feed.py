@@ -76,13 +76,18 @@ def _part_files(rec: dict | None) -> list[str]:
     return ([rec["file"]] if rec.get("file") else []) + list(rec.get("deltas", []))
 
 
-def _load_state(files: list[str], schema: pa.Schema) -> pa.Table:
+def _load_state(files: list[str], schema: pa.Schema,
+                rec: dict | None = None) -> pa.Table:
     """One partition's compacted LWW state (tombstones kept), unified to
     ``schema``. Base files are already compacted+sorted; delta files can
-    carry multiple rows per key, so re-combine (idempotent on bases)."""
+    carry multiple rows per key, so re-combine (idempotent on bases).
+    ``rec`` carries the record's deletion vectors (lake.delete_where_dv):
+    a DV'd key is GONE from the loaded state, so the diff emits a delete
+    row with the preimage lsn — the GC-vanished contract below."""
     if not files:
         return schema.empty_table()
-    tables = [lake._unify_to(pq.read_table(f), schema) for f in files]
+    tables = [lake._unify_to(lake.apply_dv(pq.read_table(f), f, rec), schema)
+              for f in files]
     t = tables[0] if len(tables) == 1 else pa.concat_tables(tables)
     return combine_keep_extreme(t, KEY, ["lsn"], descending=True)
 
@@ -200,12 +205,18 @@ def _plan(lake_dir: str, from_epoch: int,
         for pid, rec in cur_manifest["partitions"].items():
             cur_files = _part_files(rec)
             prev_files = _part_files(prev_parts.get(pid))
-            if cur_files == prev_files:
+            cur_dv = lake.dv_json(rec)
+            prev_dv = lake.dv_json(prev_parts.get(pid))
+            # a deletion-vector commit changes visible state WITHOUT
+            # changing the file list — the dv entries are part of the
+            # carried-forward identity
+            if cur_files == prev_files and cur_dv == prev_dv:
                 continue                     # carried forward: no changes
             items.append({
                 "partition": int(pid), "epoch": e,
                 "cur_files": json.dumps(cur_files),
                 "prev_files": json.dumps(prev_files),
+                "cur_dv": cur_dv, "prev_dv": prev_dv,
             })
         prev_manifest = cur_manifest
     return items, out_schema, to_epoch
@@ -232,8 +243,10 @@ def change_feed(lake_dir: str, from_epoch: int = 0,
         feed_schema = _feed_schema(state_schema)
         out = []
         for row in batch.to_pylist():
-            prev = _load_state(json.loads(row["prev_files"]), state_schema)
-            cur = _load_state(json.loads(row["cur_files"]), state_schema)
+            prev = _load_state(json.loads(row["prev_files"]), state_schema,
+                               lake.rec_from_dv_json(row["prev_dv"]))
+            cur = _load_state(json.loads(row["cur_files"]), state_schema,
+                              lake.rec_from_dv_json(row["cur_dv"]))
             out.append(_diff_states(prev, cur, row["epoch"], feed_schema))
         return pa.concat_tables(out) if len(out) > 1 else out[0]
 
@@ -270,7 +283,10 @@ def _key_plan(lake_dir: str, keys: list[tuple[str, str]],
         cur = keybloom.prune_files(json.loads(it["cur_files"]), repos, paths)
         prev = keybloom.prune_files(json.loads(it["prev_files"]), repos,
                                     paths)
-        if cur == prev:     # identical pruned chains: keys' state unchanged
+        # identical pruned chains AND identical deletion vectors: the
+        # keys' state provably didn't change (a DV commit alters state
+        # without touching the file list)
+        if cur == prev and it["cur_dv"] == it["prev_dv"]:
             continue
         pruned.append({**it, "cur_files": json.dumps(cur),
                        "prev_files": json.dumps(prev)})
@@ -327,11 +343,13 @@ def key_history(lake_dir: str, keys: list[tuple[str, str]],
         flt = (pc.field(KEY[0]).isin(pa.array(sorted(set(repos))))
                & pc.field(KEY[1]).isin(pa.array(sorted(set(paths)))))
 
-        def _load(files):
+        def _load(files, rec):
             if not files:
                 return state_schema.empty_table()
+            # dv mask composes with the isin pushdown: masking is by key
             tabs = [lake._unify_to(
-                pq.read_table(f, filters=flt), state_schema)
+                lake.apply_dv(pq.read_table(f, filters=flt), f, rec),
+                state_schema)
                 for f in files]
             t = tabs[0] if len(tabs) == 1 else pa.concat_tables(tabs)
             t = t.filter(pc.is_in(_fused_key(t), value_set=needle))
@@ -339,8 +357,10 @@ def key_history(lake_dir: str, keys: list[tuple[str, str]],
 
         out = []
         for row in batch.to_pylist():
-            prev = _load(json.loads(row["prev_files"]))
-            cur = _load(json.loads(row["cur_files"]))
+            prev = _load(json.loads(row["prev_files"]),
+                         lake.rec_from_dv_json(row["prev_dv"]))
+            cur = _load(json.loads(row["cur_files"]),
+                        lake.rec_from_dv_json(row["cur_dv"]))
             out.append(_diff_states(prev, cur, row["epoch"], feed_schema))
         return pa.concat_tables(out) if len(out) > 1 else out[0]
 

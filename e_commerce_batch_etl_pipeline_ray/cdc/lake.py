@@ -348,7 +348,8 @@ def table_stats(lake_dir: str, epoch: int | None = None,
                  + list(rec.get("deltas", [])))
         if not files:
             continue
-        if not rec.get("deltas") and rec.get("live_rows") is not None:
+        if not rec.get("deltas") and not rec.get("dv") \
+                and rec.get("live_rows") is not None:
             n_meta += 1
             rows += rec["live_rows"]
             for c in cols:
@@ -358,7 +359,8 @@ def table_stats(lake_dir: str, epoch: int | None = None,
                     _fold(c, b[0], b[1])
         else:
             fallback.append({"partition": int(pid),
-                             "files": json.dumps(files)})
+                             "files": json.dumps(files),
+                             "dv": dv_json(rec)})
 
     if fallback:
         cols_list = list(cols)
@@ -366,8 +368,10 @@ def table_stats(lake_dir: str, epoch: int | None = None,
         def _summarize(batch: pa.Table) -> pa.Table:
             sch = schema_from_b64(schema_b64)
             out = {"live_rows": [], "stats": []}
-            for files_json in batch["files"].to_pylist():
-                tables = [_unify_to(pq.read_table(f), sch)
+            for row in batch.to_pylist():
+                files_json = row["files"]
+                drec = rec_from_dv_json(row["dv"])
+                tables = [_unify_to(apply_dv(pq.read_table(f), f, drec), sch)
                           for f in json.loads(files_json)]
                 t = (tables[0] if len(tables) == 1
                      else pa.concat_tables(tables))
@@ -474,7 +478,8 @@ def read_lake(lake_dir: str, epoch: int | None = None,
             t = t.select(columns)
         return t
 
-    has_deltas = any(rec.get("deltas") for rec in manifest["partitions"].values())
+    has_deltas = any(rec.get("deltas") or rec.get("dv")
+                     for rec in manifest["partitions"].values())
     if not has_deltas:
         files = manifest_files(manifest)
         if not files:
@@ -486,22 +491,25 @@ def read_lake(lake_dir: str, epoch: int | None = None,
         return ds.map_batches(_unify, batch_format="pyarrow",
                               zero_copy_batch=True)
 
-    # delta path: one merge task per partition
+    # delta / deletion-vector path: one merge task per partition
     from e_commerce_batch_etl_pipeline_ray.stages.dedup import combine_keep_extreme
     parts = []
     for pid, rec in manifest["partitions"].items():
         files = ([rec["file"]] if rec.get("file") else []) + list(rec.get("deltas", []))
         if files:
-            parts.append({"partition": int(pid), "files": json.dumps(files)})
+            parts.append({"partition": int(pid), "files": json.dumps(files),
+                          "dv": dv_json(rec)})
     if not parts:
         return ray.data.from_arrow(_finish(schema.empty_table()))
 
     def _merge_partition(batch: pa.Table) -> pa.Table:
         sch = schema_from_b64(schema_b64)
         out = []
-        for files_json in batch["files"].to_pylist():
-            files = json.loads(files_json)
-            tables = [_unify_to(pq.read_table(f), sch) for f in files]
+        for row in batch.to_pylist():
+            files = json.loads(row["files"])
+            rec = rec_from_dv_json(row["dv"])
+            tables = [_unify_to(apply_dv(pq.read_table(f), f, rec), sch)
+                      for f in files]
             t = tables[0] if len(tables) == 1 else pa.concat_tables(tables)
             t = combine_keep_extreme(t, ["repo", "path"], ["lsn"],
                                      descending=True)
@@ -567,6 +575,7 @@ def point_read(lake_dir: str, keys: list[tuple[str, str]],
         items.append({
             "partition": pid,
             "files": json.dumps(files),
+            "dv": dv_json(rec),
             "repos": json.dumps(sorted({keys[i][0] for i in idxs})),
             "paths": json.dumps(sorted({keys[i][1] for i in idxs})),
             "keys": json.dumps(sorted([list(keys[i]) for i in idxs])),
@@ -601,9 +610,12 @@ def point_read(lake_dir: str, keys: list[tuple[str, str]],
             files = keybloom.prune_files(
                 json.loads(row["files"]),
                 [p[0] for p in pairs], [p[1] for p in pairs])
+            rec = rec_from_dv_json(row["dv"])
             tables = [sch.empty_table()] if not files else []
             for f in files:
-                t = pq.read_table(f, filters=filt)
+                # deletion-vector mask composes with the pushed-down filter:
+                # masking is BY KEY, so it is exact on any row subset
+                t = apply_dv(pq.read_table(f, filters=filt), f, rec)
                 tables.append(_unify_to(t, sch))
             t = tables[0] if len(tables) == 1 else pa.concat_tables(tables)
             # coarse repo-set x path-set superset -> exact key pairs
@@ -656,10 +668,14 @@ def optimize(lake_dir: str, mode: str = "lww") -> dict:
 
     items = []
     for pid, rec in manifest["partitions"].items():
-        if rec.get("deltas"):
+        # a deletion-vector entry also warrants a rewrite: compaction
+        # MATERIALIZES the masked deletes and clears the DV (Delta's
+        # OPTIMIZE/REORG contract)
+        if rec.get("deltas") or rec.get("dv"):
             files = ([rec["file"]] if rec.get("file") else []) + \
-                list(rec["deltas"])
-            items.append({"partition": int(pid), "files": json.dumps(files)})
+                list(rec.get("deltas", []))
+            items.append({"partition": int(pid), "files": json.dumps(files),
+                          "dv": dv_json(rec)})
 
     if not items:
         # nothing to compact: no epoch burned, manifest untouched
@@ -679,7 +695,8 @@ def optimize(lake_dir: str, mode: str = "lww") -> dict:
             sch = schema_from_b64(schema_b64)
             recs = []
             for row in batch.to_pylist():
-                tables = [_unify_to(pq.read_table(f), sch)
+                drec = rec_from_dv_json(row["dv"])
+                tables = [_unify_to(apply_dv(pq.read_table(f), f, drec), sch)
                           for f in json.loads(row["files"])]
                 t = tables[0] if len(tables) == 1 else pa.concat_tables(tables)
                 if mode == "lww":
@@ -793,6 +810,10 @@ def vacuum(lake_dir: str, keep_last: int = 1) -> dict:
                 referenced.add(os.path.realpath(rec["novel_file"]))
             for d in rec.get("deltas", []):
                 referenced.add(os.path.realpath(d))
+            # deletion-vector sidecars are committed state (masked reads
+            # need them until a rewrite materializes the delete)
+            for e in rec.get("dv", []):
+                referenced.add(os.path.realpath(e["file"]))
     # an open branch's manifests may reference this lake's files (the
     # fork-point carry-forward, cdc/branch.py) — vacuuming the parent must
     # never break a branch that hasn't published yet
@@ -930,6 +951,221 @@ def _rec_files(rec: dict | None) -> list[str]:
         return []
     return ([rec["file"]] if rec.get("file") else []) \
         + list(rec.get("deltas", []))
+
+
+# ---------------------------------------------------------------------------
+# Deletion vectors — merge-on-read predicate deletes (Delta deletion-vector /
+# Iceberg delete-file shape). A DV delete never rewrites a data file and
+# never flows through the event shuffle: the predicate scan writes one tiny
+# sidecar of DELETED KEYS per touched partition and the manifest commit makes
+# it visible. Readers mask the keys out at read time; the next compacting
+# rewrite (ingest compact mode / optimize / zorder) materializes the delete
+# and clears the entry. At 100 TB a predicate delete costs O(matched keys)
+# written bytes instead of an O(state) rewrite or an O(matched keys) event
+# shuffle through the merge pool.
+#
+# Per-partition record entry (rides the manifest chain via carry-forward):
+#     rec["dv"] = [{"file": <key parquet>, "covers": [data files], "rows": n}]
+#
+# ``covers`` pins the DV to the chain files that existed AT DELETE TIME —
+# the rule that keeps LWW correct under LSM delta chains: a later delta that
+# re-inserts a deleted key is NOT covered, so the re-born row wins the merge
+# untouched, while every covered (older) version of the key stays masked.
+# Keys — not row positions — are stored because every read path (filtered
+# point reads, row-group-pruned range scans) can mask by key after any
+# pushdown, whereas positions survive only whole-file reads.
+#
+# The change feed sees DV deletes naturally (state diff: key live at N-1,
+# gone at N -> delete row with the preimage lsn). SCD2 histories are built
+# from the EVENT stream and do not observe DV deletes — use the tombstone
+# path (engine.delete_where) for SCD2-tracked lakes.
+_DV_KEYSEP = "\x00"
+_dv_needle_cache: dict[str, "pa.Array"] = {}
+
+
+def _dv_needles(dv_file: str) -> "pa.Array":
+    """Fused ``repo\\x00path`` needle array of one DV sidecar (immutable
+    file — cached per process; a DV is small by construction)."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    hit = _dv_needle_cache.get(dv_file)
+    if hit is None:
+        t = pq.read_table(dv_file)
+        hit = pc.binary_join_element_wise(
+            t["repo"].combine_chunks(), t["path"].combine_chunks(),
+            _DV_KEYSEP)
+        if len(_dv_needle_cache) > 256:      # bounded per-process cache
+            _dv_needle_cache.clear()
+        _dv_needle_cache[dv_file] = hit
+    return hit
+
+
+def apply_dv(t: pa.Table, fpath: str, rec: dict | None) -> pa.Table:
+    """Mask a data file's rows through the partition record's deletion
+    vectors. Only DV entries whose ``covers`` include this file apply —
+    files written after the delete (later deltas, re-inserts) pass through
+    untouched."""
+    import pyarrow.compute as pc
+    ents = (rec or {}).get("dv") or []
+    if not ents or t.num_rows == 0:
+        return t
+    fp = os.path.normpath(fpath)
+    hits = [e["file"] for e in ents
+            if fp in {os.path.normpath(c) for c in e["covers"]}]
+    if not hits:
+        return t
+    needles = _dv_needles(hits[0]) if len(hits) == 1 else pa.concat_arrays(
+        [_dv_needles(h) for h in hits])
+    fused = pc.binary_join_element_wise(
+        t["repo"].combine_chunks(), t["path"].combine_chunks(), _DV_KEYSEP)
+    mask = pc.is_in(fused, value_set=needles)
+    if not pc.any(mask).as_py():
+        return t
+    return t.filter(pc.invert(mask))
+
+
+def dv_json(rec: dict | None) -> str:
+    """Serialize a record's DV entries for shipping inside task descriptors
+    (the per-partition ``from_items`` plans)."""
+    return json.dumps((rec or {}).get("dv") or [])
+
+
+def rec_from_dv_json(s: str | None) -> dict:
+    """Inverse of ``dv_json`` — a minimal rec usable by ``apply_dv``."""
+    dv = json.loads(s) if s else []
+    return {"dv": dv} if dv else {}
+
+
+def delete_where_dv(lake_dir: str, predicate,
+                    columns: list[str] | None = None) -> dict:
+    """See ``_delete_where_dv_once``; auto-retries a lost commit CAS
+    (re-scans against the new head — the matched key set may have moved)."""
+    return _retry_conflicts(_delete_where_dv_once, lake_dir, predicate,
+                            columns)
+
+
+def _delete_where_dv_once(lake_dir: str, predicate,
+                          columns: list[str] | None = None) -> dict:
+    """DELETE FROM t WHERE ... as a DELETION-VECTOR commit: evaluate
+    ``predicate`` (a batch fn ``pa.Table -> boolean mask``; nulls False,
+    SQL WHERE semantics) over the LIVE merged state per partition, write
+    the matched keys as one DV sidecar per touched partition, and commit a
+    new epoch whose records reference them — zero data files rewritten,
+    zero events shuffled. ``columns``: the predicate's column set, pruning
+    each file read to keys + protocol + those columns.
+
+    Crash-safe like an ingest (tmp dir -> promote -> manifest CAS): a crash
+    before the CAS leaves only vacuum-able orphans and the lake at the old
+    head. Composes with: reads/point reads/range scans (masked), the change
+    feed (emits delete rows with preimage lsns), compaction and zorder
+    (materialize + clear), clone/branch/vacuum (sidecars ride the record),
+    later re-inserts (new deltas are not covered). Stale per-file stats /
+    key blooms remain safe supersets for pruning."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from e_commerce_batch_etl_pipeline_ray.stages.blockutil import (
+        collect_arrow,
+    )
+    from e_commerce_batch_etl_pipeline_ray.stages.dedup import (
+        combine_keep_extreme,
+    )
+
+    last = last_committed_epoch(lake_dir)
+    if last is None:
+        raise FileNotFoundError("delete_where_dv on an empty lake")
+    manifest = read_manifest(lake_dir, last)
+    schema_b64 = manifest["schema"]
+    epoch = last + 1
+    tmp_dir = epoch_dir(lake_dir, epoch, tmp=True)
+    final_dir = epoch_dir(lake_dir, epoch)
+
+    items = []
+    for pid, rec in manifest["partitions"].items():
+        files = _rec_files(rec)
+        if files:
+            items.append({"partition": int(pid),
+                          "files": json.dumps(files),
+                          "dv": dv_json(rec)})
+    if not items:
+        return {"epoch": last, "keys_deleted": 0, "partitions_touched": 0}
+    os.makedirs(tmp_dir, exist_ok=True)
+    read_cols = None
+    if columns is not None:
+        read_cols = list(dict.fromkeys(
+            ["repo", "path", "lsn", "_deleted", *columns]))
+
+    def _scan(batch: pa.Table) -> pa.Table:
+        sch = schema_from_b64(schema_b64)
+        probe = probe_names(sch, read_cols) if read_cols else None
+        tgt = sch if read_cols is None else \
+            pa.schema([sch.field(c) for c in read_cols])
+        recs = []
+        for row in batch.to_pylist():
+            rec = rec_from_dv_json(row["dv"])
+            tables = []
+            for f in json.loads(row["files"]):
+                if probe is not None:
+                    # prune the read to each file's PHYSICAL names for the
+                    # requested columns (pre-rename files carry an alias)
+                    fnames = set(pq.read_schema(f).names)
+                    cols = [n for c in read_cols
+                            for n in [next((n for n in probe[c]
+                                            if n in fnames), None)]
+                            if n is not None]
+                    t = pq.read_table(f, columns=cols)
+                else:
+                    t = pq.read_table(f)
+                tables.append(_unify_to(apply_dv(t, f, rec), tgt))
+            t = tables[0] if len(tables) == 1 else pa.concat_tables(tables)
+            t = combine_keep_extreme(t, ["repo", "path"], ["lsn"],
+                                     descending=True)
+            live = t.filter(pc.equal(t["_deleted"], False))
+            mask = pc.fill_null(predicate(live), False)
+            matched = live.filter(mask)
+            pid = row["partition"]
+            dv_path = ""
+            if matched.num_rows:
+                fname = f"dv-p{pid:05d}.parquet"
+                tmp_path = os.path.join(tmp_dir, fname)
+                wip = f"{tmp_path}.wip.{os.getpid()}"
+                pq.write_table(matched.select(["repo", "path"]), wip)
+                os.replace(wip, tmp_path)
+                dv_path = os.path.join(final_dir, fname)
+            recs.append({"partition": pid, "dv_file": dv_path,
+                         "rows": matched.num_rows})
+        return pa.Table.from_pylist(recs)
+
+    lineage = collect_arrow(
+        ray.data.from_items(items).map_batches(
+            _scan, batch_format="pyarrow", batch_size=1))
+    touched: dict[int, dict] = {}
+    total = 0
+    for r in lineage.to_pylist():
+        if not r["dv_file"]:
+            continue
+        total += r["rows"]
+        prev = dict(manifest["partitions"][str(r["partition"])])
+        prev["dv"] = list(prev.get("dv", [])) + [
+            {"file": r["dv_file"], "covers": _rec_files(prev),
+             "rows": r["rows"]}]
+        # live-row metadata is stale now — drop it so table_stats falls
+        # back to a pruned read for this partition (min/max stats stay:
+        # safe supersets for pruning)
+        prev.pop("live_rows", None)
+        prev.pop("live_stats", None)
+        touched[r["partition"]] = prev
+    if not touched:
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        return {"epoch": last, "keys_deleted": 0, "partitions_touched": 0}
+    promote_epoch_dir(lake_dir, epoch)
+    commit_manifest(lake_dir, epoch, touched, schema_from_b64(schema_b64),
+                    manifest,
+                    metrics={"op": "delete_where_dv", "keys_deleted": total,
+                             "partitions_touched": len(touched)},
+                    num_partitions=manifest.get("num_partitions"))
+    return {"epoch": epoch, "keys_deleted": total,
+            "partitions_touched": len(touched)}
 
 
 # key + protocol columns a CDC lake cannot function without
@@ -1111,6 +1347,13 @@ def clone_lake(src_lake: str, dst_lake: str, epoch: int | None = None) -> dict:
                 rec[key] = _map(rec[key])
         if rec.get("deltas"):
             rec["deltas"] = [_map(d) for d in rec["deltas"]]
+        if rec.get("dv"):
+            # link the DV sidecar AND rewrite its covers to the cloned
+            # data-file paths (apply_dv matches covers against the paths
+            # the cloned manifest references)
+            rec["dv"] = [{**e, "file": _map(e["file"]),
+                          "covers": [_map(c) for c in e["covers"]]}
+                         for e in rec["dv"]]
         out["partitions"][pid] = rec
     for key in ("removal_log", "dlq_files"):
         if manifest.get(key):

@@ -175,7 +175,10 @@ class _MergeIntoApply:
             (list(rec.get("deltas", [])) if rec else [])
         if not files:
             return self.schema.empty_table()
-        tables = [lake._unify_to(pq.read_table(f), self.schema)
+        # deletion-vector mask (lake.delete_where_dv): the merge's compact
+        # rewrite materializes the delete, so the fresh rec carries no dv
+        tables = [lake._unify_to(lake.apply_dv(pq.read_table(f), f, rec),
+                                 self.schema)
                   for f in files]
         t = tables[0] if len(tables) == 1 else pa.concat_tables(tables)
         return combine_keep_extreme(t, KEY, ["lsn"], descending=True)

@@ -160,16 +160,24 @@ class JoinView:
         pids = sorted({*lman["partitions"], *rman["partitions"]}, key=int)
         items, inputs, carried = [], {}, 0
         for pid in pids:
-            lfiles = _part_files(lman["partitions"].get(pid))
-            rfiles = _part_files(rman["partitions"].get(pid))
-            inputs[pid] = {"left": lfiles, "right": rfiles}
+            lrec = lman["partitions"].get(pid)
+            rrec = rman["partitions"].get(pid)
+            lfiles, rfiles = _part_files(lrec), _part_files(rrec)
+            ldv, rdv = lake.dv_json(lrec), lake.dv_json(rrec)
+            # deletion vectors are part of the input identity: a DV commit
+            # changes a source partition's state without touching its files
+            inputs[pid] = {"left": lfiles, "right": rfiles,
+                           "left_dv": ldv, "right_dv": rdv}
             prev = prev_inputs.get(pid)
-            if prev and prev["left"] == lfiles and prev["right"] == rfiles:
+            if prev and prev["left"] == lfiles and prev["right"] == rfiles \
+                    and prev.get("left_dv", "[]") == ldv \
+                    and prev.get("right_dv", "[]") == rdv:
                 carried += 1
                 continue                     # inputs unchanged: carry forward
             items.append({"partition": int(pid),
                           "left_files": json.dumps(lfiles),
-                          "right_files": json.dumps(rfiles)})
+                          "right_files": json.dumps(rfiles),
+                          "left_dv": ldv, "right_dv": rdv})
 
         tmp_dir = lake.epoch_dir(self.view_dir, refresh_epoch, tmp=True)
         os.makedirs(tmp_dir, exist_ok=True)
@@ -184,8 +192,10 @@ class JoinView:
             recs = []
             for row in batch.to_pylist():
                 pid = row["partition"]
-                left = _load_state(json.loads(row["left_files"]), ls)
-                right = _load_state(json.loads(row["right_files"]), rs)
+                left = _load_state(json.loads(row["left_files"]), ls,
+                                   lake.rec_from_dv_json(row["left_dv"]))
+                right = _load_state(json.loads(row["right_files"]), rs,
+                                    lake.rec_from_dv_json(row["right_dv"]))
                 joined = _join_partition(left, right, how, lpairs, rpairs, os_)
                 fname = f"part-{pid:05d}.parquet"
                 tmp_path = os.path.join(tmp_dir, fname)

@@ -121,7 +121,8 @@ def optimize_zorder(lake_dir: str, by: list[str],
         files = ([rec["file"]] if rec.get("file") else []) + \
             list(rec.get("deltas", []))
         if files:
-            items.append({"partition": int(pid), "files": json.dumps(files)})
+            items.append({"partition": int(pid), "files": json.dumps(files),
+                          "dv": lake.dv_json(rec)})
     if not items:
         return {"epoch": last, "partitions_rewritten": 0}
     os.makedirs(tmp_dir, exist_ok=True)
@@ -130,7 +131,11 @@ def optimize_zorder(lake_dir: str, by: list[str],
         sch = lake.schema_from_b64(schema_b64)
         recs = []
         for row in batch.to_pylist():
-            tables = [lake._unify_to(pq.read_table(f), sch)
+            # dv mask: the zorder rewrite MATERIALIZES deletion vectors
+            # (the fresh rec below carries no dv entry)
+            drec = lake.rec_from_dv_json(row["dv"])
+            tables = [lake._unify_to(lake.apply_dv(pq.read_table(f), f,
+                                                   drec), sch)
                       for f in json.loads(row["files"])]
             t = tables[0] if len(tables) == 1 else pa.concat_tables(tables)
             t = combine_keep_extreme(t, ["repo", "path"], ["lsn"],
@@ -273,7 +278,11 @@ def plan_range_scan(lake_dir: str, predicates: dict,
         if prunable:
             files_pruned += len(files)
             continue
-        items.append({"partition": int(pid), "files": json.dumps(files)})
+        # deletion vectors ride into the scan tasks; stats and blooms
+        # written before the DV are stale SUPERSETS — safe for pruning
+        # (prune only on proven absence), exact-masked at the read
+        items.append({"partition": int(pid), "files": json.dumps(files),
+                      "dv": lake.dv_json(rec)})
     return {"epoch": epoch, "manifest": manifest, "items": items,
             "files_total": files_total, "files_pruned": files_pruned,
             "files_selected": files_total - files_pruned}
@@ -329,6 +338,7 @@ def range_scan(lake_dir: str, predicates: dict, epoch: int | None = None,
         out = []
         for row in batch.to_pylist():
             files = json.loads(row["files"])
+            drec = lake.rec_from_dv_json(row["dv"])
             if len(files) == 1:
                 # compacted partition: one winner per key already — the
                 # pushed-down filter is safe (no cross-row LWW to break).
@@ -347,15 +357,20 @@ def range_scan(lake_dir: str, predicates: dict, epoch: int | None = None,
                 if dead:
                     t = sch.empty_table()
                 else:
+                    # dv mask composes with the pushdown (mask is by key)
                     t = lake._unify_to(
-                        pq.read_table(files[0],
-                                      filters=[fconj] if fconj else None),
+                        lake.apply_dv(
+                            pq.read_table(files[0],
+                                          filters=[fconj] if fconj else None),
+                            files[0], drec),
                         sch)
             else:
                 # delta partition: LWW first (a filter could drop the
                 # winning tombstone/update of a matching older row), so
                 # read unfiltered, merge, then mask
-                tabs = [lake._unify_to(pq.read_table(f), sch) for f in files]
+                tabs = [lake._unify_to(lake.apply_dv(pq.read_table(f), f,
+                                                     drec), sch)
+                        for f in files]
                 t = pa.concat_tables(tabs)
                 t = combine_keep_extreme(t, ["repo", "path"], ["lsn"],
                                          descending=True)

@@ -6873,3 +6873,59 @@ ORDER BY repo, path
 
 QUERIES.update({"q158_value_bloom_scan": q158_value_bloom_scan})
 ORACLE.update({"q158_value_bloom_scan": Q158_SQL})
+
+
+# ---------------------------------------------------------------------------
+# q159 — DELETION VECTORS (lake.delete_where_dv; the Delta deletion-vector
+# / Iceberg delete-file shape). A predicate delete committed as per-
+# partition deleted-KEY sidecars: zero data files rewritten, zero events
+# shuffled — readers mask, the next compacting rewrite materializes. The
+# query ingests the two-epoch fixture binlog, DV-deletes lang='go' over
+# the LIVE LWW state, asserts in-query that NO data file changed (same
+# inode set — the merge-on-read contract), and returns the masked read.
+# Oracle: the q24 LWW window with the go rows filtered out in SQL.
+
+def q159_deletion_vectors(sf_dir: str):
+    import glob as _glob
+    import tempfile
+
+    import pyarrow.compute as _pc
+
+    from e_commerce_batch_etl_pipeline_ray.cdc import engine
+    from e_commerce_batch_etl_pipeline_ray.stages.blockutil import (
+        read_parquet_clean,
+    )
+    ensure_oracle_fixtures()
+    lake_dir = tempfile.mkdtemp(prefix="q159_lake_", dir="/tmp")
+    eng = engine.CDCEngine(engine.CDCConfig(lake_dir=lake_dir,
+                                            num_partitions=16,
+                                            merge_concurrency=2))
+    for ep in range(Q24_EPOCHS):
+        eng.ingest_epoch(read_parquet_clean(
+            os.path.join(Q24_BINLOG_DIR, f"epoch-{ep}.parquet"),
+            override_num_blocks=8), ep)
+    part_glob = os.path.join(lake_dir, "epoch=*", "part-*.parquet")
+    inodes = {f: os.stat(f).st_ino for f in _glob.glob(part_glob)}
+    out = eng.delete_where_dv(lambda t: _pc.equal(t["lang"], "go"),
+                              columns=["lang"])
+    after = {f: os.stat(f).st_ino for f in _glob.glob(part_glob)}
+    assert after == inodes, "deletion vectors must not rewrite data files"
+    assert out["keys_deleted"] > 0, "fixture binlog carries go rows"
+    return eng.read().sort(["repo", "path"])
+
+
+Q159_SQL = f"""
+SELECT lsn, repo, path, commit, lang, content, content_sha256
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY repo, path ORDER BY lsn DESC) AS rn
+  FROM read_parquet(['{Q24_BINLOG_DIR}/epoch-0.parquet',
+                     '{Q24_BINLOG_DIR}/epoch-1.parquet'],
+                    union_by_name=true)
+)
+WHERE rn = 1 AND op <> 'D' AND lang IS DISTINCT FROM 'go'
+ORDER BY repo, path
+"""
+
+
+QUERIES.update({"q159_deletion_vectors": q159_deletion_vectors})
+ORACLE.update({"q159_deletion_vectors": Q159_SQL})
