@@ -6929,3 +6929,84 @@ ORDER BY repo, path
 
 QUERIES.update({"q159_deletion_vectors": q159_deletion_vectors})
 ORACLE.update({"q159_deletion_vectors": Q159_SQL})
+
+
+# ---------------------------------------------------------------------------
+# q160 — Gopher repetition signals (Rae et al. 2021 A1.1; stages/text.py
+# gopher_repetition): dup line/paragraph occurrence + character fractions
+# and the top word-bigram character fraction — the repetition rules
+# production LLM-data pipelines filter on. Row-local and fully vectorized
+# (Arrow split/flatten + native group_by; no shuffle). The oracle mirrors
+# every denominator exactly in SQL (unnest + FILTER aggregates + a list
+# lambda for bigrams), so the hash pins the definitions bit-for-bit.
+
+def q160_gopher_repetition(sf_dir: str):
+    from e_commerce_batch_etl_pipeline_ray.stages.text import (
+        gopher_repetition,
+    )
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = gopher_repetition("text").apply(ds)
+    return out.select_columns([
+        "doc_id", "dup_line_frac", "dup_line_char_frac",
+        "dup_para_frac", "dup_para_char_frac",
+        "top_2gram_char_frac"]).sort("doc_id")
+
+
+Q160_SQL = """
+WITH lc AS (
+  SELECT doc_id, l, COUNT(*)::DOUBLE c, LENGTH(l)::DOUBLE ln
+  FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS l
+        FROM documents)
+  GROUP BY doc_id, l
+), lstat AS (
+  SELECT doc_id,
+         COALESCE(SUM(c) FILTER (WHERE c > 1), 0) / SUM(c)
+           AS dup_line_frac,
+         COALESCE(COALESCE(SUM(c*ln) FILTER (WHERE c > 1), 0)
+                  / NULLIF(SUM(c*ln), 0), 0) AS dup_line_char_frac
+  FROM lc GROUP BY doc_id
+), pc_ AS (
+  SELECT doc_id, l, COUNT(*)::DOUBLE c, LENGTH(l)::DOUBLE ln
+  FROM (SELECT doc_id,
+               unnest(string_split(text, chr(10)||chr(10))) AS l
+        FROM documents)
+  GROUP BY doc_id, l
+), pstat AS (
+  SELECT doc_id,
+         COALESCE(SUM(c) FILTER (WHERE c > 1), 0) / SUM(c)
+           AS dup_para_frac,
+         COALESCE(COALESCE(SUM(c*ln) FILTER (WHERE c > 1), 0)
+                  / NULLIF(SUM(c*ln), 0), 0) AS dup_para_char_frac
+  FROM pc_ GROUP BY doc_id
+), bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(w)),
+                               i -> w[i] || ' ' || w[i+1])) AS b
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+), bc AS (
+  SELECT doc_id, b, COUNT(*)::DOUBLE c FROM bg GROUP BY doc_id, b
+), bstat AS (
+  SELECT doc_id, MAX(c * LENGTH(b)) AS m FROM bc GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CASE WHEN d.text IS NULL THEN NULL ELSE ls.dup_line_frac END
+         AS dup_line_frac,
+       CASE WHEN d.text IS NULL THEN NULL ELSE ls.dup_line_char_frac END
+         AS dup_line_char_frac,
+       CASE WHEN d.text IS NULL THEN NULL ELSE ps.dup_para_frac END
+         AS dup_para_frac,
+       CASE WHEN d.text IS NULL THEN NULL ELSE ps.dup_para_char_frac END
+         AS dup_para_char_frac,
+       CASE WHEN d.text IS NULL THEN NULL
+            ELSE COALESCE(bs.m / NULLIF(LENGTH(d.text), 0), 0) END
+         AS top_2gram_char_frac
+FROM documents d
+LEFT JOIN lstat ls USING (doc_id)
+LEFT JOIN pstat ps USING (doc_id)
+LEFT JOIN bstat bs USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+QUERIES.update({"q160_gopher_repetition": q160_gopher_repetition})
+ORACLE.update({"q160_gopher_repetition": Q160_SQL})

@@ -563,3 +563,119 @@ def contamination(ds, benchmark, text_col: str = "text",
 
     return ds.map_batches(_score, batch_format="pyarrow",
                           zero_copy_batch=True, batch_size=256)
+
+
+def gopher_repetition(text_col: str = "text") -> FnStep:
+    """Gopher-style REPETITION signals (Rae et al. 2021, appendix A1.1 —
+    the rules production LLM-data pipelines filter on): per document,
+
+      * dup_line_frac        — fraction of line OCCURRENCES whose line
+                               appears more than once in the document
+      * dup_line_char_frac   — fraction of line characters inside those
+                               duplicated lines (newlines excluded)
+      * dup_para_frac        — same over paragraphs (split on blank line)
+      * dup_para_char_frac
+      * top_2gram_char_frac  — max over word bigrams of
+                               count(bigram) * len(bigram) / len(text)
+                               (words split on single spaces; bigram text
+                               includes its joining space)
+
+    Fully vectorized and row-local (no shuffle, embarrassingly parallel):
+    Arrow ``split_pattern`` -> ``list_flatten`` with a numpy parent index,
+    duplicate counting via native ``Table.group_by`` over (doc, segment),
+    bigrams as one ``binary_join_element_wise`` over the flattened word
+    array shifted against itself (doc boundaries masked). Definitions are
+    denominator-exact so a SQL mirror hashes identically (q160); empty
+    denominators yield 0.0, null text yields nulls.
+    """
+    def _arr(x):
+        return x.combine_chunks() if isinstance(x, pa.ChunkedArray) else x
+
+    def _seg_stats(col: pa.Array, sep: str, n: int):
+        lists = pc.split_pattern(col, sep)
+        counts = pc.list_value_length(lists).fill_null(0).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = _arr(pc.list_flatten(lists))
+        parent = np.repeat(np.arange(n, dtype=np.int64), counts)
+        dup_frac = np.zeros(n, dtype=np.float64)
+        dup_char_frac = np.zeros(n, dtype=np.float64)
+        if len(flat):
+            seg = pa.table({"d": pa.array(parent), "s": flat})
+            agg = seg.group_by(["d", "s"]).aggregate([("s", "count")])
+            c = agg["s_count"].cast(pa.float64())
+            ln = pc.utf8_length(agg["s"]).cast(pa.float64())
+            chars = pc.multiply(c, ln)
+            dup = pc.greater(c, 1.0)
+            per = pa.table({
+                "d": agg["d"], "c": c, "chars": chars,
+                "dc": pc.if_else(dup, c, pa.scalar(0.0)),
+                "dchars": pc.if_else(dup, chars, pa.scalar(0.0)),
+            }).group_by("d").aggregate([("c", "sum"), ("chars", "sum"),
+                                        ("dc", "sum"), ("dchars", "sum")])
+            d = per["d"].to_numpy(zero_copy_only=False).astype(np.int64)
+            csum = per["c_sum"].to_numpy(zero_copy_only=False)
+            charsum = per["chars_sum"].to_numpy(zero_copy_only=False)
+            dcsum = per["dc_sum"].to_numpy(zero_copy_only=False)
+            dcharsum = per["dchars_sum"].to_numpy(zero_copy_only=False)
+            dup_frac[d] = np.where(csum > 0, dcsum / np.maximum(csum, 1), 0.0)
+            dup_char_frac[d] = np.where(charsum > 0,
+                                        dcharsum / np.maximum(charsum, 1e-12),
+                                        0.0)
+        return dup_frac, dup_char_frac
+
+    def _fn(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        col = t[text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+            if isinstance(col, pa.ChunkedArray):      # 1-chunk -> Array
+                col = col.chunk(0) if col.num_chunks else \
+                    pa.array([], col.type)
+        total_chars = pc.utf8_length(col).cast(pa.float64()).to_numpy(
+            zero_copy_only=False)
+
+        line_frac, line_char_frac = _seg_stats(col, "\n", n)
+        para_frac, para_char_frac = _seg_stats(col, "\n\n", n)
+
+        # word bigrams: flatten all docs' words, join each word with its
+        # successor, mask pairs that straddle a document boundary
+        words = pc.split_pattern(col, " ")
+        wc = pc.list_value_length(words).fill_null(0).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flatw = _arr(pc.list_flatten(words))
+        top2 = np.zeros(n, dtype=np.float64)
+        if len(flatw) >= 2:
+            parent = np.repeat(np.arange(n, dtype=np.int64), wc)
+            same = parent[:-1] == parent[1:]
+            w1 = flatw.slice(0, len(flatw) - 1)
+            w2 = flatw.slice(1)
+            big = pc.binary_join_element_wise(w1, w2, " ")
+            keep = pa.array(same)
+            big = big.filter(keep)
+            bd = parent[:-1][same]
+            if len(big):
+                bt = pa.table({"d": pa.array(bd), "b": big})
+                bagg = bt.group_by(["d", "b"]).aggregate([("b", "count")])
+                score = pc.multiply(
+                    bagg["b_count"].cast(pa.float64()),
+                    pc.utf8_length(bagg["b"]).cast(pa.float64()))
+                per = pa.table({"d": bagg["d"], "m": score}) \
+                    .group_by("d").aggregate([("m", "max")])
+                d = per["d"].to_numpy(zero_copy_only=False).astype(np.int64)
+                m = per["m_max"].to_numpy(zero_copy_only=False)
+                top2[d] = np.where(total_chars[d] > 0,
+                                   m / np.maximum(total_chars[d], 1e-12),
+                                   0.0)
+
+        null_mask = pc.is_null(col).to_numpy(zero_copy_only=False)
+
+        def _col(v):
+            return pa.array(v, pa.float64(), mask=null_mask)
+
+        t = t.append_column("dup_line_frac", _col(line_frac))
+        t = t.append_column("dup_line_char_frac", _col(line_char_frac))
+        t = t.append_column("dup_para_frac", _col(para_frac))
+        t = t.append_column("dup_para_char_frac", _col(para_char_frac))
+        t = t.append_column("top_2gram_char_frac", _col(top2))
+        return t
+    return batch_step("gopher_repetition", _fn)
