@@ -297,7 +297,15 @@ def _normalize_factory(schema: pa.Schema, num_partitions: int,
                 c = t[src]
                 cols.append(c.cast(fld.type) if c.type != fld.type else c)
             else:
-                cols.append(pa.nulls(t.num_rows, type=fld.type))
+                # declared DEFAULT (lake.add_column): events not carrying
+                # the column write the default physically; an event batch
+                # CARRYING it keeps its values incl. explicit nulls (the
+                # src path above) — the Delta default-values contract
+                has_d, v = lake.field_default(fld)
+                if has_d:
+                    cols.append(pa.array([v] * t.num_rows, type=fld.type))
+                else:
+                    cols.append(pa.nulls(t.num_rows, type=fld.type))
         out = pa.Table.from_arrays(cols, schema=schema)
         out = _apply_generated(out, generated)
         out = combine_keep_extreme(out, KEY, ["lsn"], descending=True)

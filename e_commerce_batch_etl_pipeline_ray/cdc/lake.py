@@ -434,6 +434,15 @@ def probe_names(schema: pa.Schema, cols) -> dict[str, tuple[str, ...]]:
                 if c in schema.names else (c,)) for c in cols}
 
 
+def field_default(fld: pa.Field):
+    """(has_default, value) from ``add_column`` field metadata."""
+    meta = fld.metadata or {}
+    d = meta.get(b"default")
+    if d is None:
+        return False, None
+    return True, json.loads(d.decode())
+
+
 def _unify_to(t: pa.Table, schema: pa.Schema) -> pa.Table:
     cols = []
     for fld in schema:
@@ -442,7 +451,16 @@ def _unify_to(t: pa.Table, schema: pa.Schema) -> pa.Table:
             c = t[src]
             cols.append(c.cast(fld.type) if c.type != fld.type else c)
         else:
-            cols.append(pa.nulls(t.num_rows, type=fld.type))
+            # a column physically ABSENT from the batch backfills with its
+            # declared DEFAULT (lake.add_column) — the Delta default-value
+            # contract: pre-add files and events not carrying the column
+            # read/write the default; an EXPLICIT null in a carried column
+            # stays null (present column -> src path above)
+            has_d, v = field_default(fld)
+            if has_d:
+                cols.append(pa.array([v] * t.num_rows, type=fld.type))
+            else:
+                cols.append(pa.nulls(t.num_rows, type=fld.type))
     return pa.Table.from_arrays(cols, schema=schema)
 
 
@@ -1431,8 +1449,11 @@ def _rename_column_once(lake_dir: str, old: str, new: str) -> dict:
     for f in schema:
         if f.name == old:
             aliases = [*field_aliases(f), old]
-            fields.append(pa.field(new, f.type,
-                                   metadata={"aliases": ",".join(aliases)}))
+            # preserve OTHER field metadata (e.g. add_column's default)
+            meta = {k.decode(): v.decode()
+                    for k, v in (f.metadata or {}).items()}
+            meta["aliases"] = ",".join(aliases)
+            fields.append(pa.field(new, f.type, metadata=meta))
         else:
             fields.append(f)
     manifest = dict(head)
@@ -1442,6 +1463,73 @@ def _rename_column_once(lake_dir: str, old: str, new: str) -> dict:
     manifest["metrics"] = {"renamed_column": [old, new]}
     _commit_json(_manifest_path(lake_dir, last + 1), manifest)
     return {"renamed": [old, new], "epoch": last + 1}
+
+
+def add_column(lake_dir: str, name: str, typ: pa.DataType,
+               default=None) -> dict:
+    """See ``_add_column_once``; auto-retries a lost commit CAS."""
+    return _retry_conflicts(_add_column_once, lake_dir, name, typ, default)
+
+
+def _add_column_once(lake_dir: str, name: str, typ: pa.DataType,
+                     default=None) -> dict:
+    """Metadata-only ``ALTER TABLE t ADD COLUMN name typ [DEFAULT v]`` —
+    the Delta default-column-values shape. One O(KB) manifest commit, zero
+    files rewritten at any lake size. With a default:
+
+    * READS backfill: files written before the add lack the column
+      physically, so ``_unify_to`` fills the DEFAULT (not null) — existing
+      rows surface with the default instantly.
+    * INGEST backfills: events not carrying the column write the default
+      physically (the normalize projection runs the same ``_unify_to``);
+      an event batch CARRYING the column keeps its values — including
+      EXPLICIT nulls, which stay null (present-vs-absent is the contract
+      line, exactly Delta's).
+    * Every compact rewrite materializes the default into the bytes.
+    * Stats/bloom pruning stays safe: files without the column record no
+      stats for it (never pruned on it), and ``zorder.range_scan`` treats
+      a missing-but-defaulted column as matchable (no dead-file shortcut).
+
+    Without a default this is the engine's ordinary additive evolution,
+    just initiated by an operator instead of a producer. The default is a
+    JSON scalar (validated against ``typ``); it rides the manifest schema
+    as field metadata, like rename aliases. Guards: the name must not
+    collide with a live column, an alias, or a retired (dropped) name —
+    old files may still carry retired bytes and would resurrect."""
+    last = last_committed_epoch(lake_dir)
+    if last is None:
+        raise FileNotFoundError(f"add_column on an empty lake: {lake_dir}")
+    head = read_manifest(lake_dir, last)
+    schema = schema_from_b64(head["schema"])
+    if name in schema.names:
+        raise ValueError(f"column {name!r} already exists")
+    for f in schema:
+        if name in field_aliases(f):
+            raise ValueError(f"name {name!r} is a historical alias of "
+                             f"{f.name!r} — old files may still carry its "
+                             f"bytes; pick another name")
+    if name in head.get("dropped_columns", ()):
+        raise ValueError(f"name {name!r} is retired by drop_column — "
+                         f"undrop_column it instead (its old bytes would "
+                         f"resurrect under the new column)")
+    meta = None
+    if default is not None:
+        try:
+            pa.array([default], type=typ)
+        except Exception as e:
+            raise ValueError(f"default {default!r} is not a valid "
+                             f"{typ} value: {e}") from e
+        meta = {"default": json.dumps(default)}
+    fields = [f for f in schema if f.name != "_deleted"]
+    fields.append(pa.field(name, typ, metadata=meta))
+    fields.append(schema.field("_deleted"))
+    manifest = dict(head)
+    manifest.pop("restored_from", None)
+    manifest["epoch"] = last + 1
+    manifest["schema"] = schema_to_b64(pa.schema(fields))
+    manifest["metrics"] = {"added_column": [name, str(typ), default]}
+    _commit_json(_manifest_path(lake_dir, last + 1), manifest)
+    return {"added": name, "default": default, "epoch": last + 1}
 
 
 def rebucket(src_lake: str, dst_lake: str, num_partitions: int,

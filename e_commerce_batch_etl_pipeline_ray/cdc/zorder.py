@@ -351,6 +351,12 @@ def range_scan(lake_dir: str, predicates: dict, epoch: int | None = None,
                 for col, op, v in (conj or []):
                     src = next((n for n in probe[col] if n in fnames), None)
                     if src is None:
+                        if col in sch.names and \
+                                lake.field_default(sch.field(col))[0]:
+                            # missing column with a DEFAULT (lake.add_column)
+                            # unifies to the default, which CAN match —
+                            # read without this pushdown; _finish re-masks
+                            continue
                         dead = True
                         break
                     fconj.append((src, op, v))

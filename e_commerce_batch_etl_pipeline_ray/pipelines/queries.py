@@ -7010,3 +7010,84 @@ ORDER BY doc_id
 
 QUERIES.update({"q160_gopher_repetition": q160_gopher_repetition})
 ORACLE.update({"q160_gopher_repetition": Q160_SQL})
+
+
+# ---------------------------------------------------------------------------
+# q161 — ADD COLUMN with DEFAULT (lake.add_column; the Delta default-
+# column-values shape). Metadata-only commit between the two fixture
+# epochs: pre-add rows read the default with ZERO files rewritten
+# (in-query inode assert), epoch-1 winners keep their carried values —
+# including EXPLICIT nulls, pinning the present-vs-absent contract line.
+# The oracle replays the rule in SQL: LWW over (epoch0 tagged src=0,
+# epoch1 tagged src=1 with the same deterministic stars expression),
+# stars = carried value when the winner came from epoch 1, else 7.
+
+def q161_add_column_default(sf_dir: str):
+    import glob as _glob
+    import tempfile
+
+    import pyarrow as _pa
+    import pyarrow.compute as _pc
+
+    from e_commerce_batch_etl_pipeline_ray.cdc import engine, lake as _lake
+    from e_commerce_batch_etl_pipeline_ray.stages.blockutil import (
+        read_parquet_clean,
+    )
+    ensure_oracle_fixtures()
+    lake_dir = tempfile.mkdtemp(prefix="q161_lake_", dir="/tmp")
+    eng = engine.CDCEngine(engine.CDCConfig(lake_dir=lake_dir,
+                                            num_partitions=16,
+                                            merge_concurrency=2))
+    eng.ingest_epoch(read_parquet_clean(
+        os.path.join(Q24_BINLOG_DIR, "epoch-0.parquet"),
+        override_num_blocks=8), 0)
+
+    part_glob = os.path.join(lake_dir, "epoch=0000", "part-*.parquet")
+    inodes = {f: os.stat(f).st_ino for f in _glob.glob(part_glob)}
+    _lake.add_column(lake_dir, "stars", _pa.int64(), default=7)
+    assert {f: os.stat(f).st_ino for f in _glob.glob(part_glob)} == inodes, \
+        "add_column must be metadata-only"
+
+    def _with_stars(t: _pa.Table) -> _pa.Table:
+        mod = _pc.subtract(
+            t["lsn"], _pc.multiply(_pc.divide(t["lsn"], 5), 5))
+        stars = _pc.if_else(_pc.equal(mod, 0),
+                            _pa.scalar(None, _pa.int64()),
+                            mod.cast(_pa.int64()))
+        return t.append_column("stars", stars)
+
+    ev1 = read_parquet_clean(
+        os.path.join(Q24_BINLOG_DIR, "epoch-1.parquet"),
+        override_num_blocks=8).map_batches(
+            _with_stars, batch_format="pyarrow", zero_copy_batch=True)
+    eng.ingest_epoch(ev1, 2)
+    return eng.read().sort(["repo", "path"])
+
+
+Q161_SQL = f"""
+WITH ev AS (
+  SELECT *, 0 AS src, NULL::BIGINT AS stars
+  FROM read_parquet('{Q24_BINLOG_DIR}/epoch-0.parquet')
+  UNION ALL BY NAME
+  SELECT *, 1 AS src,
+         CASE WHEN lsn % 5 = 0 THEN NULL ELSE lsn % 5 END AS stars
+  FROM read_parquet('{Q24_BINLOG_DIR}/epoch-1.parquet')
+)
+SELECT lsn, repo, path, commit, lang, content, content_sha256,
+       CASE WHEN src = 1 THEN stars ELSE 7 END AS stars
+FROM (
+  -- tie order src ASC: a redelivered duplicate (same key+lsn in both
+  -- epochs) keeps the FIRST-ingested version in the engine (prior state
+  -- sorts before the delta in the stable LWW combine) — without stars
+  -- the duplicates were byte-identical and the tie was invisible
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY repo, path
+                               ORDER BY lsn DESC, src ASC) AS rn
+  FROM ev
+)
+WHERE rn = 1 AND op <> 'D'
+ORDER BY repo, path
+"""
+
+
+QUERIES.update({"q161_add_column_default": q161_add_column_default})
+ORACLE.update({"q161_add_column_default": Q161_SQL})
