@@ -54,7 +54,9 @@ class MergeWorker:
                     gc_horizon_lsn: int | None = None,
                     stats_cols: tuple = (),
                     key_bloom_fpp: float | None = None,
-                    bloom_cols: tuple = ()) -> None:
+                    bloom_cols: tuple = (),
+                    identity_spec: tuple | None = None) -> None:
+        self.identity_spec = identity_spec
         self.epoch = epoch
         self.gc_horizon_lsn = gc_horizon_lsn
         self.stats_cols = tuple(stats_cols)
@@ -131,6 +133,16 @@ class MergeWorker:
                 pa.int64())).as_py() or 0) if delta.num_rows else 0
             if self.mode == "delta":
                 merged = delta
+                if self.identity_spec:
+                    from e_commerce_batch_etl_pipeline_ray.cdc.engine import (
+                        _apply_identity,
+                        _identity_prior,
+                    )
+                    merged = _apply_identity(
+                        merged,
+                        _identity_prior(self.prev_partitions.get(str(pid)),
+                                        self.schema, self.identity_spec[0]),
+                        self.epoch, pid, self.identity_spec)
             else:
                 prior = self._load_prior(pid)
                 merged = delta if prior is None else pa.concat_tables([prior, delta])
@@ -139,6 +151,12 @@ class MergeWorker:
                     dead = pc.and_(merged["_deleted"],
                                    pc.less(merged["lsn"], self.gc_horizon_lsn))
                     merged = merged.filter(pc.invert(dead))
+                if self.identity_spec:
+                    from e_commerce_batch_etl_pipeline_ray.cdc.engine import (
+                        _apply_identity,
+                    )
+                    merged = _apply_identity(merged, prior, self.epoch, pid,
+                                             self.identity_spec)
 
             suffix = "delta.parquet" if self.mode == "delta" else "parquet"
             fname = f"part-{pid:05d}.{suffix}"
@@ -238,10 +256,12 @@ class PersistentMergePool:
                   gc_horizon_lsn: int | None = None,
                   stats_cols: tuple = (),
                   key_bloom_fpp: float | None = None,
-                  bloom_cols: tuple = ()) -> pa.Table:
+                  bloom_cols: tuple = (),
+                  identity_spec: tuple | None = None) -> pa.Table:
         ray.get([w.begin_epoch.remote(epoch, schema_b64, prev_partitions,
                                       mode, gc_horizon_lsn, stats_cols,
-                                      key_bloom_fpp, bloom_cols)
+                                      key_bloom_fpp, bloom_cols,
+                                      identity_spec)
                  for w in self.workers])
         futures = []
         if self.fan_out == "split":

@@ -168,6 +168,21 @@ class CDCConfig:
     # reads every block zero-copy from plasma) | "split" (multi-node-
     # shaped: per-worker network traffic 1x instead of W-fold)
     fan_out: str = "auto"
+    # GENERATED ALWAYS AS IDENTITY column (the Delta identity-columns
+    # shape): a surrogate int64 key assigned at each row's FIRST insert,
+    # stable across updates, fresh after a delete + re-insert. Assignment
+    # is COORDINATION-FREE and deterministic (exactly-once under
+    # crash/replay, identical across backends and compact/LSM modes):
+    #     id = epoch * (num_partitions * identity_stride)
+    #        + partition * identity_stride + rank
+    # where rank is the new key's position among the epoch's new keys in
+    # that partition (merged output is key-sorted). Unique + monotone
+    # across epochs, GAPS ALLOWED — exactly Delta's contract (it reserves
+    # watermark ranges per writer the same way). Events must NOT carry
+    # the name (wire guard, like ``generated``). Not SQL-replayable (the
+    # partition hash is siphash) — pinned by tests + a rows-only query.
+    identity: str | None = None
+    identity_stride: int = 1 << 22      # max new keys / partition / epoch
 
 
 @dataclass
@@ -182,7 +197,8 @@ class EpochStats:
 
 
 def _data_schema(event_schema: pa.Schema, prev_schema: pa.Schema | None,
-                 dropped: tuple = (), generated: tuple = ()) -> pa.Schema:
+                 dropped: tuple = (), generated: tuple = (),
+                 identity: str | None = None) -> pa.Schema:
     """Evolved lake schema: event columns minus op, plus lsn + _deleted;
     unified additively with the previous epoch's schema (type widening via
     permissive unify). ``dropped``: column names retired by
@@ -221,6 +237,8 @@ def _data_schema(event_schema: pa.Schema, prev_schema: pa.Schema | None,
     for name, typ, _fn in generated:
         if name not in s.names:
             s = s.append(pa.field(name, typ))
+    if identity and identity not in s.names:
+        s = s.append(pa.field(identity, pa.int64()))
     return s.append(pa.field("_deleted", pa.bool_()))
 
 
@@ -268,6 +286,85 @@ def _apply_generated(t: pa.Table, generated: tuple) -> pa.Table:
             arr = arr.cast(fld.type)
         t = t.set_column(idx, fld, arr)
     return t
+
+
+def _fused_keys(t: pa.Table) -> pa.Array:
+    return pc.binary_join_element_wise(
+        t["repo"].combine_chunks(), t["path"].combine_chunks(), "\x00")
+
+
+def _apply_identity(merged: pa.Table, prior: pa.Table | None, epoch: int,
+                    pid: int, spec: tuple) -> pa.Table:
+    """Assign the GENERATED ALWAYS AS IDENTITY column over a partition's
+    merged output (``CDCConfig.identity`` docstring has the id formula).
+
+    Inheritance rule (all vectorized): a row keeps its prior id unless the
+    key is new to the partition, the prior row carries no id (pre-identity
+    files), or the row is a RE-INSERT over a tombstone (prior dead, merged
+    live — a fresh row gets a fresh id, the Delta insert contract). A
+    delete inherits (the tombstone carries the dead row's id into the
+    feed); a carried-forward tombstone keeps its id (no churn, no burn).
+    Fresh ids are ranked by key order within the partition (the merged
+    output is key-sorted), so assignment is deterministic under replay."""
+    import numpy as np
+    name, stride, num_partitions = spec
+    n = merged.num_rows
+    if n == 0:
+        return merged
+    ids = np.full(n, -1, dtype=np.int64)
+    merged_live = pc.invert(merged["_deleted"].combine_chunks()).to_numpy(
+        zero_copy_only=False).astype(bool)
+    if prior is not None and prior.num_rows:
+        idx = pc.index_in(_fused_keys(merged),
+                          value_set=_fused_keys(prior)).to_numpy(
+            zero_copy_only=False)
+        has = ~np.isnan(idx)
+        at = np.where(has, idx, 0).astype(np.int64)
+        p_live = pc.invert(prior["_deleted"].combine_chunks()).to_numpy(
+            zero_copy_only=False).astype(bool)
+        p_ids_arr = prior[name].combine_chunks() if name in \
+            prior.column_names else pa.nulls(prior.num_rows, pa.int64())
+        p_null = pc.is_null(p_ids_arr).to_numpy(zero_copy_only=False)
+        p_ids = p_ids_arr.fill_null(-1).to_numpy(zero_copy_only=False)
+        inherit = has & ~p_null[at] & ~(~p_live[at] & merged_live)
+        ids[inherit] = p_ids[at[inherit]]
+    fresh = ids == -1
+    n_fresh = int(fresh.sum())
+    if n_fresh > stride:
+        raise ValueError(
+            f"partition {pid} epoch {epoch}: {n_fresh} new keys exceed "
+            f"identity_stride={stride} — raise CDCConfig.identity_stride")
+    base = epoch * (num_partitions * stride) + pid * stride
+    ids[fresh] = base + np.arange(n_fresh, dtype=np.int64)
+    col = pa.array(ids, pa.int64())
+    if name in merged.column_names:
+        return merged.set_column(merged.column_names.index(name), name, col)
+    return merged.append_column(name, col)
+
+
+def _identity_prior(rec: dict | None, schema: pa.Schema,
+                    name: str) -> pa.Table | None:
+    """Delta(LSM)-mode prior for identity assignment: a COLUMN-PRUNED LWW
+    read of the partition chain — keys, liveness, lsn and the identity
+    column only, never the payload bytes."""
+    import pyarrow.parquet as pq
+
+    from e_commerce_batch_etl_pipeline_ray.stages.dedup import (
+        combine_keep_extreme,
+    )
+    files = ([rec["file"]] if rec and rec.get("file") else []) + \
+        (list(rec.get("deltas", [])) if rec else [])
+    if not files:
+        return None
+    want = [*KEY, "lsn", "_deleted", name]
+    sub = pa.schema([schema.field(c) for c in want])
+    tabs = []
+    for f in files:
+        cols = [c for c in want if c in pq.read_schema(f).names]
+        tabs.append(lake._unify_to(
+            lake.apply_dv(pq.read_table(f, columns=cols), f, rec), sub))
+    t = tabs[0] if len(tabs) == 1 else pa.concat_tables(tabs)
+    return combine_keep_extreme(t, KEY, ["lsn"], descending=True)
 
 
 def _normalize_factory(schema: pa.Schema, num_partitions: int,
@@ -331,7 +428,8 @@ class MergeApply:
                  prev_partitions: dict[str, dict], cache_partitions: bool,
                  mode: str = "compact", gc_horizon_lsn: int | None = None,
                  stats_cols: tuple = (), key_bloom_fpp: float | None = None,
-                 bloom_cols: tuple = ()):
+                 bloom_cols: tuple = (), identity_spec: tuple | None = None):
+        self.identity_spec = identity_spec
         self.lake_dir = lake_dir
         self.epoch = epoch
         self.schema = lake.schema_from_b64(schema_b64)
@@ -385,6 +483,14 @@ class MergeApply:
             # delta epoch: no prior read, no state rewrite — the combined,
             # key-sorted epoch delta (incl. tombstones) IS the output
             merged = delta
+            if self.identity_spec:
+                # identity needs the chain's key->id map: a column-pruned
+                # LWW read (never the payload bytes)
+                merged = _apply_identity(
+                    merged,
+                    _identity_prior(self.prev_partitions.get(str(pid)),
+                                    self.schema, self.identity_spec[0]),
+                    self.epoch, pid, self.identity_spec)
         else:
             prior = self._load_prior(pid)
             merged = delta if prior is None else pa.concat_tables([prior, delta])
@@ -396,6 +502,9 @@ class MergeApply:
                 dead = pc.and_(merged["_deleted"],
                                pc.less(merged["lsn"], self.gc_horizon_lsn))
                 merged = merged.filter(pc.invert(dead))
+            if self.identity_spec:
+                merged = _apply_identity(merged, prior, self.epoch, pid,
+                                         self.identity_spec)
 
         suffix = "delta.parquet" if self.mode == "delta" else "parquet"
         fname = f"part-{pid:05d}.{suffix}"
@@ -468,6 +577,12 @@ class CDCEngine:
         os.makedirs(config.lake_dir, exist_ok=True)
 
     # -- state ---------------------------------------------------------------
+
+    def _identity_spec(self) -> tuple | None:
+        cfg = self.cfg
+        if not cfg.identity:
+            return None
+        return (cfg.identity, cfg.identity_stride, cfg.num_partitions)
 
     def last_committed_epoch(self) -> int | None:
         return lake.last_committed_epoch(self.cfg.lake_dir)
@@ -680,6 +795,13 @@ class CDCEngine:
                 f"{prev_manifest['num_partitions']}; config says "
                 f"{cfg.num_partitions} — the key->partition routing (resume, "
                 f"carry-forward, point_read) requires a constant modulus")
+        want_id = [cfg.identity, cfg.identity_stride] if cfg.identity else None
+        if prev_manifest and prev_manifest.get("identity") is not None \
+                and prev_manifest["identity"] != want_id:
+            raise ValueError(
+                f"lake identity spec is {prev_manifest['identity']}; config "
+                f"says {want_id} — identity assignment must be chain-"
+                f"constant (uniqueness depends on the stride and modulus)")
         self._run_dq(events, epoch)
         # capture the schema BEFORE the DLQ split: the quarantine filter
         # never changes columns, and the raw dataset's schema is metadata
@@ -691,6 +813,11 @@ class CDCEngine:
                     f"it is GENERATED ALWAYS AS and computed at every "
                     f"write (a producer value could disagree with the "
                     f"expression)")
+        if cfg.identity and cfg.identity in raw_schema.names:
+            raise ValueError(
+                f"events must not carry identity column {cfg.identity!r} — "
+                f"it is GENERATED ALWAYS AS IDENTITY and assigned by the "
+                f"engine at merge")
         dlq_rows, dlq_new_files = 0, []
         if cfg.dlq:
             if _normalized is not None:
@@ -716,11 +843,11 @@ class CDCEngine:
             # committed manifest now implies
             schema = _schema
             if schema != _data_schema(raw_schema, prev_schema, dropped,
-                                      cfg.generated):
+                                      cfg.generated, cfg.identity):
                 raise ValueError("pipelined schema does not match manifest chain")
         else:
             schema = _data_schema(raw_schema, prev_schema, dropped,
-                                  cfg.generated)
+                                  cfg.generated, cfg.identity)
         schema_b64 = lake.schema_to_b64(schema)
         prev_parts = prev_manifest["partitions"] if prev_manifest else {}
 
@@ -751,7 +878,8 @@ class CDCEngine:
                                            prev_parts, mode, gc_horizon,
                                            stats_cols=cfg.stats_cols,
                                            key_bloom_fpp=cfg.key_bloom_fpp,
-                                           bloom_cols=cfg.bloom_cols)
+                                           bloom_cols=cfg.bloom_cols,
+                                           identity_spec=self._identity_spec())
         else:
             conc = merge_pool_size(cfg.merge_concurrency)
             lineage_ds = normalized.groupby(_PID).map_groups(
@@ -759,7 +887,8 @@ class CDCEngine:
                 fn_constructor_args=(cfg.lake_dir, epoch, schema_b64,
                                      prev_parts, cfg.cache_partitions, mode,
                                      gc_horizon, cfg.stats_cols,
-                                     cfg.key_bloom_fpp, cfg.bloom_cols),
+                                     cfg.key_bloom_fpp, cfg.bloom_cols,
+                                     self._identity_spec()),
                 concurrency=conc,
                 num_cpus=1)
             from e_commerce_batch_etl_pipeline_ray.stages.blockutil import (
@@ -830,6 +959,12 @@ class CDCEngine:
                 if prev_manifest else 0
             extra = {"dlq_files": prev_dlq + dlq_new_files,
                      "dlq_rows": prev_dlq_rows + dlq_rows}
+        if cfg.identity:
+            # the identity spec rides the manifest chain (carry-forward in
+            # commit_manifest) so resume/readers/ops can discover it and a
+            # mismatched config is rejected above
+            extra = dict(extra or {})
+            extra["identity"] = want_id
         # staged_commit: prepare phase of a cross-table transaction — the
         # manifest is written invisible (.staged); MultiTableCDC's txn
         # record + promote_staged_manifest make it visible atomically
@@ -895,7 +1030,7 @@ class CDCEngine:
         schemas = []
         for _, events in epochs:
             s = _data_schema(events.schema().base_schema, prev_schema,
-                             dropped, self.cfg.generated)
+                             dropped, self.cfg.generated, self.cfg.identity)
             schemas.append(s)
             prev_schema = s
 
@@ -949,12 +1084,17 @@ class CDCEngine:
                 raise ValueError(
                     f"snapshot table must not carry generated column "
                     f"{name!r} — it is computed at every write")
+        if cfg.identity and cfg.identity in base_schema.names:
+            raise ValueError(
+                f"snapshot table must not carry identity column "
+                f"{cfg.identity!r} — it is assigned by the engine")
         # same DQ contract as ingest_epoch: gate BEFORE any write work
         self._run_dq(base, 0, label="bootstrap")
         schema = pa.schema(
             [pa.field("lsn", pa.int64())]
             + [pa.field(f.name, f.type) for f in base_schema]
             + [pa.field(n, t) for n, t, _ in cfg.generated]
+            + ([pa.field(cfg.identity, pa.int64())] if cfg.identity else [])
             + [pa.field("_deleted", pa.bool_())])
         tmp_dir = lake.epoch_dir(cfg.lake_dir, 0, tmp=True)
         os.makedirs(tmp_dir, exist_ok=True)
@@ -973,12 +1113,19 @@ class CDCEngine:
             pid = hash_partition_ids(t, KEY, cfg.num_partitions)
             return t.append_column(_PID, pa.array(pid, pa.int32()))
 
+        identity_spec = self._identity_spec()
+        order = [f.name for f in schema]
+
         def _write(group: pa.Table) -> pa.Table:
             pid = group[_PID][0].as_py()
             t = group.drop_columns([_PID])
             # canonical compacted layout; also guards against a dup key in
             # the snapshot extract (keeps one deterministically)
             t = combine_keep_extreme(t, KEY, ["lsn"], descending=True)
+            if identity_spec:
+                # every snapshot row is a first insert: epoch-0 ids
+                t = _apply_identity(t, None, 0, pid, identity_spec)
+                t = t.select(order)
             fname = f"part-{pid:05d}.parquet"
             tmp_path = os.path.join(tmp_dir, fname)
             wip = f"{tmp_path}.wip.{os.getpid()}"
@@ -1027,7 +1174,9 @@ class CDCEngine:
             cfg.lake_dir, 0, partitions, schema, None,
             metrics={"op": "bootstrap", "lsn0": lsn0,
                      "rows": sum(r["rows_total"] for r in partitions.values())},
-            num_partitions=cfg.num_partitions, snapshot_lsn=lsn0)
+            num_partitions=cfg.num_partitions, snapshot_lsn=lsn0,
+            extra={"identity": [cfg.identity, cfg.identity_stride]}
+            if cfg.identity else None)
         return EpochStats(
             epoch=0,
             events_in=sum(r["rows_total"] for r in partitions.values()),

@@ -187,7 +187,9 @@ def commit_manifest(lake_dir: str, epoch: int, partitions: dict[int, dict],
     # dropped_columns (lake.drop_column) rides the chain the same way —
     # every commit path must carry it or a later ingest would resurrect
     # the retired column from the incoming events
-    for carry in ("dlq_files", "dlq_rows", "dropped_columns"):
+    # identity (engine CDCConfig.identity spec) rides the chain the same
+    # way — assignment uniqueness depends on it being chain-constant
+    for carry in ("dlq_files", "dlq_rows", "dropped_columns", "identity"):
         if (extra is None or carry not in extra) and prev and carry in prev:
             manifest[carry] = prev[carry]
     if metrics:

@@ -7091,3 +7091,43 @@ ORDER BY repo, path
 
 QUERIES.update({"q161_add_column_default": q161_add_column_default})
 ORACLE.update({"q161_add_column_default": Q161_SQL})
+
+
+# ---------------------------------------------------------------------------
+# q162 — GENERATED ALWAYS AS IDENTITY (CDCConfig.identity; the Delta
+# identity-columns shape). Coordination-free deterministic surrogate ids:
+# id = epoch*(P*stride) + pid*stride + rank — unique, monotone across
+# epochs, gaps allowed (Delta's contract), exactly-once under crash/replay.
+# NOT SQL-replayable (partition routing is siphash), so this entry is
+# rows-only; semantics are pinned by tests/test_identity.py (uniqueness,
+# update stability, re-insert freshness, mode/backend/replay parity) and
+# by the in-query asserts below.
+
+def q162_identity_column(sf_dir: str):
+    import tempfile
+
+    from e_commerce_batch_etl_pipeline_ray.cdc import engine
+    from e_commerce_batch_etl_pipeline_ray.stages.blockutil import (
+        read_parquet_clean,
+    )
+    ensure_oracle_fixtures()
+    lake_dir = tempfile.mkdtemp(prefix="q162_lake_", dir="/tmp")
+    eng = engine.CDCEngine(engine.CDCConfig(lake_dir=lake_dir,
+                                            num_partitions=16,
+                                            merge_concurrency=2,
+                                            identity="row_id"))
+    for ep in range(Q24_EPOCHS):
+        eng.ingest_epoch(read_parquet_clean(
+            os.path.join(Q24_BINLOG_DIR, f"epoch-{ep}.parquet"),
+            override_num_blocks=8), ep)
+    df = eng.read().to_pandas()
+    assert df["row_id"].is_unique, "identity ids must be unique"
+    # keys first seen in epoch 0 keep epoch-0 ids (stability under the
+    # epoch-1 updates); every id is non-negative int64
+    assert (df["row_id"] >= 0).all()
+    return eng.read().sort(["repo", "path"])
+
+
+QUERIES.update({"q162_identity_column": q162_identity_column})
+# no ORACLE entry: identity values depend on siphash partition routing
+# (genuinely non-SQL-expressible); driver records the rows-only check
