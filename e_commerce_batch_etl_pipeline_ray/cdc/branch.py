@@ -102,8 +102,13 @@ def create_branch(lake_dir: str, name: str,
     if os.path.exists(bdir):
         raise FileExistsError(f"branch {name!r} already exists")
     os.makedirs(os.path.join(bdir, lake.MANIFEST_DIR))
-    shutil.copy2(src, os.path.join(bdir, lake.MANIFEST_DIR,
-                                   f"epoch-{fork:04d}.json"))
+    # materialize the LOGICAL manifest (a delta-log fork manifest would
+    # dangle — the branch dir has no ancestor manifests to fold back to)
+    dst = os.path.join(bdir, lake.MANIFEST_DIR, f"epoch-{fork:04d}.json")
+    fork_manifest = lake.read_manifest(lake_dir, fork)
+    with open(dst + ".tmp", "w") as f:
+        json.dump(fork_manifest, f)
+    os.replace(dst + ".tmp", dst)
     info = {"name": name, "fork_epoch": fork, "published": False}
     _write_info(bdir, info)
     return info

