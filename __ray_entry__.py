@@ -66,13 +66,13 @@ DRIVER_WINDOW = [
     "q111_incremental_neardup", "q114_windowed_watermark",
     "q116_session_windows",
     # round-4 session-2 families (sketches, set algebra, graph, robust)
-    "q125_incremental_kmv", "q126_triangles", "q127_robust_stats",
+    "q125_incremental_kmv",
     # round-4 session-3: CDC semantics depth + compressed ANN. Displaced
     # entries keep family coverage via siblings in the window: lookup join
     # via q6/q71, token stats via q20/q95/q96, IVF exact via q135 (which
     # drives the same probe/pruned-read shape through PQ), mixture via
     # q100, basic window fns via q11+q67.
-    "q130_patch_cdc", "q131_delete_where", "q133_incremental_cms",
+    "q130_patch_cdc", "q133_incremental_cms",
     "q135_knn_pq_exact", "q136_pk_change",
     # round-4 session-4/5: cell-grain feed over LSM boundaries and
     # bloom-pruned point reads (the one point-read entry in the window).
@@ -94,6 +94,17 @@ DRIVER_WINDOW = [
     # near-dup family keeps q44/q45/q52 and the incremental q111) and
     # q109 (ASOF semantics stay via q32, SCD2 via q92).
     "q152_drop_column", "q154_concurrent_schema_change",
+    # round-4 session-8: merge-on-read DELETION VECTORS (q159 — displaces
+    # q131, predicate-delete semantics stay covered since q159's oracle is
+    # the same LWW-minus-predicate window and its engine path exercises
+    # strictly more: masked reads, covers-pinned LSM safety), ADD COLUMN
+    # with DEFAULT (q161 — schema governance family joins q152/q154), and
+    # the MANIFEST DELTA-LOG (q163 — the metadata-plane scale shape).
+    # Displaced besides q131: q126 (graph family keeps q108 pagerank) and
+    # q127 (robust/agg family keeps q33/q50/q51/q67); all stay registered
+    # and oracled past the window.
+    "q159_deletion_vectors", "q161_add_column_default",
+    "q163_manifest_delta_log",
 ]
 
 
