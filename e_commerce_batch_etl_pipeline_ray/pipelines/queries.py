@@ -7177,3 +7177,57 @@ def q163_manifest_delta_log(sf_dir: str):
 
 QUERIES.update({"q163_manifest_delta_log": q163_manifest_delta_log})
 ORACLE.update({"q163_manifest_delta_log": Q24_SQL})
+
+
+# ---------------------------------------------------------------------------
+# q164 — STREAM-STREAM INTERVAL JOIN (cdc/stream_join.py; the Flink
+# interval-join contract on the micro-batch spine). Two keyed event
+# streams — the fixture binlog's epoch-0 file as the left stream, epoch-1
+# as the right — ingested in TWO join epochs (left first, right a whole
+# epoch later), so every emitted pair crosses the buffer: left rows park
+# in state, right arrivals complete them exactly once. With lateness
+# unbounded by construction (wm_right stays -inf until the right epoch),
+# the emitted set equals the full SQL interval join, which is the oracle.
+
+def q164_stream_interval_join(sf_dir: str):
+    import tempfile
+
+    import ray.data as _rd
+
+    from e_commerce_batch_etl_pipeline_ray.cdc.stream_join import (
+        StreamJoin,
+        StreamJoinConfig,
+    )
+    from e_commerce_batch_etl_pipeline_ray.stages.blockutil import (
+        read_parquet_clean,
+    )
+    ensure_oracle_fixtures()
+    sj = StreamJoin(StreamJoinConfig(
+        state_dir=tempfile.mkdtemp(prefix="q164_sj_", dir="/tmp"),
+        window=40, lateness=0, left_cols=("commit",),
+        right_cols=("commit",), num_partitions=16))
+    left = read_parquet_clean(os.path.join(Q24_BINLOG_DIR,
+                                           "epoch-0.parquet"),
+                              override_num_blocks=8)
+    right = read_parquet_clean(os.path.join(Q24_BINLOG_DIR,
+                                            "epoch-1.parquet"),
+                               override_num_blocks=8)
+    empty = _rd.from_arrow(left.schema().base_schema.empty_table())
+    sj.ingest(left, empty, 0)
+    sj.ingest(empty, right, 1)
+    return sj.matches().sort(["repo", "path", "l_lsn", "r_lsn"])
+
+
+Q164_SQL = f"""
+SELECT l.repo, l.path, l.lsn AS l_lsn, r.lsn AS r_lsn,
+       l.commit AS l_commit, r.commit AS r_commit
+FROM read_parquet('{Q24_BINLOG_DIR}/epoch-0.parquet') l
+JOIN read_parquet('{Q24_BINLOG_DIR}/epoch-1.parquet') r
+  USING (repo, path)
+WHERE abs(l.lsn - r.lsn) <= 40
+ORDER BY repo, path, l_lsn, r_lsn
+"""
+
+
+QUERIES.update({"q164_stream_interval_join": q164_stream_interval_join})
+ORACLE.update({"q164_stream_interval_join": Q164_SQL})
