@@ -7231,3 +7231,129 @@ ORDER BY repo, path, l_lsn, r_lsn
 
 QUERIES.update({"q164_stream_interval_join": q164_stream_interval_join})
 ORACLE.update({"q164_stream_interval_join": Q164_SQL})
+
+
+# ---------------------------------------------------------------------------
+# q165 — END-TO-END LLM CORPUS PIPELINE: the full preprocessing chain a
+# training-data user runs, composed from this engine's operators in ONE
+# streaming Ray Data pipeline — quality score (q16 kernel) -> Gopher
+# repetition filter (q160 kernel) -> exact dedup keep-min-id (q14 kernel)
+# -> overlapping chunking (q85 kernel) -> deterministic hash split, train
+# shard out — and pinned by ONE composed SQL oracle built from the same
+# stage mirrors as CTEs. Every stage is a vectorized map_batches or a
+# hash-partitioned reduce; nothing materializes on the driver.
+
+def q165_llm_corpus_pipeline(sf_dir: str):
+    import pyarrow.compute as _pc
+
+    from e_commerce_batch_etl_pipeline_ray.stages import (
+        neardup,
+        sampling,
+    )
+    from e_commerce_batch_etl_pipeline_ray.stages import text as T
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ds = T.quality_score().apply(ds)
+    ds = T.gopher_repetition().apply(ds)
+
+    def _keep(t):
+        return _pc.and_(
+            _pc.and_(_pc.is_valid(t["text"]),
+                     _pc.greater_equal(t["quality"], 0.5)),
+            _pc.and_(_pc.less_equal(t["dup_line_frac"], 0.3),
+                     _pc.less_equal(t["top_2gram_char_frac"], 0.2)))
+    ds = maps.filter_expr(_keep, name="corpus_filter").apply(ds)
+    ds = maps.select(["doc_id", "text"]).apply(ds)
+    ds = neardup.exact_dedup(text_col="text", id_col="doc_id",
+                             num_partitions=32).apply(ds)
+    ds = sampling.hash_split("doc_id", [0.8, 0.1, 0.1],
+                             ["train", "val", "test"], seed=7).apply(ds)
+    ds = maps.filter_expr(lambda t: _pc.equal(t["split"], "train"),
+                          name="train_only").apply(ds)
+    ds = maps.select(["doc_id", "text"]).apply(ds)
+    out = T.chunk_documents(chunk_chars=512, overlap_chars=64).apply(ds)
+    return out.sort(["doc_id", "chunk_idx"])
+
+
+def _q165_sql() -> str:
+    from e_commerce_batch_etl_pipeline_ray.stages.sampling import (
+        sql_unit_hash,
+    )
+    u = sql_unit_hash("doc_id", seed=7)
+    return rf"""
+WITH quality AS (
+  SELECT doc_id,
+         ROUND(
+           0.25 * (CASE WHEN n_chars >= 50 AND n_chars <= 100000
+                        THEN 1.0 ELSE 0.0 END)
+         + 0.25 * (1.0 - LEAST(n_punct / GREATEST(n_chars, 1.0), 1.0))
+         + 0.25 * (1.0 - LEAST(n_digit / GREATEST(n_chars, 1.0), 1.0))
+         + 0.25 * (CASE WHEN n_letters / GREATEST(n_tokens, 1.0) >= 2.0
+                         AND n_letters / GREATEST(n_tokens, 1.0) <= 12.0
+                        THEN 1.0 ELSE 0.0 END), 6) AS quality
+  FROM (
+    SELECT doc_id,
+           CAST(length(text) AS DOUBLE) AS n_chars,
+           CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS DOUBLE)
+             AS n_tokens,
+           CAST(len(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE)
+             AS n_punct,
+           CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
+             AS n_digit,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE)
+             AS n_letters
+    FROM documents)
+), lc AS (
+  SELECT doc_id, l, COUNT(*)::DOUBLE c
+  FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS l
+        FROM documents)
+  GROUP BY doc_id, l
+), lstat AS (
+  SELECT doc_id,
+         COALESCE(SUM(c) FILTER (WHERE c > 1), 0) / SUM(c)
+           AS dup_line_frac
+  FROM lc GROUP BY doc_id
+), bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(w)),
+                               i -> w[i] || ' ' || w[i+1])) AS b
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+), bc AS (
+  SELECT doc_id, b, COUNT(*)::DOUBLE c FROM bg GROUP BY doc_id, b
+), bstat AS (
+  SELECT doc_id, MAX(c * LENGTH(b)) AS m FROM bc GROUP BY doc_id
+), kept AS (
+  SELECT d.doc_id, d.text
+  FROM documents d
+  JOIN quality q USING (doc_id)
+  LEFT JOIN lstat ls USING (doc_id)
+  LEFT JOIN bstat bs USING (doc_id)
+  WHERE d.text IS NOT NULL
+    AND q.quality >= 0.5
+    AND COALESCE(ls.dup_line_frac, 0) <= 0.3
+    AND COALESCE(bs.m / NULLIF(LENGTH(d.text), 0), 0) <= 0.2
+), dedup AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+           ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+    FROM kept
+  ) WHERE rn = 1
+), train AS (
+  SELECT doc_id, text FROM dedup WHERE {u} < 0.8
+), c AS (
+  SELECT doc_id, text,
+         CASE WHEN length(text) <= 512 THEN 1
+              ELSE CAST(CEIL((length(text) - 512) / 448.0) AS BIGINT) + 1
+         END AS nc
+  FROM train
+), e AS (
+  SELECT doc_id, text, UNNEST(RANGE(0, nc)) AS chunk_idx FROM c
+)
+SELECT doc_id, chunk_idx,
+       substr(text, chunk_idx * 448 + 1, 512) AS chunk_text,
+       length(substr(text, chunk_idx * 448 + 1, 512)) AS n_chars
+FROM e ORDER BY doc_id, chunk_idx
+"""
+
+
+QUERIES.update({"q165_llm_corpus_pipeline": q165_llm_corpus_pipeline})
+ORACLE.update({"q165_llm_corpus_pipeline": _q165_sql()})
