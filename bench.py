@@ -47,7 +47,13 @@ BENCH_QUERIES = ["q1_pricing_summary", "q3_dedup_lww", "q6_hash_join",
                  # metadata-only stats, triple-pruned key history,
                  # CHECK-constraint quarantine
                  "q143_db_replica", "q144_branch_wap", "q145_table_stats",
-                 "q146_key_history", "q147_check_constraint_dlq"]
+                 "q146_key_history", "q147_check_constraint_dlq",
+                 # session 8: merge-on-read deletion vectors, Gopher
+                 # repetition signals, manifest delta-log, stream-stream
+                 # interval join, the composed end-to-end corpus pipeline
+                 "q159_deletion_vectors", "q160_gopher_repetition",
+                 "q163_manifest_delta_log", "q164_stream_interval_join",
+                 "q165_llm_corpus_pipeline"]
 
 
 def _lineitem_rows(sf_dir: str) -> int:

@@ -7357,3 +7357,62 @@ FROM e ORDER BY doc_id, chunk_idx
 
 QUERIES.update({"q165_llm_corpus_pipeline": q165_llm_corpus_pipeline})
 ORACLE.update({"q165_llm_corpus_pipeline": _q165_sql()})
+
+
+# ---------------------------------------------------------------------------
+# q166 — DSIR data selection (Xie et al. 2023; stages/dsir.py): per-doc
+# importance score sum_positions log(p_target/q_corpus) over hashed
+# char-8-gram buckets (target = docs 0-19, the q86 eval-set convention).
+# Exact cross-engine by construction: the bucket hash is a polynomial
+# codepoint hash in HUGEINT-safe range (replayed digit-for-digit in SQL)
+# and the per-bucket log-ratios quantize to INTEGER micro-nats, so doc
+# scores are integer sums — no float-reduction tie can flip the hash.
+
+def q166_dsir_selection(sf_dir: str):
+    import pyarrow.compute as _pc
+
+    from e_commerce_batch_etl_pipeline_ray.stages.dsir import dsir_scores
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = dsir_scores(ds, lambda t: _pc.less(t["doc_id"], 20),
+                      buckets=64, k=8, cap=512)
+    return out.sort("doc_id")
+
+
+def _q166_sql() -> str:
+    pows = [31 ** e for e in range(7, -1, -1)]
+    digest = " + ".join(
+        f"CAST(unicode(substr(sh, {j + 1}, 1)) AS HUGEINT) * {p}"
+        for j, p in enumerate(pows))
+    return f"""
+WITH d AS (
+  SELECT doc_id, lower(substr(text, 1, 512)) AS t
+  FROM documents WHERE text IS NOT NULL
+), idx AS (
+  SELECT doc_id, t, UNNEST(RANGE(1, length(t) - 6)) AS i
+  FROM d WHERE length(t) >= 8
+), sh AS (
+  SELECT doc_id, substr(t, i, 8) AS sh FROM idx
+), fb AS (
+  SELECT doc_id,
+         CAST((({digest}) % 4294967296) % 64 AS BIGINT) AS b
+  FROM sh
+), tot AS (
+  SELECT b, COUNT(*) FILTER (WHERE doc_id < 20) AS ct, COUNT(*) AS cq
+  FROM fb GROUP BY b
+), n AS (
+  SELECT SUM(ct) AS nt, SUM(cq) AS nq FROM tot
+), r AS (
+  SELECT b, CAST(ROUND(1000000 * LN(
+            ((ct + 1.0) * (nq + 64)) / ((cq + 1.0) * (nt + 64))))
+            AS BIGINT) AS r
+  FROM tot, n
+)
+SELECT fb.doc_id, COUNT(*) AS n_shingles,
+       CAST(SUM(r.r) AS BIGINT) AS dsir_score
+FROM fb JOIN r USING (b)
+GROUP BY fb.doc_id ORDER BY fb.doc_id
+"""
+
+
+QUERIES.update({"q166_dsir_selection": q166_dsir_selection})
+ORACLE.update({"q166_dsir_selection": _q166_sql()})

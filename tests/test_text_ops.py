@@ -35,3 +35,34 @@ def test_gopher_repetition_hand_values(ray_session):
         ray.data.from_arrow(t).repartition(3)) \
         .to_pandas().sort_values("doc_id").reset_index(drop=True)
     assert out3[out.columns].round(12).equals(out.round(12))
+
+
+def test_dsir_scores_reference_and_invariance(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from e_commerce_batch_etl_pipeline_ray.stages.dsir import dsir_scores
+    rng = np.random.default_rng(7)
+    # target docs (0-4) favor token 'alpha'; corpus docs mix
+    def mk(i, words):
+        return " ".join(rng.choice(words, size=40))
+    texts = [mk(i, ["alpha", "beta"]) for i in range(5)] + \
+            [mk(i, ["alpha", "beta", "gamma", "delta"]) for i in range(45)] \
+            + ["short", None]
+    t = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    tgt = lambda b: pc.less(b["doc_id"], 5)
+    out = dsir_scores(ray.data.from_arrow(t), tgt).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    # short + null docs contribute no rows
+    assert set(out["doc_id"]) == set(range(50))
+    # integer scores, deterministic under different parallelism
+    out3 = dsir_scores(ray.data.from_arrow(t).repartition(5), tgt) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert out.equals(out3)
+    # docs drawn from the target distribution score higher on average
+    # than the 4-word corpus docs (the DSIR selection signal)
+    m_t = out[out["doc_id"] < 5]["dsir_score"].mean()
+    m_c = out[out["doc_id"] >= 5]["dsir_score"].mean()
+    assert m_t > m_c
