@@ -834,9 +834,13 @@ def optimize(lake_dir: str, mode: str = "lww") -> dict:
     return {"epoch": epoch, "partitions_compacted": len(items)}
 
 
-def vacuum(lake_dir: str, keep_last: int = 1) -> dict:
+def vacuum(lake_dir: str, keep_last: int = 1,
+           dry_run: bool = False) -> dict:
     """Reclaim storage: delete data files and manifests not referenced by
-    the newest ``keep_last`` committed manifests.
+    the newest ``keep_last`` committed manifests. ``dry_run=True`` (the
+    Delta VACUUM DRY RUN contract) only REPORTS what would be reclaimed —
+    nothing is deleted and no manifest is materialized — returning the
+    same counters plus the candidate ``files`` list.
 
     Carry-forward safety: an untouched partition's file lives in an OLD
     epoch dir but is still referenced by the newest manifest — vacuum
@@ -867,7 +871,7 @@ def vacuum(lake_dir: str, keep_last: int = 1) -> dict:
     # fold in place first (atomic os.replace; any reader racing this sees
     # either version and resolves identically while the ancestors still
     # exist). Single-writer rule, like the rest of vacuum.
-    if keep_epochs:
+    if keep_epochs and not dry_run:
         e0 = keep_epochs[0]
         if _read_manifest_raw(lake_dir, e0).get("delta_log"):
             _commit_json(_manifest_path(lake_dir, e0),
@@ -910,6 +914,7 @@ def vacuum(lake_dir: str, keep_last: int = 1) -> dict:
 
     files_removed = 0
     bytes_reclaimed = 0
+    candidates: list[str] = []
     for name in sorted(os.listdir(lake_dir)):
         if not name.startswith("epoch="):
             continue
@@ -921,9 +926,12 @@ def vacuum(lake_dir: str, keep_last: int = 1) -> dict:
             fpath = os.path.join(full, fname)
             if os.path.realpath(fpath) not in referenced:
                 bytes_reclaimed += os.path.getsize(fpath)
-                os.remove(fpath)
                 files_removed += 1
-        if not os.listdir(full):
+                if dry_run:
+                    candidates.append(fpath)
+                else:
+                    os.remove(fpath)
+        if not dry_run and not os.listdir(full):
             os.rmdir(full)
 
     manifests_removed = 0
@@ -932,11 +940,16 @@ def vacuum(lake_dir: str, keep_last: int = 1) -> dict:
         if f.startswith("epoch-") and f.endswith(".json"):
             e = int(f[len("epoch-"):-len(".json")])
             if e not in keep_epochs:
-                os.remove(os.path.join(mdir, f))
                 manifests_removed += 1
-    return {"files_removed": files_removed,
-            "bytes_reclaimed": bytes_reclaimed,
-            "manifests_removed": manifests_removed}
+                if not dry_run:
+                    os.remove(os.path.join(mdir, f))
+    out = {"files_removed": files_removed,
+           "bytes_reclaimed": bytes_reclaimed,
+           "manifests_removed": manifests_removed}
+    if dry_run:
+        out["dry_run"] = True
+        out["files"] = candidates
+    return out
 
 
 def restore(lake_dir: str, to_epoch: int) -> dict:

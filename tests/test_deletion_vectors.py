@@ -220,3 +220,25 @@ def test_dv_then_compact_ingest_materializes():
     assert len(live[live["lang"] == "go"]) == 1
     m = lake.read_manifest(eng.cfg.lake_dir, 2)
     assert not any(r.get("dv") for r in m["partitions"].values())
+
+
+def test_vacuum_dry_run_reports_without_deleting():
+    eng = _mk()
+    eng.ingest_epoch(ray.data.from_arrow(_events(6, lsn0=100, op="U")), 1)
+    before = sorted(glob.glob(os.path.join(eng.cfg.lake_dir, "epoch=*",
+                                           "*")))
+    out = lake.vacuum(eng.cfg.lake_dir, keep_last=1, dry_run=True)
+    assert out["dry_run"] and out["files_removed"] > 0
+    assert sorted(out["files"]) == sorted(
+        f for f in out["files"])  # list present
+    # NOTHING deleted, manifests intact, reads untouched
+    assert sorted(glob.glob(os.path.join(eng.cfg.lake_dir, "epoch=*",
+                                         "*"))) == before
+    assert lake.last_committed_epoch(eng.cfg.lake_dir) == 1
+    assert len(_live(eng, epoch=0)) == 30
+    # the real vacuum then removes exactly the reported candidates
+    real = lake.vacuum(eng.cfg.lake_dir, keep_last=1)
+    assert real["files_removed"] == out["files_removed"]
+    assert real["bytes_reclaimed"] == out["bytes_reclaimed"]
+    for f in out["files"]:
+        assert not os.path.exists(f)

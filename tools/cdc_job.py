@@ -98,6 +98,19 @@ def main() -> int:
                     help="DELETE WHERE col = value through the standard "
                          "epoch protocol (exactly-once, feed-visible), "
                          "committed as the next epoch, exit")
+    ap.add_argument("--delete-where-dv", nargs=2, metavar=("COL", "VALUE"),
+                    default=None,
+                    help="DELETE WHERE col = value as a DELETION-VECTOR "
+                         "commit (merge-on-read: zero files rewritten, "
+                         "readers mask until the next rewrite), exit")
+    ap.add_argument("--add-column", nargs="+", default=None,
+                    metavar="NAME TYPE [DEFAULT]",
+                    help="metadata-only ALTER TABLE ADD COLUMN name "
+                         "{int64,float64,string,bool} [DEFAULT json], exit")
+    ap.add_argument("--vacuum-dry-run", type=int, default=None,
+                    metavar="KEEP",
+                    help="report what vacuum --vacuum-keep KEEP would "
+                         "reclaim without deleting anything, exit")
     ap.add_argument("--create-branch", default=None, metavar="NAME",
                     help="fork a WAP staging branch off the latest "
                          "committed epoch (metadata-only), exit")
@@ -164,6 +177,34 @@ def main() -> int:
                 args.lake_dir, *args.rename_column)}))
         return 0
 
+    if args.add_column is not None:
+        # metadata-only: one manifest commit, no Ray session
+        import pyarrow as _pa
+        from e_commerce_batch_etl_pipeline_ray.cdc import lake as _lake
+        if not 2 <= len(args.add_column) <= 3:
+            raise SystemExit("--add-column NAME TYPE [DEFAULT]")
+        name, typ = args.add_column[0], args.add_column[1]
+        typemap = {"int64": _pa.int64(), "float64": _pa.float64(),
+                   "string": _pa.string(), "bool": _pa.bool_()}
+        if typ not in typemap:
+            raise SystemExit(f"--add-column type must be one of "
+                             f"{sorted(typemap)}")
+        default = (json.loads(args.add_column[2])
+                   if len(args.add_column) == 3 else None)
+        print(json.dumps({"add_column": _lake.add_column(
+            args.lake_dir, name, typemap[typ], default=default)}))
+        return 0
+
+    if args.vacuum_dry_run is not None:
+        from e_commerce_batch_etl_pipeline_ray.cdc import lake as _lake
+        out = _lake.vacuum(args.lake_dir, keep_last=args.vacuum_dry_run,
+                           dry_run=True)
+        out["files"] = out["files"][:20] + (
+            [f"... {len(out['files']) - 20} more"]
+            if len(out["files"]) > 20 else [])
+        print(json.dumps({"vacuum_dry_run": out}))
+        return 0
+
     if args.stats:
         import ray
         if not ray.is_initialized():
@@ -214,7 +255,7 @@ def main() -> int:
             or args.zorder is not None or args.scan is not None
             or args.bootstrap is not None or args.replicate is not None
             or args.purge is not None or args.delete_where is not None
-            or args.read_dlq):
+            or args.delete_where_dv is not None or args.read_dlq):
         import ray
         if not ray.is_initialized():
             ray.init(address="local", num_cpus=args.num_cpus,
@@ -271,6 +312,14 @@ def main() -> int:
             print(json.dumps({"delete_where": {"col": col, "value": value,
                                                "epoch": st.epoch,
                                                "deleted": st.events_in}}))
+        elif args.delete_where_dv is not None:
+            import pyarrow.compute as _pc
+            col, value = args.delete_where_dv
+            out = _lake.delete_where_dv(
+                args.lake_dir, lambda t: _pc.equal(t[col], value),
+                columns=[col])
+            print(json.dumps({"delete_where_dv": {"col": col,
+                                                  "value": value, **out}}))
         elif args.replicate is not None:
             from e_commerce_batch_etl_pipeline_ray.cdc import feed as _feed
             dst, cursor = args.replicate
