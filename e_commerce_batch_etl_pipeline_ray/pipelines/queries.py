@@ -7416,3 +7416,90 @@ GROUP BY fb.doc_id ORDER BY fb.doc_id
 
 QUERIES.update({"q166_dsir_selection": q166_dsir_selection})
 ORACLE.update({"q166_dsir_selection": _q166_sql()})
+
+
+# ---------------------------------------------------------------------------
+# q167 — corpus-wide PARAGRAPH dedup with in-place rewrite (CCNet /
+# BigScience-ROOTS boilerplate stripping; stages/paradedup.py). The
+# testdata docs are single-line, so both sides first derive the same
+# multi-paragraph corpus: 100 synthetic pages, each = a shared BOILER
+# paragraph (the min-doc_id text — a site header) followed by its member
+# docs' texts in sorted-text order. The operator must then remove the 99
+# repeated boiler copies plus the member copy that duplicates the boiler
+# inside page 0, keeping exactly the first (doc_id, idx) occurrence —
+# winner = MIN(doc_id*2^21+idx) OVER (PARTITION BY para), exact integer
+# math, replayed verbatim in SQL. Scale notes in the module docstring:
+# the winner shuffle carries 32-byte sha-prefix rows, never text.
+
+def q167_paragraph_dedup(sf_dir: str):
+    import numpy as _np
+
+    from e_commerce_batch_etl_pipeline_ray.stages.aggregates import (
+        grouped_collect,
+    )
+    from e_commerce_batch_etl_pipeline_ray.stages.paradedup import (
+        paragraph_dedup,
+    )
+    sep = "\n\n"
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    boiler = ds.sort("doc_id").take(1)[0]["text"]
+
+    def _gid(t: pa.Table) -> pa.Table:
+        gid = t["doc_id"].to_numpy(zero_copy_only=False) % 100
+        return pa.table({"gid": pa.array(gid, pa.int64()),
+                         "text": t["text"]})
+
+    pages = ds.map_batches(_gid, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    pages = grouped_collect(["gid"], "text", "body", sep=sep,
+                            num_partitions=16).apply(pages)
+
+    def _mk(t: pa.Table) -> pa.Table:
+        text = pc.binary_join_element_wise(
+            pa.scalar(boiler), t["body"], pa.scalar(sep))
+        return pa.table({"doc_id": t["gid"].cast(pa.int64()),
+                         "text": text})
+
+    pages = pages.map_batches(_mk, batch_format="pyarrow")
+    out = paragraph_dedup(num_partitions=16).apply(pages)
+    return out.select_columns(["doc_id", "text", "n_paras", "n_removed"]) \
+        .sort("doc_id")
+
+
+Q167_SQL = """
+WITH b AS (
+  SELECT text AS btext FROM documents
+  WHERE doc_id = (SELECT min(doc_id) FROM documents)
+), m AS (
+  SELECT CAST(doc_id % 100 AS BIGINT) AS doc_id,
+         (SELECT btext FROM b) || chr(10) || chr(10)
+           || string_agg(text, chr(10) || chr(10) ORDER BY text) AS text
+  FROM documents GROUP BY doc_id % 100
+), p AS (
+  SELECT doc_id, CAST(generate_subscripts(l, 1) AS BIGINT) - 1 AS idx,
+         unnest(l) AS para
+  FROM (SELECT doc_id, string_split(text, chr(10) || chr(10)) AS l FROM m)
+), w AS (
+  SELECT doc_id, idx, para,
+         doc_id * 2097152 + idx AS fused,
+         MIN(doc_id * 2097152 + idx) OVER (PARTITION BY para) AS win
+  FROM p
+), k AS (
+  SELECT doc_id, idx, para FROM w WHERE LENGTH(para) = 0 OR fused = win
+), a AS (
+  SELECT doc_id, string_agg(para, chr(10) || chr(10) ORDER BY idx) AS text,
+         COUNT(*) AS n_kept
+  FROM k GROUP BY doc_id
+), np AS (
+  SELECT doc_id, COUNT(*) AS n_paras FROM p GROUP BY doc_id
+)
+SELECT m.doc_id, COALESCE(a.text, '') AS text,
+       CAST(np.n_paras AS BIGINT) AS n_paras,
+       CAST(np.n_paras - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed
+FROM m JOIN np USING (doc_id) LEFT JOIN a USING (doc_id)
+ORDER BY m.doc_id
+"""
+
+
+QUERIES.update({"q167_paragraph_dedup": q167_paragraph_dedup})
+ORACLE.update({"q167_paragraph_dedup": Q167_SQL})
