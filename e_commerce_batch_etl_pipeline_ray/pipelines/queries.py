@@ -7503,3 +7503,106 @@ ORDER BY m.doc_id
 
 QUERIES.update({"q167_paragraph_dedup": q167_paragraph_dedup})
 ORACLE.update({"q167_paragraph_dedup": Q167_SQL})
+
+
+# ---------------------------------------------------------------------------
+# q168 — C4 heuristic cleaning (Raffel et al. 2020 §2.2; stages/text.py
+# c4_clean): terminal-punctuation lines with >=5 words and no
+# 'javascript', pages dropped for <3 retained lines / 'lorem ipsum' /
+# '{'. The testdata docs are single-line, so both sides first derive the
+# same 50-page corpus: each base doc becomes a line (deterministic
+# doc_id-keyed transforms inject every rule violation — 3-word
+# truncations, ' javascript' suffixes, missing terminal punctuation) and
+# page-level rules are keyed on the page id (lorem/curly footers).
+# Row-local and fully vectorized; the oracle replays the line filter as
+# the IDENTICAL list_filter lambda in SQL.
+
+def q168_c4_clean(sf_dir: str):
+    import numpy as _np
+
+    from e_commerce_batch_etl_pipeline_ray.stages.aggregates import (
+        grouped_collect,
+    )
+    from e_commerce_batch_etl_pipeline_ray.stages.text import c4_clean
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _line(t: pa.Table) -> pa.Table:
+        did = t["doc_id"].to_numpy(zero_copy_only=False)
+        txt = t["text"]
+        first3 = pc.binary_join(
+            pc.list_slice(pc.split_pattern(txt, " "), 0, 3), " ")
+        t1 = pc.if_else(pa.array(did % 7 == 2), first3, txt)
+        t2 = pc.if_else(
+            pa.array(did % 11 == 4),
+            pc.binary_join_element_wise(t1, pa.scalar(" javascript"), ""),
+            t1)
+        suf = pa.array(_np.array([".", "!", "?", ""])[did % 4])
+        line = pc.binary_join_element_wise(t2, suf, "")
+        return pa.table({"gid": pa.array(did % 50, pa.int64()),
+                         "line": line})
+
+    ls = ds.map_batches(_line, batch_format="pyarrow", zero_copy_batch=True)
+    pages = grouped_collect(["gid"], "line", "body", sep="\n",
+                            num_partitions=16).apply(ls)
+
+    def _page(t: pa.Table) -> pa.Table:
+        gid = t["gid"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        lorem = pc.if_else(pa.array(gid % 17 == 3),
+                           pa.scalar("\nlorem ipsum dolor sit amet."),
+                           pa.scalar(""))
+        curly = pc.if_else(pa.array(gid % 19 == 5),
+                           pa.scalar("\nfunction() {"), pa.scalar(""))
+        text = pc.binary_join_element_wise(t["body"], lorem, curly, "")
+        return pa.table({"doc_id": pa.array(gid, pa.int64()),
+                         "text": text})
+
+    pages = pages.map_batches(_page, batch_format="pyarrow")
+    out = c4_clean("text").apply(pages)
+    return out.select_columns(
+        ["doc_id", "kept", "n_lines_kept", "clean_text"]).sort("doc_id")
+
+
+Q168_SQL = """
+WITH t1s AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 2
+              THEN array_to_string(string_split(text, ' ')[1:3], ' ')
+              ELSE text END AS t1
+  FROM documents
+), ls AS (
+  SELECT doc_id % 50 AS gid,
+         (CASE WHEN doc_id % 11 = 4 THEN t1 || ' javascript' ELSE t1 END)
+         || (CASE CAST(doc_id % 4 AS INTEGER)
+             WHEN 0 THEN '.' WHEN 1 THEN '!' WHEN 2 THEN '?'
+             ELSE '' END) AS line
+  FROM t1s
+), pages AS (
+  SELECT CAST(gid AS BIGINT) AS doc_id,
+         string_agg(line, chr(10) ORDER BY line)
+         || CASE WHEN gid % 17 = 3
+                 THEN chr(10) || 'lorem ipsum dolor sit amet.'
+                 ELSE '' END
+         || CASE WHEN gid % 19 = 5
+                 THEN chr(10) || 'function() {' ELSE '' END AS text
+  FROM ls GROUP BY gid
+), f AS (
+  SELECT doc_id, text,
+         list_filter(string_split(text, chr(10)),
+           l -> regexp_matches(l, '[.!?"]$')
+                AND len(regexp_extract_all(l, '[A-Za-z0-9_]+')) >= 5
+                AND NOT contains(lower(l), 'javascript')) AS kl
+  FROM pages
+)
+SELECT doc_id,
+       (NOT contains(lower(text), 'lorem ipsum')
+        AND NOT contains(text, '{') AND len(kl) >= 3) AS kept,
+       CAST(len(kl) AS BIGINT) AS n_lines_kept,
+       CASE WHEN NOT contains(lower(text), 'lorem ipsum')
+                 AND NOT contains(text, '{') AND len(kl) >= 3
+            THEN array_to_string(kl, chr(10)) END AS clean_text
+FROM f ORDER BY doc_id
+"""
+
+
+QUERIES.update({"q168_c4_clean": q168_c4_clean})
+ORACLE.update({"q168_c4_clean": Q168_SQL})

@@ -679,3 +679,84 @@ def gopher_repetition(text_col: str = "text") -> FnStep:
         t = t.append_column("top_2gram_char_frac", _col(top2))
         return t
     return batch_step("gopher_repetition", _fn)
+
+
+def c4_clean(text_col: str = "text") -> FnStep:
+    """C4 heuristic cleaning (Raffel et al. 2020 §2.2 — the rules the C4
+    corpus was built with, the standard first-pass web-text filter):
+
+    Line rules (a line is kept iff ALL hold):
+      * ends in a terminal punctuation mark (``. ! ? "``)
+      * contains at least 5 words (``[A-Za-z0-9_]+`` tokens)
+      * does not contain the word ``javascript`` (case-insensitive)
+
+    Document rules (the page is kept iff ALL hold):
+      * at least 3 retained lines
+      * the ORIGINAL text does not contain ``lorem ipsum``
+        (case-insensitive) and does not contain ``{``
+
+    Output columns: ``kept`` (bool), ``n_lines_kept`` (int64),
+    ``clean_text`` (retained lines re-joined with ``\\n``; null when the
+    page is dropped). Null text -> (false, null, null).
+
+    Row-local and fully vectorized: Arrow split -> flattened RE2 kernels
+    -> numpy mask -> ListArray reassembly -> ``binary_join``; no shuffle,
+    embarrassingly parallel at any corpus size. SQL mirror: q168
+    (``list_filter`` with the identical lambda).
+    """
+    def _arr(x):
+        if isinstance(x, pa.ChunkedArray):
+            x = x.combine_chunks()
+            if isinstance(x, pa.ChunkedArray):
+                x = x.chunk(0) if x.num_chunks else pa.array([], x.type)
+        return x
+
+    def _fn(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        col = _arr(t[text_col])
+        valid = pc.is_valid(col).to_numpy(zero_copy_only=False)
+        lists = pc.split_pattern(col, "\n")
+        counts = pc.list_value_length(lists).fill_null(0).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = _arr(pc.list_flatten(lists))
+        parent = np.repeat(np.arange(n, dtype=np.int64), counts)
+        if len(flat):
+            punct_ok = pc.match_substring_regex(
+                flat, r'[.!?"]$').to_numpy(zero_copy_only=False)
+            words_ok = (pc.count_substring_regex(
+                flat, pattern=r"[A-Za-z0-9_]+").to_numpy(
+                    zero_copy_only=False) >= 5)
+            no_js = np.invert(pc.match_substring(
+                pc.utf8_lower(flat), "javascript").to_numpy(
+                    zero_copy_only=False))
+            keep = punct_ok & words_ok & no_js
+            kept_counts = np.bincount(parent[keep], minlength=n)
+            new_offsets = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum(kept_counts, out=new_offsets[1:])
+            kept_lists = pa.LargeListArray.from_arrays(
+                pa.array(new_offsets, pa.int64()),
+                flat.filter(pa.array(keep)).cast(pa.large_string()))
+            joined = pc.binary_join(kept_lists,
+                                    pa.scalar("\n", pa.large_string())) \
+                .cast(pa.string())
+        else:
+            kept_counts = np.zeros(n, dtype=np.int64)
+            joined = pa.nulls(n, pa.string())
+        low = pc.utf8_lower(pc.fill_null(col, ""))
+        no_lorem = np.invert(pc.match_substring(low, "lorem ipsum")
+                             .to_numpy(zero_copy_only=False))
+        no_curly = np.invert(pc.match_substring(pc.fill_null(col, ""), "{")
+                             .to_numpy(zero_copy_only=False))
+        kept = valid & no_lorem & no_curly & (kept_counts >= 3)
+        kmask = pa.array(kept)
+        vmask = pa.array(valid)
+        t = t.append_column("kept", kmask)
+        t = t.append_column(
+            "n_lines_kept",
+            pc.if_else(vmask, pa.array(kept_counts, pa.int64()),
+                       pa.nulls(n, pa.int64())))
+        t = t.append_column(
+            "clean_text",
+            pc.if_else(kmask, joined, pa.nulls(n, pa.string())))
+        return t
+    return batch_step("c4_clean", _fn)

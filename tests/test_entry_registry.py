@@ -34,9 +34,11 @@ def test_driver_window_is_first_50_and_fully_oracled():
                  # displaced in session 6 — the sketch family keeps
                  # q125/q133, HLL's register kernel stays pytest-pinned)
                  "q125_incremental_kmv",
-                 "q126_triangles", "q127_robust_stats",
                  # round-4 session-3: CDC semantics depth + compressed ANN
-                 "q130_patch_cdc", "q131_delete_where",
+                 # (q126/q127/q131 displaced in session 8 — graph keeps
+                 # q108, robust/agg keeps q33/q50/q51/q67, predicate
+                 # deletes keep q159 whose oracle is the same window)
+                 "q130_patch_cdc",
                  "q133_incremental_cms", "q135_knn_pq_exact",
                  "q136_pk_change",
                  # round-4 session-4/5: cell feed + bloom point reads
@@ -44,7 +46,11 @@ def test_driver_window_is_first_50_and_fully_oracled():
                  # round-4 session-6: WAP branches + per-key history
                  "q144_branch_wap", "q146_key_history",
                  # round-4 session-7: schema governance + commit CAS
-                 "q152_drop_column", "q154_concurrent_schema_change"):
+                 "q152_drop_column", "q154_concurrent_schema_change",
+                 # round-4 session-8: deletion vectors, defaulted add
+                 # column, manifest delta-log
+                 "q159_deletion_vectors", "q161_add_column_default",
+                 "q163_manifest_delta_log"):
         assert must in win
 
 
