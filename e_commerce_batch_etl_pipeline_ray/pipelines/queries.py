@@ -7606,3 +7606,76 @@ FROM f ORDER BY doc_id
 
 QUERIES.update({"q168_c4_clean": q168_c4_clean})
 ORACLE.update({"q168_c4_clean": Q168_SQL})
+
+
+# ---------------------------------------------------------------------------
+# q169 — data selection under a TOKEN BUDGET (stages/sampling.py
+# budget_select): rank docs by quality (q16's exact score, tie-broken by
+# doc_id) and keep the greedy prefix whose running token sum stays within
+# budget = (3 * total_tokens) // 10 — the standard corpus-assembly step
+# when a training run fixes its token count. The operator does NO global
+# sort: per-bucket weight sums (one tiny reduce), a driver prefix over
+# <=1024 buckets, a vectorized keep/drop filter for fully-in/out buckets,
+# and ONE ordered cut inside the single straddling bucket. The oracle is
+# the window-function definition itself: SUM(n_tokens) OVER (ORDER BY
+# quality DESC, doc_id) <= budget. Integer weights, 6dp-rounded scores
+# (both already oracle-pinned by q15/q16), so the cut is exact.
+
+def q169_budget_select(sf_dir: str):
+    from e_commerce_batch_etl_pipeline_ray.stages.sampling import (
+        budget_select,
+    )
+    from e_commerce_batch_etl_pipeline_ray.stages.text import (
+        quality_score,
+        token_stats,
+    )
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ds = token_stats("text").apply(ds)
+    ds = quality_score("text").apply(ds)
+    ds = ds.select_columns(["doc_id", "quality", "n_tokens"])
+    total = int(ds.sum("n_tokens"))
+    budget = (3 * total) // 10
+    out = budget_select(ds, budget, weight_col="n_tokens",
+                        score_col="quality", id_col="doc_id")
+    return out.sort("doc_id")
+
+
+Q169_SQL = r"""
+WITH q AS (
+  SELECT doc_id, n_tokens,
+         ROUND(
+           0.25 * (CASE WHEN n_chars >= 50 AND n_chars <= 100000
+                        THEN 1.0 ELSE 0.0 END)
+         + 0.25 * (1.0 - LEAST(n_punct / GREATEST(n_chars, 1.0), 1.0))
+         + 0.25 * (1.0 - LEAST(n_digit / GREATEST(n_chars, 1.0), 1.0))
+         + 0.25 * (CASE WHEN n_letters / GREATEST(n_tokens, 1.0) >= 2.0
+                         AND n_letters / GREATEST(n_tokens, 1.0) <= 12.0
+                        THEN 1.0 ELSE 0.0 END), 6) AS quality
+  FROM (
+    SELECT doc_id,
+           CAST(length(text) AS DOUBLE) AS n_chars,
+           CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS BIGINT)
+             AS n_tokens,
+           CAST(len(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE)
+             AS n_punct,
+           CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
+             AS n_digit,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE)
+             AS n_letters
+    FROM documents)
+), b AS (
+  SELECT (3 * SUM(n_tokens)) // 10 AS budget FROM q
+), c AS (
+  SELECT doc_id, quality,
+         CAST(n_tokens AS DOUBLE) AS n_tokens_d, n_tokens,
+         SUM(n_tokens) OVER (ORDER BY quality DESC, doc_id) AS cum
+  FROM q
+)
+SELECT doc_id, quality, n_tokens
+FROM c, b WHERE cum <= b.budget
+ORDER BY doc_id
+"""
+
+
+QUERIES.update({"q169_budget_select": q169_budget_select})
+ORACLE.update({"q169_budget_select": Q169_SQL})

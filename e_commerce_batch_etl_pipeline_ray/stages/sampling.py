@@ -248,3 +248,111 @@ def weighted_top_k(ds, id_col: str, weight_col: str, k: int,
     return (ds.map_batches(_prune, batch_format="pandas")
               .repartition(1)
               .map_batches(_prune, batch_format="pandas"))
+
+
+def budget_select(ds, budget: int, weight_col: str, score_col: str,
+                  id_col: str = "doc_id", lo: float = 0.0, hi: float = 1.0,
+                  nbuckets: int = 1024):
+    """Data selection under a TOKEN BUDGET: keep the greedy quality-ranked
+    prefix — rows ordered by (score DESC, id ASC) while the running sum of
+    ``weight_col`` stays <= ``budget`` (inclusive of the row that reaches
+    it). The standard way a training corpus is assembled when the compute
+    budget fixes the token count: rank by quality, take from the top until
+    the budget is spent (SQL: ``SUM(w) OVER (ORDER BY score DESC, id) <=
+    B`` — the q169 oracle replays exactly that).
+
+    Distributed shape — NO global sort: scores are range-bucketed
+    (``floor((score-lo)/(hi-lo)*nbuckets)``), one tiny groupby reduces
+    per-bucket weight sums (<= nbuckets rows to the driver), and the
+    prefix over DESCENDING buckets classifies each bucket as fully-IN
+    (kept with a vectorized filter, rows never sorted or moved),
+    fully-OUT (dropped at the filter), or the ONE straddling bucket,
+    which alone is ordered (one map_groups task: sort + cumsum + cut).
+    Work is O(corpus) scan + O(straddle bucket log) — the only
+    data-dependent bound is rows sharing the straddling score slice
+    (width (hi-lo)/nbuckets); raise ``nbuckets`` if scores are coarsely
+    quantized. Ties at the same score are broken by id, exact at any
+    parallelism.
+
+    Returns the selected rows (input columns, unsorted). Rows with null
+    score or weight are never selected.
+    """
+    import pandas as pd
+
+    from e_commerce_batch_etl_pipeline_ray.stages.blockutil import (
+        collect_arrow,
+    )
+
+    nb = int(nbuckets)
+    span = float(hi) - float(lo)
+
+    def _bucket_of(score: np.ndarray) -> np.ndarray:
+        b = np.floor((score - float(lo)) / span * nb).astype(np.int64)
+        return np.clip(b, 0, nb - 1)
+
+    def _add_bucket(t: pa.Table) -> pa.Table:
+        s = t[score_col].cast(pa.float64()).to_numpy(zero_copy_only=False)
+        w = t[weight_col]
+        ok = np.isfinite(s) & pc.is_valid(w).to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(ok))
+        b = _bucket_of(s[ok])
+        return t.append_column("_bsel", pa.array(b, pa.int64()))
+
+    # deliberately NOT materialized: the three consumers (bucket sums,
+    # full-bucket filter, straddle cut) each stream the tagged input, so
+    # nothing corpus-sized ever pins the object store; pass a cached ds
+    # if the upstream scoring is expensive to recompute
+    tagged = ds.map_batches(_add_bucket, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    sums = tagged.select_columns(["_bsel", weight_col]) \
+        .map_batches(lambda t: t.group_by(["_bsel"]).aggregate(
+            [(weight_col, "sum")]).rename_columns(["_bsel", "w"]),
+            batch_format="pyarrow", zero_copy_batch=True)
+    part = collect_arrow(sums)
+    if part.num_rows == 0:
+        return tagged.drop_columns(["_bsel"])
+    agg = part.group_by(["_bsel"]).aggregate([("w", "sum")]) \
+        .rename_columns(["_bsel", "w"]).to_pandas() \
+        .sort_values("_bsel", ascending=False)
+    ends = agg["w"].cumsum()
+    starts = ends - agg["w"]
+    full_in = set(agg["_bsel"][ends <= budget].tolist())
+    straddle = agg["_bsel"][(starts <= budget) & (ends > budget)].tolist()
+    straddle = int(straddle[0]) if straddle else None
+    offset = int(starts[agg["_bsel"] == straddle].iloc[0]) \
+        if straddle is not None else 0
+
+    def _keep_full(t: pa.Table) -> pa.Table:
+        b = t["_bsel"].to_numpy(zero_copy_only=False)
+        mask = np.isin(b, np.fromiter(full_in, np.int64, len(full_in))) \
+            if full_in else np.zeros(len(b), bool)
+        return t.filter(pa.array(mask)).drop_columns(["_bsel"])
+
+    kept = tagged.map_batches(_keep_full, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    if straddle is None:
+        return kept
+
+    def _cut(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([score_col, id_col], ascending=[False, True],
+                          kind="mergesort")
+        cum = g[weight_col].cumsum() + offset
+        return g[cum <= budget].drop(columns=["_bsel"])
+
+    def _only_straddle(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t["_bsel"], straddle))
+
+    edge = tagged.map_batches(_only_straddle, batch_format="pyarrow",
+                              zero_copy_batch=True) \
+        .groupby("_bsel").map_groups(_cut, batch_format="pandas")
+    from e_commerce_batch_etl_pipeline_ray.stages.blockutil import (
+        detach,
+        ensure_schema,
+    )
+    schema = pa.schema([f for f in tagged.schema().base_schema
+                        if f.name != "_bsel"])
+    # pin pandas/empty map_groups blocks to Arrow before union (the Ray
+    # 2.49 zero-column-empty-block wart, cf. stages/paradedup.py)
+    edge = detach(edge.map_batches(ensure_schema(schema),
+                                   batch_format="pyarrow"), schema)
+    return kept.union(edge)

@@ -1,0 +1,88 @@
+"""budget_select (stages/sampling.py): greedy score-ranked prefix under a
+weight budget — brute-force parity, straddle-bucket cut, ties, boundaries,
+parallelism invariance."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from e_commerce_batch_etl_pipeline_ray.stages.sampling import budget_select
+
+
+def _brute(ids, scores, weights, budget):
+    order = sorted(range(len(ids)), key=lambda i: (-scores[i], ids[i]))
+    sel, cum = set(), 0
+    for i in order:
+        if cum + weights[i] > budget:
+            break
+        cum += weights[i]
+        sel.add(ids[i])
+    return sel
+
+
+def _run(ids, scores, weights, budget, blocks=1, nbuckets=16):
+    t = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                  "quality": pa.array(scores, pa.float64()),
+                  "n_tokens": pa.array(weights, pa.int64())})
+    ds = ray.data.from_arrow(t)
+    if blocks > 1:
+        ds = ds.repartition(blocks)
+    out = budget_select(ds, budget, weight_col="n_tokens",
+                        score_col="quality", id_col="doc_id",
+                        nbuckets=nbuckets)
+    return {r["doc_id"] for r in out.take_all()}
+
+
+def test_brute_parity_random():
+    rng = np.random.RandomState(7)
+    n = 300
+    ids = list(range(n))
+    scores = np.round(rng.rand(n), 3).tolist()   # coarse -> many ties
+    weights = rng.randint(1, 50, n).tolist()
+    total = sum(weights)
+    for frac in (0.0, 0.1, 0.5, 0.9, 1.0):
+        budget = int(total * frac)
+        exp = _brute(ids, scores, weights, budget)
+        got = _run(ids, scores, weights, budget, blocks=5, nbuckets=8)
+        assert got == exp, (frac, len(got), len(exp))
+
+
+def test_exact_boundary_inclusive():
+    # the row that lands the cumsum EXACTLY on the budget is kept
+    ids = [0, 1, 2]
+    scores = [0.9, 0.5, 0.1]
+    weights = [10, 10, 10]
+    assert _run(ids, scores, weights, 20) == {0, 1}
+    assert _run(ids, scores, weights, 19) == {0}
+    assert _run(ids, scores, weights, 9) == set()
+
+
+def test_tie_broken_by_id():
+    ids = [5, 3, 9]
+    scores = [0.5, 0.5, 0.5]       # one bucket, pure id order
+    weights = [10, 10, 10]
+    assert _run(ids, scores, weights, 20) == {3, 5}
+
+
+def test_parallelism_invariance():
+    rng = np.random.RandomState(11)
+    n = 200
+    ids = list(range(n))
+    scores = np.round(rng.rand(n), 2).tolist()
+    weights = rng.randint(1, 20, n).tolist()
+    budget = sum(weights) // 3
+    exp = _run(ids, scores, weights, budget, blocks=1, nbuckets=4)
+    for blocks in (3, 8):
+        assert _run(ids, scores, weights, budget, blocks=blocks,
+                    nbuckets=32) == exp
+
+
+def test_null_scores_never_selected():
+    t = pa.table({"doc_id": pa.array([0, 1, 2], pa.int64()),
+                  "quality": pa.array([0.9, None, 0.8], pa.float64()),
+                  "n_tokens": pa.array([5, 5, None], pa.int64())})
+    out = budget_select(ray.data.from_arrow(t), 100, weight_col="n_tokens",
+                        score_col="quality", id_col="doc_id")
+    assert {r["doc_id"] for r in out.take_all()} == {0}
