@@ -50,6 +50,7 @@ from e_commerce_batch_etl_pipeline_ray.stages.dedup import (
 KEY = ["repo", "path"]
 _PID = "_sjpid"
 _NEG_INF = -(1 << 62)
+_POS_INF = 1 << 62
 
 
 @dataclass
@@ -60,6 +61,12 @@ class StreamJoinConfig:
     left_cols: tuple = ("commit",)    # payload columns carried as l_<c>
     right_cols: tuple = ("commit",)   # payload columns carried as r_<c>
     num_partitions: int = 8
+    # OUTER emission (the Flink SQL outer interval-join contract): a row
+    # GC'd from its buffer WITHOUT ever having matched emits exactly once
+    # as (l, NULL) / (NULL, r) — in the epoch whose watermark advance
+    # evicted it, the first moment no accepted future arrival could still
+    # match it. "none" | "left" | "right" | "full".
+    outer: str = "none"
 
 
 class StreamJoin:
@@ -107,7 +114,12 @@ class StreamJoin:
                                   zero_copy_batch=True)
 
     def ingest(self, left: ray.data.Dataset, right: ray.data.Dataset,
-               epoch: int) -> dict:
+               epoch: int, finalize: bool = False) -> dict:
+        """Ingest one epoch of arrivals on each side. ``finalize=True`` is
+        the end-of-stream +INF watermark (Flink's final watermark): every
+        buffered row is evicted — unmatched ones emit their outer rows if
+        ``cfg.outer`` asks for them — and the chain can accept no further
+        epochs with arrivals (their rows would all be late)."""
         cfg = self.cfg
         last = self.last_committed_epoch()
         expected = 0 if last is None else last + 1
@@ -131,11 +143,14 @@ class StreamJoin:
             vals = [r["mx"] for r in mx if r["mx"] is not None]
             return max(vals) if vals else None
 
-        lmax, rmax = _max_lsn(left), _max_lsn(right)
-        new_wm_l = max(prev_wm_l,
-                       (lmax - cfg.lateness) if lmax is not None else _NEG_INF)
-        new_wm_r = max(prev_wm_r,
-                       (rmax - cfg.lateness) if rmax is not None else _NEG_INF)
+        if finalize:
+            new_wm_l = new_wm_r = _POS_INF
+        else:
+            lmax, rmax = _max_lsn(left), _max_lsn(right)
+            new_wm_l = max(prev_wm_l, (lmax - cfg.lateness)
+                           if lmax is not None else _NEG_INF)
+            new_wm_r = max(prev_wm_r, (rmax - cfg.lateness)
+                           if rmax is not None else _NEG_INF)
 
         arrivals = self._skinny(left, "L").union(self._skinny(right, "R"))
 
@@ -154,6 +169,12 @@ class StreamJoin:
             return sub.rename_columns(
                 [*KEY, f"{side.lower()}_lsn"]
                 + (lcols if side == "L" else rcols))
+
+        try:
+            outer_sides = {"none": (), "left": ("L",), "right": ("R",),
+                           "full": ("L", "R")}[cfg.outer]
+        except KeyError:
+            raise ValueError(f"unknown outer mode {cfg.outer!r}") from None
 
         def _join(lt: pa.Table, rt: pa.Table) -> pa.Table:
             if lt.num_rows == 0 or rt.num_rows == 0:
@@ -181,10 +202,18 @@ class StreamJoin:
                 late = pc.less(t["lsn"], wm_own)
                 n_late = int(pc.sum(pc.cast(late, pa.int64())).as_py() or 0)
                 t = t.filter(pc.invert(late))
+                if "_matched" in t.column_names:   # defensive: never fed
+                    t = t.drop_columns(["_matched"])
+                t = t.append_column(
+                    "_matched", pa.array([False] * t.num_rows, pa.bool_()))
                 new_l, new_r = _split(t, "L"), _split(t, "R")
                 rec = self.prev.get(str(pid))
                 if rec and rec.get("file"):
                     buf = pq.read_table(rec["file"])
+                    if "_matched" not in buf.column_names:  # legacy state
+                        buf = buf.append_column(
+                            "_matched",
+                            pa.array([False] * buf.num_rows, pa.bool_()))
                     buf_l, buf_r = _split(buf, "L"), _split(buf, "R")
                 else:
                     buf = None
@@ -207,20 +236,73 @@ class StreamJoin:
                                   else (pa.string() if c in KEY
                                         else t.schema.field(c).type))
                          for c in out_names]).empty_table()
-                # new buffer = (old buffer + accepted arrivals), GC'd by
+                # new buffer = (old buffer + accepted arrivals), flags
+                # folded with this epoch's match participants, GC'd by
                 # the OTHER side's new watermark
                 nb = pa.concat_tables(
                     ([buf] if buf is not None else []) + [t],
                     promote_options="permissive")
+
+                def _fuse(tab: pa.Table, lsn_col: str):
+                    return pc.binary_join_element_wise(
+                        tab[KEY[0]], tab[KEY[1]],
+                        pc.cast(tab[lsn_col], pa.string()), "\x00")
+
+                if nb.num_rows and matches.num_rows:
+                    own = _fuse(nb, "lsn")
+                    in_l = pc.is_in(own, value_set=pc.unique(
+                        _fuse(matches, "l_lsn")))
+                    in_r = pc.is_in(own, value_set=pc.unique(
+                        _fuse(matches, "r_lsn")))
+                    is_l = pc.equal(nb["_side"], "L")
+                    now = pc.if_else(is_l, in_l, in_r)
+                    flag = pc.or_(nb["_matched"], now)
+                    nb = nb.set_column(
+                        nb.schema.get_field_index("_matched"),
+                        "_matched", flag)
                 other_wm = pc.if_else(
                     pc.equal(nb["_side"], "L"),
                     pa.scalar(new_wm_r, pa.int64()),
                     pa.scalar(new_wm_l, pa.int64()))
                 keep = pc.greater_equal(
                     pc.add(nb["lsn"], pa.scalar(w, pa.int64())), other_wm)
+                evicted = nb.filter(pc.invert(keep))
                 nb = nb.filter(keep).sort_by(
                     [("repo", "ascending"), ("path", "ascending"),
                      ("_side", "ascending"), ("lsn", "ascending")])
+                # OUTER emission: an evicted never-matched row leaves as
+                # (l, NULL) / (NULL, r) — exactly once, in this epoch,
+                # because eviction is the first moment no accepted future
+                # arrival could complete it
+                timeout_tabs = []
+                if outer_sides and evicted.num_rows:
+                    un = evicted.filter(pc.invert(evicted["_matched"]))
+                    for side in outer_sides:
+                        sub = un.filter(pc.equal(un["_side"], side))
+                        if sub.num_rows == 0:
+                            continue
+                        cols = {k: sub[k] for k in KEY}
+                        cols["l_lsn"] = (sub["lsn"] if side == "L"
+                                         else pa.nulls(sub.num_rows,
+                                                       pa.int64()))
+                        cols["r_lsn"] = (sub["lsn"] if side == "R"
+                                         else pa.nulls(sub.num_rows,
+                                                       pa.int64()))
+                        for c in lcols:
+                            cols[c] = sub[c] if side == "L" else pa.nulls(
+                                sub.num_rows, sub.schema.field(c).type)
+                        for c in rcols:
+                            cols[c] = sub[c] if side == "R" else pa.nulls(
+                                sub.num_rows, sub.schema.field(c).type)
+                        timeout_tabs.append(
+                            pa.table(cols).select(out_names))
+                n_timeouts = sum(tt.num_rows for tt in timeout_tabs)
+                if timeout_tabs:
+                    matches = pa.concat_tables(
+                        [matches, *timeout_tabs],
+                        promote_options="permissive").sort_by(
+                        [(c, "ascending") for c in
+                         [*KEY, "l_lsn", "r_lsn"]])
                 sfname = f"part-{pid:05d}.parquet"
                 mfname = f"matches-{pid:05d}.parquet"
                 for tab, fname in ((nb, sfname), (matches, mfname)):
@@ -236,7 +318,9 @@ class StreamJoin:
                     "final_file": pa.array([os.path.join(final_dir, mfname)],
                                            pa.string()),
                     "rows_total": pa.array([nb.num_rows], pa.int64()),
-                    "matches": pa.array([matches.num_rows], pa.int64()),
+                    "matches": pa.array([matches.num_rows - n_timeouts],
+                                        pa.int64()),
+                    "timeouts": pa.array([n_timeouts], pa.int64()),
                     "late": pa.array([n_late], pa.int64()),
                     "bytes_written": pa.array(
                         [sum(os.path.getsize(os.path.join(tmp_dir, f))
@@ -284,28 +368,30 @@ class StreamJoin:
         lake.promote_epoch_dir(cfg.state_dir, epoch)
         partitions = {}
         for rec in lineage.to_pylist():
-            # the matches LOG accumulates in ``deltas`` (vacuum keeps every
-            # referenced delta, so emitted pairs survive any retention) —
-            # the buffer is the rewritten-every-epoch ``file``
+            # the emitted LOG (matches + outer timeouts share one file)
+            # accumulates in ``deltas`` (vacuum keeps every referenced
+            # delta, so emitted rows survive any retention) — the buffer
+            # is the rewritten-every-epoch ``file``
+            emitted = rec["matches"] + rec["timeouts"]
             prev_log = list(prev_parts.get(str(rec["partition"]), {})
                             .get("deltas", []))
             partitions[rec["partition"]] = {
                 "file": rec["file"],
                 "deltas": prev_log + ([rec["final_file"]]
-                                      if rec["matches"] else []),
+                                      if emitted else []),
                 "lsn_watermark": epoch,
-                "rows_applied": rec["matches"],
+                "rows_applied": emitted,
                 "rows_total": rec["rows_total"],
                 "bytes_written": rec["bytes_written"],
             }
         schema = pa.schema([(k, pa.string()) for k in KEY]
                            + [("lsn", pa.int64()), ("_side", pa.string())])
+        lrecs = lineage.to_pylist()
         metrics = {"op": "stream_join", "wm_left": int(new_wm_l),
                    "wm_right": int(new_wm_r),
-                   "matches": sum(r["rows_applied"]
-                                  for r in partitions.values()),
-                   "late_dropped": int(sum(r["late"] for r in
-                                           lineage.to_pylist()))}
+                   "matches": int(sum(r["matches"] for r in lrecs)),
+                   "timeouts": int(sum(r["timeouts"] for r in lrecs)),
+                   "late_dropped": int(sum(r["late"] for r in lrecs))}
         lake.commit_manifest(cfg.state_dir, epoch, partitions, schema,
                              prev_manifest, metrics=metrics,
                              num_partitions=cfg.num_partitions)

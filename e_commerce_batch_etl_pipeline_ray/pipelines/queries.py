@@ -7679,3 +7679,64 @@ ORDER BY doc_id
 
 QUERIES.update({"q169_budget_select": q169_budget_select})
 ORACLE.update({"q169_budget_select": Q169_SQL})
+
+
+# ---------------------------------------------------------------------------
+# q170 — STREAM-STREAM **LEFT OUTER** INTERVAL JOIN (cdc/stream_join.py
+# outer="left"; the Flink SQL outer interval-join contract): a left row
+# GC'd from the buffer WITHOUT ever matching emits (l, NULL) exactly once,
+# in the epoch whose watermark advance evicted it — matched-ness rides the
+# buffer state (_matched) so a row matched in epoch k can never time out
+# in epoch k+n. Same buffer-crossing fixture as q164 (left stream a full
+# epoch before the right), then a finalize (+INF watermark) epoch flushes
+# the tail, so the emitted log equals the complete SQL LEFT JOIN —
+# timeouts split across the eviction epochs, pairs across the arrival
+# epochs, each row exactly once.
+
+def q170_stream_outer_join(sf_dir: str):
+    import tempfile
+
+    import ray.data as _rd
+
+    from e_commerce_batch_etl_pipeline_ray.cdc.stream_join import (
+        StreamJoin,
+        StreamJoinConfig,
+    )
+    from e_commerce_batch_etl_pipeline_ray.stages.blockutil import (
+        read_parquet_clean,
+    )
+    ensure_oracle_fixtures()
+    sj = StreamJoin(StreamJoinConfig(
+        state_dir=tempfile.mkdtemp(prefix="q170_sj_", dir="/tmp"),
+        window=40, lateness=0, left_cols=("commit",),
+        right_cols=("commit",), num_partitions=16, outer="left"))
+    left = read_parquet_clean(os.path.join(Q24_BINLOG_DIR,
+                                           "epoch-0.parquet"),
+                              override_num_blocks=8)
+    right = read_parquet_clean(os.path.join(Q24_BINLOG_DIR,
+                                            "epoch-1.parquet"),
+                               override_num_blocks=8)
+    empty = _rd.from_arrow(left.schema().base_schema.empty_table())
+    m0 = sj.ingest(left, empty, 0)
+    m1 = sj.ingest(empty, right, 1)
+    m2 = sj.ingest(empty, empty, 2, finalize=True)
+    # timeouts are emitted AT EVICTION (epoch 1's wm_right advance), not
+    # parked until finalize; the finalize epoch here only flushes right
+    # rows, which outer='left' never emits (pinned split in tests)
+    assert m0["timeouts"] == 0 and m1["timeouts"] > 0
+    assert m1["matches"] > 0 and m2["timeouts"] == 0
+    return sj.matches().sort(["repo", "path", "l_lsn", "r_lsn"])
+
+
+Q170_SQL = f"""
+SELECT l.repo, l.path, l.lsn AS l_lsn, r.lsn AS r_lsn,
+       l.commit AS l_commit, r.commit AS r_commit
+FROM read_parquet('{Q24_BINLOG_DIR}/epoch-0.parquet') l
+LEFT JOIN read_parquet('{Q24_BINLOG_DIR}/epoch-1.parquet') r
+  ON l.repo = r.repo AND l.path = r.path AND abs(l.lsn - r.lsn) <= 40
+ORDER BY l.repo, l.path, l_lsn, r_lsn
+"""
+
+
+QUERIES.update({"q170_stream_outer_join": q170_stream_outer_join})
+ORACLE.update({"q170_stream_outer_join": Q170_SQL})

@@ -100,3 +100,80 @@ def test_empty_epochs_advance_nothing_but_commit():
     assert sj.buffered().count() == 1
     m2 = sj.ingest(_ev([]), _ev([(K1, 13, "r1")]), 2)
     assert m2["matches"] == 1
+
+
+# -- OUTER emission (Flink SQL outer interval join) --------------------------
+
+
+def test_left_outer_timeout_at_eviction_not_finalize():
+    sj = _mk(window=3, outer="left")
+    # epoch 0: two left rows; K1 pairs in-epoch, K2 does not
+    m0 = sj.ingest(_ev([(K1, 10, "l1"), (K2, 20, "l2")]),
+                   _ev([(K1, 11, "r1")]), 0)
+    assert m0["matches"] == 1 and m0["timeouts"] == 0
+    # epoch 1: wm_right jumps to 100 -> both lefts evicted; only the
+    # never-matched K2 row emits a timeout
+    m1 = sj.ingest(_ev([]), _ev([(K2, 100, "r2")]), 1)
+    assert m1["timeouts"] == 1 and m1["matches"] == 0
+    got = sj.matches().to_pandas()
+    to = got[got["r_lsn"].isna()]
+    assert list(to["repo"]) == ["org/b"] and list(to["l_lsn"]) == [20]
+    assert list(to["l_commit"]) == ["l2"]
+    assert to["r_commit"].isna().all()
+    # finalize: the right rows flush too, but outer='left' never emits them
+    m2 = sj.ingest(_ev([]), _ev([]), 2, finalize=True)
+    assert m2["timeouts"] == 0
+    assert len(sj.matches().to_pandas()) == 2  # 1 pair + 1 timeout
+
+
+def test_matched_flag_survives_epochs():
+    sj = _mk(window=10, outer="left")
+    sj.ingest(_ev([(K1, 10, "l1")]), _ev([(K1, 12, "r1")]), 0)  # matched
+    # several empty epochs later the row is evicted — it must NOT time out
+    sj.ingest(_ev([]), _ev([(K1, 500, "r2")]), 1)
+    m2 = sj.ingest(_ev([]), _ev([]), 2, finalize=True)
+    got = sj.matches().to_pandas()
+    assert m2["timeouts"] == 0
+    assert got["r_lsn"].notna().all() and len(got) == 1
+
+
+def test_finalize_flushes_tail():
+    sj = _mk(window=3, outer="full")
+    sj.ingest(_ev([(K1, 10, "l1")]), _ev([(K2, 10, "r1")]), 0)
+    m1 = sj.ingest(_ev([]), _ev([]), 1, finalize=True)
+    assert m1["timeouts"] == 2          # both sides flushed, both unmatched
+    got = sj.matches().to_pandas().sort_values("repo").reset_index(drop=True)
+    assert len(got) == 2
+    lrow = got[got["repo"] == "org/a"].iloc[0]
+    rrow = got[got["repo"] == "org/b"].iloc[0]
+    import pandas as pd
+    assert lrow["l_lsn"] == 10 and pd.isna(lrow["r_lsn"])
+    assert rrow["r_lsn"] == 10 and pd.isna(rrow["l_lsn"])
+    assert rrow["r_commit"] == "r1" and lrow["l_commit"] == "l1"
+
+
+def test_outer_crash_replay_byte_identical():
+    import glob
+    import hashlib
+
+    sj = _mk(window=3, outer="left")
+    sj.ingest(_ev([(K1, 10, "l1"), (K2, 20, "l2")]),
+              _ev([(K1, 11, "r1")]), 0)
+    sj.ingest(_ev([]), _ev([(K2, 100, "r2")]), 1)
+
+    def _digest(d):
+        out = {}
+        for f in sorted(glob.glob(os.path.join(d, "epoch=0001", "*.parquet"))):
+            out[os.path.basename(f)] = hashlib.sha256(
+                open(f, "rb").read()).hexdigest()
+        return out
+
+    before = _digest(sj.cfg.state_dir)
+    # crash: drop epoch 1's commit record, replay it
+    os.remove(os.path.join(sj.cfg.state_dir, "manifests", "epoch-0001.json"))
+    sj2 = StreamJoin(sj.cfg)
+    assert sj2.resume_point() == 1
+    sj2.ingest(_ev([]), _ev([(K2, 100, "r2")]), 1)
+    assert _digest(sj.cfg.state_dir) == before
+    got = sj2.matches().to_pandas()
+    assert len(got) == 2 and got["r_lsn"].isna().sum() == 1
