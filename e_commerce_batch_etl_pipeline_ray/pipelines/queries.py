@@ -7740,3 +7740,79 @@ ORDER BY l.repo, l.path, l_lsn, r_lsn
 
 QUERIES.update({"q170_stream_outer_join": q170_stream_outer_join})
 ORACLE.update({"q170_stream_outer_join": Q170_SQL})
+
+
+# ---------------------------------------------------------------------------
+# q171 — Gopher QUALITY rules (Rae et al. 2021 A1; stages/text.py
+# gopher_quality — the companion of q160's repetition signals, completing
+# the Gopher filter set): word-count bounds, mean word length, symbol
+# ratio, bullet/ellipsis line fractions, alpha-word fraction, distinct
+# stopword presence, and the A1 conjunction flag (min_words=10 here so
+# the flag actually splits this corpus; min_stopwords=1 — the synthetic
+# docs carry at most one of the 8 Gopher stopwords). Row-local, vectorized;
+# every metric is a denominator-exact int/int double so the SQL mirror
+# hashes bit-for-bit (the q160 lesson).
+
+def q171_gopher_quality(sf_dir: str):
+    from e_commerce_batch_etl_pipeline_ray.stages.text import gopher_quality
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = gopher_quality("text", min_words=10, min_stopwords=1).apply(ds)
+    return out.select_columns([
+        "doc_id", "n_words", "mean_word_len", "symbol_ratio",
+        "bullet_line_frac", "ellipsis_line_frac", "alpha_word_frac",
+        "n_stop_distinct", "kept"]).sort("doc_id")
+
+
+Q171_SQL = """
+WITH w AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w
+  FROM documents
+), ws AS (
+  SELECT doc_id,
+         COUNT(*)::BIGINT AS n_words,
+         SUM(LENGTH(w))::DOUBLE / GREATEST(COUNT(*), 1) AS mean_word_len,
+         SUM(CASE WHEN regexp_matches(w, '[A-Za-z]') THEN 1
+                  ELSE 0 END)::DOUBLE / GREATEST(COUNT(*), 1)
+           AS alpha_word_frac,
+         COUNT(DISTINCT CASE WHEN lower(w) IN
+             ('the','be','to','of','and','that','have','with')
+             THEN lower(w) END)::BIGINT AS n_stop_distinct
+  FROM w GROUP BY doc_id
+), ls AS (
+  SELECT doc_id,
+         SUM(CASE WHEN prefix(l, '- ') OR prefix(l, '•')
+                  THEN 1 ELSE 0 END)::DOUBLE
+           / GREATEST(COUNT(*), 1) AS bullet_line_frac,
+         SUM(CASE WHEN suffix(l, '...') THEN 1 ELSE 0 END)::DOUBLE
+           / GREATEST(COUNT(*), 1) AS ellipsis_line_frac
+  FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS l
+        FROM documents)
+  GROUP BY doc_id
+), sym AS (
+  SELECT d.doc_id,
+         ((LENGTH(text) - LENGTH(replace(text, '#', '')))::DOUBLE
+          + (LENGTH(text) - LENGTH(replace(text, '...', ''))) / 3)
+           / GREATEST(ws.n_words, 1) AS symbol_ratio
+  FROM documents d JOIN ws ON d.doc_id = ws.doc_id
+)
+SELECT d.doc_id, ws.n_words, ws.mean_word_len, sym.symbol_ratio,
+       ls.bullet_line_frac, ls.ellipsis_line_frac, ws.alpha_word_frac,
+       ws.n_stop_distinct,
+       (d.text IS NOT NULL
+        AND ws.n_words BETWEEN 10 AND 100000
+        AND ws.mean_word_len BETWEEN 3.0 AND 10.0
+        AND sym.symbol_ratio <= 0.1
+        AND ls.bullet_line_frac <= 0.9
+        AND ls.ellipsis_line_frac <= 0.3
+        AND ws.alpha_word_frac >= 0.8
+        AND ws.n_stop_distinct >= 1) AS kept
+FROM documents d
+JOIN ws ON d.doc_id = ws.doc_id
+JOIN ls ON d.doc_id = ls.doc_id
+JOIN sym ON d.doc_id = sym.doc_id
+ORDER BY d.doc_id
+"""
+
+
+QUERIES.update({"q171_gopher_quality": q171_gopher_quality})
+ORACLE.update({"q171_gopher_quality": Q171_SQL})

@@ -760,3 +760,123 @@ def c4_clean(text_col: str = "text") -> FnStep:
             pc.if_else(kmask, joined, pa.nulls(n, pa.string())))
         return t
     return batch_step("c4_clean", _fn)
+
+
+_GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality(text_col: str = "text", min_words: int = 50,
+                   max_words: int = 100_000,
+                   min_stopwords: int = 2) -> FnStep:
+    """Gopher QUALITY rules (Rae et al. 2021 appendix A1 — the companion
+    of the repetition rules in :func:`gopher_repetition`): per document,
+
+      * n_words            — space-split word count (q160's convention)
+      * mean_word_len      — mean UTF-8 word length
+      * symbol_ratio       — (# of ``#`` + non-overlapping ``...``) / words
+      * bullet_line_frac   — lines starting with a bullet (``- `` / ``•``)
+      * ellipsis_line_frac — lines ending with ``...``
+      * alpha_word_frac    — words containing at least one [A-Za-z]
+      * n_stop_distinct    — distinct Gopher stopwords present (of 8)
+      * kept               — the A1 conjunction: word count in
+                             [min_words, max_words], mean word length in
+                             [3, 10], symbol_ratio <= 0.1, bullet frac
+                             <= 0.9, ellipsis frac <= 0.3, alpha frac
+                             >= 0.8, >= min_stopwords distinct stopwords
+
+    ``min_words``/``max_words``/``min_stopwords`` are configurable (paper
+    defaults 50/100k/2).
+    Row-local and fully vectorized (flatten + RE2 kernels + bincount);
+    null text -> null metrics, kept=false. SQL mirror: q171.
+    """
+    def _arr(x):
+        if isinstance(x, pa.ChunkedArray):
+            x = x.combine_chunks()
+            if isinstance(x, pa.ChunkedArray):
+                x = x.chunk(0) if x.num_chunks else pa.array([], x.type)
+        return x
+
+    def _fn(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        col = _arr(t[text_col])
+        valid = pc.is_valid(col).to_numpy(zero_copy_only=False)
+
+        words = pc.split_pattern(col, " ")
+        wc = pc.list_value_length(words).fill_null(0).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        floatw = np.maximum(wc, 1).astype(np.float64)
+        flatw = _arr(pc.list_flatten(words))
+        wparent = np.repeat(np.arange(n, dtype=np.int64), wc)
+        if len(flatw):
+            wlen = pc.utf8_length(flatw).to_numpy(zero_copy_only=False)
+            alpha = pc.match_substring_regex(flatw, "[A-Za-z]").to_numpy(
+                zero_copy_only=False)
+            len_sum = np.bincount(wparent, weights=wlen, minlength=n)
+            alpha_cnt = np.bincount(wparent, weights=alpha.astype(np.float64),
+                                    minlength=n)
+            low = pc.utf8_lower(flatw)
+            n_stop = np.zeros(n, dtype=np.int64)
+            for sw in _GOPHER_STOPWORDS:
+                hit = pc.equal(low, sw).to_numpy(zero_copy_only=False)
+                present = np.bincount(wparent, weights=hit.astype(np.float64),
+                                      minlength=n) > 0
+                n_stop += present.astype(np.int64)
+        else:
+            len_sum = np.zeros(n)
+            alpha_cnt = np.zeros(n)
+            n_stop = np.zeros(n, dtype=np.int64)
+        mean_wl = len_sum / floatw
+        alpha_frac = alpha_cnt / floatw
+
+        hashes = pc.count_substring(col, "#").cast(pa.float64()) \
+            .to_numpy(zero_copy_only=False)
+        dots = pc.count_substring(col, "...").cast(pa.float64()) \
+            .to_numpy(zero_copy_only=False)
+        symbol_ratio = np.where(valid, (np.nan_to_num(hashes)
+                                        + np.nan_to_num(dots)) / floatw, 0.0)
+
+        lines = pc.split_pattern(col, "\n")
+        lc = pc.list_value_length(lines).fill_null(0).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        floatl = np.maximum(lc, 1).astype(np.float64)
+        flatl = _arr(pc.list_flatten(lines))
+        lparent = np.repeat(np.arange(n, dtype=np.int64), lc)
+        if len(flatl):
+            bullet = pc.or_(pc.starts_with(flatl, "- "),
+                            pc.starts_with(flatl, "•")).to_numpy(
+                zero_copy_only=False)
+            ell = pc.ends_with(flatl, "...").to_numpy(zero_copy_only=False)
+            bullet_cnt = np.bincount(lparent,
+                                     weights=bullet.astype(np.float64),
+                                     minlength=n)
+            ell_cnt = np.bincount(lparent, weights=ell.astype(np.float64),
+                                  minlength=n)
+        else:
+            bullet_cnt = np.zeros(n)
+            ell_cnt = np.zeros(n)
+        bullet_frac = bullet_cnt / floatl
+        ell_frac = ell_cnt / floatl
+
+        kept = (valid
+                & (wc >= min_words) & (wc <= max_words)
+                & (mean_wl >= 3.0) & (mean_wl <= 10.0)
+                & (symbol_ratio <= 0.1)
+                & (bullet_frac <= 0.9) & (ell_frac <= 0.3)
+                & (alpha_frac >= 0.8) & (n_stop >= min_stopwords))
+        null_mask = ~valid
+
+        def _f(v):
+            return pa.array(v, pa.float64(), mask=null_mask)
+
+        t = t.append_column("n_words",
+                            pa.array(wc, pa.int64(), mask=null_mask))
+        t = t.append_column("mean_word_len", _f(mean_wl))
+        t = t.append_column("symbol_ratio", _f(symbol_ratio))
+        t = t.append_column("bullet_line_frac", _f(bullet_frac))
+        t = t.append_column("ellipsis_line_frac", _f(ell_frac))
+        t = t.append_column("alpha_word_frac", _f(alpha_frac))
+        t = t.append_column("n_stop_distinct",
+                            pa.array(n_stop, pa.int64(), mask=null_mask))
+        t = t.append_column("kept", pa.array(kept))
+        return t
+    return batch_step("gopher_quality", _fn)
