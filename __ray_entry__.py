@@ -52,12 +52,12 @@ DRIVER_WINDOW = [
     "q3_dedup_lww", "q4_group_agg_distinct",
     "q6_hash_join",
     "q11_window_agg", "q13_dq_report", "q14_exact_dedup",
-    "q17_knn_brute", "q20_lang_id", "q25_sessionize", "q32_asof_join",
+    "q20_lang_id", "q25_sessionize", "q32_asof_join",
     "q33_analytics_cube", "q44_neardup_pairs_exact",
     "q45_neardup_keep_exact",
     "q52_allpairs_jaccard",
     "q83_edit_distance_join",
-    "q100_group_split", "q50_rollup", "q51_cube",
+    "q100_group_split", "q51_cube",
     "q67_frame_aggregates",
     "q71_full_outer_join", "q76_cdc_time_travel", "q90_cdc_change_feed",
     "q92_scd2_history", "q94_cdc_merge_into", "q95_lm_perplexity",
@@ -105,6 +105,15 @@ DRIVER_WINDOW = [
     # and oracled past the window.
     "q159_deletion_vectors", "q161_add_column_default",
     "q163_manifest_delta_log",
+    # round-4 session-9: the stream-stream interval-join family enters the
+    # window via its OUTER superset (q170 drives inner pairs + buffer
+    # crossing + timeout emission + finalize in one chain; q164 stays
+    # registered+oracled) and corpus-rewrite paragraph dedup (q167, a new
+    # family: in-place document rewrite, skinny winner shuffle).
+    # Displaced: q17 (the brute-KNN kernel is the EQUALITY baseline inside
+    # q135's exact-mode oracle) and q50 (q51 CUBE supersets ROLLUP's
+    # grain machinery — both share the one finest-grain combiner scan).
+    "q170_stream_outer_join", "q167_paragraph_dedup",
 ]
 
 

@@ -53,7 +53,12 @@ BENCH_QUERIES = ["q1_pricing_summary", "q3_dedup_lww", "q6_hash_join",
                  # interval join, the composed end-to-end corpus pipeline
                  "q159_deletion_vectors", "q160_gopher_repetition",
                  "q163_manifest_delta_log", "q164_stream_interval_join",
-                 "q165_llm_corpus_pipeline"]
+                 "q165_llm_corpus_pipeline",
+                 # session 9: corpus-rewrite dedup, C4 + Gopher-A1 filters,
+                 # budget selection, outer stream join
+                 "q167_paragraph_dedup", "q168_c4_clean",
+                 "q169_budget_select", "q170_stream_outer_join",
+                 "q171_gopher_quality"]
 
 
 def _lineitem_rows(sf_dir: str) -> int:
