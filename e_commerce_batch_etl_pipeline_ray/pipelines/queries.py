@@ -7816,3 +7816,61 @@ ORDER BY d.doc_id
 
 QUERIES.update({"q171_gopher_quality": q171_gopher_quality})
 ORACLE.update({"q171_gopher_quality": Q171_SQL})
+
+
+# ---------------------------------------------------------------------------
+# q172 — INCREMENTAL PARAGRAPH DEDUP with persistent state
+# (cdc/paradedup_state.py): the streaming form of q167 — each micro-batch
+# of documents is rewritten against the hash-partitioned seen-paragraph
+# state on disk (probes pruned to the incoming shas), state rows are
+# ~32-byte shas (never text — the q111 lesson), and the rewritten docs
+# commit through the lake's exactly-once epoch/manifest protocol. The
+# query feeds q167's derived 100-page corpus in TWO epochs split by
+# doc_id; because epoch order follows doc order, the union of the two
+# epochs' rewrites must equal the one-shot operator — the q167 SQL is
+# the oracle verbatim.
+
+def q172_incremental_paradedup(sf_dir: str):
+    import tempfile
+
+    import numpy as _np
+
+    from e_commerce_batch_etl_pipeline_ray.cdc.paradedup_state import (
+        IncParaDedupConfig,
+        IncrementalParaDedup,
+    )
+    from e_commerce_batch_etl_pipeline_ray.stages.aggregates import (
+        grouped_collect,
+    )
+    sep = "\n\n"
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    boiler = ds.sort("doc_id").take(1)[0]["text"]
+
+    def _gid(t: pa.Table) -> pa.Table:
+        gid = t["doc_id"].to_numpy(zero_copy_only=False) % 100
+        return pa.table({"gid": pa.array(gid, pa.int64()),
+                         "text": t["text"]})
+
+    pages = grouped_collect(["gid"], "text", "body", sep=sep,
+                            num_partitions=16).apply(
+        ds.map_batches(_gid, batch_format="pyarrow", zero_copy_batch=True))
+
+    def _mk(t: pa.Table) -> pa.Table:
+        text = pc.binary_join_element_wise(
+            pa.scalar(boiler), t["body"], pa.scalar(sep))
+        return pa.table({"doc_id": t["gid"].cast(pa.int64()),
+                         "text": text})
+
+    pages = pages.map_batches(_mk, batch_format="pyarrow").materialize()
+    ipd = IncrementalParaDedup(IncParaDedupConfig(
+        state_dir=tempfile.mkdtemp(prefix="q172_ipd_", dir="/tmp"),
+        num_partitions=8, compact_interval=2))
+    ipd.ingest(pages.filter(lambda r: r["doc_id"] < 50), 0)
+    ipd.ingest(pages.filter(lambda r: r["doc_id"] >= 50), 1)
+    out = ipd.docs(0).union(ipd.docs(1))
+    return out.select_columns(["doc_id", "text", "n_paras", "n_removed"]) \
+        .sort("doc_id")
+
+
+QUERIES.update({"q172_incremental_paradedup": q172_incremental_paradedup})
+ORACLE.update({"q172_incremental_paradedup": Q167_SQL})

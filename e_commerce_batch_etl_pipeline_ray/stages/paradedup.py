@@ -94,6 +94,113 @@ def _sha_hi_lo(flat: pa.Array) -> tuple[np.ndarray, np.ndarray]:
     return pairs[:, 0].copy(), pairs[:, 1].copy()
 
 
+def sha_hex_block(flat: pa.Array, nchars: int = 32) -> list[str]:
+    """sha256 hex prefix per flattened paragraph, bytes straight off the
+    Arrow buffer — the string-keyed twin of :func:`_sha_hi_lo` (the
+    incremental state path keys on hex so parquet ``in``-filters prune
+    state row groups, matching cdc/dedup_state.py's convention)."""
+    m = len(flat)
+    out: list[str] = [""] * m
+    if m:
+        off_buf, data_buf = flat.buffers()[1], flat.buffers()[2]
+        width = np.int64 if pa.types.is_large_string(flat.type) else np.int32
+        offsets = np.frombuffer(off_buf, dtype=width, count=m + 1,
+                                offset=flat.offset * np.dtype(width).itemsize)
+        data = memoryview(data_buf) if data_buf is not None else \
+            memoryview(b"")
+        sha256 = hashlib.sha256
+        for i in range(m):
+            out[i] = sha256(
+                data[offsets[i]:offsets[i + 1]]).hexdigest()[:nchars]
+    return out
+
+
+def explode_paragraphs_hex(t: pa.Table, id_col: str = "doc_id",
+                           text_col: str = "text",
+                           sep: str = "\n\n") -> pa.Table:
+    """Explode docs to skinny (did, fused, sha-hex) paragraph rows — the
+    incremental-state twin of the closure in :func:`paragraph_dedup`.
+    Empty segments are structural and never emitted; guards as there."""
+    ids = _as_array(t[id_col]).cast(pa.int64()).to_numpy(
+        zero_copy_only=False)
+    if ids.size and int(ids.max()) >= (1 << (63 - _IDX_BITS)):
+        raise ValueError(
+            f"paragraph dedup: {id_col} must be < 2^{63 - _IDX_BITS}")
+    col = _as_array(t[text_col])
+    counts, flat, parent = _split_flat(col, sep)
+    if counts.size and int(counts.max()) > _MAX_IDX:
+        raise ValueError(
+            f"paragraph dedup: a document has >{_MAX_IDX} paragraphs")
+    if parent.size:
+        starts = np.repeat(np.cumsum(counts) - counts, counts)
+        idx = np.arange(parent.size, dtype=np.int64) - starts
+        ln = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+        keep = ln > 0
+        did = ids[parent[keep]]
+        pidx = idx[keep]
+        sha = sha_hex_block(flat.filter(pa.array(keep)))
+    else:
+        did = pidx = np.array([], np.int64)
+        sha = []
+    return pa.table({
+        "did": pa.array(did, pa.int64()),
+        "fused": pa.array(did * _MAX_IDX + pidx, pa.int64()),
+        "sha": pa.array(sha, pa.string()),
+    })
+
+
+def apply_removals(t: pa.Table, text_col: str = "text",
+                   sep: str = "\n\n") -> pa.Table:
+    """Rewrite pass: drop the paragraphs named by each row's
+    ``removed_idxs`` (comma-joined sorted indices; null = untouched),
+    rejoin with ``sep``, append ``n_paras``/``n_removed``. Vectorized
+    re-split + numpy mask + ListArray reassembly; null text passes
+    through with null counts. Shared by the one-shot operator and the
+    incremental state (cdc/paradedup_state.py)."""
+    rem_col = _as_array(t["removed_idxs"])
+    base = t.drop_columns(["removed_idxs"])
+    has = pc.is_valid(rem_col).to_numpy(zero_copy_only=False)
+    col = _as_array(base[text_col])
+    valid = pc.is_valid(col).to_numpy(zero_copy_only=False)
+    counts, flat, parent = _split_flat(col, sep)
+    n = base.num_rows
+    n_paras = np.where(valid, counts, 0)
+    n_removed = np.zeros(n, dtype=np.int64)
+    if has.any():
+        keep = np.ones(parent.size, dtype=bool)
+        starts = np.cumsum(counts) - counts
+        rem_str = rem_col.to_pylist()
+        for r in np.flatnonzero(has):
+            ridx = np.fromiter((int(x) for x in rem_str[r].split(",")),
+                               dtype=np.int64) if rem_str[r] else \
+                np.array([], np.int64)
+            keep[starts[r] + ridx] = False
+            n_removed[r] = ridx.size
+        kept_counts = np.bincount(parent[keep], minlength=n) \
+            if parent.size else counts
+        new_offsets = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(kept_counts, out=new_offsets[1:])
+        lists = pa.LargeListArray.from_arrays(
+            pa.array(new_offsets, pa.int64()),
+            flat.filter(pa.array(keep)).cast(pa.large_string()))
+        joined = pc.binary_join(
+            lists, pa.scalar(sep, pa.large_string())).cast(pa.string())
+        new_text = pc.if_else(pa.array(valid), joined,
+                              pa.nulls(n, pa.string()))
+    else:
+        new_text = col
+    out = base.set_column(base.schema.get_field_index(text_col),
+                          text_col, new_text)
+    vmask = pa.array(valid)
+    nulls = pa.nulls(n, pa.int64())
+    out = out.append_column(
+        "n_paras", pc.if_else(vmask, pa.array(n_paras, pa.int64()), nulls))
+    out = out.append_column(
+        "n_removed",
+        pc.if_else(vmask, pa.array(n_removed, pa.int64()), nulls))
+    return out
+
+
 def paragraph_dedup(text_col: str = "text", id_col: str = "doc_id",
                     sep: str = "\n\n", num_partitions: int = 64) -> FnStep:
     """Remove corpus-wide duplicate paragraphs in place.
@@ -155,48 +262,7 @@ def paragraph_dedup(text_col: str = "text", id_col: str = "doc_id",
         return pa.table({"did": t["did"], "idx": idx})
 
     def _rewrite(t: pa.Table) -> pa.Table:
-        rem_col = _as_array(t["removed_idxs"])
-        base = t.drop_columns(["removed_idxs"])
-        has = pc.is_valid(rem_col).to_numpy(zero_copy_only=False)
-        col = _as_array(base[text_col])
-        valid = pc.is_valid(col).to_numpy(zero_copy_only=False)
-        counts, flat, parent = _split_flat(col, sep)
-        n = base.num_rows
-        n_paras = np.where(valid, counts, 0)
-        n_removed = np.zeros(n, dtype=np.int64)
-        if has.any():
-            keep = np.ones(parent.size, dtype=bool)
-            starts = np.cumsum(counts) - counts
-            rem_str = rem_col.to_pylist()
-            for r in np.flatnonzero(has):
-                ridx = np.fromiter((int(x) for x in rem_str[r].split(",")),
-                                   dtype=np.int64) if rem_str[r] else \
-                    np.array([], np.int64)
-                keep[starts[r] + ridx] = False
-                n_removed[r] = ridx.size
-            kept_counts = np.bincount(parent[keep], minlength=n) \
-                if parent.size else counts
-            new_offsets = np.zeros(n + 1, dtype=np.int64)
-            np.cumsum(kept_counts, out=new_offsets[1:])
-            lists = pa.LargeListArray.from_arrays(
-                pa.array(new_offsets, pa.int64()),
-                flat.filter(pa.array(keep)).cast(pa.large_string()))
-            joined = pc.binary_join(
-                lists, pa.scalar(sep, pa.large_string())).cast(pa.string())
-            new_text = pc.if_else(pa.array(valid), joined,
-                                  pa.nulls(n, pa.string()))
-        else:
-            new_text = col
-        out = base.set_column(base.schema.get_field_index(text_col),
-                              text_col, new_text)
-        vmask = pa.array(valid)
-        nulls = pa.nulls(n, pa.int64())
-        out = out.append_column(
-            "n_paras", pc.if_else(vmask, pa.array(n_paras, pa.int64()), nulls))
-        out = out.append_column(
-            "n_removed",
-            pc.if_else(vmask, pa.array(n_removed, pa.int64()), nulls))
-        return out
+        return apply_removals(t, text_col, sep)
 
     def _fastpath(ds):
         """No duplicate anywhere: one rewrite pass, no join (also dodges
