@@ -251,7 +251,8 @@ def weighted_top_k(ds, id_col: str, weight_col: str, k: int,
 
 
 def budget_select(ds, budget: int, weight_col: str, score_col: str,
-                  id_col: str = "doc_id", lo: float = 0.0, hi: float = 1.0,
+                  id_col: str = "doc_id",
+                  lo: float | None = 0.0, hi: float | None = 1.0,
                   nbuckets: int = 1024):
     """Data selection under a TOKEN BUDGET: keep the greedy quality-ranked
     prefix — rows ordered by (score DESC, id ASC) while the running sum of
