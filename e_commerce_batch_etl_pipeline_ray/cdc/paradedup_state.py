@@ -207,6 +207,11 @@ class IncrementalParaDedup:
         )
         rem_pairs_schema = pa.schema([("did", pa.int64()),
                                       ("idx", pa.int64())])
+        # detach() MATERIALIZES here — the side-effecting phase-1
+        # map_groups (_ParaApply: state writes + lineage sidecars) runs
+        # exactly once; count() below and the later doc_lineage join read
+        # the materialized block refs, never the lineage (pinned by
+        # tests/test_inc_paradedup.py::test_phase1_executes_once)
         removed = detach(removed.map_batches(
             ensure_schema(rem_pairs_schema), batch_format="pyarrow"),
             rem_pairs_schema)

@@ -132,6 +132,18 @@ class StreamJoin:
             raise ValueError("num_partitions must be chain-constant")
         prev_parts = prev_manifest["partitions"] if prev_manifest else {}
         pm = prev_manifest["metrics"] if prev_manifest else {}
+        # ADVICE r4: the outer mode is chain-constant and PERSISTED —
+        # flipping it on over pre-existing buffer state would backfill
+        # _matched=False onto rows that already matched in earlier epochs
+        # and re-emit them as timeouts (duplicate emission vs the
+        # outer-join contract); older chains without the key stay usable
+        # only at their original outer="none"
+        prev_outer = pm.get("outer", "none" if prev_manifest else None)
+        if prev_outer is not None and prev_outer != cfg.outer:
+            raise ValueError(
+                f"outer mode is chain-constant: state was written with "
+                f"outer={prev_outer!r}, config says {cfg.outer!r} — "
+                "start a fresh state_dir to change it")
         prev_wm_l = pm.get("wm_left", _NEG_INF)
         prev_wm_r = pm.get("wm_right", _NEG_INF)
 
@@ -387,7 +399,8 @@ class StreamJoin:
         schema = pa.schema([(k, pa.string()) for k in KEY]
                            + [("lsn", pa.int64()), ("_side", pa.string())])
         lrecs = lineage.to_pylist()
-        metrics = {"op": "stream_join", "wm_left": int(new_wm_l),
+        metrics = {"op": "stream_join", "outer": cfg.outer,
+                   "wm_left": int(new_wm_l),
                    "wm_right": int(new_wm_r),
                    "matches": int(sum(r["matches"] for r in lrecs)),
                    "timeouts": int(sum(r["timeouts"] for r in lrecs)),

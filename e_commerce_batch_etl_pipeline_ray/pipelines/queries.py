@@ -7793,7 +7793,7 @@ WITH w AS (
          ((LENGTH(text) - LENGTH(replace(text, '#', '')))::DOUBLE
           + (LENGTH(text) - LENGTH(replace(text, '...', ''))) / 3)
            / GREATEST(ws.n_words, 1) AS symbol_ratio
-  FROM documents d JOIN ws ON d.doc_id = ws.doc_id
+  FROM documents d LEFT JOIN ws ON d.doc_id = ws.doc_id
 )
 SELECT d.doc_id, ws.n_words, ws.mean_word_len, sym.symbol_ratio,
        ls.bullet_line_frac, ls.ellipsis_line_frac, ws.alpha_word_frac,
@@ -7807,11 +7807,16 @@ SELECT d.doc_id, ws.n_words, ws.mean_word_len, sym.symbol_ratio,
         AND ws.alpha_word_frac >= 0.8
         AND ws.n_stop_distinct >= 1) AS kept
 FROM documents d
-JOIN ws ON d.doc_id = ws.doc_id
-JOIN ls ON d.doc_id = ls.doc_id
-JOIN sym ON d.doc_id = sym.doc_id
+LEFT JOIN ws ON d.doc_id = ws.doc_id
+LEFT JOIN ls ON d.doc_id = ls.doc_id
+LEFT JOIN sym ON d.doc_id = sym.doc_id
 ORDER BY d.doc_id
 """
+# ADVICE r4: LEFT JOINs (not inner) so a null-text document stays in the
+# oracle exactly as the operator emits it — null metrics, kept=false
+# (text IS NOT NULL short-circuits the conjunction to false). The
+# testdata corpus has no null texts today; the mirror no longer relies
+# on that.
 
 
 QUERIES.update({"q171_gopher_quality": q171_gopher_quality})

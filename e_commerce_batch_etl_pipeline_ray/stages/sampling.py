@@ -276,8 +276,20 @@ def budget_select(ds, budget: int, weight_col: str, score_col: str,
     parallelism.
 
     Returns the selected rows (input columns, unsorted). Rows with null
-    score or weight are never selected.
+    or NON-FINITE score (NaN, +/-inf) or null weight are never selected —
+    the score contract is finite doubles (ADVICE r4: this was previously
+    implicit in the isfinite mask).
+
+    ``lo``/``hi`` bound the score range for bucketing only — selection is
+    EXACT regardless (out-of-range scores clip into the edge buckets and
+    the straddle cut orders by true score), but a mis-specified range
+    collapses rows into one bucket and degrades the straddle cut toward a
+    single-task sort. Pass ``lo=None`` / ``hi=None`` to derive the bound
+    from a min/max pre-pass (one extra scan of the score column); an
+    explicit range that misses observed scores raises a RuntimeWarning.
     """
+    import warnings
+
     import pandas as pd
 
     from e_commerce_batch_etl_pipeline_ray.stages.blockutil import (
@@ -285,7 +297,32 @@ def budget_select(ds, budget: int, weight_col: str, score_col: str,
     )
 
     nb = int(nbuckets)
+    if lo is None or hi is None:
+        def _mm(t: pa.Table) -> pa.Table:
+            s = t[score_col].cast(pa.float64()).to_numpy(
+                zero_copy_only=False)
+            s = s[np.isfinite(s)]
+            if not len(s):
+                return pa.table({"smin": pa.array([], pa.float64()),
+                                 "smax": pa.array([], pa.float64())})
+            return pa.table({"smin": [float(s.min())],
+                             "smax": [float(s.max())]})
+
+        mm = collect_arrow(ds.select_columns([score_col]).map_batches(
+            _mm, batch_format="pyarrow", zero_copy_batch=True))
+        if mm.num_rows:
+            if lo is None:
+                lo = pc.min(mm["smin"]).as_py()
+            if hi is None:
+                hi = pc.max(mm["smax"]).as_py()
+        lo = 0.0 if lo is None else lo
+        hi = 1.0 if hi is None else hi
+        range_explicit = False
+    else:
+        range_explicit = True
     span = float(hi) - float(lo)
+    if span <= 0:
+        span = 1.0          # all-equal scores: one bucket, exact cut
 
     def _bucket_of(score: np.ndarray) -> np.ndarray:
         b = np.floor((score - float(lo)) / span * nb).astype(np.int64)
@@ -305,13 +342,34 @@ def budget_select(ds, budget: int, weight_col: str, score_col: str,
     # if the upstream scoring is expensive to recompute
     tagged = ds.map_batches(_add_bucket, batch_format="pyarrow",
                             zero_copy_batch=True)
-    sums = tagged.select_columns(["_bsel", weight_col]) \
-        .map_batches(lambda t: t.group_by(["_bsel"]).aggregate(
-            [(weight_col, "sum")]).rename_columns(["_bsel", "w"]),
-            batch_format="pyarrow", zero_copy_batch=True)
+    def _sums(t: pa.Table) -> pa.Table:
+        agg = t.group_by(["_bsel"]).aggregate(
+            [(weight_col, "sum")]).rename_columns(["_bsel", "w"])
+        s = t[score_col].cast(pa.float64()).to_numpy(zero_copy_only=False)
+        smin = float(s.min()) if len(s) else float("nan")
+        smax = float(s.max()) if len(s) else float("nan")
+        return agg.append_column(
+            "smin", pa.array([smin] * agg.num_rows, pa.float64())) \
+            .append_column(
+                "smax", pa.array([smax] * agg.num_rows, pa.float64()))
+
+    sums = tagged.select_columns(["_bsel", weight_col, score_col]) \
+        .map_batches(_sums, batch_format="pyarrow", zero_copy_batch=True)
     part = collect_arrow(sums)
     if part.num_rows == 0:
         return tagged.drop_columns(["_bsel"])
+    if range_explicit:
+        obs_lo = pc.min(part["smin"]).as_py()
+        obs_hi = pc.max(part["smax"]).as_py()
+        if obs_lo < float(lo) or obs_hi > float(hi):
+            warnings.warn(
+                f"budget_select: observed scores [{obs_lo}, {obs_hi}] fall "
+                f"outside the declared range [{lo}, {hi}]; out-of-range "
+                "rows clip into the edge buckets (selection stays exact, "
+                "but a collapsed bucket degrades the straddle cut to one "
+                "sort task). Pass lo=None/hi=None to derive the range.",
+                RuntimeWarning, stacklevel=2)
+    part = part.drop_columns(["smin", "smax"])
     agg = part.group_by(["_bsel"]).aggregate([("w", "sum")]) \
         .rename_columns(["_bsel", "w"]).to_pandas() \
         .sort_values("_bsel", ascending=False)

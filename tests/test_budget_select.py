@@ -86,3 +86,46 @@ def test_null_scores_never_selected():
     out = budget_select(ray.data.from_arrow(t), 100, weight_col="n_tokens",
                         score_col="quality", id_col="doc_id")
     assert {r["doc_id"] for r in out.take_all()} == {0}
+
+
+def test_range_derivation_and_warning():
+    """ADVICE r4: lo=None/hi=None derives the bucket range from a min/max
+    pre-pass; an explicit range missing observed scores warns (selection
+    stays exact either way)."""
+    import warnings
+
+    t = pa.table({
+        "doc_id": pa.array(range(8), pa.int64()),
+        "n_tokens": pa.array([10] * 8, pa.int64()),
+        "score": pa.array([5.0, 4.0, 3.5, 3.0, 2.5, 2.0, 1.5, 1.0]),
+    })
+    ds = ray.data.from_arrow(t)
+    out = budget_select(ds, 30, weight_col="n_tokens", score_col="score",
+                        id_col="doc_id", lo=None, hi=None)
+    got = sorted(r["doc_id"] for r in out.take_all())
+    assert got == [0, 1, 2]            # top-3 scores fill the 30 budget
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        out2 = budget_select(ray.data.from_arrow(t), 30,
+                             weight_col="n_tokens", score_col="score",
+                             id_col="doc_id", lo=0.0, hi=1.0)
+        got2 = sorted(r["doc_id"] for r in out2.take_all())
+    assert got2 == [0, 1, 2]           # clipping never changes selection
+    assert any(issubclass(x.category, RuntimeWarning)
+               and "outside the declared range" in str(x.message)
+               for x in w)
+
+
+def test_nonfinite_scores_excluded():
+    """Finite-score contract (documented): NaN and +/-inf rows are never
+    selected."""
+    t = pa.table({
+        "doc_id": pa.array(range(5), pa.int64()),
+        "n_tokens": pa.array([10] * 5, pa.int64()),
+        "score": pa.array([float("inf"), float("nan"), 0.9, 0.8,
+                           float("-inf")]),
+    })
+    out = budget_select(ray.data.from_arrow(t), 20, weight_col="n_tokens",
+                        score_col="score", id_col="doc_id",
+                        lo=None, hi=None)
+    assert sorted(r["doc_id"] for r in out.take_all()) == [2, 3]

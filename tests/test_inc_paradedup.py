@@ -133,3 +133,30 @@ def test_state_carries_text_free():
     for f in glob.glob(os.path.join(ipd.cfg.state_dir,
                                     "epoch=0000", "part-*.parquet")):
         assert pq.read_schema(f).names == ["sha"]
+
+
+def test_phase1_executes_once(tmp_path):
+    """ADVICE r4: the side-effecting phase-1 map_groups (_ParaApply —
+    state writes + lineage sidecars) must execute exactly ONCE per epoch.
+    The detach() after the groupby materializes it; count() and the
+    doc_lineage join then read block refs, never the lineage. Pinned by
+    counting _ParaApply mentions across the executed streaming plans."""
+    import logging
+
+    msgs: list[str] = []
+    h = logging.Handler()
+    h.emit = lambda r: msgs.append(r.getMessage())
+    lg = logging.getLogger("ray.data")
+    old_level = lg.level
+    lg.addHandler(h)
+    lg.setLevel(logging.INFO)
+    try:
+        eng = IncrementalParaDedup(IncParaDedupConfig(
+            state_dir=str(tmp_path / "s"), num_partitions=4))
+        eng.ingest(_mk(CORPUS[:4]), 0)
+    finally:
+        lg.removeHandler(h)
+        lg.setLevel(old_level)
+    plans = [m for m in msgs
+             if "Execution plan" in m and "_ParaApply" in m]
+    assert len(plans) == 1, plans

@@ -177,3 +177,24 @@ def test_outer_crash_replay_byte_identical():
     assert _digest(sj.cfg.state_dir) == before
     got = sj2.matches().to_pandas()
     assert len(got) == 2 and got["r_lsn"].isna().sum() == 1
+
+
+def test_outer_mode_is_chain_constant(tmp_path):
+    """ADVICE r4: the outer mode is persisted in the manifest and cannot
+    change mid-chain (flipping it on over pre-existing buffers would
+    re-emit already-matched rows as timeouts)."""
+    import pytest
+
+    sd = str(tmp_path / "sj")
+    left = _ev([(K1, 1, "l1")])
+    right = _ev([(K1, 2, "r1")])
+    sj = StreamJoin(StreamJoinConfig(state_dir=sd, window=5, lateness=0,
+                                     num_partitions=4, outer="none"))
+    sj.ingest(left, right, 0)
+    flipped = StreamJoin(StreamJoinConfig(state_dir=sd, window=5,
+                                          lateness=0, num_partitions=4,
+                                          outer="left"))
+    with pytest.raises(ValueError, match="chain-constant"):
+        flipped.ingest(_ev([(K1, 10, "l2")]), _ev([]), 1)
+    # same mode continues fine
+    sj.ingest(_ev([(K1, 10, "l2")]), _ev([(K1, 11, "r2")]), 1)
