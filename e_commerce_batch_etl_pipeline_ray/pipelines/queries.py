@@ -7879,3 +7879,65 @@ def q172_incremental_paradedup(sf_dir: str):
 
 QUERIES.update({"q172_incremental_paradedup": q172_incremental_paradedup})
 ORACLE.update({"q172_incremental_paradedup": Q167_SQL})
+
+
+# ---------------------------------------------------------------------------
+# q173 — EXACT-SUBSTRING DEDUP WITH REMOVAL (Lee et al. 2022 ExactSubstr;
+# stages/substr.exact_substring_removal — VERDICT r4 next-task #5: q96
+# only SCORES duplicated grams, this one excises them). Rule, mirrored
+# verbatim in SQL: byte p of doc d is removed iff some gram start i with
+# i <= p < i+50 has corpus-wide count(substr(d,i,50)) >= 2 — all
+# occurrences removed (the released deduplicate-text-datasets behavior).
+# n=50 is the paper's span length; on this corpus it touches ~45 of 500
+# docs (~11k duplicated gram occurrences), so the rewrite is real but
+# not degenerate. The oracle builds the same marks from the q96-style
+# gram CTE, covers positions with a range join, and reassembles each doc
+# with string_agg FILTER (ORDER BY p).
+
+def q173_exact_substring_removal(sf_dir: str):
+    from e_commerce_batch_etl_pipeline_ray.stages import substr
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = substr.exact_substring_removal(ds, n=50, num_partitions=32)
+    return out.sort("doc_id")
+
+
+Q173_SQL = """
+WITH g AS (
+  SELECT doc_id, i AS pos, substring(text, i, 50) AS gram
+  FROM (SELECT doc_id, text,
+               UNNEST(generate_series(1, length(text) - 49)) AS i
+        FROM documents)
+),
+c AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) > 1),
+m AS (SELECT g.doc_id, g.pos FROM g JOIN c USING (gram)),
+ch AS (
+  SELECT doc_id, p, substring(text, p, 1) AS c1
+  FROM (SELECT doc_id, text,
+               UNNEST(generate_series(1, length(text))) AS p
+        FROM documents)
+),
+cov AS (
+  SELECT DISTINCT ch.doc_id, ch.p
+  FROM ch JOIN m ON m.doc_id = ch.doc_id
+                AND ch.p >= m.pos AND ch.p < m.pos + 50
+),
+rw AS (
+  SELECT ch.doc_id,
+         COALESCE(string_agg(ch.c1, '' ORDER BY ch.p)
+                  FILTER (WHERE cov.p IS NULL), '') AS text,
+         CAST(COUNT(cov.p) AS BIGINT) AS n_removed
+  FROM ch LEFT JOIN cov ON cov.doc_id = ch.doc_id AND cov.p = ch.p
+  GROUP BY ch.doc_id
+)
+SELECT d.doc_id,
+       CASE WHEN d.text IS NULL THEN NULL
+            ELSE COALESCE(rw.text, '') END AS text,
+       CASE WHEN d.text IS NULL THEN NULL
+            ELSE COALESCE(rw.n_removed, 0) END AS n_removed
+FROM documents d LEFT JOIN rw ON rw.doc_id = d.doc_id
+ORDER BY d.doc_id
+"""
+
+
+QUERIES.update({"q173_exact_substring_removal": q173_exact_substring_removal})
+ORACLE.update({"q173_exact_substring_removal": Q173_SQL})

@@ -130,3 +130,139 @@ def duplicated_ngrams(ds: ray.data.Dataset, *, n: int = 20,
 
     return merged.map_batches(_frac, batch_format="pyarrow",
                               zero_copy_batch=True)
+
+
+def exact_substring_removal(ds: ray.data.Dataset, *, n: int = 50,
+                            id_col: str = "doc_id", text_col: str = "text",
+                            num_partitions: int = 64) -> ray.data.Dataset:
+    """EXACT-SUBSTRING DEDUP WITH REMOVAL (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better" — the
+    ExactSubstr dedup that actually EXCISES the duplicated spans; q96
+    only scores them). Returns ``(id_col, text_col, n_removed)`` where
+    the text has every duplicated span cut out and ``n_removed`` counts
+    the excised bytes.
+
+    Rule (mirrored verbatim by the q173 SQL oracle): 0-based byte ``p``
+    of doc ``d`` is removed iff some gram start ``i`` with
+    ``i <= p < i + n`` has corpus-wide
+    ``count(substr(d, i, n)) >= 2`` — ALL occurrences of a duplicated
+    gram are removed, the behavior of the paper's released
+    deduplicate-text-datasets code. Overlapping spans merge via a
+    delta-array cumsum. Byte-grain: exact on ASCII corpora; a UTF-8
+    multibyte char straddling a span edge can split (the reference
+    implementation shares this caveat). Docs shorter than ``n`` bytes
+    are never touched; null text passes through null.
+
+    Scale shape: gram extraction is q96's strided view (one copy of the
+    surviving gram bytes, no per-row Python); grams shuffle ONCE by
+    content hash so the corpus-global count>1 test is a partition-local
+    group_by; only the duplicated-occurrence ``(doc, pos)`` marks leave
+    that shuffle — O(duplicated occurrences), not O(corpus grams); the
+    marks reduce to one sorted position list per touched doc (second,
+    mark-sized shuffle via grouped_collect), left-join back to the docs
+    (untouched docs ride through with a null list), and ONE vectorized
+    pass per batch rewrites: a flattened delta/cumsum cover mask over
+    the batch's contiguous Arrow string buffer, surviving bytes
+    re-sliced by kept-count prefix sums."""
+    from e_commerce_batch_etl_pipeline_ray.stages.aggregates import (
+        grouped_collect,
+    )
+    from e_commerce_batch_etl_pipeline_ray.stages.blockutil import (
+        detach,
+        ensure_schema,
+    )
+
+    def _gram_pos(t: pa.Table) -> pa.Table:
+        ids = t[id_col].combine_chunks()
+        empty = pa.table({
+            "gram": pa.array([], pa.binary(n)),
+            id_col: pa.array([], ids.type if len(ids) else pa.int64()),
+            "pos": pa.array([], pa.int64()),
+            _PID: pa.array([], pa.int32())})
+        seg, roff = _buffer_view(t[text_col])
+        if len(seg) < n or t.num_rows == 0:
+            return empty
+        windows = np.lib.stride_tricks.sliding_window_view(seg, n)
+        starts = np.arange(len(windows), dtype=np.int64)
+        doc = np.searchsorted(roff, starts, side="right") - 1
+        valid = starts + n <= roff[doc + 1]
+        if not valid.any():
+            return empty
+        grams = np.ascontiguousarray(windows[valid])
+        doc_idx = doc[valid]
+        pos = starts[valid] - roff[doc_idx]
+        gram_arr = pa.Array.from_buffers(
+            pa.binary(n), len(grams), [None, pa.py_buffer(grams.tobytes())])
+        key = pa.table({"gram": pc.cast(gram_arr, pa.binary())})
+        pid = hash_partition_ids(key, ["gram"], num_partitions)
+        return pa.table({
+            "gram": gram_arr,
+            id_col: ids.take(pa.array(doc_idx)),
+            "pos": pa.array(pos, pa.int64()),
+            _PID: pa.array(pid, pa.int32())})
+
+    def _marks(g: pa.Table) -> pa.Table:
+        g = g.drop_columns([_PID])
+        counts = g.group_by(["gram"]).aggregate([("gram", "count")])
+        per_gram = pc.index_in(g["gram"].combine_chunks(),
+                               value_set=counts["gram"].combine_chunks())
+        occ = counts["gram_count"].take(per_gram)
+        dup = pc.greater(occ, 1)
+        return pa.table({"_rid": g[id_col], "pos": g["pos"]}).filter(dup)
+
+    pairs = ds.map_batches(_gram_pos, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    marks = pairs.groupby(_PID).map_groups(_marks, batch_format="pyarrow")
+    base = ds.schema().base_schema
+    rem_schema = pa.schema([("_rid", base.field(id_col).type),
+                            ("rem_pos", pa.string())])
+    rem = grouped_collect(["_rid"], "pos", "rem_pos",
+                          num_partitions=num_partitions).apply(marks)
+    rem = detach(rem.map_batches(ensure_schema(rem_schema),
+                                 batch_format="pyarrow"), rem_schema)
+    if rem.count():
+        joined = ds.join(rem, join_type="left_outer", on=(id_col,),
+                         right_on=("_rid",),
+                         num_partitions=max(2, num_partitions // 4))
+    else:
+        joined = ds.map_batches(
+            lambda t: t.append_column(
+                "rem_pos", pa.nulls(t.num_rows, pa.string())),
+            batch_format="pyarrow", zero_copy_batch=True)
+
+    def _rewrite(t: pa.Table) -> pa.Table:
+        drop = [c for c in ("_rid",) if c in t.column_names]
+        if drop:
+            t = t.drop_columns(drop)
+        col = t[text_col].combine_chunks()
+        if isinstance(col, pa.ChunkedArray):
+            col = col.chunk(0) if col.num_chunks else pa.array([], col.type)
+        seg, roff = _buffer_view(t[text_col])
+        delta = np.zeros(len(seg) + 1, np.int64)
+        for i, s in enumerate(t["rem_pos"].to_pylist()):
+            if s is None:
+                continue
+            p = np.array(s.split(","), dtype=np.int64) + roff[i]
+            np.add.at(delta, p, 1)
+            np.add.at(delta, p + n, -1)
+        keep = np.cumsum(delta[:len(seg)]) <= 0
+        kept = np.ascontiguousarray(seg[keep])
+        kcum = np.concatenate([[0], np.cumsum(keep, dtype=np.int64)])
+        big = pa.types.is_large_string(col.type)
+        off_dtype = np.int64 if big else np.int32
+        new_off = kcum[roff].astype(off_dtype)
+        new_text = pa.Array.from_buffers(
+            col.type, t.num_rows,
+            [None, pa.py_buffer(new_off.tobytes()),
+             pa.py_buffer(kept.tobytes())])
+        valid = pc.is_valid(col)
+        new_text = pc.if_else(valid, new_text, pa.scalar(None, col.type))
+        removed = (roff[1:] - roff[:-1]) - (new_off[1:].astype(np.int64)
+                                            - new_off[:-1])
+        vmask = valid.to_numpy(zero_copy_only=False)
+        n_removed = pa.array(removed, pa.int64(), mask=~vmask)
+        out = pa.table({id_col: t[id_col], text_col: new_text,
+                        "n_removed": n_removed})
+        return out
+
+    return joined.map_batches(_rewrite, batch_format="pyarrow")
