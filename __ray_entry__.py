@@ -49,19 +49,18 @@ def entry() -> Any:
 # (full rows+schema+hash check); remaining queries keep registry order.
 DRIVER_WINDOW = [
     "q1_pricing_summary", "q24_cdc_ingest", "q26_orders_pipeline",
-    "q3_dedup_lww", "q4_group_agg_distinct",
+    "q3_dedup_lww",
     "q6_hash_join",
-    "q11_window_agg", "q13_dq_report", "q14_exact_dedup",
-    "q20_lang_id", "q25_sessionize", "q32_asof_join",
-    "q33_analytics_cube", "q44_neardup_pairs_exact",
+    "q11_window_agg", "q13_dq_report",
+    "q32_asof_join",
+    "q33_analytics_cube",
     "q45_neardup_keep_exact",
     "q52_allpairs_jaccard",
     "q83_edit_distance_join",
-    "q100_group_split", "q51_cube",
-    "q67_frame_aggregates",
-    "q71_full_outer_join", "q76_cdc_time_travel", "q90_cdc_change_feed",
-    "q92_scd2_history", "q94_cdc_merge_into", "q95_lm_perplexity",
-    "q96_duplicated_substrings", "q105_zorder_scan", "q107_bm25_indexed",
+    "q51_cube",
+    "q71_full_outer_join", "q90_cdc_change_feed",
+    "q95_lm_perplexity",
+    "q96_duplicated_substrings", "q107_bm25_indexed",
     "q108_pagerank", "q110_incremental_dedup",
     "q111_incremental_neardup", "q114_windowed_watermark",
     "q116_session_windows",
@@ -114,6 +113,30 @@ DRIVER_WINDOW = [
     # q135's exact-mode oracle) and q50 (q51 CUBE supersets ROLLUP's
     # grain machinery — both share the one finest-grain combiner scan).
     "q170_stream_outer_join", "q167_paragraph_dedup",
+    # round-5: ~11 slots rotated toward families the driver has NEVER
+    # externally gated (VERDICT r4 next-task #3) — feed-maintained index
+    # views (q112), GDPR physical purge (q132), incremental histogram
+    # state (q142), the remaining schema-governance trio (q153 rename /
+    # q155 replaceWhere / q156 generated columns), the LLM corpus ops
+    # (q165 composed pipeline, q166 DSIR, q169 token-budget selection),
+    # incremental paragraph dedup (q172), and the new exact-substring
+    # removal (q173). Displaced, each with its kernel still driven by an
+    # in-window superset sibling (all stay registered + oracled):
+    # q4 (grouped agg w/ distinct — q33/q51 drive the same combiner at
+    # coarser+finer grains), q14 (exact dedup — q110 drives the kernel
+    # through the lake protocol; q3 keeps LWW), q20 (lang-id — q165
+    # composes it inside ONE oracled chain), q25 (sessionize — q116
+    # session windows superset), q44 (near-dup pairs — q45/q52/q111 keep
+    # the family end-to-end), q67 (frame aggs — q11/q114 keep windows),
+    # q76 (time travel — q90/q146/q163 drive the manifest plane), q92
+    # (SCD2 — q146 keys the same per-key history machinery), q94 (MERGE
+    # INTO — q24's merge-apply + q159's delete path are its two halves),
+    # q100 (group split — q169 represents sampling/selection), q105
+    # (z-order scan — q139/q159/q163 keep pruned reads + metadata).
+    "q112_index_view", "q132_gdpr_purge", "q142_incremental_hist",
+    "q153_rename_column", "q155_replace_where", "q156_generated_columns",
+    "q165_llm_corpus_pipeline", "q166_dsir_selection", "q169_budget_select",
+    "q172_incremental_paradedup", "q173_exact_substring_removal",
 ]
 
 

@@ -23,9 +23,10 @@ def test_driver_window_is_first_50_and_fully_oracled():
     # the window must keep the flagships first
     assert win[:3] == ["q1_pricing_summary", "q24_cdc_ingest",
                        "q26_orders_pipeline"]
-    # representative cross-section of the round-3 surface (judge ask):
-    for must in ("q51_cube", "q76_cdc_time_travel", "q90_cdc_change_feed",
-                 "q92_scd2_history", "q94_cdc_merge_into", "q105_zorder_scan",
+    # representative cross-section (judge ask; round-5 rotation displaced
+    # q76/q92/q94/q105 — their kernels stay driven by in-window supersets
+    # q90/q146/q24+q159/q139+q163, see the DRIVER_WINDOW comment):
+    for must in ("q51_cube", "q90_cdc_change_feed",
                  "q108_pagerank", "q110_incremental_dedup",
                  "q111_incremental_neardup", "q114_windowed_watermark",
                  "q116_session_windows",
@@ -50,7 +51,14 @@ def test_driver_window_is_first_50_and_fully_oracled():
                  # round-4 session-8: deletion vectors, defaulted add
                  # column, manifest delta-log
                  "q159_deletion_vectors", "q161_add_column_default",
-                 "q163_manifest_delta_log"):
+                 "q163_manifest_delta_log",
+                 # round-5 rotation: never-driver-gated families
+                 "q112_index_view", "q132_gdpr_purge",
+                 "q142_incremental_hist", "q153_rename_column",
+                 "q155_replace_where", "q156_generated_columns",
+                 "q165_llm_corpus_pipeline", "q166_dsir_selection",
+                 "q169_budget_select", "q172_incremental_paradedup",
+                 "q173_exact_substring_removal"):
         assert must in win
 
 

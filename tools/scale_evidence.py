@@ -88,6 +88,95 @@ def gen_join_tables(n_rows: int, n_cust: int):
     return facts, dim
 
 
+_BOILER = ["boilerplate paragraph %02d " % i +
+           "lorem ipsum dolor sit amet consectetur adipiscing elit " * 2
+           for i in range(32)]
+
+
+def gen_docs(n_docs: int):
+    """Synthetic corpus with planted paragraph duplicates: each doc is
+    (unique paragraph, one of 32 shared boilerplate paragraphs, unique
+    paragraph) — deterministic, generated in parallel blocks."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    per = 25_000
+    blocks = max(1, n_docs // per)
+
+    def _gen(batch: pa.Table) -> pa.Table:
+        out = []
+        for bid in batch["id"].to_pylist():
+            rng = np.random.default_rng(9_000_017 * bid + 3)
+            m = per if bid < blocks - 1 else n_docs - per * (blocks - 1)
+            # two unique ~150-char paragraphs per doc, vectorized: random
+            # lowercase bytes with spaces sprinkled in
+            raw = rng.integers(97, 123, size=(m, 300)).astype(np.uint8)
+            raw[:, ::7] = 32
+            half = raw.reshape(m, 2, 150)
+            bi = rng.integers(0, len(_BOILER), size=m)
+            texts = [half[i, 0].tobytes().decode() + "\n\n"
+                     + _BOILER[bi[i]] + "\n\n"
+                     + half[i, 1].tobytes().decode() for i in range(m)]
+            out.append(pa.table({
+                "doc_id": pa.array(bid * per + np.arange(m), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }))
+        return pa.concat_tables(out)
+
+    return ray.data.range(blocks, override_num_blocks=min(blocks, 64)) \
+        .map_batches(_gen, batch_format="pyarrow")
+
+
+def time_corpus(n_docs: int, num_partitions: int) -> float:
+    """The q165 LLM-corpus composition (quality -> gopher repetition ->
+    gate -> exact dedup -> split -> chunk) on generated docs."""
+    import pyarrow.compute as pc
+
+    from e_commerce_batch_etl_pipeline_ray.stages import (
+        maps,
+        neardup,
+        sampling,
+    )
+    from e_commerce_batch_etl_pipeline_ray.stages import text as T
+    docs = gen_docs(n_docs).materialize()    # generation untimed
+    t0 = time.perf_counter()
+    ds = T.quality_score().apply(docs)
+    ds = T.gopher_repetition().apply(ds)
+    ds = maps.filter_expr(
+        lambda t: pc.and_(pc.is_valid(t["text"]),
+                          pc.less_equal(t["top_2gram_char_frac"], 0.9)),
+        name="corpus_filter").apply(ds)
+    ds = maps.select(["doc_id", "text"]).apply(ds)
+    ds = neardup.exact_dedup(text_col="text", id_col="doc_id",
+                             num_partitions=num_partitions).apply(ds)
+    ds = sampling.hash_split("doc_id", [0.8, 0.1, 0.1],
+                             ["train", "val", "test"], seed=7).apply(ds)
+    ds = maps.filter_expr(lambda t: pc.equal(t["split"], "train"),
+                          name="train_only").apply(ds)
+    ds = maps.select(["doc_id", "text"]).apply(ds)
+    out = T.chunk_documents(chunk_chars=256, overlap_chars=32).apply(ds)
+    n = out.count()
+    wall = time.perf_counter() - t0
+    assert n > 0
+    return wall
+
+
+def time_paradedup(n_docs: int, num_partitions: int) -> float:
+    """q167's one-shot corpus rewrite (paragraph dedup) on generated
+    docs — every doc loses its boilerplate paragraph except the 32
+    corpus-wide winners."""
+    from e_commerce_batch_etl_pipeline_ray.stages import paradedup
+    docs = gen_docs(n_docs).materialize()    # generation untimed
+    t0 = time.perf_counter()
+    out = paradedup.paragraph_dedup(
+        num_partitions=num_partitions).apply(docs)
+    n = out.count()
+    wall = time.perf_counter() - t0
+    assert n == n_docs
+    return wall
+
+
 def time_pagerank(n_edges: int, num_partitions: int) -> float:
     from e_commerce_batch_etl_pipeline_ray.stages import graph
     edges = gen_edges(n_edges, n_hosts=max(1000, n_edges // 1000)) \
@@ -124,6 +213,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--base-edges", type=int, default=1_000_000)
     ap.add_argument("--base-rows", type=int, default=2_000_000)
+    ap.add_argument("--base-docs", type=int, default=100_000)
     ap.add_argument("--factor", type=int, default=10)
     ap.add_argument("--num-cpus", type=int,
                     default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
@@ -139,12 +229,18 @@ def main() -> None:
     # warm-up: spawn workers, JIT the kernels (untimed)
     time_pagerank(50_000, num_partitions=8)
     time_join(100_000, num_partitions=8)
+    time_corpus(25_000, num_partitions=8)
+    time_paradedup(25_000, num_partitions=8)
 
     f = args.factor
     pr1 = time_pagerank(args.base_edges, num_partitions=32)
     prf = time_pagerank(args.base_edges * f, num_partitions=32)
     j1 = time_join(args.base_rows, num_partitions=32)
     jf = time_join(args.base_rows * f, num_partitions=32)
+    c1 = time_corpus(args.base_docs, num_partitions=32)
+    cf = time_corpus(args.base_docs * f, num_partitions=32)
+    p1 = time_paradedup(args.base_docs, num_partitions=32)
+    pf = time_paradedup(args.base_docs * f, num_partitions=32)
     print(json.dumps({
         "metric": "scale_growth",
         "factor": f,
@@ -157,6 +253,14 @@ def main() -> None:
                       "sec_1x": round(j1, 2), "sec_10x": round(jf, 2),
                       "growth": round(jf / j1, 2),
                       "rows_per_sec_10x": round(args.base_rows * f / jf)},
+        "llm_corpus": {"docs_1x": args.base_docs,
+                       "sec_1x": round(c1, 2), "sec_10x": round(cf, 2),
+                       "growth": round(cf / c1, 2),
+                       "docs_per_sec_10x": round(args.base_docs * f / cf)},
+        "para_dedup": {"docs_1x": args.base_docs,
+                       "sec_1x": round(p1, 2), "sec_10x": round(pf, 2),
+                       "growth": round(pf / p1, 2),
+                       "docs_per_sec_10x": round(args.base_docs * f / pf)},
     }))
     ray.shutdown()
 
