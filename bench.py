@@ -83,6 +83,11 @@ def run_bench() -> dict:
     import ray.data
     ctx = ray.data.DataContext.get_current()
     ctx.enable_progress_bars = False
+
+    from e_commerce_batch_etl_pipeline_ray.stages.blockutil import (
+        silence_empty_bundle_warnings,
+    )
+    silence_empty_bundle_warnings()
     ctx.read_op_min_num_blocks = 32   # constant across CPU levels; no sliver blocks
     # ~5-10% faster sort shuffle at this scale (was the deprecated
     # use_push_based_shuffle=True; BENCH_SHUFFLE=hash_shuffle selects Ray's

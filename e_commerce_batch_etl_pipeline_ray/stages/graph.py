@@ -38,6 +38,7 @@ from e_commerce_batch_etl_pipeline_ray.stages import aggregates, joins
 from e_commerce_batch_etl_pipeline_ray.stages.blockutil import (
     collect_arrow,
     detach,
+    ensure_schema,
 )
 
 
@@ -180,8 +181,16 @@ def pagerank(edges: ray.data.Dataset, iterations: int = 5,
         state_tagged = state.map_batches(
             _tag("s", "node", None), batch_format="pyarrow",
             zero_copy_batch=True)
+        # pin the map_groups outputs (empty sort partitions emit
+        # zero-column bundles whose schema flips per bundle — the benign
+        # but noisy Ray 2.49 RefBundle warning; a fused ensure_schema
+        # map normalizes them, no barrier)
+        scatter_schema = pa.schema([("node", node_type),
+                                    ("pr", pa.float64())])
         contrib = state_tagged.union(edges_tagged).groupby(
-            "_gpid").map_groups(_scatter, batch_format="pyarrow")
+            "_gpid").map_groups(_scatter, batch_format="pyarrow") \
+            .map_batches(ensure_schema(scatter_schema),
+                         batch_format="pyarrow", zero_copy_batch=True)
         contrib_tagged = contrib.map_batches(
             _tag("c", "node", None), batch_format="pyarrow",
             zero_copy_batch=True)

@@ -385,6 +385,11 @@ def main() -> int:
     import ray.data
     ctx = ray.data.DataContext.get_current()
     ctx.enable_progress_bars = False
+
+    from e_commerce_batch_etl_pipeline_ray.stages.blockutil import (
+        silence_empty_bundle_warnings,
+    )
+    silence_empty_bundle_warnings()
     ctx.read_op_min_num_blocks = 32
 
     from e_commerce_batch_etl_pipeline_ray.cdc import binlog, engine

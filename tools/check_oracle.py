@@ -53,6 +53,11 @@ def main():
     import ray.data
     ray.data.DataContext.get_current().enable_progress_bars = False
 
+    from e_commerce_batch_etl_pipeline_ray.stages.blockutil import (
+        silence_empty_bundle_warnings,
+    )
+    silence_empty_bundle_warnings()
+
     import __ray_entry__ as entrymod
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()

@@ -55,6 +55,11 @@ def main() -> None:
     import ray.data
     ray.data.DataContext.get_current().enable_progress_bars = False
 
+    from e_commerce_batch_etl_pipeline_ray.stages.blockutil import (
+        silence_empty_bundle_warnings,
+    )
+    silence_empty_bundle_warnings()
+
     from e_commerce_batch_etl_pipeline_ray.cdc import binlog, engine, oracle
     from e_commerce_batch_etl_pipeline_ray.cdc.actor_pool import resolve_fan_out
 

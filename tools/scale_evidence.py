@@ -226,6 +226,11 @@ def main() -> None:
     import ray.data
     ray.data.DataContext.get_current().enable_progress_bars = False
 
+    from e_commerce_batch_etl_pipeline_ray.stages.blockutil import (
+        silence_empty_bundle_warnings,
+    )
+    silence_empty_bundle_warnings()
+
     # warm-up: spawn workers, JIT the kernels (untimed)
     time_pagerank(50_000, num_partitions=8)
     time_join(100_000, num_partitions=8)
