@@ -7941,3 +7941,82 @@ ORDER BY d.doc_id
 
 QUERIES.update({"q173_exact_substring_removal": q173_exact_substring_removal})
 ORACLE.update({"q173_exact_substring_removal": Q173_SQL})
+
+
+# ---------------------------------------------------------------------------
+# q174 — HYBRID RETRIEVAL with Reciprocal Rank Fusion (retrieval.
+# hybrid_rrf; Cormack et al. 2009 — the standard RAG fusion rule): the
+# engine's own BM25 top-k (q102 terms) and exact-cosine top-k (query =
+# embedding of vec_id 0) candidate lists fuse by rrf(d) = 1/(60+r_bm25)
+# + 1/(60+r_cos). Ranking keys pinned to the float-parity levels the
+# existing oracles prove (BM25 ROUND 4 per q102, cosine ROUND 9 per
+# q17); the SQL mirror replays both rankings and the fusion verbatim
+# over a FULL OUTER JOIN of the two k=20 lists.
+
+def q174_hybrid_rrf(sf_dir: str):
+    from e_commerce_batch_etl_pipeline_ray.stages import retrieval
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qv = [r["embedding"] for r in emb.take(1)][0]
+    out = retrieval.hybrid_rrf(docs, emb, list(_Q102_TERMS), qv,
+                               k_each=20, k0=60, top=10)
+    return out
+
+
+def _q174_sql() -> str:
+    tf_cols = ",\n   ".join(
+        f"len(list_filter(toks, x -> x = '{t}'))::DOUBLE AS tf{i}"
+        for i, t in enumerate(_Q102_TERMS))
+    df_cols = ", ".join(
+        f"SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END)::DOUBLE AS df{i}"
+        for i in range(len(_Q102_TERMS)))
+    score = " + ".join(
+        f"LN((n - df{i} + 0.5)/(df{i} + 0.5) + 1) * tf{i} * 2.2"
+        f" / (tf{i} + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))"
+        for i in range(len(_Q102_TERMS)))
+    return f"""
+WITH l AS (
+  SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS toks,
+         len(string_split(COALESCE(text, ''), ' '))::DOUBLE AS dl
+  FROM documents
+),
+stats AS (SELECT COUNT(*)::DOUBLE AS n, AVG(dl) AS avgdl FROM l),
+tf AS (SELECT doc_id, dl,
+   {tf_cols}
+ FROM l),
+df AS (SELECT {df_cols} FROM tf),
+bm AS (SELECT doc_id, {score} AS score FROM tf, stats, df),
+bmk AS (
+  SELECT doc_id, r FROM (
+    SELECT doc_id,
+           ROW_NUMBER() OVER (ORDER BY ROUND(score, 4) DESC, doc_id) AS r
+    FROM bm) WHERE r <= 20
+),
+q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id = 0),
+cs AS (
+  SELECT e.vec_id AS doc_id,
+         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) AS cos
+  FROM embeddings e CROSS JOIN q),
+crk AS (
+  SELECT doc_id, r FROM (
+    SELECT doc_id,
+           ROW_NUMBER() OVER (ORDER BY ROUND(cos, 9) DESC, doc_id) AS r
+    FROM cs) WHERE r <= 20
+),
+f AS (
+  SELECT COALESCE(b.doc_id, c.doc_id) AS doc_id,
+         b.r AS bm25_rank, c.r AS cos_rank,
+         COALESCE(1.0 / (60 + b.r), 0) + COALESCE(1.0 / (60 + c.r), 0)
+           AS rrf_raw
+  FROM bmk b FULL OUTER JOIN crk c ON b.doc_id = c.doc_id
+)
+SELECT doc_id, ROUND(rrf_raw, 6) AS rrf,
+       CAST(bm25_rank AS BIGINT) AS bm25_rank,
+       CAST(cos_rank AS BIGINT) AS cos_rank
+FROM f ORDER BY rrf_raw DESC, doc_id LIMIT 10
+"""
+
+
+QUERIES.update({"q174_hybrid_rrf": q174_hybrid_rrf})
+ORACLE.update({"q174_hybrid_rrf": _q174_sql()})

@@ -330,3 +330,69 @@ def index_lookup(index_dir: str, terms: list[str],
             lambda t: t.filter(pc.equal(t["n_matched"], need)),
             batch_format="pyarrow", zero_copy_batch=True)
     return matched
+
+
+def hybrid_rrf(docs: ray.data.Dataset, emb: ray.data.Dataset,
+               query_terms: list[str], query_vec, *,
+               k_each: int = 20, k0: int = 60, top: int = 10,
+               id_col: str = "doc_id", text_col: str = "text",
+               emb_id_col: str = "vec_id",
+               emb_col: str = "embedding") -> ray.data.Dataset:
+    """HYBRID lexical+dense retrieval with Reciprocal Rank Fusion
+    (Cormack/Clarke/Buettcher 2009 — the standard RAG fusion rule):
+    ``rrf(d) = sum over lists 1/(k0 + rank_d)`` across the BM25 top-k
+    and the exact-cosine top-k candidate lists; docs absent from a list
+    contribute nothing for it. Assumes the two id spaces align
+    (``emb[emb_id_col]`` identifies the same document as
+    ``docs[id_col]`` — the testdata contract, and the SQL mirror fuses
+    on the same ids, so parity never depends on the semantics).
+
+    Deterministic ranking keys, mirrored verbatim by the q174 oracle:
+    BM25 list by (ROUND(score, 4) DESC, id ASC) — the rounding level
+    q102's oracle already proves float-parity at — cosine list by
+    (ROUND(cos, 9) DESC, id ASC) — the cosine key matches
+    ``similarity.knn_brute``'s own tiebreak. Output: the fused top
+    ``top`` rows ``(id_col, rrf, bm25_rank, cos_rank)`` sorted
+    (rrf DESC, id ASC), ranks null where a doc missed that list.
+
+    Scale shape: both candidate lists come from the engine's own
+    distributed top-k operators (BM25 partial stats + per-batch score,
+    brute-cosine per-batch top-k with a broadcast query matrix); the
+    fusion itself touches 2*k_each rows — metadata grain on the driver
+    by construction."""
+    import numpy as np
+
+    from e_commerce_batch_etl_pipeline_ray.stages.blockutil import (
+        collect_arrow,
+    )
+    from e_commerce_batch_etl_pipeline_ray.stages.similarity import (
+        knn_brute,
+    )
+
+    bt = collect_arrow(bm25_topk(docs, list(query_terms), k=k_each,
+                                 id_col=id_col, text_col=text_col))
+    bdf = bt.to_pandas()
+    bdf["score_r"] = bdf["score"].round(4)
+    bdf = bdf.sort_values(["score_r", id_col],
+                          ascending=[False, True]).head(k_each)
+    bm_rank = {int(i): r + 1 for r, i in enumerate(bdf[id_col])}
+
+    qv = np.asarray(query_vec, dtype=np.float64).reshape(1, -1)
+    kt = knn_brute(emb, ([0], qv), k=k_each, emb_col=emb_col,
+                   id_col=emb_id_col)
+    cos_rank = {int(i): int(r) for i, r in
+                zip(kt["neighbor_id"].to_pylist(),
+                    kt["rank"].to_pylist())}
+
+    ids = sorted(set(bm_rank) | set(cos_rank))
+    rrf = [(1.0 / (k0 + bm_rank[d]) if d in bm_rank else 0.0)
+           + (1.0 / (k0 + cos_rank[d]) if d in cos_rank else 0.0)
+           for d in ids]
+    out = pa.table({
+        id_col: pa.array(ids, pa.int64()),
+        "rrf": pa.array([round(v, 6) for v in rrf], pa.float64()),
+        "bm25_rank": pa.array([bm_rank.get(d) for d in ids], pa.int64()),
+        "cos_rank": pa.array([cos_rank.get(d) for d in ids], pa.int64()),
+    })
+    order = sorted(range(len(ids)), key=lambda i: (-rrf[i], ids[i]))[:top]
+    return ray.data.from_arrow(out.take(pa.array(order, pa.int64())))
