@@ -8020,3 +8020,70 @@ FROM f ORDER BY rrf_raw DESC, doc_id LIMIT 10
 
 QUERIES.update({"q174_hybrid_rrf": q174_hybrid_rrf})
 ORACLE.update({"q174_hybrid_rrf": _q174_sql()})
+
+
+# ---------------------------------------------------------------------------
+# q175 — ATOMIC MULTI-TABLE TRANSACTION (cdc/multi.MultiTableCDC.
+# ingest_transaction — two-phase staged-manifest commit with a
+# write-ahead txn record; crash recovery rolls forward or aborts; tested
+# in tests/test_cdc.py, oracled here for the first time): the q24 binlog
+# fixture's two epochs land as ONE transaction into two independently-
+# versioned tables under one root, and the result is the union of both
+# tables' live reads tagged by table name. The oracle replays each
+# table's LWW window over the same fixture file and unions — visibility
+# is all-or-nothing through the txn record, so after commit the engine
+# must equal the per-table replay exactly.
+
+def q175_multi_table_txn(sf_dir: str):
+    import tempfile
+
+    from e_commerce_batch_etl_pipeline_ray.cdc import engine as _eng
+    from e_commerce_batch_etl_pipeline_ray.cdc.multi import MultiTableCDC
+    from e_commerce_batch_etl_pipeline_ray.stages.blockutil import (
+        read_parquet_clean,
+    )
+    ensure_oracle_fixtures()
+    root = tempfile.mkdtemp(prefix="q175_multi_", dir="/tmp")
+    mt = MultiTableCDC(root, _eng.CDCConfig(lake_dir="unused",
+                                            num_partitions=8,
+                                            merge_concurrency=2))
+    ev = {f"t{ep}": read_parquet_clean(
+              os.path.join(Q24_BINLOG_DIR, f"epoch-{ep}.parquet"),
+              override_num_blocks=8)
+          for ep in range(Q24_EPOCHS)}
+    mt.ingest_transaction(ev)
+    mt.shutdown()
+
+    def _tag(name):
+        def _fn(t):
+            return t.append_column(
+                "table_name", pa.array([name] * t.num_rows, pa.string()))
+        return _fn
+
+    parts = []
+    for name in sorted(ev):
+        d = mt.read(name).map_batches(_tag(name), batch_format="pyarrow")
+        parts.append(d.select_columns([
+            "table_name", "repo", "path", "lsn", "commit",
+            "content_sha256"]))
+    out = parts[0].union(*parts[1:])
+    return out.sort(["table_name", "repo", "path"])
+
+
+def _q175_sql() -> str:
+    per = []
+    for ep in range(Q24_EPOCHS):
+        per.append(f"""
+SELECT 't{ep}' AS table_name, repo, path, lsn, commit, content_sha256
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY repo, path
+                               ORDER BY lsn DESC) AS rn
+  FROM read_parquet('{Q24_BINLOG_DIR}/epoch-{ep}.parquet')
+) WHERE rn = 1 AND op <> 'D'""")
+    return ("SELECT table_name, repo, path, lsn, commit, content_sha256"
+            " FROM (" + " UNION ALL ".join(per)
+            + ") ORDER BY table_name, repo, path")
+
+
+QUERIES.update({"q175_multi_table_txn": q175_multi_table_txn})
+ORACLE.update({"q175_multi_table_txn": _q175_sql()})
