@@ -8087,3 +8087,77 @@ FROM (
 
 QUERIES.update({"q175_multi_table_txn": q175_multi_table_txn})
 ORACLE.update({"q175_multi_table_txn": _q175_sql()})
+
+
+# ---------------------------------------------------------------------------
+# q176 — PER-GROUP TOKEN-BUDGET SELECTION (sampling.budget_select_grouped;
+# the FineWeb/Dolma-style per-domain budget mixture): within every
+# `source`, keep the greedy quality-ranked prefix while the source's
+# running token sum stays <= 30% of that source's total tokens. The
+# oracle replays SUM(w) OVER (PARTITION BY source ORDER BY quality DESC,
+# doc_id) <= B_source over the q16/q169 exact quality score. Same
+# no-sort scale shape as q169 (bucket classify + one straddle-bucket
+# sort), group-aware: driver state is groups x nbuckets weight sums.
+
+def q176_budget_select_grouped(sf_dir: str):
+    from e_commerce_batch_etl_pipeline_ray.stages.sampling import (
+        budget_select_grouped,
+    )
+    from e_commerce_batch_etl_pipeline_ray.stages.text import (
+        quality_score,
+        token_stats,
+    )
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+    ds = token_stats("text").apply(ds)
+    ds = quality_score("text").apply(ds)
+    ds = ds.select_columns(["doc_id", "source", "quality", "n_tokens"])
+    totals = {r["source"]: r["sum(n_tokens)"]
+              for r in ds.groupby("source").sum("n_tokens").take_all()}
+    budgets = {s: (3 * int(t)) // 10 for s, t in totals.items()}
+    out = budget_select_grouped(ds, budgets, group_col="source",
+                                weight_col="n_tokens",
+                                score_col="quality", id_col="doc_id")
+    return out.sort("doc_id")
+
+
+Q176_SQL = r"""
+WITH q AS (
+  SELECT doc_id, source, n_tokens,
+         ROUND(
+           0.25 * (CASE WHEN n_chars >= 50 AND n_chars <= 100000
+                        THEN 1.0 ELSE 0.0 END)
+         + 0.25 * (1.0 - LEAST(n_punct / GREATEST(n_chars, 1.0), 1.0))
+         + 0.25 * (1.0 - LEAST(n_digit / GREATEST(n_chars, 1.0), 1.0))
+         + 0.25 * (CASE WHEN n_letters / GREATEST(n_tokens, 1.0) >= 2.0
+                         AND n_letters / GREATEST(n_tokens, 1.0) <= 12.0
+                        THEN 1.0 ELSE 0.0 END), 6) AS quality
+  FROM (
+    SELECT doc_id, source,
+           CAST(length(text) AS DOUBLE) AS n_chars,
+           CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS BIGINT)
+             AS n_tokens,
+           CAST(len(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE)
+             AS n_punct,
+           CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
+             AS n_digit,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE)
+             AS n_letters
+    FROM documents)
+), b AS (
+  SELECT source, (3 * SUM(n_tokens)) // 10 AS budget
+  FROM q GROUP BY source
+), c AS (
+  SELECT doc_id, source, quality, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY source
+                             ORDER BY quality DESC, doc_id) AS cum
+  FROM q
+)
+SELECT c.doc_id, c.source, c.quality, c.n_tokens
+FROM c JOIN b ON b.source = c.source
+WHERE c.cum <= b.budget
+ORDER BY c.doc_id
+"""
+
+
+QUERIES.update({"q176_budget_select_grouped": q176_budget_select_grouped})
+ORACLE.update({"q176_budget_select_grouped": Q176_SQL})

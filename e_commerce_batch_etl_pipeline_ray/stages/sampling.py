@@ -415,3 +415,123 @@ def budget_select(ds, budget: int, weight_col: str, score_col: str,
     edge = detach(edge.map_batches(ensure_schema(schema),
                                    batch_format="pyarrow"), schema)
     return kept.union(edge)
+
+
+def budget_select_grouped(ds, budgets: dict, group_col: str,
+                          weight_col: str, score_col: str,
+                          id_col: str = "doc_id",
+                          lo: float = 0.0, hi: float = 1.0,
+                          nbuckets: int = 1024):
+    """Per-GROUP token-budget selection — the FineWeb/Dolma-style
+    per-domain budget mixture: within every group, keep the greedy
+    quality-ranked prefix while the group's running ``weight_col`` sum
+    stays <= ``budgets[group]`` (SQL: ``SUM(w) OVER (PARTITION BY g
+    ORDER BY score DESC, id) <= B_g`` — the q176 oracle replays exactly
+    that). Groups absent from ``budgets`` are DROPPED (budget 0).
+
+    Distributed shape — the group-aware twin of :func:`budget_select`,
+    still NO global (or even per-group) sort: one scan tags each row
+    with its score bucket, one tiny reduce ships <= groups x nbuckets
+    weight sums to the driver (per-domain budget maps are catalog-sized
+    by construction), per-group descending-bucket prefix classification,
+    ONE fused vectorized filter keeps every fully-in bucket, and a
+    single map_groups pass sorts only each group's ONE straddling
+    bucket. Finite-score contract as budget_select (null / NaN / +-inf
+    scores and null weights never selected); ties break by id, exact at
+    any parallelism. Returns the selected rows (input columns,
+    unsorted)."""
+    import pandas as pd
+
+    from e_commerce_batch_etl_pipeline_ray.stages.blockutil import (
+        collect_arrow,
+        detach,
+        ensure_schema,
+    )
+
+    nb = int(nbuckets)
+    span = float(hi) - float(lo)
+    if span <= 0:
+        span = 1.0
+    gkeys = pa.array(sorted(str(k) for k in budgets), pa.string())
+    bmap = {str(k): float(v) for k, v in budgets.items()}
+    SEP = "\x1f"
+
+    def _gbk(group_arr, bucket_np):
+        gs = pc.cast(group_arr, pa.string())
+        bs = pa.array(bucket_np.astype("U"), pa.string())
+        return pc.binary_join_element_wise(gs, bs, SEP)
+
+    def _add_bucket(t: pa.Table) -> pa.Table:
+        s = t[score_col].cast(pa.float64()).to_numpy(zero_copy_only=False)
+        g = t[group_col].combine_chunks()
+        ok = (np.isfinite(s)
+              & pc.is_valid(t[weight_col]).to_numpy(zero_copy_only=False)
+              & pc.is_in(pc.cast(g, pa.string()),
+                         value_set=gkeys).to_numpy(zero_copy_only=False))
+        t = t.filter(pa.array(ok))
+        b = np.clip(np.floor((s[ok] - float(lo)) / span * nb)
+                    .astype(np.int64), 0, nb - 1)
+        t = t.append_column("_bsel", pa.array(b, pa.int64()))
+        return t.append_column(
+            "_gbk", _gbk(t[group_col].combine_chunks(), b))
+
+    tagged = ds.map_batches(_add_bucket, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    sums = tagged.map_batches(
+        lambda t: t.select([group_col, "_bsel", weight_col])
+        .group_by([group_col, "_bsel"]).aggregate([(weight_col, "sum")])
+        .rename_columns([group_col, "_bsel", "w"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    part = collect_arrow(sums)
+    if part.num_rows == 0:
+        return tagged.drop_columns(["_bsel", "_gbk"])
+    agg = part.group_by([group_col, "_bsel"]).aggregate([("w", "sum")]) \
+        .rename_columns([group_col, "_bsel", "w"]).to_pandas()
+    full_in: list[str] = []
+    straddle: list[str] = []
+    offsets: dict[str, float] = {}
+    for gval, gdf in agg.groupby(group_col, sort=True):
+        budget = bmap[str(gval)]
+        gdf = gdf.sort_values("_bsel", ascending=False)
+        ends = gdf["w"].cumsum()
+        starts = ends - gdf["w"]
+        keys = [f"{gval}{SEP}{b}" for b in gdf["_bsel"]]
+        for k, st, en in zip(keys, starts, ends):
+            if en <= budget:
+                full_in.append(k)
+            elif st <= budget:
+                straddle.append(k)
+                offsets[str(gval)] = float(st)
+    full_set = pa.array(sorted(full_in), pa.string())
+    strad_set = pa.array(sorted(straddle), pa.string())
+
+    def _keep_full(t: pa.Table) -> pa.Table:
+        if len(full_set) == 0:
+            t = t.slice(0, 0)
+        else:
+            t = t.filter(pc.is_in(t["_gbk"].combine_chunks(),
+                                  value_set=full_set))
+        return t.drop_columns(["_bsel", "_gbk"])
+
+    kept = tagged.map_batches(_keep_full, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    if len(strad_set) == 0:
+        return kept
+
+    def _cut(g: pd.DataFrame) -> pd.DataFrame:
+        gval = str(g[group_col].iloc[0])
+        g = g.sort_values([score_col, id_col], ascending=[False, True],
+                          kind="mergesort")
+        cum = g[weight_col].cumsum() + offsets.get(gval, 0.0)
+        return g[cum <= bmap[gval]].drop(columns=["_bsel", "_gbk"])
+
+    edge = tagged.map_batches(
+        lambda t: t.filter(pc.is_in(t["_gbk"].combine_chunks(),
+                                    value_set=strad_set)),
+        batch_format="pyarrow", zero_copy_batch=True) \
+        .groupby(group_col).map_groups(_cut, batch_format="pandas")
+    schema = pa.schema([f for f in tagged.schema().base_schema
+                        if f.name not in ("_bsel", "_gbk")])
+    edge = detach(edge.map_batches(ensure_schema(schema),
+                                   batch_format="pyarrow"), schema)
+    return kept.union(edge)

@@ -129,3 +129,46 @@ def test_nonfinite_scores_excluded():
                         score_col="score", id_col="doc_id",
                         lo=None, hi=None)
     assert sorted(r["doc_id"] for r in out.take_all()) == [2, 3]
+
+
+def test_grouped_budget_matches_per_group_brute():
+    """budget_select_grouped == per-group brute greedy prefix; groups
+    absent from the budget map are dropped; parallelism-invariant."""
+    from e_commerce_batch_etl_pipeline_ray.stages.sampling import (
+        budget_select_grouped,
+    )
+    rng = np.random.default_rng(9)
+    n = 120
+    groups = rng.choice(["a", "b", "c"], size=n)
+    t = pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "g": pa.array(groups, pa.string()),
+        "w": pa.array(rng.integers(1, 30, size=n), pa.int64()),
+        "score": pa.array(np.round(rng.uniform(0, 1, size=n), 4)),
+    })
+    budgets = {"a": 150, "b": 40}          # c dropped
+
+    def brute():
+        keep = []
+        for g, b in budgets.items():
+            rows = [(i, s, w) for i, gg, s, w in
+                    zip(t["doc_id"].to_pylist(), t["g"].to_pylist(),
+                        t["score"].to_pylist(), t["w"].to_pylist())
+                    if gg == g]
+            rows.sort(key=lambda r: (-r[1], r[0]))
+            cum = 0
+            for i, s, w in rows:
+                cum += w
+                if cum > b:
+                    break
+                keep.append(i)
+        return sorted(keep)
+
+    exp = brute()
+    for blocks in (1, 5):
+        ds = ray.data.from_arrow(t).repartition(blocks)
+        out = budget_select_grouped(ds, budgets, group_col="g",
+                                    weight_col="w", score_col="score",
+                                    id_col="doc_id", nbuckets=16)
+        got = sorted(r["doc_id"] for r in out.take_all())
+        assert got == exp, (blocks, got, exp)
