@@ -58,7 +58,13 @@ BENCH_QUERIES = ["q1_pricing_summary", "q3_dedup_lww", "q6_hash_join",
                  # budget selection, outer stream join
                  "q167_paragraph_dedup", "q168_c4_clean",
                  "q169_budget_select", "q170_stream_outer_join",
-                 "q171_gopher_quality"]
+                 "q171_gopher_quality",
+                 # round 5: incremental paragraph dedup, exact-substring
+                 # removal, hybrid RRF retrieval, multi-table txn,
+                 # per-group budget selection
+                 "q172_incremental_paradedup",
+                 "q173_exact_substring_removal", "q174_hybrid_rrf",
+                 "q175_multi_table_txn", "q176_budget_select_grouped"]
 
 
 def _lineitem_rows(sf_dir: str) -> int:
