@@ -860,3 +860,29 @@ def test_robust_stats_and_outlier_filter():
     import pytest as _pytest
     with _pytest.raises(ValueError, match="keep"):
         aggregates.robust_outlier_filter(["g"], "x", keep="bogus")
+
+
+def test_fingerprint_vectorized_batch_equals_per_doc_reference():
+    """Round-5: the cross-doc vectorized Fingerprint.__call__ must stay
+    bit-identical to the per-doc _fp reference across every branch —
+    null, empty, <k, ==k, short (<window), window boundary, long,
+    repeated text (duplicate minima)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from e_commerce_batch_etl_pipeline_ray.stages.text import Fingerprint
+
+    rng = np.random.default_rng(77)
+    texts = [None, "", "ab", "abcdefg", "abcdefgh",
+             "abcdefghijklmnopqrstu", "z" * 100,
+             "x" * 7 + "abcdefghijklmnopqrstuvwxyz" * 3,
+             "".join(rng.choice(list("ab"), 23))]
+    texts += [None if rng.random() < 0.1 else
+              "".join(rng.choice(list("abcdefgh "),
+                                 size=int(rng.integers(0, 120))))
+              for _ in range(200)]
+    fp = Fingerprint("text")
+    t = pa.table({"text": pa.array(texts, pa.string())})
+    got = fp(t)["fingerprint"].to_pylist()
+    exp = [fp._fp(v) for v in texts]
+    assert got == exp
