@@ -8161,3 +8161,33 @@ ORDER BY c.doc_id
 
 QUERIES.update({"q176_budget_select_grouped": q176_budget_select_grouped})
 ORACLE.update({"q176_budget_select_grouped": Q176_SQL})
+
+
+# ---------------------------------------------------------------------------
+# q177 — TOP-K FREQUENT N-GRAMS (stages/substr.top_ngrams; corpus
+# boilerplate / template mining — which exact byte snippets dominate):
+# counts include within-doc overlapping occurrences; rank (cnt DESC,
+# gram ASC). One content-hash shuffle makes each gram's global count
+# partition-local, so a per-partition top-k is exact and only k*P rows
+# reach the driver merge.
+
+def q177_top_ngrams(sf_dir: str):
+    from e_commerce_batch_etl_pipeline_ray.stages import substr
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return substr.top_ngrams(ds, n=12, k=25, num_partitions=32)
+
+
+Q177_SQL = """
+WITH g AS (
+  SELECT substring(text, i, 12) AS gram
+  FROM (SELECT text, UNNEST(generate_series(1, length(text) - 11)) AS i
+        FROM documents)
+)
+SELECT gram, COUNT(*)::BIGINT AS cnt
+FROM g GROUP BY gram
+ORDER BY cnt DESC, gram LIMIT 25
+"""
+
+
+QUERIES.update({"q177_top_ngrams": q177_top_ngrams})
+ORACLE.update({"q177_top_ngrams": Q177_SQL})

@@ -266,3 +266,55 @@ def exact_substring_removal(ds: ray.data.Dataset, *, n: int = 50,
         return out
 
     return joined.map_batches(_rewrite, batch_format="pyarrow")
+
+
+def top_ngrams(ds: ray.data.Dataset, *, n: int = 8, k: int = 20,
+               id_col: str = "doc_id", text_col: str = "text",
+               num_partitions: int = 64) -> ray.data.Dataset:
+    """Corpus-wide TOP-K most frequent byte n-grams — the boilerplate /
+    template-mining probe (which exact snippets dominate the corpus):
+    ``(gram, cnt)`` ranked by (count DESC, gram ASC), counts include
+    overlapping occurrences within a document. ASCII corpora: byte order
+    == lexicographic string order, so the q177 SQL mirror ranks
+    identically.
+
+    Scale shape: q96's strided-view gram extraction, ONE content-hash
+    shuffle co-locates every occurrence of a gram, per-partition
+    group_by counts + a LOCAL top-k (safe — a gram's corpus-global
+    count lives entirely in its one partition), and the k*P survivors
+    merge on the driver (metadata grain)."""
+
+    def _pairs(t: pa.Table) -> pa.Table:
+        pairs = _extract_grams(t, id_col, text_col, n)
+        if pairs.num_rows == 0:
+            return pa.table({"gram": pa.array([], pa.binary(n)),
+                             _PID: pa.array([], pa.int32())})
+        key = pa.table({"gram": pc.cast(pairs["gram"], pa.binary())})
+        pid = hash_partition_ids(key, ["gram"], num_partitions)
+        return pa.table({"gram": pairs["gram"],
+                         _PID: pa.array(pid, pa.int32())})
+
+    def _local_topk(g: pa.Table) -> pa.Table:
+        g = g.drop_columns([_PID])
+        counts = g.group_by(["gram"]).aggregate([("gram", "count")])
+        out = pa.table({
+            "gram": pc.cast(counts["gram"], pa.string()),
+            "cnt": pc.cast(counts["gram_count"], pa.int64())})
+        idx = pc.sort_indices(out, sort_keys=[("cnt", "descending"),
+                                              ("gram", "ascending")])
+        return out.take(idx.slice(0, k))
+
+    from e_commerce_batch_etl_pipeline_ray.stages.blockutil import (
+        collect_arrow,
+    )
+    local = ds.map_batches(_pairs, batch_format="pyarrow",
+                           zero_copy_batch=True) \
+        .groupby(_PID).map_groups(_local_topk, batch_format="pyarrow")
+    merged = collect_arrow(local)
+    if merged.num_rows == 0:
+        return ray.data.from_arrow(pa.table({
+            "gram": pa.array([], pa.string()),
+            "cnt": pa.array([], pa.int64())}))
+    idx = pc.sort_indices(merged, sort_keys=[("cnt", "descending"),
+                                             ("gram", "ascending")])
+    return ray.data.from_arrow(merged.take(idx.slice(0, k)))

@@ -102,3 +102,33 @@ def test_parallelism_invariance():
     a = _run(rows, n, blocks=1, num_partitions=4)
     b = _run(rows, n, blocks=7, num_partitions=16)
     assert a == b == _brute(rows, n)
+
+
+def test_top_ngrams_exact_and_layout_invariant():
+    """top_ngrams == brute counts with overlap; per-partition local
+    top-k loses nothing (gram counts are partition-complete); ranking
+    (cnt DESC, gram ASC)."""
+    from collections import Counter
+
+    from e_commerce_batch_etl_pipeline_ray.stages.substr import top_ngrams
+
+    rng = np.random.default_rng(4)
+    texts = ["ababababab", "zzzzzz", "abcabcabc",
+             "".join(rng.choice(list("ab"), 40)), "", None, "ab"]
+    n, k = 3, 5
+
+    cnt = Counter()
+    for tx in texts:
+        if tx is None:
+            continue
+        for i in range(len(tx) - n + 1):
+            cnt[tx[i:i + n]] += 1
+    exp = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+
+    for blocks in (1, 4):
+        ds = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string())})).repartition(blocks)
+        out = top_ngrams(ds, n=n, k=k, num_partitions=4)
+        got = [(r["gram"], r["cnt"]) for r in out.take_all()]
+        assert got == exp, (blocks, got, exp)
