@@ -8191,3 +8191,59 @@ ORDER BY cnt DESC, gram LIMIT 25
 
 QUERIES.update({"q177_top_ngrams": q177_top_ngrams})
 ORACLE.update({"q177_top_ngrams": Q177_SQL})
+
+
+# ---------------------------------------------------------------------------
+# q178 — CROSS-CORPUS PERPLEXITY (out-of-domain detection; KenLM-style
+# quality probe production pipelines run: train the char-bigram LM on
+# ONE reference slice — source='src0' — and score EVERY document against
+# it; docs far from the reference distribution score high). Same
+# mergeable 256x256-partial trainer and broadcast scorer as q95 — the
+# composition, not the kernel, is new: train set != score set, so the
+# oracle must COALESCE unseen-bigram/unseen-context smoothing
+# ((0+1)/(0+256)) that q95's same-corpus join never exercises.
+
+def q178_cross_perplexity(sf_dir: str):
+    from e_commerce_batch_etl_pipeline_ray.stages import lm
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+    train = ds.filter(expr="source == 'src0'")
+    model = lm.train_char_bigram(train, "text")
+    scored = lm.perplexity(ds, model, "text", round_to=2)
+    return scored.select_columns(["doc_id", "perplexity"]).sort("doc_id")
+
+
+Q178_SQL = """
+WITH tr AS (
+  SELECT doc_id, text FROM documents WHERE source = 'src0'
+),
+tpos AS (
+  SELECT text, UNNEST(generate_series(1, length(text) - 1)) AS i FROM tr
+),
+cnt AS (
+  SELECT substring(text, i, 2) AS b, COUNT(*)::DOUBLE AS n
+  FROM tpos GROUP BY b
+),
+rs AS (SELECT substring(b, 1, 1) AS c1, SUM(n) AS row_n FROM cnt GROUP BY 1),
+pos AS (
+  SELECT doc_id, text, UNNEST(generate_series(1, length(text) - 1)) AS i
+  FROM documents
+),
+bg AS (
+  SELECT doc_id, substring(text, i, 1) AS c1, substring(text, i, 2) AS b
+  FROM pos
+),
+scored AS (
+  SELECT bg.doc_id,
+         LN((COALESCE(cnt.n, 0) + 1)
+            / (COALESCE(rs.row_n, 0) + 256)) AS lp
+  FROM bg LEFT JOIN cnt USING (b) LEFT JOIN rs ON rs.c1 = bg.c1
+)
+SELECT d.doc_id,
+       ROUND(EXP(-AVG(s.lp)), 2) AS perplexity
+FROM documents d LEFT JOIN scored s USING (doc_id)
+GROUP BY d.doc_id ORDER BY d.doc_id
+"""
+
+
+QUERIES.update({"q178_cross_perplexity": q178_cross_perplexity})
+ORACLE.update({"q178_cross_perplexity": Q178_SQL})
