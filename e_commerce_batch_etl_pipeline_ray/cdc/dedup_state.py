@@ -73,9 +73,9 @@ class _DedupApply:
         self.id_col = id_col
         self.mode = mode                      # "compact" | "delta"
         self.tmp_dir = lake.epoch_dir(state_dir, epoch, tmp=True)
-        os.makedirs(self.tmp_dir, exist_ok=True)
 
     def __call__(self, group: pa.Table) -> pa.Table:
+        os.makedirs(self.tmp_dir, exist_ok=True)  # task may run off-driver
         pid = group[_PID][0].as_py()
         batch = group.drop_columns([_PID])
         # within-epoch winner: lowest id per sha (blocks pre-combined)
@@ -190,11 +190,17 @@ class IncrementalDedup:
         from e_commerce_batch_etl_pipeline_ray.stages.blockutil import (
             collect_arrow,
         )
+        # callable INSTANCE -> task-based map_groups (no actor-pool
+        # startup; the q111 round-5 lesson). Writes are wip+rename
+        # atomic and byte-deterministic per partition -> retry-safe.
+        _apply_inst = _DedupApply(cfg.state_dir, epoch, prev_parts,
+                                  cfg.id_col, mode)
+
+        def _DedupApplyTask(g: pa.Table) -> pa.Table:
+            return _apply_inst(g)
+
         lineage = collect_arrow(assigned.groupby(_PID).map_groups(
-            _DedupApply, batch_format="pyarrow",
-            fn_constructor_args=(cfg.state_dir, epoch, prev_parts,
-                                 cfg.id_col, mode),
-            concurrency=2, num_cpus=1))
+            _DedupApplyTask, batch_format="pyarrow"))
 
         lake.promote_epoch_dir(cfg.state_dir, epoch)
         partitions = {}

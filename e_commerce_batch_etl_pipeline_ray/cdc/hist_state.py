@@ -88,9 +88,9 @@ class _HistWrite:
         self.by = by
         self.mode = mode
         self.tmp_dir = lake.epoch_dir(state_dir, epoch, tmp=True)
-        os.makedirs(self.tmp_dir, exist_ok=True)
 
     def __call__(self, group: pa.Table) -> pa.Table:
+        os.makedirs(self.tmp_dir, exist_ok=True)  # task may run off-driver
         pid = group[_PID][0].as_py()
         rows = _sum_merge(group.drop_columns([_PID]), self.by)
         files = _files(self.prev.get(str(pid)))
@@ -162,11 +162,16 @@ class IncrementalHist:
         from e_commerce_batch_etl_pipeline_ray.stages.blockutil import (
             collect_arrow,
         )
+        # callable INSTANCE -> task-based map_groups (no actor-pool
+        # startup; the q111 round-5 lesson); writes stay wip+rename
+        # atomic and byte-deterministic -> retry-safe
+        _apply_inst = _HistWrite(cfg.state_dir, epoch, prev_parts, cfg.by, mode)
+
+        def __HistWriteTask(g):
+            return _apply_inst(g)
+
         lineage = collect_arrow(partials.groupby(_PID).map_groups(
-            _HistWrite, batch_format="pyarrow",
-            fn_constructor_args=(cfg.state_dir, epoch, prev_parts,
-                                 cfg.by, mode),
-            concurrency=2, num_cpus=1))
+            __HistWriteTask, batch_format="pyarrow"))
 
         lake.promote_epoch_dir(cfg.state_dir, epoch)
         partitions = {}

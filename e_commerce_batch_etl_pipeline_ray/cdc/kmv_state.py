@@ -101,9 +101,9 @@ class _KMVWrite:
         self.k = k
         self.mode = mode
         self.tmp_dir = lake.epoch_dir(state_dir, epoch, tmp=True)
-        os.makedirs(self.tmp_dir, exist_ok=True)
 
     def __call__(self, group: pa.Table) -> pa.Table:
+        os.makedirs(self.tmp_dir, exist_ok=True)  # task may run off-driver
         pid = group[_PID][0].as_py()
         rows = _kmv_fold(group.drop_columns([_PID]), self.by, self.k)
         files = _files(self.prev.get(str(pid)))
@@ -179,11 +179,16 @@ class IncrementalKMV:
         from e_commerce_batch_etl_pipeline_ray.stages.blockutil import (
             collect_arrow,
         )
+        # callable INSTANCE -> task-based map_groups (no actor-pool
+        # startup; the q111 round-5 lesson); writes stay wip+rename
+        # atomic and byte-deterministic -> retry-safe
+        _apply_inst = _KMVWrite(cfg.state_dir, epoch, prev_parts, cfg.by, cfg.k, mode)
+
+        def __KMVWriteTask(g):
+            return _apply_inst(g)
+
         lineage = collect_arrow(partials.groupby(_PID).map_groups(
-            _KMVWrite, batch_format="pyarrow",
-            fn_constructor_args=(cfg.state_dir, epoch, prev_parts,
-                                 cfg.by, cfg.k, mode),
-            concurrency=2, num_cpus=1))
+            __KMVWriteTask, batch_format="pyarrow"))
 
         lake.promote_epoch_dir(cfg.state_dir, epoch)
         partitions = {}

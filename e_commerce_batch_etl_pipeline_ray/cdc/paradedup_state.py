@@ -82,9 +82,9 @@ class _ParaApply:
         self.prev = prev_partitions
         self.mode = mode                      # "compact" | "delta"
         self.tmp_dir = lake.epoch_dir(state_dir, epoch, tmp=True)
-        os.makedirs(self.tmp_dir, exist_ok=True)
 
     def __call__(self, group: pa.Table) -> pa.Table:
+        os.makedirs(self.tmp_dir, exist_ok=True)  # task may run off-driver
         pid = group[_PID][0].as_py()
         batch = group.drop_columns([_PID])
         rec = self.prev.get(str(pid))
@@ -193,10 +193,16 @@ class IncrementalParaDedup:
         # phase 1: every state partition must run (state carry-forward is
         # by REFERENCE below; only touched partitions rewrite) — no
         # placeholders needed: untouched partitions keep their records
+        # callable INSTANCE -> task-based map_groups (no actor-pool
+        # startup; the q111 round-5 lesson). Writes are wip+rename
+        # atomic and byte-deterministic per partition -> retry-safe.
+        _apply_inst = _ParaApply(cfg.state_dir, epoch, prev_parts, mode)
+
+        def _ParaApplyTask(g: pa.Table) -> pa.Table:
+            return _apply_inst(g)
+
         removed = skinny.groupby(_PID).map_groups(
-            _ParaApply, batch_format="pyarrow",
-            fn_constructor_args=(cfg.state_dir, epoch, prev_parts, mode),
-            concurrency=2, num_cpus=1)
+            _ParaApplyTask, batch_format="pyarrow")
 
         from e_commerce_batch_etl_pipeline_ray.stages.aggregates import (
             grouped_collect,

@@ -372,10 +372,16 @@ class StreamJoin:
         from e_commerce_batch_etl_pipeline_ray.stages.blockutil import (
             collect_arrow,
         )
+        # callable INSTANCE -> task-based map_groups (no actor-pool
+        # startup; the q111 round-5 lesson); writes stay wip+rename
+        # atomic and byte-deterministic -> retry-safe
+        _apply_inst = _Apply(prev_parts, epoch)
+
+        def __ApplyTask(g):
+            return _apply_inst(g)
+
         lineage = collect_arrow(arrivals.groupby(_PID).map_groups(
-            _Apply, batch_format="pyarrow",
-            fn_constructor_args=(prev_parts, epoch),
-            concurrency=2, num_cpus=1))
+            __ApplyTask, batch_format="pyarrow"))
 
         lake.promote_epoch_dir(cfg.state_dir, epoch)
         partitions = {}

@@ -285,10 +285,16 @@ class WindowedAggregate:
             })
             partials = partials.union(ray.data.from_arrow(ph))
 
+        # callable INSTANCE -> task-based map_groups (no actor-pool
+        # startup; the q111 round-5 lesson); writes stay wip+rename
+        # atomic and byte-deterministic -> retry-safe
+        _apply_inst = _Apply(prev_parts, epoch, new_wm)
+
+        def __ApplyTask(g):
+            return _apply_inst(g)
+
         lineage = collect_arrow(partials.groupby(_PID).map_groups(
-            _Apply, batch_format="pyarrow",
-            fn_constructor_args=(prev_parts, epoch, new_wm),
-            concurrency=2, num_cpus=1))
+            __ApplyTask, batch_format="pyarrow"))
 
         lake.promote_epoch_dir(cfg.state_dir, epoch)
         partitions = {}
@@ -592,10 +598,16 @@ class SessionAggregate:
             })
             partials = partials.union(ray.data.from_arrow(ph))
 
+        # callable INSTANCE -> task-based map_groups (no actor-pool
+        # startup; the q111 round-5 lesson); writes stay wip+rename
+        # atomic and byte-deterministic -> retry-safe
+        _apply_inst = _Apply(prev_parts, epoch, new_wm)
+
+        def __ApplyTask(g):
+            return _apply_inst(g)
+
         lineage = collect_arrow(partials.groupby(_PID).map_groups(
-            _Apply, batch_format="pyarrow",
-            fn_constructor_args=(prev_parts, epoch, new_wm),
-            concurrency=2, num_cpus=1))
+            __ApplyTask, batch_format="pyarrow"))
 
         lake.promote_epoch_dir(cfg.state_dir, epoch)
         partitions = {}
