@@ -210,17 +210,25 @@ def exact_substring_removal(ds: ray.data.Dataset, *, n: int = 50,
         dup = pc.greater(occ, 1)
         return pa.table({"_rid": g[id_col], "pos": g["pos"]}).filter(dup)
 
+    base = ds.schema().base_schema
     pairs = ds.map_batches(_gram_pos, batch_format="pyarrow",
                            zero_copy_batch=True)
     marks = pairs.groupby(_PID).map_groups(_marks, batch_format="pyarrow")
-    base = ds.schema().base_schema
+    # pin + materialize: a mark-free corpus leaves only zero-column empty
+    # blocks whose dataset schema is None (hypothesis-found edge) —
+    # grouped_collect needs a real schema, and the count() gate below
+    # must not re-execute the shuffle
+    marks_schema = pa.schema([("_rid", base.field(id_col).type),
+                              ("pos", pa.int64())])
+    marks = detach(marks.map_batches(ensure_schema(marks_schema),
+                                     batch_format="pyarrow"), marks_schema)
     rem_schema = pa.schema([("_rid", base.field(id_col).type),
                             ("rem_pos", pa.string())])
-    rem = grouped_collect(["_rid"], "pos", "rem_pos",
-                          num_partitions=num_partitions).apply(marks)
-    rem = detach(rem.map_batches(ensure_schema(rem_schema),
-                                 batch_format="pyarrow"), rem_schema)
-    if rem.count():
+    if marks.count():
+        rem = grouped_collect(["_rid"], "pos", "rem_pos",
+                              num_partitions=num_partitions).apply(marks)
+        rem = detach(rem.map_batches(ensure_schema(rem_schema),
+                                     batch_format="pyarrow"), rem_schema)
         joined = ds.join(rem, join_type="left_outer", on=(id_col,),
                          right_on=("_rid",),
                          num_partitions=max(2, num_partitions // 4))

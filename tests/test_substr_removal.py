@@ -132,3 +132,25 @@ def test_top_ngrams_exact_and_layout_invariant():
         out = top_ngrams(ds, n=n, k=k, num_partitions=4)
         got = [(r["gram"], r["cnt"]) for r in out.take_all()]
         assert got == exp, (blocks, got, exp)
+
+
+# --- hypothesis property ---------------------------------------------------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    texts=st.lists(
+        st.one_of(st.none(),
+                  st.text(alphabet="abc \n", min_size=0, max_size=60)),
+        min_size=1, max_size=12),
+    n=st.integers(min_value=2, max_value=6),
+)
+def test_removal_matches_brute_hypothesis(texts, n):
+    """Property: exact_substring_removal == the per-corpus brute replay
+    for ANY corpus / gram length — small alphabet maximizes collisions,
+    newlines and spaces exercise the byte-grain path."""
+    rows = list(enumerate(texts))
+    assert _run(rows, n, blocks=2, num_partitions=4) == _brute(rows, n)
