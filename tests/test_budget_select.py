@@ -172,3 +172,54 @@ def test_grouped_budget_matches_per_group_brute():
                                     id_col="doc_id", nbuckets=16)
         got = sorted(r["doc_id"] for r in out.take_all())
         assert got == exp, (blocks, got, exp)
+
+
+# --- hypothesis property ---------------------------------------------------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(st.sampled_from(["a", "b", "c"]),
+                  st.integers(min_value=1, max_value=20),
+                  st.floats(min_value=0.0, max_value=1.0,
+                            allow_nan=False, width=32)),
+        min_size=1, max_size=40),
+    budgets=st.fixed_dictionaries(
+        {"a": st.integers(min_value=0, max_value=120),
+         "b": st.integers(min_value=0, max_value=120)}),
+)
+def test_grouped_budget_brute_hypothesis(rows, budgets):
+    """Property: budget_select_grouped == the per-group greedy prefix for
+    arbitrary (group, weight, score) rows and budgets — group 'c' never
+    budgeted, score ties broken by id."""
+    from e_commerce_batch_etl_pipeline_ray.stages.sampling import (
+        budget_select_grouped,
+    )
+    t = pa.table({
+        "doc_id": pa.array(range(len(rows)), pa.int64()),
+        "g": pa.array([r[0] for r in rows], pa.string()),
+        "w": pa.array([r[1] for r in rows], pa.int64()),
+        "score": pa.array([float(r[2]) for r in rows], pa.float64()),
+    })
+
+    keep = []
+    for g, b in budgets.items():
+        sub = [(i, rows[i][2], rows[i][1]) for i in range(len(rows))
+               if rows[i][0] == g]
+        sub.sort(key=lambda r: (-r[1], r[0]))
+        cum = 0
+        for i, s, w in sub:
+            cum += w
+            if cum > b:
+                break
+            keep.append(i)
+
+    ds = ray.data.from_arrow(t).repartition(3)
+    out = budget_select_grouped(ds, budgets, group_col="g",
+                                weight_col="w", score_col="score",
+                                id_col="doc_id", nbuckets=8)
+    assert sorted(r["doc_id"] for r in out.take_all()) == sorted(keep)
