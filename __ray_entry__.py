@@ -71,7 +71,7 @@ DRIVER_WINDOW = [
     # via q6/q71, token stats via q20/q95/q96, IVF exact via q135 (which
     # drives the same probe/pruned-read shape through PQ), mixture via
     # q100, basic window fns via q11+q67.
-    "q130_patch_cdc", "q133_incremental_cms",
+    "q133_incremental_cms",
     "q135_knn_pq_exact", "q136_pk_change",
     # round-4 session-4/5: cell-grain feed over LSM boundaries and
     # bloom-pruned point reads (the one point-read entry in the window).
@@ -133,10 +133,15 @@ DRIVER_WINDOW = [
     # INTO — q24's merge-apply + q159's delete path are its two halves),
     # q100 (group split — q169 represents sampling/selection), q105
     # (z-order scan — q139/q159/q163 keep pruned reads + metadata).
+    # (continued) q175 atomic multi-table transaction joins the window —
+    # a protocol family the driver has never gated; displaced q130, whose
+    # cell-LWW merge kernel q137's oracle replays verbatim (it builds the
+    # same patch lake and diffs its epoch prefix states).
     "q112_index_view", "q132_gdpr_purge", "q142_incremental_hist",
     "q153_rename_column", "q155_replace_where", "q156_generated_columns",
     "q165_llm_corpus_pipeline", "q166_dsir_selection", "q169_budget_select",
     "q172_incremental_paradedup", "q173_exact_substring_removal",
+    "q175_multi_table_txn",
 ]
 
 

@@ -39,7 +39,6 @@ def test_driver_window_is_first_50_and_fully_oracled():
                  # (q126/q127/q131 displaced in session 8 — graph keeps
                  # q108, robust/agg keeps q33/q50/q51/q67, predicate
                  # deletes keep q159 whose oracle is the same window)
-                 "q130_patch_cdc",
                  "q133_incremental_cms", "q135_knn_pq_exact",
                  "q136_pk_change",
                  # round-4 session-4/5: cell feed + bloom point reads
@@ -58,7 +57,7 @@ def test_driver_window_is_first_50_and_fully_oracled():
                  "q155_replace_where", "q156_generated_columns",
                  "q165_llm_corpus_pipeline", "q166_dsir_selection",
                  "q169_budget_select", "q172_incremental_paradedup",
-                 "q173_exact_substring_removal"):
+                 "q173_exact_substring_removal", "q175_multi_table_txn"):
         assert must in win
 
 
