@@ -8247,3 +8247,82 @@ GROUP BY d.doc_id ORDER BY d.doc_id
 
 QUERIES.update({"q178_cross_perplexity": q178_cross_perplexity})
 ORACLE.update({"q178_cross_perplexity": Q178_SQL})
+
+
+# ---------------------------------------------------------------------------
+# q179 — RAG CORPUS PREP + RETRIEVAL composition (chunk -> BM25 over the
+# CHUNKS): the retrieval-side composition oracle, same philosophy as
+# q165 — ONE SQL chain verifies the stage composition (q85's chunk
+# expansion at 256/32 feeding q102's BM25 formula over chunk tokens),
+# not just the stages. Chunk identity is doc_id*4096+chunk_idx (chunk
+# counts here are « 4096); scores round to 4 before ranking so the
+# mirror's ordering is float-parity-safe (the q102 lesson).
+
+def q179_rag_chunk_bm25(sf_dir: str):
+    from e_commerce_batch_etl_pipeline_ray.stages import retrieval
+    from e_commerce_batch_etl_pipeline_ray.stages import text as T
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ds = T.chunk_documents(chunk_chars=256, overlap_chars=32).apply(ds)
+
+    def _cid(t: pa.Table) -> pa.Table:
+        cid = pc.add(pc.multiply(t["doc_id"], pa.scalar(4096)),
+                     t["chunk_idx"])
+        return t.append_column("chunk_id", cid.cast(pa.int64()))
+
+    ds = ds.map_batches(_cid, batch_format="pyarrow", zero_copy_batch=True)
+    top = retrieval.bm25_topk(ds, list(_Q102_TERMS), k=10,
+                              id_col="chunk_id", text_col="chunk_text",
+                              round_to=4)
+
+    def _split(t: pa.Table) -> pa.Table:
+        did = pc.divide(t["chunk_id"], pa.scalar(4096)).cast(pa.int64())
+        cix = pc.subtract(t["chunk_id"],
+                          pc.multiply(did, pa.scalar(4096))).cast(pa.int64())
+        return pa.table({"doc_id": did, "chunk_idx": cix,
+                         "score": t["score"]})
+
+    return top.map_batches(_split, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
+def _q179_sql() -> str:
+    tf_cols = ",\n   ".join(
+        f"len(list_filter(toks, x -> x = '{t}'))::DOUBLE AS tf{i}"
+        for i, t in enumerate(_Q102_TERMS))
+    df_cols = ", ".join(
+        f"SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END)::DOUBLE AS df{i}"
+        for i in range(len(_Q102_TERMS)))
+    score = " + ".join(
+        f"LN((n - df{i} + 0.5)/(df{i} + 0.5) + 1) * tf{i} * 2.2"
+        f" / (tf{i} + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))"
+        for i in range(len(_Q102_TERMS)))
+    return f"""
+WITH dd AS (SELECT doc_id, text, length(text) AS len FROM documents),
+cc AS (
+  SELECT doc_id, text,
+         CASE WHEN len <= 256 THEN 1
+              ELSE CAST(CEIL((len - 256) / 224.0) AS BIGINT) + 1 END AS nc
+  FROM dd
+), ch AS (
+  SELECT doc_id, chunk_idx,
+         substr(text, chunk_idx * 224 + 1, 256) AS chunk_text
+  FROM (SELECT doc_id, text, UNNEST(RANGE(0, nc)) AS chunk_idx FROM cc)
+), l AS (
+  SELECT doc_id * 4096 + chunk_idx AS cid, doc_id, chunk_idx,
+         string_split(COALESCE(chunk_text, ''), ' ') AS toks,
+         len(string_split(COALESCE(chunk_text, ''), ' '))::DOUBLE AS dl
+  FROM ch
+),
+stats AS (SELECT COUNT(*)::DOUBLE AS n, AVG(dl) AS avgdl FROM l),
+tf AS (SELECT cid, doc_id, chunk_idx, dl,
+   {tf_cols}
+ FROM l),
+df AS (SELECT {df_cols} FROM tf)
+SELECT doc_id, chunk_idx, ROUND({score}, 4) AS score
+FROM tf, stats, df
+ORDER BY score DESC, cid LIMIT 10
+"""
+
+
+QUERIES.update({"q179_rag_chunk_bm25": q179_rag_chunk_bm25})
+ORACLE.update({"q179_rag_chunk_bm25": _q179_sql()})
