@@ -230,6 +230,39 @@ def main() -> None:
         if weng._pool is not None:
             weng._pool.shutdown()
 
+    def paradedup_run() -> dict:
+        import pyarrow as pa
+
+        from e_commerce_batch_etl_pipeline_ray.cdc import paradedup_state
+        from e_commerce_batch_etl_pipeline_ray.stages import paradedup
+
+        n = 120
+        boiler = [f"shared boilerplate paragraph number {i} with text"
+                  for i in range(6)]
+        texts = [f"unique lead {i}\n\n{boiler[i % 6]}\n\nunique tail {i}"
+                 for i in range(n)]
+        docs = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array(range(n), pa.int64()),
+            "text": pa.array(texts, pa.string())})).repartition(6)
+        one_shot = {r["doc_id"]: r["text"] for r in paradedup
+                    .paragraph_dedup(num_partitions=8).apply(docs)
+                    .take_all()}
+        eng = paradedup_state.IncrementalParaDedup(
+            paradedup_state.IncParaDedupConfig(
+                state_dir=tempfile.mkdtemp(prefix="mn_pd_"),
+                num_partitions=8))
+        t0 = time.perf_counter()
+        eng.ingest(docs.filter(expr=f"doc_id < {n // 2}"), 0)
+        eng.ingest(docs.filter(expr=f"doc_id >= {n // 2}"), 1)
+        wall = time.perf_counter() - t0
+        got = {}
+        for ep in (0, 1):
+            got.update({r["doc_id"]: r["text"]
+                        for r in eng.docs(ep).take_all()})
+        assert got == one_shot, \
+            "paradedup: 2-node incremental != one-shot operator"
+        return {"wall_sec": round(wall, 3), "docs": n}
+
     out = {
         "nodes": alive,
         "cpus_per_node": args.cpus_per_node,
@@ -250,6 +283,10 @@ def main() -> None:
                                     two_phase_shuffle=True),
         # path 3: incremental near-dup, merged write shuffle, 2 nodes
         "inc_neardup": neardup_run(),
+        # path 5 (round 5): incremental paragraph dedup — the task-based
+        # state writers + sha-partitioned probe across both raylets,
+        # parity vs the ONE-SHOT operator on the concatenated corpus
+        "inc_paradedup": paradedup_run(),
         # path 4: cell-grain patch CDC merge, 2 nodes
         "patch_cdc": patch_run(),
     }
