@@ -64,7 +64,9 @@ BENCH_QUERIES = ["q1_pricing_summary", "q3_dedup_lww", "q6_hash_join",
                  # per-group budget selection
                  "q172_incremental_paradedup",
                  "q173_exact_substring_removal", "q174_hybrid_rrf",
-                 "q175_multi_table_txn", "q176_budget_select_grouped"]
+                 "q175_multi_table_txn", "q176_budget_select_grouped",
+                 "q177_top_ngrams", "q178_cross_perplexity",
+                 "q179_rag_chunk_bm25"]
 
 
 def _lineitem_rows(sf_dir: str) -> int:

@@ -446,8 +446,6 @@ def tfidf_top_terms(ds, text_col: str = "text", id_col: str = "doc_id",
       4. per-DOC top-N: hash-partition by doc, one vectorized
          sort+head(N) pass per partition.
     """
-    import math
-
     import pandas as pd
 
     import ray.data
