@@ -128,38 +128,50 @@ class _CandidatePairs:
         self.id_col = id_col
 
     def __call__(self, group: pa.Table) -> pa.Table:
+        """Vectorized (round-5): candidate pairs via two pandas hash
+        joins on the (band, band_hash) bucket key — new x state for
+        cross-epoch candidates, new x new with ``did > odid`` for
+        within-epoch ones — no per-row Python over the band rows."""
+        import pandas as pd
+
         pid = group[_PID][0].as_py()
         files = _bucket_files(self.prev.get(str(pid)))
-        seen: dict[tuple, list] = {}
+        key = ["band", "band_hash"]
+        new = group.select(key + [self.id_col]).to_pandas()
+        parts: list[pd.DataFrame] = []
         if files:
             probe = sorted(set(group["band_hash"].to_pylist()))
             st = pa.concat_tables(
                 [pq.read_table(f, filters=[[("band_hash", "in", probe)]],
-                               columns=["band", "band_hash", self.id_col])
-                 for f in files])
-            for b, h, did in zip(st["band"].to_pylist(),
-                                 st["band_hash"].to_pylist(),
-                                 st[self.id_col].to_pylist()):
-                seen.setdefault((b, h), []).append(did)
-        new: dict[tuple, list] = {}
-        for b, h, did in zip(group["band"].to_pylist(),
-                             group["band_hash"].to_pylist(),
-                             group[self.id_col].to_pylist()):
-            new.setdefault((b, h), []).append(did)
-        pairs: set[tuple] = set()
-        for key, ids in new.items():
-            ids.sort()
-            olds = seen.get(key, [])
-            for i, did in enumerate(ids):
-                for odid in olds:
-                    pairs.add((did, odid, False))
-                for odid in ids[:i]:
-                    pairs.add((did, odid, True))
-        rows = sorted(pairs)
+                               columns=key + [self.id_col])
+                 for f in files]).to_pandas()
+            if len(st):
+                sp = new.merge(st, on=key, suffixes=("", "_o"))
+                if len(sp):
+                    parts.append(pd.DataFrame({
+                        "did": sp[self.id_col],
+                        "cand_id": sp[f"{self.id_col}_o"],
+                        "cand_is_new": False}))
+        ip = new.merge(new, on=key, suffixes=("", "_o"))
+        ip = ip[ip[self.id_col] > ip[f"{self.id_col}_o"]]
+        if len(ip):
+            parts.append(pd.DataFrame({
+                "did": ip[self.id_col],
+                "cand_id": ip[f"{self.id_col}_o"],
+                "cand_is_new": True}))
+        if not parts:
+            return pa.table({
+                self.id_col: pa.array([], pa.int64()),
+                "cand_id": pa.array([], pa.int64()),
+                "cand_is_new": pa.array([], pa.bool_())})
+        df = pd.concat(parts, ignore_index=True)
+        df = df.drop_duplicates().sort_values(
+            ["did", "cand_id", "cand_is_new"], kind="mergesort")
         return pa.table({
-            self.id_col: pa.array([r[0] for r in rows], pa.int64()),
-            "cand_id": pa.array([r[1] for r in rows], pa.int64()),
-            "cand_is_new": pa.array([r[2] for r in rows], pa.bool_()),
+            self.id_col: pa.array(df["did"].to_numpy(), pa.int64()),
+            "cand_id": pa.array(df["cand_id"].to_numpy(), pa.int64()),
+            "cand_is_new": pa.array(df["cand_is_new"].to_numpy(),
+                                    pa.bool_()),
         })
 
 
