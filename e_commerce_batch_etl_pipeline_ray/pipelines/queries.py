@@ -8326,3 +8326,119 @@ ORDER BY score DESC, cid LIMIT 10
 
 QUERIES.update({"q179_rag_chunk_bm25": q179_rag_chunk_bm25})
 ORACLE.update({"q179_rag_chunk_bm25": _q179_sql()})
+
+
+# ---------------------------------------------------------------------------
+# q180 — INCREMENTAL-DEDUP -> BUDGETED-SELECTION composition (the
+# streaming production shape: a corpus continuously deduplicated by the
+# q172 persistent paragraph state, then assembled under a token budget):
+# the q172 derived corpus lands in TWO epochs through
+# IncrementalParaDedup, the union of the epochs' REWRITTEN docs is
+# scored (q16 quality, exact) and budget-selected at 50% of the
+# rewritten corpus's tokens (q169's no-sort operator). ONE SQL oracle
+# chains the q167 rewrite CTEs (== the incremental union, the q172
+# contract) into the q169 scoring + running-sum window cut — verifying
+# the cross-family composition end to end.
+
+def q180_incremental_corpus_select(sf_dir: str):
+    import tempfile
+
+    from e_commerce_batch_etl_pipeline_ray.cdc.paradedup_state import (
+        IncParaDedupConfig,
+        IncrementalParaDedup,
+    )
+    from e_commerce_batch_etl_pipeline_ray.stages.aggregates import (
+        grouped_collect,
+    )
+    from e_commerce_batch_etl_pipeline_ray.stages.sampling import (
+        budget_select,
+    )
+    from e_commerce_batch_etl_pipeline_ray.stages.text import (
+        quality_score,
+        token_stats,
+    )
+    sep = "\n\n"
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    boiler = ds.sort("doc_id").take(1)[0]["text"]
+
+    def _gid(t: pa.Table) -> pa.Table:
+        gid = t["doc_id"].to_numpy(zero_copy_only=False) % 100
+        return pa.table({"gid": pa.array(gid, pa.int64()),
+                         "text": t["text"]})
+
+    pages = grouped_collect(["gid"], "text", "body", sep=sep,
+                            num_partitions=16).apply(
+        ds.map_batches(_gid, batch_format="pyarrow", zero_copy_batch=True))
+
+    def _mk(t: pa.Table) -> pa.Table:
+        text = pc.binary_join_element_wise(
+            pa.scalar(boiler), t["body"], pa.scalar(sep))
+        return pa.table({"doc_id": t["gid"].cast(pa.int64()),
+                         "text": text})
+
+    pages = pages.map_batches(_mk, batch_format="pyarrow").materialize()
+    ipd = IncrementalParaDedup(IncParaDedupConfig(
+        state_dir=tempfile.mkdtemp(prefix="q180_ipd_", dir="/tmp"),
+        num_partitions=8, compact_interval=2))
+    ipd.ingest(pages.filter(lambda r: r["doc_id"] < 50), 0)
+    ipd.ingest(pages.filter(lambda r: r["doc_id"] >= 50), 1)
+    corpus = ipd.docs(0).union(ipd.docs(1)) \
+        .select_columns(["doc_id", "text"])
+    corpus = token_stats("text").apply(corpus)
+    corpus = quality_score("text").apply(corpus)
+    corpus = corpus.select_columns(["doc_id", "quality", "n_tokens"])
+    budget = int(corpus.sum("n_tokens")) // 2
+    out = budget_select(corpus, budget, weight_col="n_tokens",
+                        score_col="quality", id_col="doc_id")
+    return out.sort("doc_id")
+
+
+def _q180_sql() -> str:
+    rewrite = ORACLE["q167_paragraph_dedup"]
+    # strip the final SELECT of the q167 mirror and re-expose the
+    # rewritten docs as a CTE named rw
+    head, _, _tail = rewrite.partition("SELECT m.doc_id, COALESCE")
+    head = head.rstrip()
+    assert head.endswith(")")
+    return head + r""",
+rw AS (
+  SELECT m.doc_id, COALESCE(a.text, '') AS text
+  FROM m LEFT JOIN a USING (doc_id)
+), q AS (
+  SELECT doc_id, n_tokens,
+         ROUND(
+           0.25 * (CASE WHEN n_chars >= 50 AND n_chars <= 100000
+                        THEN 1.0 ELSE 0.0 END)
+         + 0.25 * (1.0 - LEAST(n_punct / GREATEST(n_chars, 1.0), 1.0))
+         + 0.25 * (1.0 - LEAST(n_digit / GREATEST(n_chars, 1.0), 1.0))
+         + 0.25 * (CASE WHEN n_letters / GREATEST(n_tokens, 1.0) >= 2.0
+                         AND n_letters / GREATEST(n_tokens, 1.0) <= 12.0
+                        THEN 1.0 ELSE 0.0 END), 6) AS quality
+  FROM (
+    SELECT doc_id,
+           CAST(length(text) AS DOUBLE) AS n_chars,
+           CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS BIGINT)
+             AS n_tokens,
+           CAST(len(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE)
+             AS n_punct,
+           CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
+             AS n_digit,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE)
+             AS n_letters
+    FROM rw)
+), bb AS (
+  SELECT SUM(n_tokens) // 2 AS budget FROM q
+), cc AS (
+  SELECT doc_id, quality, n_tokens,
+         SUM(n_tokens) OVER (ORDER BY quality DESC, doc_id) AS cum
+  FROM q
+)
+SELECT doc_id, quality, n_tokens
+FROM cc, bb WHERE cum <= bb.budget
+ORDER BY doc_id
+"""
+
+
+QUERIES.update({"q180_incremental_corpus_select":
+                q180_incremental_corpus_select})
+ORACLE.update({"q180_incremental_corpus_select": _q180_sql()})
