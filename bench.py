@@ -66,7 +66,7 @@ BENCH_QUERIES = ["q1_pricing_summary", "q3_dedup_lww", "q6_hash_join",
                  "q173_exact_substring_removal", "q174_hybrid_rrf",
                  "q175_multi_table_txn", "q176_budget_select_grouped",
                  "q177_top_ngrams", "q178_cross_perplexity",
-                 "q179_rag_chunk_bm25"]
+                 "q179_rag_chunk_bm25", "q180_incremental_corpus_select"]
 
 
 def _lineitem_rows(sf_dir: str) -> int:
