@@ -79,6 +79,8 @@ def materialize_binlog(spec, epochs: int, out_dir: str) -> None:
     from e_commerce_batch_etl_pipeline_ray.cdc import binlog
     for ep in range(epochs):
         d = os.path.join(out_dir, f"ep{ep:04d}")  # no '=' -> no hive-partition column inference
+        if os.path.isdir(d) and not os.listdir(d):
+            os.rmdir(d)           # crashed earlier generate left an empty dir
         if not os.path.isdir(d):
             binlog.gen_epoch(spec, ep, override_num_blocks=32).write_parquet(d)
 

@@ -400,6 +400,11 @@ def main() -> int:
     if args.generate:
         for ep in range(args.epochs):
             d = os.path.join(args.binlog_dir, f"ep{ep:04d}")
+            # a crashed earlier generate can leave an EMPTY dir — treat
+            # it as absent (reading it would fail much later with a
+            # cryptic schema-None error at ingest)
+            if os.path.isdir(d) and not os.listdir(d):
+                os.rmdir(d)
             if not os.path.isdir(d):
                 binlog.gen_epoch(spec, ep, override_num_blocks=32).write_parquet(d)
 
@@ -429,6 +434,11 @@ def main() -> int:
     def _evs(ep):
         from e_commerce_batch_etl_pipeline_ray.stages.blockutil import read_parquet_clean
         path = os.path.join(args.binlog_dir, f"ep{ep:04d}")
+        if not os.path.isdir(path) or not os.listdir(path):
+            raise SystemExit(
+                f"binlog epoch dir {path} is missing or empty — "
+                "regenerate with --generate (a crashed generate leaves "
+                "empty dirs; they are now auto-cleaned)")
         return read_parquet_clean(path, override_num_blocks=32)
 
     if args.pipeline:
